@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{BinMethod, BinSpec}
+
+/** The histogram operator core, re-expressed as declarative Spark transforms.
+  *
+  * Every function is a `DataFrame => DataFrame` (or `Column => Column`)
+  * building block; Catalyst handles predicate pushdown, column pruning and
+  * partial/final aggregation that the reference hand-rolls with
+  * `multiprocessing.Pool` + driver-side folds (reference:
+  * compute_histogram/main.py:82-149).
+  *
+  * Scale notes (100 TB): the whole pipeline reduces cardinality *before* any
+  * wide operation — raw values are quantized to integer codes, so the only
+  * shuffle is a group-by over ≤ `hi − lo` distinct keys after map-side
+  * partial aggregation; aggregation state is bounded by the bin count, never
+  * by data size. No driver-side data beyond one (min, max) row.
+  */
+object HistogramOps {
+
+  /** F1 — nodata filter + normalization to a single `value: double` column.
+    *
+    * The reference strips NaN pixels at scan time
+    * (`w[~np.isnan(w)]`, compute_histogram/main.py:241); we additionally
+    * treat SQL `null` as nodata. Catalyst pushes both predicates into the
+    * Parquet scan.
+    */
+  def validValues(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("double").as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+
+  /** A1/A2 — global min/max as one distributed agg (partial per partition,
+    * final combine — what the reference does manually in
+    * compute_histogram/main.py:127-149).
+    *
+    * `clampToZero = true` reproduces the reference's accumulator zero-init
+    * bug (min ≤ 0 and max ≥ 0 always; compute_histogram/main.py:131-132);
+    * default is the correct semantics.
+    */
+  def minMax(values: DataFrame, clampToZero: Boolean = false): (Double, Double) = {
+    val row = values.agg(min(col("value")), max(col("value"))).head()
+    if (row.isNullAt(0)) (0.0, 0.0)
+    else {
+      val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+      if (clampToZero) (math.min(mn, 0.0), math.max(mx, 0.0)) else (mn, mx)
+    }
+  }
+
+  /** P1/P2 — quantize a value column to an integer bin code.
+    *
+    * Linear: `trunc(v · 100)` (reference: compute_histogram/main.py:194-195).
+    * Log: `trunc(ln(v + offset) · 1000)` (compute_histogram/main.py:196-197).
+    *
+    * We quantize in `IntegerType`, not the reference's `int16`, and rely on
+    * the explicit `[lo, hi]` range filter in [[binCounts]] instead of
+    * wraparound (SURVEY §7.4.4). `cast("int")` truncates toward zero like
+    * numpy `astype` for in-range values.
+    *
+    * `legacyLogOffset100 = true` reproduces the reference bug where
+    * quantization hard-codes `+ 100` regardless of the derived offset
+    * (compute_histogram/main.py:197 vs :166-172).
+    */
+  def quantize(
+      value: Column,
+      spec: BinSpec,
+      legacyLogOffset100: Boolean = false): Column = spec.method match {
+    case BinMethod.Linear => (value * lit(100)).cast("int")
+    case BinMethod.Log =>
+      val off = if (legacyLogOffset100) 100.0 else spec.offset
+      (log(value + lit(off)) * lit(1000)).cast("int")
+  }
+
+  /** P3/P4 — reconstruct the bin's representative value from its code.
+    *
+    * Linear: `code / 100` (compute_histogram/main.py:110-111);
+    * log: `exp(code / 1000) − offset` (compute_histogram/main.py:112-115).
+    */
+  def binEdge(bin: Column, spec: BinSpec): Column = spec.method match {
+    case BinMethod.Linear => bin.cast("double") / lit(100.0)
+    case BinMethod.Log    => exp(bin.cast("double") / lit(1000.0)) - lit(spec.offset)
+  }
+
+  /** A3 + A4 + F3 — dense fixed-bin histogram over integer codes.
+    *
+    * Semantics of `np.histogram(w, bins = hi−lo, range = (lo, hi))`
+    * (compute_histogram/main.py:248-249): codes outside `[lo, hi]` are
+    * silently dropped; every bin is `[b, b+1)` except the last, which is
+    * closed `[hi−1, hi]` — so code `hi` merges into bin `hi−1`.
+    *
+    * The distributed combine (reference `_add_histogram` fold,
+    * compute_histogram/main.py:100-108, 244-245) is subsumed by the
+    * group-by's partial/final hash aggregation. The result is densified —
+    * zero-count bins present — by a left join against `spark.range(lo, hi)`
+    * (AQE broadcasts the ≤ `hi−lo`-row side at runtime).
+    *
+    * Input: single `code: int` column. Output: `(bin: int, count: long)`.
+    */
+  def binCounts(codes: DataFrame, lo: Int, hi: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val counted = codes
+      .filter(col("code") >= lit(lo) && col("code") <= lit(hi))
+      .select(when(col("code") === lit(hi), lit(hi - 1)).otherwise(col("code")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("count"))
+    val bins = spark.range(lo.toLong, hi.toLong).select(col("id").cast("int").as("bin"))
+    bins
+      .join(counted, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("count"), lit(0L)).as("count"))
+  }
+
+  /** A4 — element-wise merge of two dense histograms
+    * (reference `_add_histogram`, compute_histogram/main.py:244-245).
+    * Associative/commutative — exactly the property that makes the histogram
+    * distributable and streamable.
+    */
+  def merge(h1: DataFrame, h2: DataFrame): DataFrame =
+    h1.union(h2).groupBy(col("bin")).agg(sum(col("count")).as("count"))
+
+  /** The full single-method histogram: quantize → range filter → dense bin
+    * counts → bin-edge reconstruction. Output `(value: double, cnt: long)`
+    * ordered by value — the reference's `histogram.csv` relation
+    * (compute_histogram/main.py:110-124).
+    */
+  def histogram(
+      values: DataFrame,
+      spec: BinSpec,
+      legacyLogOffset100: Boolean = false): DataFrame = {
+    val codes = values.select(quantize(col("value"), spec, legacyLogOffset100).as("code"))
+    binCounts(codes, spec.lo, spec.hi)
+      .select(binEdge(col("bin"), spec).as("value"), col("count").as("cnt"))
+      .orderBy(col("value"))
+  }
+
+  /** End-to-end two-job pipeline: stats pass (A1/A2) → derive BinSpec on the
+    * driver (1 collected row) → histogram pass. Mirrors the reference's
+    * pass-1/pass-2 shape (compute_histogram/main.py:53-57).
+    */
+  def computeHistogram(
+      df: DataFrame,
+      valueCol: String,
+      method: BinMethod,
+      minValueOverride: Option[Double] = None,
+      maxValueOverride: Option[Double] = None): DataFrame = {
+    val values = validValues(df, valueCol)
+    val (mn, mx) = (minValueOverride, maxValueOverride) match {
+      case (Some(a), Some(b)) => (a, b) // user stats replace the stats pass (main.py:53-54)
+      case _                  => minMax(values)
+    }
+    histogram(values, BinSpec.derive(mn, mx, method))
+  }
+
+  /** S5 — CSV sink with the reference's `"%1.2f, %d"` row format
+    * (compute_histogram/main.py:119-124, README.md:5).
+    */
+  def writeCsv(histo: DataFrame, path: String): Unit =
+    histo
+      .select(format_string("%.2f", col("value")).as("value"), col("cnt"))
+      .write
+      .mode("overwrite")
+      .option("header", "false")
+      .csv(path)
+}
