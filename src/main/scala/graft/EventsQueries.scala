@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Queries over the `events` stream-analog table: time-windowed binned
+  * histogram (the batch-equivalent of graft.streaming.StreamingHistogram)
+  * and semi-structured JSON extraction from `props`.
+  */
+object EventsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling-window histogram: hour bucket × width-10 value bin. The
+    // identical groupBy runs incrementally under Structured Streaming
+    // (StreamingHistogram.windowed); counts merge by A4 associativity.
+    "events_hourly_hist" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(
+          date_trunc("hour", col("ts")).as("hour"),
+          (col("value") / lit(10.0)).cast("int").as("bin"))
+        .groupBy(col("hour"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("hour"), col("bin"))),
+    // JSON prop extraction + per-type aggregate (counts and integer sums
+    // are exact; avg is a single division).
+    "events_json_stats" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          round(sum(col("k")).cast("double") / count(lit(1)).cast("double"), 6).as("avg_k"))
+        .orderBy(col("event_type"))))
+
+  val oracle: Map[String, String] = Map(
+    "events_hourly_hist" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |       CAST(trunc(value / 10.0) AS INT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1, 2 ORDER BY hour, bin""".stripMargin,
+    "events_json_stats" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k,
+        |       max(k) AS max_k,
+        |       round(CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -20,6 +20,7 @@ object SparkEntry {
     // timestamp type — read as LongType nanos and convert explicitly
     // (graft.sources.Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 
@@ -29,7 +30,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (CoreQueries.queries)
+    (CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ EventsQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(tune(s), dir))
       }
@@ -37,5 +39,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle
+    CoreQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ EventsQueries.oracle
 }

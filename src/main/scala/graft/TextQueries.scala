@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Text-analysis queries over `documents` (SURVEY §7.6) + DuckDB oracles.
+  *
+  * Oracle notes: DuckDB `len`/`length` return BIGINT (cast to INT to match
+  * Spark), lambdas use `list_contains` (portable), `regexp_replace` needs
+  * the 'g' flag (Spark replaces all matches by default).
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) => TextOps.stats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "lang_id" -> ((s, dir) => TextOps.langIdSummary(Tables.documents(s, dir))),
+    "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))))
+
+  private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def markerScore(lang: String, markers: Seq[String]): String = {
+    val lst = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(text, ' '), w -> list_contains($lst, w))) AS s_$lang"
+  }
+
+  private val langCase: String = {
+    val langs = TextOps.LangMarkers.map(_._1)
+    val whens = langs.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${langs.head}' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              w -> list_contains($stopList, w))) AS INT) AS stop_cnt,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, n_tokens, stop_cnt,
+         |         CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |         CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS diversity
+         |  FROM t
+         |), sc AS (
+         |  SELECT doc_id, n_tokens, stop_cnt, stop_ratio, diversity,
+         |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1 ELSE 0 END
+         |          + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.5 THEN 1 ELSE 0 END
+         |          + CASE WHEN diversity >= 0.2 THEN 1 ELSE 0 END) AS quality_score
+         |  FROM r
+         |)
+         |SELECT doc_id, n_tokens, stop_cnt,
+         |       round(stop_ratio, 6) AS stop_ratio,
+         |       round(diversity, 6) AS diversity,
+         |       quality_score,
+         |       CASE WHEN quality_score >= 3 THEN 'high'
+         |            WHEN quality_score = 2 THEN 'medium'
+         |            ELSE 'low' END AS quality_bucket
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |         ${TextOps.LangMarkers.map { case (l, m) => markerScore(l, m) }.mkString(",\n         ")}
+         |  FROM documents
+         |)
+         |SELECT lang, $langCase AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "token_count" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registration + Column-facing wrappers for graft's native expressions.
+  *
+  * Spark 4's public `Column` wraps a `ColumnNode`, so custom Catalyst
+  * expressions are exposed the supported way: registered in the session's
+  * `FunctionRegistry` and invoked via `call_function` — this keeps the
+  * expression inside whole-stage codegen with zero wrapper overhead.
+  */
+object GraftFunctions {
+
+  val COSINE = "graft_cosine"
+
+  /** Idempotent per-session registration (called from SparkEntry.tune). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      COSINE,
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "scala_udf")
+  }
+
+  /** Cosine similarity over two `array<double>` columns (codegen'd). */
+  def cosine(a: Column, b: Column): Column = call_function(COSINE, a, b)
+
+  /** Reference implementation with built-in higher-order functions —
+    * interpreted, kept for cross-checking the native expression in tests
+    * and as the no-custom-code fallback.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+}

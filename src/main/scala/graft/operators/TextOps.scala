@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (SURVEY §7.6): tokenization, per-document statistics, quality scoring,
+  * language identification, token counting.
+  *
+  * All built from codegen'd `functions._` (no UDFs); every computed ratio is
+  * a single double division of exact integer counts, so results are
+  * bit-reproducible across engines (DuckDB-oracle safe).
+  *
+  * Scale: every operator here is embarrassingly parallel per-document
+  * (narrow transformations only — no shuffle until the caller aggregates).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer — the corpus is single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Stopword list (corpus function words). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Per-document statistics: char/token counts, distinct tokens,
+    * mean token length.
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      // mean token length = (chars - separators) / tokens; one double
+      // division of exact ints → deterministic
+      round(
+        (length(col("text")) - (size(t) - lit(1))).cast("double") / size(t).cast("double"),
+        6).as("mean_token_len"))
+  }
+
+  /** Quality scoring: stopword ratio, lexical diversity, length checks →
+    * a 0-3 integer score and a bucket label. Thresholds are exact
+    * comparisons on deterministically-computed ratios.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val stopCnt = size(filter(t, w => w.isInCollection(Stopwords)))
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    val diversity = size(array_distinct(t)).cast("double") / nTok.cast("double")
+    val score = (when(nTok >= 20 && nTok <= 1000, 1).otherwise(0)
+      + when(stopRatio >= lit(0.02) && stopRatio <= lit(0.5), 1).otherwise(0)
+      + when(diversity >= lit(0.2), 1).otherwise(0))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopCnt.as("stop_cnt"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(diversity, 6).as("diversity"),
+      score.as("quality_score"),
+      when(score >= 3, "high")
+        .when(score === 2, "medium")
+        .otherwise("low")
+        .as("quality_bucket"))
+  }
+
+  /** Marker-token sets per language for the language-ID heuristic.
+    * A real deployment would use character n-gram profiles; the mechanism
+    * (per-class token scoring + deterministic arg-max) is the same.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "row", "fast"),
+    "fr" -> Seq("le", "la", "les", "est", "table"),
+    "de" -> Seq("der", "die", "das", "und", "hash"),
+    "es" -> Seq("el", "la", "los", "es", "query"),
+    "zh" -> Seq("de", "shi", "le", "zai", "scan"))
+
+  /** Language ID: count marker tokens per class, predict the arg-max with
+    * a fixed tie-break order (declaration order above).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = docs.select(
+      (Seq(col("doc_id"), col("lang")) ++ LangMarkers.map { case (l, markers) =>
+        size(filter(t, w => w.isInCollection(markers))).as(s"s_$l")
+      }): _*)
+    val langs = LangMarkers.map(_._1)
+    // arg-max with declaration-order tie-break: first lang whose score is
+    // >= all others wins
+    val pred = langs
+      .foldLeft(when(lit(false), "")) { (acc, l) =>
+        val isMax = langs
+          .filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        acc.when(isMax, l)
+      }
+      .otherwise(langs.head)
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Corpus-level language-ID summary: docs + marker-match rate per
+    * (actual, predicted) pair.
+    */
+  def langIdSummary(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  /** Token counting per language: whitespace tokens, alphabetic regex
+    * tokens, and a BPE-ish fixed-width subword count (`[a-z]{1,4}` chunks —
+    * greedy left-to-right, identical semantics in Java regex and RE2).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("lang"),
+        size(tokens(col("text"))).as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("alpha"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("alpha")).as("alpha_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .orderBy(col("lang"))
+}

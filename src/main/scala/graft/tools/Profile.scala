@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry: time a named query at a given sfDir and print
+  * the formatted physical plan. Usage: runMain graft.tools.Profile <name> [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    // warm-up round then 2 timed rounds
+    for (i <- 0 until 3) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"RUN$i $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    if (sys.env.get("PROFILE_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.sf0001)
+
+  test("exact dedup: survivors + groups partition the corpus") {
+    val n = docs.count()
+    val groups = DedupOps.exact(docs)
+    assert(groups.agg(sum("n_dups")).head().getLong(0) == n)
+    assert(DedupOps.exactSurvivors(docs).count() == groups.count())
+  }
+
+  test("fingerprint dedup is case/whitespace-insensitive") {
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "A   b C"),
+      (3L, "totally different")).toDF("doc_id", "text")
+    val out = DedupOps.fingerprintDedup(df).collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: golden 3-grams, short docs empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = df
+      .select(
+        col("doc_id"),
+        DedupOps.shingles(graft.operators.TextOps.tokens(col("text")), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("jaccard golden: identical docs 1.0, disjoint docs absent") {
+    val df = Seq(
+      (1L, "x y z w"),
+      (2L, "x y z w"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(df, 3, 0.0).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(5) == 1.0)
+  }
+
+  test("minhash LSH recovers the high-jaccard pairs (est within 0.25 of exact)") {
+    val exact = DedupOps
+      .jaccardPairs(docs, 3, 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val est = DedupOps
+      .minhashLsh(docs, 3, numPerm = 16, rowsPerBand = 4, minEst = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // recall on jaccard ≥ 0.8 pairs (16 perms, b=4/r=4 → P(candidate) ≈ 97% at j=0.8)
+    val found = exact.keySet.intersect(est.keySet)
+    assert(found.size.toDouble / exact.size >= 0.8, s"recall ${found.size}/${exact.size}")
+    found.foreach { k => assert(math.abs(est(k) - exact(k)) <= 0.25) }
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dups within threshold") {
+    val sig = DedupOps
+      .simhash(Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(sig(1L) == sig(2L))
+    val exactPairs = DedupOps
+      .jaccardPairs(docs, 3, 0.9)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val simPairs = DedupOps
+      .simhashPairs(docs, maxHamming = 5)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val found = exactPairs.intersect(simPairs)
+    assert(found.size.toDouble / exactPairs.size >= 0.7, s"recall ${found.size}/${exactPairs.size}")
+  }
+}

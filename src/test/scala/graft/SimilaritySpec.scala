@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.SimilarityOps
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = {
+    SparkEntry.tune(spark)
+    SimilarityOps.corpus(Tables.embeddings(spark, TestSpark.sf0001))
+  }
+
+  test("native cosine expression == higher-order-function reference") {
+    val pairs = emb
+      .toDF("a_id", "a")
+      .crossJoin(emb.toDF("b_id", "b"))
+      .filter(col("a_id") < col("b_id") && col("a_id") < 30 && col("b_id") < 30)
+      .select(
+        GraftFunctions.cosine(col("a"), col("b")).as("native"),
+        GraftFunctions.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("cosine golden values") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 2.0), Array(2.0, 4.0), 1.0),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0)).toDF("a", "b", "want")
+    df.select(GraftFunctions.cosine(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine of zero vector is null") {
+    val r = Seq((Array(0.0, 0.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b")))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
+  test("brute-force knn: ranks are 1..k, no self-match, descending cosine") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val knn = SimilarityOps.knnBruteForce(q, emb, 10).collect()
+    val byQ = knn.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(2)).toSeq == (1 to rows.length))
+      assert(!rows.exists(_.getLong(1) == qid))
+      val cosines = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH knn: results are a subset-ranking with reasonable top-1 agreement") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = SimilarityOps
+      .knnBruteForce(q, emb, 10)
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val lsh = SimilarityOps
+      .knnLsh(q, emb, 10, numPlanes = 4)
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(lsh.nonEmpty)
+    // ANN: same-bucket top-1 should agree with exact top-1 for a decent
+    // fraction of queries (these are random vectors — weak structure)
+    val agree = exact.keySet.intersect(lsh.keySet).count(k => exact(k) == lsh(k))
+    assert(agree >= 1, s"LSH top-1 agreement $agree/${lsh.size}")
+  }
+}
