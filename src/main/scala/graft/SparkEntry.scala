@@ -31,7 +31,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EventsQueries.queries)
+      SimilarityQueries.queries ++ EventsQueries.queries ++ TpchQueries.queries ++
+      MediaQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(tune(s), dir))
       }
@@ -40,5 +41,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ EventsQueries.oracle
+      SimilarityQueries.oracle ++ EventsQueries.oracle ++ TpchQueries.oracle ++
+      MediaQueries.oracle
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** General analytics breadth over the TPC-H-ish star schema: multi-agg
+  * group-by, broadcast + shuffle joins, multi-way join with top-k.
+  *
+  * Money convention for oracle determinism: 2-decimal doubles become exact
+  * integer cents via `round(x*100)` — the per-row double multiply is
+  * bit-identical in both engines, `round` lands on the true cent (error
+  * ~1e-13, never at a .5 boundary for 2-decimal inputs), and integer sums
+  * are order-independent. Double sums of non-integral values are never
+  * compared raw.
+  */
+object TpchQueries {
+
+  /** exact integer cents from a 2-decimal double */
+  private def cents(c: Column): Column = round(c * lit(100), 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing summary (TPC-H Q1 shape): wide multi-aggregate group-by with
+    // a pushed-down timestamp predicate.
+    "q1_pricing" -> ((s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          col("l_quantity"),
+          cents(col("l_extendedprice")).as("ext_c"),
+          cents(col("l_discount")).as("disc_c"),
+          cents(col("l_tax")).as("tax_c"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("ext_c")).as("sum_base_cents"),
+          sum(col("ext_c") * (lit(100L) - col("disc_c"))).as("sum_disc_c2"),
+          sum(col("ext_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c")))
+            .as("sum_charge_c3"),
+          count(lit(1)).as("count_order"),
+          round(sum(col("l_quantity")) / count(lit(1)).cast("double"), 6).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // Shipping-priority top-10 (TPC-H Q3 shape): broadcast dim join +
+    // shuffle fact join + aggregate + global top-k.
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = Tables
+        .customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") > expr("timestamp'1998-01-01 00:00:00'"))
+        .select(
+          col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_c2"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("rev_c2")).as("revenue_c2"))
+        .orderBy(col("revenue_c2").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // Local-supplier volume (TPC-H Q5 shape): 6-way join through
+    // region→nation→customer→orders→lineitem→supplier with the
+    // same-nation constraint, grouped by nation.
+    "q5_region_volume" -> ((s, dir) => {
+      val nation = broadcast(
+        Tables
+          .nation(s, dir)
+          .join(
+            broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val ord = Tables
+        .orders(s, dir)
+        .filter(
+          col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_orderkey"),
+          col("l_suppkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_c2"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_c2")).as("revenue_c2"))
+        .orderBy(col("revenue_c2").desc, col("n_name"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(trunc(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(ext_c) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(ext_c * (100 - disc_c)) AS BIGINT) AS sum_disc_c2,
+        |  CAST(sum(ext_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS sum_charge_c3,
+        |  CAST(count(*) AS BIGINT) AS count_order,
+        |  round(sum(l_quantity) / CAST(count(*) AS DOUBLE), 6) AS avg_qty
+        |FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ext_c,
+        |             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_c,
+        |             CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_c
+        |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, CAST(sum(rev_c2) AS BIGINT) AS revenue_c2
+        |FROM (SELECT l_orderkey,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_c2
+        |      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00') l
+        |JOIN (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') o
+        |  ON l.l_orderkey = o.o_orderkey
+        |JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_c2 DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n.n_name, CAST(sum(l.rev_c2) AS BIGINT) AS revenue_c2
+        |FROM (SELECT l_orderkey, l_suppkey,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_c2
+        |      FROM lineitem) l
+        |JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') o
+        |  ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY revenue_c2 DESC, n_name""".stripMargin)
+}

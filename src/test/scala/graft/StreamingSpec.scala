@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.{BinMethod, BinSpec}
+import graft.streaming.StreamingHistogram
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = BinSpec.derive(0.0, 100.0, BinMethod.Linear)
+
+  private def sampleEvents: Seq[(Timestamp, Double)] = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 500).map { i =>
+      (new Timestamp(base + i * 60000L), (i % 97).toDouble + 0.25)
+    }
+  }
+
+  test("streaming windowed histogram == batch windowed histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val stream = StreamingHistogram.windowedCounts(
+      input.toDF().toDF("ts", "value"),
+      spec,
+      "1 hour",
+      watermarkDelay = Some("30 minutes"))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("stream_hist")
+      .outputMode("complete")
+      .start()
+    try {
+      // two micro-batches — the second updates existing window state,
+      // exercising the incremental merge (A4 associativity)
+      input.addData(sampleEvents.take(250))
+      query.processAllAvailable()
+      input.addData(sampleEvents.drop(250))
+      query.processAllAvailable()
+
+      val streamed = spark
+        .table("stream_hist")
+        .orderBy("win_start", "bin")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+      val batch = StreamingHistogram
+        .windowedCounts(sampleEvents.toDF("ts", "value"), spec, "1 hour")
+        .orderBy("win_start", "bin")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("windowed counts sum to valid input rows (batch)") {
+    val df = StreamingHistogram.windowedCounts(sampleEvents.toDF("ts", "value"), spec, "1 hour")
+    assert(df.agg(sum("cnt")).head().getLong(0) == 500L)
+  }
+}
