@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{BinMethod, BinSpec}
+import graft.operators.{HistogramOps, PercentileOps}
+
+/** The reference's CLI surface (E3 — reference: compute_histogram/main.py:17-57,
+  * README.md:22-31) as a config object + runner.
+  *
+  * Differences from the reference, both documented in SURVEY §7.4:
+  *  - `minmaxOnly` actually stops after the stats pass (the reference parses
+  *    the flag but never checks it — main.py:29-33 vs :53-57);
+  *  - min/max start un-clamped; `clampToZero = true` restores the
+  *    reference's zero-initialized accumulators (main.py:131-132).
+  * When both `minValue` and `maxValue` are given the stats pass is skipped,
+  * exactly like the reference (main.py:53-54).
+  */
+final case class HistogramConfig(
+    valueCol: String,
+    method: BinMethod = BinMethod.Linear,
+    minValue: Option[Double] = None,
+    maxValue: Option[Double] = None,
+    minmaxOnly: Boolean = false,
+    clampToZero: Boolean = false,
+    legacyLogOffset100: Boolean = false)
+
+object HistogramRunner {
+
+  /** Run the configured pipeline. `minmaxOnly` returns the 1-row stats
+    * relation; otherwise the dense `(value, cnt)` histogram.
+    */
+  def run(df: DataFrame, cfg: HistogramConfig): DataFrame = {
+    val values = HistogramOps.validValues(df, cfg.valueCol)
+    if (cfg.minmaxOnly) {
+      import org.apache.spark.sql.functions._
+      val base = values.agg(min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      if (cfg.clampToZero)
+        base.select(
+          least(col("min_value"), lit(0.0)).as("min_value"),
+          greatest(col("max_value"), lit(0.0)).as("max_value"))
+      else base
+    } else {
+      val (mn, mx) = (cfg.minValue, cfg.maxValue) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _                  => HistogramOps.minMax(values, cfg.clampToZero)
+      }
+      HistogramOps.histogram(values, BinSpec.derive(mn, mx, cfg.method), cfg.legacyLogOffset100)
+    }
+  }
+
+  /** Histogram + decile summary in one call (the full reference workflow:
+    * histogram.csv → compute_histogram.sql).
+    */
+  def runWithDeciles(df: DataFrame, cfg: HistogramConfig): DataFrame =
+    PercentileOps.deciles(run(df, cfg.copy(minmaxOnly = false)))
+
+  /** CLI-shaped main: runMain graft.HistogramRunner <parquet> <valueCol>
+    * [linear|log] [outDir] — reads a Parquet table, writes the reference's
+    * CSV format (S5).
+    */
+  def main(args: Array[String]): Unit = {
+    val path = args(0)
+    val valueCol = args(1)
+    val method = if (args.length > 2) BinMethod.parse(args(2)) else BinMethod.Linear
+    val out = if (args.length > 3) args(3) else "target/histogram_csv"
+    val spark = SparkSession
+      .builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val histo = run(spark.read.parquet(path), HistogramConfig(valueCol, method))
+    HistogramOps.writeCsv(histo, out)
+    println(s"HISTOGRAM_BINS=${histo.count()} OUT=$out")
+    spark.stop()
+  }
+}
