@@ -38,7 +38,12 @@ object EventsQueries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"),
           round(sum(col("k")).cast("double") / count(lit(1)).cast("double"), 6).as("avg_k"))
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+    // Gap-based sessionization (30-minute gap), batch window-function form;
+    // the stateful streaming twin is SessionOps.sessionizeStateful
+    // (asserted equal in SessionSpec).
+    "events_sessions" -> ((s, dir) =>
+      graft.operators.SessionOps.sessionsBatch(Tables.events(s, dir), 1800000000L)))
 
   val oracle: Map[String, String] = Map(
     "events_hourly_hist" ->
@@ -57,5 +62,25 @@ object EventsQueries {
         |       round(CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN ts_us - lag(ts_us) OVER
+        |                (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM l
+        |)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)
 }

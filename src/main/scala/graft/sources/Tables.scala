@@ -28,7 +28,10 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      // micros: DuckDB (the oracle) truncates parquet nanos to TIMESTAMP(us),
+      // so cross-engine time arithmetic sticks to microseconds
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
