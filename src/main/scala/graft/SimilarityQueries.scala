@@ -32,6 +32,12 @@ object SimilarityQueries {
     "knn_lsh" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
       SimilarityOps.knnLsh(q, c, k = 10, numPlanes = 4)
+    }),
+    // IVF scale path: 16 inverted lists, probe the 4 nearest. Rows-only
+    // (recall vs brute force asserted in SimilaritySpec).
+    "knn_ivf" -> ((s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      SimilarityOps.knnIvf(q, c, k = 10, nlist = 16, nprobe = 4)
     }))
 
   val oracle: Map[String, String] = Map(

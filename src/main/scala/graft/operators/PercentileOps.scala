@@ -46,6 +46,25 @@ object PercentileOps {
       .orderBy(col("min_value"))
   }
 
+  /** Single-pass approximate deciles over RAW values (SURVEY §7.5): when a
+    * second scan is too expensive at scale, `percentile_approx` (Greenwald-
+    * Khanna style sketch) replaces the histogram+window pipeline with one
+    * partial/final aggregation. Off the oracle path by design — the sketch
+    * is deterministic for a fixed partitioning but not engine-portable.
+    * Output `(percentile, value)` for p = 0,10,...,100.
+    */
+  def approxDeciles(values: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val ps = (0 to 10).map(_ / 10.0)
+    values
+      .agg(
+        percentile_approx(
+          col("value"),
+          array(ps.map(lit): _*),
+          lit(accuracy)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "value")))
+      .select((col("i") * 10).cast("long").as("percentile"), col("value"))
+  }
+
   /** SQL-verbatim form (modulo column aliases, which the DuckDB oracle
     * compare requires to be stable): registers the histogram as temp view
     * `histo` and runs the ported reference SQL. Kept alongside [[deciles]]

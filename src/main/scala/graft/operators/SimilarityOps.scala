@@ -100,6 +100,58 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-style ANN (the other scale path besides LSH): a coarse quantizer
+    * of `nlist` centroids (deterministically sampled from the corpus —
+    * a production system would k-means them; assignment and search are
+    * identical), vectors assigned to their nearest centroid's inverted
+    * list, queries probing the `nprobe` nearest lists only.
+    *
+    * Search cost drops from O(N) to O(N · nprobe / nlist) per query; the
+    * probe join is an equi-join on centroid id. Recall is tested against
+    * brute force in SimilaritySpec.
+    */
+  def knnIvf(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    val c = candidates.toDF("c_id", "c_emb")
+    // deterministic coarse centroids: first nlist vectors by xxhash64 order
+    val cents = broadcast(
+      c.withColumn("h", xxhash64(col("c_id")))
+        .orderBy(col("h"))
+        .limit(nlist)
+        .select(col("c_id").as("cent_id"), col("c_emb").as("cent_emb")))
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
+      val w = Window
+        .partitionBy(col(idCol))
+        .orderBy(
+          GraftFunctions.cosine(col(embCol), col("cent_emb")).desc,
+          col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= keep)
+        .drop("cent_emb", "cent_rank")
+    }
+    val bucketed = assign(c, "c_id", "c_emb", keep = 1)
+    val probes = assign(queries.toDF("q_id", "q_emb"), "q_id", "q_emb", keep = nprobe)
+    val pairs = probes
+      .join(bucketed, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(
+        col("q_id"),
+        col("c_id"),
+        round(GraftFunctions.cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+      .distinct() // a candidate can appear via several probed lists
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ `minCos`.
     * Self-join pruned to a_id < b_id; the cosine kernel is codegen'd.
     * For corpora where O(n²) is prohibitive, [[knnLsh]]'s bucket join is

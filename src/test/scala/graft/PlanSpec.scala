@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression guards: the scale properties README promises
+  * (column pruning, predicate pushdown, broadcast choices, top-k without
+  * global sort) asserted against the formatted physical plan so a future
+  * refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("hist_linear: scan prunes to the value column and pushes IsNotNull") {
+    val p = plan("hist_linear")
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)]"))
+  }
+
+  test("hist_deciles: window runs after aggregation (bounded input), no raw-value window") {
+    val p = plan("hist_deciles")
+    // the Window node must consume the densified bin relation — its plan
+    // subtree contains the HashAggregate, not the raw parquet scan directly
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate") < windowIdx, "window must sit above the aggregation")
+  }
+
+  test("q3: dims broadcast, timestamp predicates pushed, top-k avoids global sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
+  }
+
+  test("q1: scan reads only the six referenced lineitem columns") {
+    val p = plan("q1_pricing")
+    assert(
+      p.contains(
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double," +
+          "l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"))
+  }
+
+  test("knn_cosine: broadcast query side + rank-limit pushdown") {
+    val p = plan("knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"), "Spark 4 rank-limit pushdown expected")
+    assert(p.contains("graft_cosine"), "native expression must appear in the plan")
+  }
+
+  test("dedup_exact: map-side partial aggregation before the exchange") {
+    val p = plan("dedup_exact")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+  }
+}

@@ -80,4 +80,40 @@ class SimilaritySpec extends SparkSpec {
     val agree = exact.keySet.intersect(lsh.keySet).count(k => exact(k) == lsh(k))
     assert(agree >= 1, s"LSH top-1 agreement $agree/${lsh.size}")
   }
+
+  test("IVF knn: recall@10 vs brute force with nprobe=4/nlist=16") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .groupBy(_.getLong(0))
+        .view
+        .mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+    val exact = topSets(SimilarityOps.knnBruteForce(q, emb, 10))
+    val ivf = topSets(SimilarityOps.knnIvf(q, emb, 10, nlist = 16, nprobe = 4))
+    assert(ivf.nonEmpty)
+    val recalls = exact.keys.toSeq.map { qid =>
+      val found = ivf.getOrElse(qid, Set.empty)
+      exact(qid).intersect(found).size.toDouble / exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // random 64-dim vectors are a worst case for IVF; a quarter of the
+    // corpus probed should still recover a substantial share
+    assert(meanRecall >= 0.3, s"mean recall@10 = $meanRecall")
+  }
+
+  test("approx deciles track exact deciles on l_quantity") {
+    val values = graft.operators.HistogramOps.validValues(
+      spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet"),
+      "l_quantity")
+    val approx = graft.operators.PercentileOps
+      .approxDeciles(values)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(approx.keySet == (0 to 100 by 10).map(_.toLong).toSet)
+    // l_quantity ∈ [1, 50]; approx median must be sane
+    assert(approx(0L) == 1.0 && approx(100L) == 50.0)
+    assert(approx(50L) >= 20.0 && approx(50L) <= 30.0)
+  }
 }
