@@ -87,6 +87,14 @@ object CoreQueries {
     // P1/P3/A3/A4/F3 — dense linear histogram.
     "hist_linear" -> ((s, dir) =>
       HistogramOps.computeHistogram(Tables.lineitem(s, dir), "l_quantity", BinMethod.Linear)),
+    // Same semantics via the single-shuffle dense-vector Aggregator
+    // (graft.functions.DenseHistogram) — shares hist_linear's oracle.
+    "hist_linear_dense" -> ((s, dir) => {
+      val values =
+        HistogramOps.validValues(Tables.lineitem(s, dir), "l_quantity")
+      val (mn, mx) = HistogramOps.minMax(values)
+      HistogramOps.histogramDense(values, BinSpec.derive(mn, mx, BinMethod.Linear))
+    }),
     // P2/P4 — dense log histogram, offset = 0 path (events.value > 0).
     // Bin-edge values are exp()-reconstructed; JVM Math.exp and DuckDB libm
     // differ in the last ulp, so the verify surface rounds to 6 decimals
@@ -122,6 +130,9 @@ object CoreQueries {
         |      WHERE l_extendedprice IS NOT NULL
         |        AND NOT isnan(CAST(l_extendedprice AS DOUBLE)))""".stripMargin,
     "hist_linear" ->
+      (histoLinearCte("lineitem", "l_quantity") +
+        "\nSELECT value, cnt FROM histo ORDER BY value"),
+    "hist_linear_dense" ->
       (histoLinearCte("lineitem", "l_quantity") +
         "\nSELECT value, cnt FROM histo ORDER BY value"),
     "hist_log" ->

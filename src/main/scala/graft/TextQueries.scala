@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
+import graft.operators.{DedupOps, TextOps}
 import graft.sources.Tables
 
 /** Text-analysis queries over `documents` (SURVEY §7.6) + DuckDB oracles.
@@ -17,7 +19,29 @@ object TextQueries {
     "text_stats" -> ((s, dir) => TextOps.stats(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir)).orderBy("doc_id")),
     "lang_id" -> ((s, dir) => TextOps.langIdSummary(Tables.documents(s, dir))),
-    "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))))
+    "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    // The composed training-data pipeline: fingerprint dedup (keep lowest
+    // doc_id) → quality gate (score ≥ 2) → per-language token budget.
+    "pipeline_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val surv = docs
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(DedupOps.fingerprint(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val passing = TextOps
+        .quality(surv)
+        .filter(col("quality_score") >= 2)
+        .select(col("doc_id"), col("n_tokens"))
+      surv
+        .select(col("doc_id"), col("lang"))
+        .join(passing, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    }))
 
   private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -86,5 +110,34 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS bpe_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipeline_clean" ->
+      s"""WITH surv AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |           row_number() OVER (
+         |             PARTITION BY md5(lower(regexp_replace(text, '\\s+', '', 'g')))
+         |             ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1
+         |), t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              w -> list_contains($stopList, w))) AS INT) AS stop_cnt,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+         |  FROM surv
+         |), sc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1 ELSE 0 END
+         |          + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
+         |                  AND CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5
+         |                 THEN 1 ELSE 0 END
+         |          + CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.2
+         |                 THEN 1 ELSE 0 END) AS quality_score
+         |  FROM t
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sc WHERE quality_score >= 2
+         |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -119,6 +119,26 @@ object HistogramOps {
   def merge(h1: DataFrame, h2: DataFrame): DataFrame =
     h1.union(h2).groupBy(col("bin")).agg(sum(col("count")).as("count"))
 
+  /** Dense-vector histogram (SURVEY §7.3/§7.5 single-shuffle alternative):
+    * one `Array[Long]` buffer per partition crosses the exchange instead of
+    * ≤ `bins` key rows — see [[graft.functions.DenseHistogram]]. Identical
+    * output to [[histogram]].
+    */
+  def histogramDense(
+      values: DataFrame,
+      spec: BinSpec,
+      legacyLogOffset100: Boolean = false): DataFrame = {
+    val agg = udaf(
+      new graft.functions.DenseHistogram(spec.lo, spec.hi),
+      org.apache.spark.sql.Encoders.scalaInt)
+    values
+      .select(quantize(col("value"), spec, legacyLogOffset100).as("code"))
+      .agg(agg(col("code")).as("counts"))
+      .select(posexplode(col("counts")).as(Seq("bin0", "count")))
+      .select(binEdge(col("bin0") + lit(spec.lo), spec).as("value"), col("count").as("cnt"))
+      .orderBy(col("value"))
+  }
+
   /** The full single-method histogram: quantize → range filter → dense bin
     * counts → bin-edge reconstruction. Output `(value: double, cnt: long)`
     * ordered by value — the reference's `histogram.csv` relation

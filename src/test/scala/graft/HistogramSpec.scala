@@ -111,6 +111,17 @@ class HistogramSpec extends SparkSpec {
     assert(got == Seq(123, -123, 99, -99))
   }
 
+  test("dense-vector aggregator histogram == group-by histogram") {
+    val values = HistogramOps.validValues(
+      spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet"),
+      "l_quantity")
+    val (mn, mx) = HistogramOps.minMax(values)
+    val spec = BinSpec.derive(mn, mx, BinMethod.Linear)
+    val a = HistogramOps.histogram(values, spec).collect().toSeq
+    val b = HistogramOps.histogramDense(values, spec).collect().toSeq
+    assert(a == b)
+  }
+
   test("deciles DataFrame form == SQL-verbatim form") {
     val values = HistogramOps.validValues(
       spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet"),
