@@ -100,6 +100,11 @@ object HistogramOps {
     */
   def binCounts(codes: DataFrame, lo: Int, hi: Int): DataFrame = {
     val spark = codes.sparkSession
+    if (hi == lo) {
+      // degenerate range (e.g. min == max under log binning): zero bins
+      import spark.implicits._
+      return Seq.empty[(Int, Long)].toDF("bin", "count")
+    }
     val counted = codes
       .filter(col("code") >= lit(lo) && col("code") <= lit(hi))
       .select(when(col("code") === lit(hi), lit(hi - 1)).otherwise(col("code")).as("bin"))

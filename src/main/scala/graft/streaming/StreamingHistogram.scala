@@ -33,8 +33,13 @@ object StreamingHistogram {
       events: DataFrame,
       spec: BinSpec,
       windowDuration: String,
-      watermarkDelay: Option[String] = None): DataFrame = {
+      watermarkDelay: Option[String] = None,
+      slideDuration: Option[String] = None): DataFrame = {
     val src = watermarkDelay.foldLeft(events)((df, d) => df.withWatermark("ts", d))
+    val win = slideDuration match {
+      case Some(slide) => window(col("ts"), windowDuration, slide) // sliding
+      case None        => window(col("ts"), windowDuration) // tumbling
+    }
     src
       .filter(col("value").isNotNull && !isnan(col("value")))
       .select(col("ts"), HistogramOps.quantize(col("value"), spec).as("code"))
@@ -44,7 +49,7 @@ object StreamingHistogram {
         when(col("code") === lit(spec.hi), lit(spec.hi - 1))
           .otherwise(col("code"))
           .as("bin"))
-      .groupBy(window(col("ts"), windowDuration), col("bin"))
+      .groupBy(win, col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .select(
         col("window.start").as("win_start"),

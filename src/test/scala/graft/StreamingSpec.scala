@@ -62,4 +62,37 @@ class StreamingSpec extends SparkSpec {
     val df = StreamingHistogram.windowedCounts(sampleEvents.toDF("ts", "value"), spec, "1 hour")
     assert(df.agg(sum("cnt")).head().getLong(0) == 500L)
   }
+
+  test("sliding windows: each event lands in window/slide windows") {
+    val df = StreamingHistogram.windowedCounts(
+      sampleEvents.toDF("ts", "value"),
+      spec,
+      "1 hour",
+      slideDuration = Some("15 minutes"))
+    // 1h window sliding by 15min → every event in exactly 4 windows
+    assert(df.agg(sum("cnt")).head().getLong(0) == 500L * 4)
+  }
+
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val deduped = graft.streaming.StreamingDedup.dedupByKey(
+      input.toDF().toDF("ts", "event_id", "value"),
+      "event_id",
+      watermarkDelay = "1 hour")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((t0, 1L, 10.0), (t0, 1L, 10.0), (t0, 2L, 20.0))
+      q.processAllAvailable()
+      input.addData((t0, 1L, 10.0), (t0, 3L, 30.0)) // retry dup of id 1 in a later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
