@@ -45,6 +45,19 @@ object TpchQueries {
           round(sum(col("l_quantity")) / count(lit(1)).cast("double"), 6).as("avg_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // Forecast-revenue (TPC-H Q6 shape): pure filter + single aggregate —
+    // the all-pushdown plan (predicates on three columns reach the scan).
+    "q6_forecast" -> ((s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'") &&
+            col("l_quantity") < 24)
+        .select(cents(col("l_extendedprice")).as("ext_c"), cents(col("l_discount")).as("disc_c"))
+        .filter(col("disc_c") >= 5 && col("disc_c") <= 7)
+        .agg(sum(col("ext_c") * col("disc_c")).as("revenue_c2"), count(lit(1)).as("n"))
+    }),
     // Shipping-priority top-10 (TPC-H Q3 shape): broadcast dim join +
     // shuffle fact join + aggregate + global top-k.
     "q3_top_orders" -> ((s, dir) => {
@@ -122,6 +135,16 @@ object TpchQueries {
         |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(ext_c * disc_c) AS BIGINT) AS revenue_c2,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ext_c,
+        |             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_c
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l_quantity < 24)
+        |WHERE disc_c >= 5 AND disc_c <= 7""".stripMargin,
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderdate, CAST(sum(rev_c2) AS BIGINT) AS revenue_c2
         |FROM (SELECT l_orderkey,

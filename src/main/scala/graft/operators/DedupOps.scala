@@ -166,16 +166,24 @@ object DedupOps {
   /** 64-bit SimHash signature per document: per-token xxhash64, each bit
     * votes ±1 weighted by term frequency; bit set where the vote is
     * positive. `(doc_id, simhash)`.
+    *
+    * One aggregation column per bit (64 codegen'd sums over the token rows)
+    * instead of exploding 64 bit-rows per token — same math, 64× fewer
+    * rows through the shuffle.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    val votes = (0 until 64).map(b =>
+      sum(expr(s"(shiftright(h, $b) & 1L) * 2 - 1")).as(s"v$b"))
+    val sig = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
     docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(expr("(shiftright(h, bit) & 1L) * 2 - 1")).as("vote"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
 
   /** SimHash near-dup pairs within `maxHamming` bits, candidates blocked on
     * equal 16-bit bands (any pair within Hamming distance 3 must agree on
