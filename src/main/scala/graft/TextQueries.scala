@@ -20,6 +20,8 @@ object TextQueries {
     "text_quality" -> ((s, dir) => TextOps.quality(Tables.documents(s, dir)).orderBy("doc_id")),
     "lang_id" -> ((s, dir) => TextOps.langIdSummary(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    // Winnowing (rolling-hash) document fingerprints, per-doc summary.
+    "doc_winnow" -> ((s, dir) => TextOps.winnowSummary(Tables.documents(s, dir))),
     // The composed training-data pipeline: fingerprint dedup (keep lowest
     // doc_id) → quality gate (score ≥ 2) → per-language token budget.
     "pipeline_clean" -> ((s, dir) => {
@@ -111,6 +113,27 @@ object TextQueries {
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(text) >= 8 THEN
+        |           list_transform(generate_series(0, CAST(length(text) AS INT) - 5),
+        |             i -> ascii(substr(text, i + 1, 1)) * 4362470401
+        |                + ascii(substr(text, i + 2, 1)) * 16974593
+        |                + ascii(substr(text, i + 3, 1)) * 66049
+        |                + ascii(substr(text, i + 4, 1)) * 257
+        |                + ascii(substr(text, i + 5, 1)))
+        |         ELSE CAST([] AS BIGINT[]) END AS hs
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(0, len(hs) - 4),
+        |           p -> list_min(hs[p + 1 : p + 4]))) AS fp
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
+        |       list_min(fp) AS min_fp, list_max(fp) AS max_fp
+        |FROM m ORDER BY doc_id""".stripMargin,
     "pipeline_clean" ->
       s"""WITH surv AS (
          |  SELECT doc_id, text, lang FROM (

@@ -109,6 +109,52 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    * scheme): k-gram rolling hashes over the raw characters, then the
+    * minimum of every w-hash window; the distinct window-minima are the
+    * document's fingerprints. Near-dup docs share most fingerprints, and
+    * any sufficiently long shared substring is guaranteed to contribute at
+    * least one.
+    *
+    * The k-gram hash is a plain base-257 polynomial over char codes —
+    * k = 5 keeps it inside exact int64 (127·257⁴ · 5 < 2⁶³), so no modulus
+    * is needed and the same arithmetic is expressible in the DuckDB oracle.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 2 && k <= 7, "base-257 polynomial must stay inside exact int64")
+    val base = 257L
+    // hash of the k-gram starting at 0-based offset i (substr is 1-based):
+    // Σ_j ascii(text[i+j]) · 257^(k-1-j)
+    def kgramHash(i: Column): Column =
+      (0 until k)
+        .map { j =>
+          val pow = math.pow(base.toDouble, (k - 1 - j).toDouble).toLong
+          ascii(text.substr(i + lit(j + 1), lit(1))).cast("long") * lit(pow)
+        }
+        .reduce(_ + _)
+    val hashes = transform(sequence(lit(0), length(text) - lit(k)), kgramHash(_))
+    // window minima over every w consecutive hashes, deduplicated
+    val mins = array_distinct(
+      transform(
+        sequence(lit(0), size(hashes) - lit(w)),
+        p => array_min(slice(hashes, p + lit(1), lit(w)))))
+    when(length(text) >= k + w - 1, mins).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Per-doc winnowing summary (`doc_id, n_fp, min_fp, max_fp`) — the
+    * verify-facing shape; the raw fingerprint sets feed near-dup joins the
+    * same way shingles do.
+    */
+  def winnowSummary(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), winnowFingerprints(col("text")).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).as("n_fp"),
+        array_min(col("fp")).as("min_fp"),
+        array_max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+
   /** Token counting per language: whitespace tokens, alphabetic regex
     * tokens, and a BPE-ish fixed-width subword count (`[a-z]{1,4}` chunks —
     * greedy left-to-right, identical semantics in Java regex and RE2).

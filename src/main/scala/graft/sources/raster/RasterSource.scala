@@ -1,0 +1,146 @@
+package graft.sources.raster
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 raster-tile source — the faithful Spark mapping of the
+  * reference's tile scan (S3: `read_source`, reference:
+  * compute_histogram/main.py:237-241): each GeoTIFF tile becomes exactly
+  * one input partition, band-1 pixels stream out as `value` rows, NaN marks
+  * nodata (filtered by F1 downstream, never here — scan semantics match the
+  * reference, which reads raw pixels and strips NaN as a separate step).
+  *
+  * The pixel DECODE is stubbed (GDAL/rasterio are unavailable offline): a
+  * deterministic per-tile PRNG generates the band, with every 97th pixel
+  * NaN. A real implementation replaces ONLY `RasterPartitionReader.decode`
+  * with a GeoTIFF reader over the opened URI — partition planning, schema,
+  * column pruning, and row production are production-shaped.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.raster.RasterSource")
+  *     .option("tiles", "s3://b/a.tif,s3://b/b.tif")
+  *     .option("pixelsPerTile", "40000")   // stub band size
+  *     .load()
+  * }}}
+  *
+  * Scale: partition-per-tile is the reference's own parallelism unit
+  * (Pool.map over tiles, main.py:93-98); 248 tiles × 40000² px stream
+  * through without ever materializing a tile in memory (the reader is an
+  * iterator, unlike the reference's full-band `np.ndarray`).
+  */
+class RasterSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RasterSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RasterTable(
+      properties.getOrDefault("tiles", ""),
+      properties.getOrDefault("pixelsPerTile", "10000").toLong)
+}
+
+object RasterSource {
+  val Schema: StructType = StructType(
+    Seq(StructField("tile_uri", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+}
+
+final class RasterTable(tiles: String, pixelsPerTile: Long) extends Table with SupportsRead {
+  override def name(): String = s"raster(${tiles.split(",").length} tiles)"
+  override def schema(): StructType = RasterSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RasterScanBuilder(tiles.split(",").filter(_.nonEmpty), pixelsPerTile)
+}
+
+final class RasterScanBuilder(tiles: Array[String], pixelsPerTile: Long)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = RasterSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Catalyst hands us the projected schema; empty projection (count(*))
+    // keeps zero columns and the reader emits empty rows
+    required = requiredSchema
+
+  override def build(): Scan = new RasterScan(tiles, pixelsPerTile, required)
+}
+
+final class RasterScan(tiles: Array[String], pixelsPerTile: Long, required: StructType)
+    extends Scan
+    with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    tiles.map(t => RasterInputPartition(t, pixelsPerTile): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RasterReaderFactory(required)
+}
+
+final case class RasterInputPartition(tileUri: String, pixels: Long) extends InputPartition
+
+final class RasterReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RasterInputPartition]
+    new RasterPartitionReader(p.tileUri, p.pixels, required)
+  }
+}
+
+final class RasterPartitionReader(tileUri: String, pixels: Long, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val wantUri = required.fieldNames.contains("tile_uri")
+  private val wantValue = required.fieldNames.contains("value")
+  private val uriUtf8 = UTF8String.fromString(tileUri)
+
+  // --- STUB DECODE ---------------------------------------------------
+  // Real implementation: open `tileUri` (S3A / GDAL vsis3), read band 1
+  // block-by-block, emit each pixel. Here: splitmix64 PRNG seeded by the
+  // URI hash; every 97th pixel is NaN nodata.
+  private var state: Long = {
+    var h = 1125899906842597L
+    tileUri.foreach(c => h = 31 * h + c)
+    h
+  }
+  private def nextPixel(i: Long): Double = {
+    state += 0x9e3779b97f4a7c15L
+    var z = state
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if (i % 97 == 96) Double.NaN
+    else (z >>> 11).toDouble / (1L << 53).toDouble * 1000.0 // uniform [0, 1000)
+  }
+  // -------------------------------------------------------------------
+
+  private var i: Long = -1
+  private var current: Double = 0.0
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= pixels) return false
+    current = nextPixel(i)
+    true
+  }
+
+  override def get(): InternalRow = (wantUri, wantValue) match {
+    case (true, true)   => InternalRow(uriUtf8, current)
+    case (false, true)  => InternalRow(current)
+    case (true, false)  => InternalRow(uriUtf8)
+    case (false, false) => InternalRow.empty
+  }
+
+  override def close(): Unit = ()
+}

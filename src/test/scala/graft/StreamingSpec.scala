@@ -73,6 +73,38 @@ class StreamingSpec extends SparkSpec {
     assert(df.agg(sum("cnt")).head().getLong(0) == 500L * 4)
   }
 
+  test("stream-stream correlation join matches pairs within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = graft.streaming.StreamingJoin.correlate(
+      views.toDF().toDF("ts", "user_id"),
+      clicks.toDF().toDF("ts", "user_id"),
+      "user_id",
+      watermark = "1 hour",
+      maxDelay = "10 minutes")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("corr_out")
+      .outputMode("append")
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      views.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:00:00"), 2L))
+      clicks.addData(
+        (t("2024-01-01 10:05:00"), 1L), // within 10 min → match
+        (t("2024-01-01 10:30:00"), 2L)) // too late → no match
+      q.processAllAvailable()
+      val got = spark
+        .table("corr_out")
+        .select("user_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSeq
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

@@ -34,6 +34,35 @@ class TextSpec extends SparkSpec {
     out.collect().foreach(r => assert(langs.contains(r.getString(1))))
   }
 
+  test("winnowing: identical docs share all fingerprints; shared substrings overlap") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a quick brown fox jumps over a sleepy cat!!"),
+      (4L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val fp = docs
+      .select(col("doc_id"), TextOps.winnowFingerprints(col("text")).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    assert(fp(1L) == fp(2L)) // identical docs → identical fingerprints
+    assert(fp(1L).intersect(fp(3L)).nonEmpty) // long shared substring → overlap
+    assert(fp(1L).intersect(fp(4L)).isEmpty) // nothing shared
+    assert(fp(4L).size == 1) // uniform text → single repeated k-gram hash
+  }
+
+  test("winnowing: short docs fingerprint to empty") {
+    import org.apache.spark.sql.functions._
+    val fp = Seq((1L, "abcdefg"))
+      .toDF("doc_id", "text") // length 7 < k + w - 1 = 8
+      .select(TextOps.winnowFingerprints(col("text")).as("fp"))
+      .head()
+      .getSeq[Long](0)
+    assert(fp.isEmpty)
+  }
+
   test("token counts: ws vs regex vs bpe-ish on a golden doc") {
     val df = Seq((1L, "abc de12 fghij", "en")).toDF("doc_id", "text", "lang")
     val r = TextOps.tokenCounts(df).head()
