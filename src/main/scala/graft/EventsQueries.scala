@@ -43,7 +43,25 @@ object EventsQueries {
     // the stateful streaming twin is SessionOps.sessionizeStateful
     // (asserted equal in SessionSpec).
     "events_sessions" -> ((s, dir) =>
-      graft.operators.SessionOps.sessionsBatch(Tables.events(s, dir), 1800000000L)))
+      graft.operators.SessionOps.sessionsBatch(Tables.events(s, dir), 1800000000L)),
+    // Backward as-of join: each event enriched with the most recent prior
+    // purchase value of the same user (AsOfOps — one shuffle, no
+    // inequality join).
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("value").as("last_purchase_value"))
+      graft.operators.AsOfOps
+        .asofJoinBackward(
+          ev.select(col("event_id"), col("user_id"), col("ts_us")),
+          purchases,
+          "user_id",
+          "ts_us",
+          "last_purchase_value")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "events_hourly_hist" ->
@@ -82,5 +100,22 @@ object EventsQueries {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
         |       max(ts_us) - min(ts_us) AS duration_us
-        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "events_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+        |), u AS (
+        |  SELECT user_id, ts_us, 1 AS side, event_id, CAST(NULL AS DOUBLE) AS pv FROM ev
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0 AS side, NULL AS event_id, value AS pv
+        |  FROM ev WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts_us, side, event_id,
+        |         last_value(pv IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, side, pv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, ts_us, last_purchase_value
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin)
 }

@@ -55,9 +55,13 @@ object HistogramRunner {
   def runWithDeciles(df: DataFrame, cfg: HistogramConfig): DataFrame =
     PercentileOps.deciles(run(df, cfg.copy(minmaxOnly = false)))
 
-  /** CLI-shaped main: runMain graft.HistogramRunner <parquet> <valueCol>
-    * [linear|log] [outDir] — reads a Parquet table, writes the reference's
-    * CSV format (S5).
+  /** CLI-shaped main: runMain graft.HistogramRunner <source> <valueCol>
+    * [linear|log] [outDir] — writes the reference's CSV format (S5).
+    *
+    * `<source>` is a Parquet table path, or a `.txt` tile list (S4 —
+    * one URI per line, like the reference's bio_*_list.txt), which routes
+    * through the DataSource V2 raster scan (S3) for the complete reference
+    * program shape: tile list → per-tile scan → 2-pass histogram → CSV.
     */
   def main(args: Array[String]): Unit = {
     val path = args(0)
@@ -74,7 +78,20 @@ object HistogramRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val histo = run(spark.read.parquet(path), HistogramConfig(valueCol, method))
+    val source =
+      if (path.endsWith(".txt")) {
+        val tiles = graft.sources.TileIndex
+          .fromTextList(spark, path)
+          .collect()
+          .map(_.getString(0))
+          .mkString(",")
+        spark.read
+          .format("graft.sources.raster.RasterSource")
+          .option("tiles", tiles)
+          .option("pixelsPerTile", sys.env.getOrElse("SPARK_GRAFT_PIXELS", "100000"))
+          .load()
+      } else spark.read.parquet(path)
+    val histo = run(source, HistogramConfig(valueCol, method))
     HistogramOps.writeCsv(histo, out)
     println(s"HISTOGRAM_BINS=${histo.count()} OUT=$out")
     spark.stop()

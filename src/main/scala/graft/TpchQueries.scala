@@ -76,8 +76,10 @@ object TpchQueries {
           col("l_orderkey"),
           (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
             .as("rev_c2"))
+      // customer scales with SF — no broadcast hint; AQE broadcasts the
+      // filtered side at runtime when it is small and shuffles when not
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(col("rev_c2")).as("revenue_c2"))
         .orderBy(col("revenue_c2").desc, col("o_orderkey"))
@@ -109,9 +111,11 @@ object TpchQueries {
           col("l_suppkey"),
           (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
             .as("rev_c2"))
+      // nation×region is fixed-size (25×5 rows) → explicit broadcast;
+      // customer/supplier scale with SF → AQE decides at runtime
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(nation, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
