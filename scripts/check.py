@@ -22,6 +22,11 @@ def norm(v):
         return v
     return v
 
+def sort_key(row):
+    # None sorts before everything, by type name then value — keeps mixed
+    # None/str/num rows orderable (Python 3 refuses None < str)
+    return tuple((v is not None, type(v).__name__, v) for v in row)
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -35,15 +40,17 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
             got_rows = sorted(
-                tuple(norm(v) for v in row)
-                for row in con.sql(
+                (tuple(norm(v) for v in row)
+                 for row in con.sql(
                     f"SELECT {', '.join(got_cols)} FROM "
-                    f"'{out_dir}/{name}/*.parquet'").fetchall())
+                    f"'{out_dir}/{name}/*.parquet'").fetchall()),
+                key=sort_key)
             want = con.sql(sql)
             want_cols = sorted(want.columns)
             want_rel = con.sql(f"SELECT {', '.join(want_cols)} FROM ({sql})")
             want_rows = sorted(
-                tuple(norm(v) for v in row) for row in want_rel.fetchall())
+                (tuple(norm(v) for v in row) for row in want_rel.fetchall()),
+                key=sort_key)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1

@@ -85,6 +85,42 @@ object TpchQueries {
         .orderBy(col("revenue_c2").desc, col("o_orderkey"))
         .limit(10)
     }),
+    // Hierarchical totals via ROLLUP (grouping-sets family): per
+    // (flag, status), per flag, and grand total in one aggregation pass.
+    "q1_rollup" -> ((s, dir) => {
+      Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          col("l_quantity"),
+          cents(col("l_extendedprice")).as("ext_c"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("ext_c")).as("sum_base_cents"))
+        // label the rollup's NULL markers: the data has no real nulls, and
+        // a null-free result avoids engine-specific NULL sort order
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"),
+          col("sum_qty"),
+          col("sum_base_cents"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // Set operations: viewer/purchaser audience overlap (EXCEPT /
+    // INTERSECT / UNION over distinct user sets).
+    "set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+      val viewOnly = users("view").except(users("purchase")).agg(count(lit(1)).as("n_view_only"))
+      val both = users("view").intersect(users("purchase")).agg(count(lit(1)).as("n_both"))
+      val any = users("view").union(users("purchase")).distinct().agg(count(lit(1)).as("n_any"))
+      viewOnly.crossJoin(both).crossJoin(any)
+    }),
     // Local-supplier volume (TPC-H Q5 shape): 6-way join through
     // region→nation→customer→orders→lineitem→supplier with the
     // same-nation constraint, grouped by nation.
@@ -149,6 +185,25 @@ object TpchQueries {
         |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |        AND l_quantity < 24)
         |WHERE disc_c >= 5 AND disc_c <= 7""".stripMargin,
+    "q1_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |       coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(trunc(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(ext_c) AS BIGINT) AS sum_base_cents
+        |FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ext_c
+        |      FROM lineitem)
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |                         EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_view_only,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |                         INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_both,
+        |  (SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'view'
+        |                         UNION SELECT user_id FROM events WHERE event_type = 'purchase')) AS n_any""".stripMargin,
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderdate, CAST(sum(rev_c2) AS BIGINT) AS revenue_c2
         |FROM (SELECT l_orderkey,
