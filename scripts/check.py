@@ -5,9 +5,8 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 
 Loads each <name>.parquet written by graft.Verify, runs the matching SQL
 from oracle_sql.json in DuckDB (tables registered as views over the sfDir
-parquet files), and compares: row count, column names, and values
-(rows sorted, columns sorted by name, floats rounded to 9 sig figs for
-display only — equality is exact unless FUZZY).
+parquet files), and compares: row count, column names, and exact values
+(rows sorted with a type-aware key, columns sorted by name).
 """
 import json, math, sys
 import duckdb

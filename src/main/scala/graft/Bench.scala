@@ -31,10 +31,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> times.min
+      // any failed rep marks the query failed (-1) rather than letting the
+      // fast exception path masquerade as a speedup
+      name -> (if (times.exists(_.isEmpty)) -1.0 else times.flatten.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -23,8 +23,10 @@ object CoreQueries {
        |  SELECT CAST($valueExpr AS DOUBLE) AS value FROM $table
        |  WHERE $valueExpr IS NOT NULL AND NOT isnan(CAST($valueExpr AS DOUBLE))
        |), mm AS (
-       |  SELECT CAST(trunc(min(value) * 100) AS INT) - 10 AS lo,
-       |         CAST(trunc(max(value) * 100) AS INT) + 10 AS hi
+       |  -- coalesce(…, 0): empty input mirrors the engine's reference-
+       |  -- faithful zero-init fallback (compute_histogram/main.py:131-132)
+       |  SELECT CAST(trunc(coalesce(min(value), 0) * 100) AS INT) - 10 AS lo,
+       |         CAST(trunc(coalesce(max(value), 0) * 100) AS INT) + 10 AS hi
        |  FROM v
        |), codes AS (
        |  SELECT CAST(trunc(value * 100) AS INT) AS code FROM v
@@ -45,7 +47,7 @@ object CoreQueries {
        |  SELECT CAST($valueExpr AS DOUBLE) AS value FROM $table
        |  WHERE $valueExpr IS NOT NULL AND NOT isnan(CAST($valueExpr AS DOUBLE))
        |), mm AS (
-       |  SELECT min(value) AS mn, max(value) AS mx FROM v
+       |  SELECT coalesce(min(value), 0) AS mn, coalesce(max(value), 0) AS mx FROM v
        |), spec AS (
        |  SELECT off,
        |         CAST(trunc(ln(mn + off) * 1000) AS INT) AS lo,

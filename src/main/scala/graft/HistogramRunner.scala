@@ -91,9 +91,13 @@ object HistogramRunner {
           .option("pixelsPerTile", sys.env.getOrElse("SPARK_GRAFT_PIXELS", "100000"))
           .load()
       } else spark.read.parquet(path)
+    // persist: writeCsv and the bin count would otherwise each run the
+    // full two-pass pipeline from scratch
     val histo = run(source, HistogramConfig(valueCol, method))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     HistogramOps.writeCsv(histo, out)
     println(s"HISTOGRAM_BINS=${histo.count()} OUT=$out")
+    histo.unpersist()
     spark.stop()
   }
 }

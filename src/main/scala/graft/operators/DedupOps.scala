@@ -186,16 +186,18 @@ object DedupOps {
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, candidates blocked on
-    * equal 16-bit bands (any pair within Hamming distance 3 must agree on
-    * at least one of 4 bands — pigeonhole).
+    * equal 8-bit bands: a pair within Hamming distance 7 differs in at most
+    * 7 of the 8 bands, so it must agree on at least one (pigeonhole) —
+    * recall is exact for `maxHamming ≤ 7`.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8-band blocking only guarantees recall for Hamming <= 7")
     val sig = simhash(docs)
     val banded = sig.select(
       col("doc_id"),
       col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_val", expr("shiftright(simhash, band * 16) & 65535L"))
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255L"))
     val a = banded.toDF("a_id", "sim_a", "band", "band_val")
     val b = banded.toDF("b_id", "sim_b", "band", "band_val")
     a.join(b, Seq("band", "band_val"))

@@ -83,6 +83,16 @@ object HistogramOps {
     case BinMethod.Log    => exp(bin.cast("double") / lit(1000.0)) - lit(spec.offset)
   }
 
+  /** F3 — numpy range semantics, shared by the batch and streaming paths:
+    * codes outside `[lo, hi]` drop; code `hi` merges into the closed last
+    * bin `hi − 1`.
+    */
+  def inRange(code: Column, lo: Int, hi: Int): Column =
+    code >= lit(lo) && code <= lit(hi)
+
+  def clampToLastBin(code: Column, hi: Int): Column =
+    when(code === lit(hi), lit(hi - 1)).otherwise(code)
+
   /** A3 + A4 + F3 — dense fixed-bin histogram over integer codes.
     *
     * Semantics of `np.histogram(w, bins = hi−lo, range = (lo, hi))`
@@ -106,8 +116,8 @@ object HistogramOps {
       return Seq.empty[(Int, Long)].toDF("bin", "count")
     }
     val counted = codes
-      .filter(col("code") >= lit(lo) && col("code") <= lit(hi))
-      .select(when(col("code") === lit(hi), lit(hi - 1)).otherwise(col("code")).as("bin"))
+      .filter(inRange(col("code"), lo, hi))
+      .select(clampToLastBin(col("code"), hi).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("count"))
     val bins = spark.range(lo.toLong, hi.toLong).select(col("id").cast("int").as("bin"))
@@ -133,6 +143,11 @@ object HistogramOps {
       values: DataFrame,
       spec: BinSpec,
       legacyLogOffset100: Boolean = false): DataFrame = {
+    if (spec.bins == 0) {
+      // degenerate range — same empty result as the group-by path
+      import values.sparkSession.implicits._
+      return Seq.empty[(Double, Long)].toDF("value", "cnt")
+    }
     val agg = udaf(
       new graft.functions.DenseHistogram(spec.lo, spec.hi),
       org.apache.spark.sql.Encoders.scalaInt)

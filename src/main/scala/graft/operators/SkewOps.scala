@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Two-stage salted sum: groupBy(key + random-ish salt) partial sums,
-    * then groupBy(key) final sums. The salt is derived from a hash of the
-    * whole row's value column (deterministic — no RNG), which distributes
-    * uniformly without breaking reproducibility.
+  /** Two-stage salted sum: groupBy(key + salt) partial sums, then
+    * groupBy(key) final sums. The salt comes from the row's position
+    * (`monotonically_increasing_id`), not its value — a hot key whose rows
+    * all share one value (the common skew case) must still spread across
+    * all `salt` shards. The final sum is position-independent, so the
+    * result is deterministic even though row ids aren't stable across
+    * repartitionings.
     *
     * Equivalent to `df.groupBy(key).agg(sum(value))` for any input
     * (asserted in SkewSpec); use when one key carries a disproportionate
@@ -33,7 +36,7 @@ object SkewOps {
     df.select(
         col(keyCol),
         col(valueCol),
-        pmod(xxhash64(col(valueCol)), lit(salt.toLong)).as("_salt"))
+        pmod(monotonically_increasing_id(), lit(salt.toLong)).as("_salt"))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(keyCol))

@@ -43,12 +43,8 @@ object StreamingHistogram {
     src
       .filter(col("value").isNotNull && !isnan(col("value")))
       .select(col("ts"), HistogramOps.quantize(col("value"), spec).as("code"))
-      .filter(col("code") >= lit(spec.lo) && col("code") <= lit(spec.hi))
-      .select(
-        col("ts"),
-        when(col("code") === lit(spec.hi), lit(spec.hi - 1))
-          .otherwise(col("code"))
-          .as("bin"))
+      .filter(HistogramOps.inRange(col("code"), spec.lo, spec.hi))
+      .select(col("ts"), HistogramOps.clampToLastBin(col("code"), spec.hi).as("bin"))
       .groupBy(win, col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .select(

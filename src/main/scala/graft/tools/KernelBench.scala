@@ -31,24 +31,27 @@ object KernelBench {
     val b = e.toDF("b_id", "b_emb")
     val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
 
-    def time(label: String)(thunk: => Long): Unit = {
+    def time(label: String)(thunk: => Double): Unit = {
       (0 until 3).foreach { i =>
         val t0 = System.nanoTime()
-        val n = thunk
-        println(f"$label run$i: n=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val s = thunk
+        println(f"$label run$i: sum=$s%.4f ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    // the agg head() fully evaluates every cosine — nothing else is timed
     time("native ") {
       pairs
         .select(GraftFunctions.cosine(col("a_emb"), col("b_emb")).as("c"))
         .agg(sum("c"))
-        .head(); pairs.count()
+        .head()
+        .getDouble(0)
     }
     time("hof    ") {
       pairs
         .select(GraftFunctions.cosineHof(col("a_emb"), col("b_emb")).as("c"))
         .agg(sum("c"))
-        .head(); pairs.count()
+        .head()
+        .getDouble(0)
     }
     spark.stop()
   }
