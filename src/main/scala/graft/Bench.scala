@@ -43,7 +43,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps}"""
+    println(json)
+    // stdout gets wrapped in sbt/log4j noise (round-1 driver record shows
+    // parsed:null from tail-scraping) — also land the line in a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 }

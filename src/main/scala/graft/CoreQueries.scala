@@ -42,6 +42,15 @@ object CoreQueries {
        |  FROM bins b LEFT JOIN counted ct USING (bin)
        |)""".stripMargin
 
+  // Known cross-engine exposure (accepted): the log-bin CODE itself is
+  // trunc(ln(v + off) * 1000) computed independently by JVM Math.log and
+  // DuckDB libm. A value whose scaled log lands within 1 ulp of an integer
+  // boundary could flip a bin between engines; counts would then differ by
+  // ±1 in two adjacent bins. Probability grows with row count (none observed
+  // through sf0.1). The bin-edge VALUE column is already round(·, 6) on both
+  // sides; the code boundary cannot be rounded without changing reference
+  // semantics (compute_histogram/main.py:196-197), so it is documented
+  // rather than masked.
   private def histoLogCte(table: String, valueExpr: String): String =
     s"""WITH v AS (
        |  SELECT CAST($valueExpr AS DOUBLE) AS value FROM $table

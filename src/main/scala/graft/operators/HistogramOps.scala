@@ -192,14 +192,29 @@ object HistogramOps {
     histogram(values, BinSpec.derive(mn, mx, method))
   }
 
-  /** S5 — CSV sink with the reference's `"%1.2f, %d"` row format
+  /** S5 — CSV sink with the reference's `"%1.2f, %d"` row format, written as
+    * exactly ONE file named `histogram.csv` under `path`, matching the
+    * reference's `np.savetxt("histogram.csv", ...)` single-file output
     * (compute_histogram/main.py:119-124, README.md:5).
+    *
+    * `coalesce(1)` is safe here — and only here — because the relation is
+    * the binned histogram (≤ `hi − lo` rows), never raw values.
     */
-  def writeCsv(histo: DataFrame, path: String): Unit =
+  def writeCsv(histo: DataFrame, path: String): Unit = {
     histo
+      .coalesce(1)
       .select(format_string("%.2f", col("value")).as("value"), col("cnt"))
       .write
       .mode("overwrite")
       .option("header", "false")
       .csv(path)
+    // rename the single part file to the reference's fixed name
+    val conf = histo.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+      .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, "histogram.csv")))
+  }
 }

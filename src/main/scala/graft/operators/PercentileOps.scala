@@ -23,16 +23,25 @@ object PercentileOps {
   /** DataFrame-API form. Input `histo(value: double, cnt: long)`; output
     * `(percentile: long, min_value: double, max_value: double, cnt: long)`
     * ordered by `min_value`.
+    *
+    * The scalar total (the reference SQL's 1-row CTE `s` + cross join J1) is
+    * computed as an unbounded-frame window over the SAME binned relation the
+    * running total uses — one single-partition pass, no second evaluation of
+    * the histogram lineage. (A cross join against a separate `agg(sum)`
+    * relation re-runs the full upstream pipeline: on a two-pass histogram
+    * that is a third raw scan — an extra full pass over the data at 100 TB.)
+    * The J1 cross-join shape itself stays covered by [[decilesSql]], the
+    * verbatim port. Both forms produce identical rows (PropertySpec).
     */
   def deciles(histo: DataFrame): DataFrame = {
-    val total = histo.agg(sum(col("cnt")).as("total")) // 1-row relation, CTE `s`
     val running = sum(col("cnt")).over(Window.orderBy(col("value")))
+    val total = sum(col("cnt")).over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     histo
-      .crossJoin(total) // J1 — Catalyst plans a broadcast nested-loop join of the 1-row side
       .select(
         col("value"),
         col("cnt"),
-        floor(running.cast("double") / col("total").cast("double") * lit(10)).as("pct"))
+        floor(running.cast("double") / total.cast("double") * lit(10)).as("pct"))
       .groupBy(col("pct"))
       .agg(
         min(col("value")).as("min_value"),

@@ -23,8 +23,12 @@ object SkewOps {
     * result is deterministic even though row ids aren't stable across
     * repartitionings.
     *
-    * Equivalent to `df.groupBy(key).agg(sum(value))` for any input
-    * (asserted in SkewSpec); use when one key carries a disproportionate
+    * Exactly equivalent to `df.groupBy(key).agg(sum(value))` for integral
+    * and decimal value columns (asserted in SkewSpec on integer data). For
+    * floating-point values the two-stage shape changes the ADDITION ORDER,
+    * so results may differ in the low bits — same caveat as any Spark
+    * re-partitioning of a double sum; sum money as scaled longs/decimals if
+    * bit-stability matters. Use when one key carries a disproportionate
     * share of rows.
     */
   def saltedSum(

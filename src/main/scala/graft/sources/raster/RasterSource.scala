@@ -101,9 +101,14 @@ final class RasterReaderFactory(required: StructType) extends PartitionReaderFac
 final class RasterPartitionReader(tileUri: String, pixels: Long, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val wantUri = required.fieldNames.contains("tile_uri")
-  private val wantValue = required.fieldNames.contains("value")
   private val uriUtf8 = UTF8String.fromString(tileUri)
+  // Row layout follows the pruned `required` schema's field ORDER, not the
+  // table schema's — Catalyst preserves table order today, but a reordered
+  // pruned schema must not silently misalign rows. One reusable row buffer;
+  // field codes precomputed off the hot path.
+  private val fieldIsUri: Array[Boolean] = required.fields.map(_.name == "tile_uri")
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fieldIsUri.length)
 
   // --- STUB DECODE ---------------------------------------------------
   // Real implementation: open `tileUri` (S3A / GDAL vsis3), read band 1
@@ -135,11 +140,13 @@ final class RasterPartitionReader(tileUri: String, pixels: Long, required: Struc
     true
   }
 
-  override def get(): InternalRow = (wantUri, wantValue) match {
-    case (true, true)   => InternalRow(uriUtf8, current)
-    case (false, true)  => InternalRow(current)
-    case (true, false)  => InternalRow(uriUtf8)
-    case (false, false) => InternalRow.empty
+  override def get(): InternalRow = {
+    var j = 0
+    while (j < fieldIsUri.length) {
+      row.update(j, if (fieldIsUri(j)) uriUtf8 else current)
+      j += 1
+    }
+    row
   }
 
   override def close(): Unit = ()

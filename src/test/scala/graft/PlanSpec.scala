@@ -30,6 +30,18 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate") < windowIdx, "window must sit above the aggregation")
   }
 
+  test("hist_deciles: single raw scan in the decile plan (2 passes total incl. stats job)") {
+    // the scalar total is an unbounded window over the binned relation, not
+    // a cross join against a separate aggregate — the old shape evaluated
+    // the histogram lineage twice, showing TWO parquet scans here (a third
+    // full pass over raw data counting the stats job)
+    val p = plan("hist_deciles")
+    // formatted mode prints each node twice (tree + "(n) Node" detail
+    // section); count the detail headers = distinct scan nodes
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 parquet scan node in the decile plan, got $scans")
+  }
+
   test("q3: dims broadcast, timestamp predicates pushed, top-k avoids global sort") {
     val p = plan("q3_top_orders")
     assert(p.contains("BroadcastHashJoin"))

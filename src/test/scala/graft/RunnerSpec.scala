@@ -74,18 +74,20 @@ class RunnerSpec extends SparkSpec {
     assert(counts == Seq(0L, 0L, 2L, 2L, 2L, 0L, 0L, 0L, 0L))
   }
 
-  test("S5 CSV sink writes the reference's %.2f format") {
-    val histo = Seq((1.5, 3L), (1.51, 0L)).toDF("value", "cnt")
+  test("S5 CSV sink writes exactly one histogram.csv in the reference's %.2f format") {
+    val histo = Seq((1.5, 3L), (1.51, 0L)).toDF("value", "cnt").repartition(4)
     val dir = "target/fixtures/histo_csv"
     HistogramOps.writeCsv(histo, dir)
-    val lines = Files
+    val dataFiles = Files
       .list(Paths.get(dir))
       .toArray
       .map(_.toString)
       .filter(_.endsWith(".csv"))
-      .flatMap(p => scala.io.Source.fromFile(p).getLines())
-      .sorted
-      .toSeq
+    // single data file with the reference's fixed name (np.savetxt writes
+    // one "histogram.csv" — compute_histogram/main.py:124)
+    assert(dataFiles.length == 1, s"expected one csv, got ${dataFiles.toSeq}")
+    assert(dataFiles.head.endsWith("histogram.csv"))
+    val lines = scala.io.Source.fromFile(dataFiles.head).getLines().toSeq.sorted
     assert(lines == Seq("1.50,3", "1.51,0"))
   }
 }
