@@ -23,6 +23,7 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
+        finally graft.operators.DedupOps.releaseShingleCaches()
       }
     }
     // best-of-N (default 2): per-query numbers otherwise vary with which
@@ -36,6 +37,10 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
+      // release AFTER the reps (not between): best-of-N then measures the
+      // steady state where intra-query caches are warm, while a long bench
+      // session still doesn't accumulate shingle corpora across queries
+      graft.operators.DedupOps.releaseShingleCaches()
       // any failed rep marks the query failed (-1) rather than letting the
       // fast exception path masquerade as a speedup
       name -> (if (times.exists(_.isEmpty)) -1.0 else times.flatten.min)

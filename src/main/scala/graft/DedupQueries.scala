@@ -2,15 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.PortableHash
 import graft.operators.{DedupOps, SimilarityOps}
 import graft.sources.Tables
 
 /** Deduplication queries over `documents` / `embeddings` (SURVEY §7.6).
   *
-  * `dedup_minhash` and `dedup_simhash` use Spark's xxhash64 (no DuckDB
-  * equivalent) → no oracle entries; their correctness is property-tested in
-  * DedupSpec (MinHash estimates vs exact Jaccard, SimHash Hamming vs
-  * near-dup pairs).
+  * Every query is DuckDB-oracled: `dedup_minhash` / `dedup_simhash` hash
+  * with the portable 60-bit md5 polynomial ([[PortableHash]]) instead of
+  * round 1's xxhash64, so the oracle reproduces signatures, banding, and
+  * candidate sets bit-exactly. (The simhash oracle verifies pairs by
+  * brute-force Hamming ≤ maxHamming — valid because 6×10-bit banding has
+  * EXACT recall for maxHamming ≤ 5 by pigeonhole, so blocked output ==
+  * brute-force output; the minhash oracle replicates banding literally,
+  * since band collisions do gate which pairs get estimated.)
   */
 object DedupQueries {
 
@@ -28,7 +33,7 @@ object DedupQueries {
         minEst = 0.5)),
     // maxHamming = 5: measured on sf0.01, true near-dups (3-gram jaccard
     // ≥ 0.5) land at hamming 0-5 while the shared-vocabulary background
-    // explodes from 6 up.
+    // explodes from 6 up. 6×10-bit bands → recall exact at ≤ 5.
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashPairs(Tables.documents(s, dir), maxHamming = 5)),
     "dedup_embedding" -> ((s, dir) =>
@@ -71,6 +76,79 @@ object DedupQueries {
         |FROM p
         |WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash" -> {
+      // replicate: shingles → one portable hash60 per shingle → per-seed
+      // xor against the engine's literal permutation constants →
+      // per-(doc,seed) min → 4-row band signatures → band-collision
+      // candidates → matching-component estimate ≥ 0.5
+      val h0 = PortableHash.hash60Sql("s")
+      val consts = DedupOps
+        .permConstants(16)
+        .zipWithIndex
+        .map { case (c, j) => s"($j, CAST($c AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), shl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM shl
+         |), h0 AS (
+         |  SELECT doc_id, $h0 AS h0 FROM u
+         |), mh AS (
+         |  SELECT doc_id, seed, min(xor(h0, c)) AS mh
+         |  FROM h0, (VALUES $consts) consts(seed, c)
+         |  GROUP BY doc_id, seed
+         |), bands AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |         string_agg(seed || ':' || mh, ',' ORDER BY seed) AS band_key
+         |  FROM mh GROUP BY doc_id, seed // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), est AS (
+         |  SELECT c.a_id, c.b_id,
+         |         round(CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)
+         |               / 16.0, 6) AS est_jaccard
+         |  FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a_id
+         |  JOIN mh y ON y.doc_id = c.b_id AND y.seed = x.seed
+         |  GROUP BY c.a_id, c.b_id
+         |)
+         |SELECT a_id, b_id, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+    },
+    "dedup_simhash" -> {
+      // brute-force Hamming pairs == the engine's banded output (exact
+      // recall for maxHamming ≤ 5 under 6×10-bit banding — pigeonhole)
+      val h = PortableHash.hash60Sql("tok")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), th AS (
+         |  SELECT doc_id, $h AS h FROM tok
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |         sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bs
+         |  GROUP BY doc_id, b
+         |), sig AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         |              AS BIGINT) AS s
+         |  FROM bits GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 5
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

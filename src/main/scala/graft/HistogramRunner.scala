@@ -80,14 +80,13 @@ object HistogramRunner {
     spark.sparkContext.setLogLevel("WARN")
     val source =
       if (path.endsWith(".txt")) {
-        val tiles = graft.sources.TileIndex
-          .fromTextList(spark, path)
-          .collect()
-          .map(_.getString(0))
-          .mkString(",")
+        // the list path streams straight into the DSv2 scan's partition
+        // planning — no driver-side collect()-and-comma-join of URIs
+        // (round-1 review: at 10⁵-10⁶ tiles that was a driver bottleneck
+        // and a multi-MB option string)
         spark.read
           .format("graft.sources.raster.RasterSource")
-          .option("tiles", tiles)
+          .option("tileListPath", path)
           .option("pixelsPerTile", sys.env.getOrElse("SPARK_GRAFT_PIXELS", "100000"))
           .load()
       } else spark.read.parquet(path)

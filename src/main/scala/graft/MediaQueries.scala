@@ -7,10 +7,11 @@ import graft.operators.MultimodalOps
 import graft.sources.Tables
 
 /** Multimodal-column queries (SURVEY §7.6). `media_features` checks the
-  * oracle-expressible half (binary payload schema, byte length, content
-  * digest); `media_decode` exercises the full partition-batched stub
-  * decoder (FNV checksum + fake embedding — xxhash-free but not
-  * SQL-expressible, so rows-only).
+  * binary payload schema, byte length, and content digest; `media_decode`
+  * exercises the full partition-batched stub decoder. Both are
+  * DuckDB-oracled: the stub checksum is the portable 60-bit md5 value
+  * (graft.functions.PortableHash) and the fake-embedding chunk means use
+  * IEEE float32 steps DuckDB reproduces with REAL arithmetic.
   */
 object MediaQueries {
 
@@ -31,7 +32,9 @@ object MediaQueries {
           col("doc_id"),
           col("n_bytes"),
           col("checksum"),
-          round(element_at(col("feat"), 1), 6).as("feat0"))
+          // widen to double BEFORE rounding — round(float, 6) stays FLOAT
+          // and its double representation would disagree with the oracle
+          round(element_at(col("feat"), 1).cast("double"), 6).as("feat0"))
         .orderBy(col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
@@ -40,5 +43,28 @@ object MediaQueries {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       md5(text) AS payload_md5,
         |       'text/plain' AS mime
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_decode" -> {
+      // stub decode replica: checksum = portable hash60 of the payload;
+      // feat0 = mean of the first byte chunk (chunk 0 of dim=8: bytes
+      // [0, max(1, len/8))), computed in float32 exactly like the Scala
+      // stub (s.toFloat / chunkLen / 255f) — corpus text is pure ASCII so
+      // ascii(char j) == payload byte j
+      val checksum = graft.functions.PortableHash.hash60Sql("text")
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |         CHECKSUM_EXPR AS checksum,
+        |         greatest(octet_length(encode(text)) // 8, 1) AS hi,
+        |         text
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_bytes, checksum,
+        |       round(CAST(
+        |         CAST(list_sum(list_transform(generate_series(1, hi),
+        |                j -> ascii(substr(text, j, 1)))) AS REAL)
+        |         / CAST(hi AS REAL) / CAST(255 AS REAL)
+        |       AS DOUBLE), 6) AS feat0
+        |FROM m ORDER BY doc_id""".stripMargin.replace("CHECKSUM_EXPR", checksum)
+    })
 }

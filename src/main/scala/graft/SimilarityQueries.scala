@@ -3,18 +3,26 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHash
 import graft.operators.SimilarityOps
 import graft.sources.Tables
 
 /** Similarity-search queries over `embeddings` (SURVEY §7.6).
   *
-  * `knn_cosine` is the exact brute-force baseline (oracle-checked against
-  * DuckDB's list_dot_product — both sides compute sequential double sums, so
-  * they agree to well past the 6 rounded decimals). `knn_lsh` is the
-  * sub-quadratic scale path (no oracle — recall is property-tested against
-  * brute force in SimilaritySpec).
+  * All three are DuckDB-oracled. `knn_cosine` is the exact brute-force
+  * baseline (both engines compute sequential double sums, agreeing to well
+  * past the 6 rounded decimals). `knn_lsh` / `knn_ivf` are the
+  * sub-quadratic scale paths; their hyperplanes / centroid seeds derive
+  * from the portable md5 hash ([[PortableHash]]) so the oracle reproduces
+  * bucket assignment, probe lists, and therefore the exact candidate sets.
+  * Recall vs brute force is additionally property-tested in SimilaritySpec.
   */
 object SimilarityQueries {
+
+  private val Dim = 64 // embeddings.embedding width (TESTDATA.md)
+  private val Planes = 4
+  private val NList = 16
+  private val NProbe = 4
 
   private def queriesAndCorpus(s: SparkSession, dir: String) = {
     val e = SimilarityOps.corpus(Tables.embeddings(s, dir))
@@ -31,31 +39,96 @@ object SimilarityQueries {
     // size (buckets ~ n / desired-candidates).
     "knn_lsh" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
-      SimilarityOps.knnLsh(q, c, k = 10, numPlanes = 4)
+      SimilarityOps.knnLsh(q, c, k = 10, numPlanes = Planes, dim = Dim)
     }),
-    // IVF scale path: 16 inverted lists, probe the 4 nearest. Rows-only
-    // (recall vs brute force asserted in SimilaritySpec).
+    // IVF scale path: 16 inverted lists, probe the 4 nearest.
     "knn_ivf" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
-      SimilarityOps.knnIvf(q, c, k = 10, nlist = 16, nprobe = 4)
+      SimilarityOps.knnIvf(q, c, k = 10, nlist = NList, nprobe = NProbe)
     }))
+
+  /** The exact plane vector the engine uses, as a DuckDB list literal
+    * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
+    * with the SAME arithmetic (`k/10^6 − 0.5` in IEEE double) —
+    * bit-identical components.
+    */
+  private def planeSqlLiteral(p: Int): String =
+    SimilarityOps
+      .planeInts(p, Dim)
+      .map(k => s"(CAST($k AS DOUBLE) / 1000000.0 - 0.5)")
+      .mkString("[", ", ", "]")
+
+  private val cosSql =
+    (a: String, b: String) =>
+      s"""round(list_dot_product($a, $b)
+         |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "knn_cosine" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0
-        |), p AS (
-        |  SELECT q_id, e.vec_id AS c_id,
-        |         round(list_dot_product(q_emb, e.emb)
-        |               / (sqrt(list_dot_product(q_emb, q_emb))
-        |                  * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
-        |  FROM q, e WHERE e.vec_id <> q.q_id
-        |), r AS (
-        |  SELECT q_id, c_id, cos,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
-        |  FROM p
-        |)
-        |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0
+         |), p AS (
+         |  SELECT q_id, e.vec_id AS c_id, ${cosSql("q_emb", "e.emb")} AS cos
+         |  FROM q, e WHERE e.vec_id <> q.q_id
+         |), r AS (
+         |  SELECT q_id, c_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+         |  FROM p
+         |)
+         |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "knn_lsh" -> {
+      val bucket = (0 until Planes)
+        .map(p =>
+          s"CASE WHEN round(list_dot_product(emb, ${planeSqlLiteral(p)}), 6) > 0 " +
+            s"THEN ${1L << p} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), b AS (
+         |  SELECT vec_id, emb, $bucket AS bucket FROM e
+         |), q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, bucket FROM b WHERE vec_id % 50 = 0
+         |), p AS (
+         |  SELECT q_id, c.vec_id AS c_id, ${cosSql("q_emb", "c.emb")} AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.q_id
+         |), r AS (
+         |  SELECT q_id, c_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+         |  FROM p
+         |)
+         |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+    "knn_ivf" -> {
+      val centHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+         |  ORDER BY $centHash LIMIT $NList
+         |), ca AS (
+         |  SELECT c_id, cent_id, c_emb FROM (
+         |    SELECT e.vec_id AS c_id, e.emb AS c_emb, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.emb", "c.cent_emb")} DESC, c.cent_id) AS rn
+         |    FROM e, cents c)
+         |  WHERE rn = 1
+         |), qa AS (
+         |  SELECT q_id, cent_id, q_emb FROM (
+         |    SELECT e.vec_id AS q_id, e.emb AS q_emb, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.emb", "c.cent_emb")} DESC, c.cent_id) AS rn
+         |    FROM e, cents c WHERE e.vec_id % 50 = 0)
+         |  WHERE rn <= $NProbe
+         |), p AS (
+         |  SELECT DISTINCT q_id, c_id, ${cosSql("q_emb", "c_emb")} AS cos
+         |  FROM qa JOIN ca USING (cent_id) WHERE c_id <> q_id
+         |), r AS (
+         |  SELECT q_id, c_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+         |  FROM p
+         |)
+         |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    })
 }

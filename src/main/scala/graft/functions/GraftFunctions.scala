@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 object GraftFunctions {
 
   val COSINE = "graft_cosine"
+  val DOT = "graft_dot"
 
   /** Idempotent per-session registration (called from SparkEntry.tune). */
   def register(spark: SparkSession): Unit = {
@@ -20,10 +21,17 @@ object GraftFunctions {
       COSINE,
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DOT,
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "scala_udf")
   }
 
   /** Cosine similarity over two `array<double>` columns (codegen'd). */
   def cosine(a: Column, b: Column): Column = call_function(COSINE, a, b)
+
+  /** Dot product over two `array<double>` columns (codegen'd). */
+  def dot(a: Column, b: Column): Column = call_function(DOT, a, b)
 
   /** Reference implementation with built-in higher-order functions —
     * interpreted, kept for cross-checking the native expression in tests

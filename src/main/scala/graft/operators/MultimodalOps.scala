@@ -43,16 +43,18 @@ object MultimodalOps {
     */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
+      // one digest instance per partition (the batching boundary a native
+      // decoder would also live at), reset per record
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val bytes = r.payload
-        // FNV-1a over the payload — the stub's stand-in for "decode
-        // succeeded, content digest".
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < bytes.length) {
-          h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-          i += 1
-        }
+        // content digest: first 60 bits of md5 — the stub's stand-in for
+        // "decode succeeded". md5 (vs round 1's FNV-1a) keeps the value
+        // reproducible by the DuckDB oracle (PortableHash.hash60 contract)
+        // without wraparound arithmetic DuckDB's BIGINT would reject.
+        md.reset()
+        val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
         // fake "embedding": mean byte value per contiguous chunk
         val feat = Array.tabulate(dim) { d =>
           val lo = d * bytes.length / dim

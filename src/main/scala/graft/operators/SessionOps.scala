@@ -70,16 +70,37 @@ object SessionOps {
     * also emits the trailing open session of every user; in streaming,
     * leave it false — open sessions stay in the state store until a later
     * micro-batch closes them.
+    *
+    * Per-group memory: gap logic needs the micro-batch's events for one
+    * user in timestamp order, and Spark hands them unsorted — a buffer of
+    * the group is unavoidable, so it is BOUNDED and enforced:
+    * `maxEventsPerUserBatch` (default 2²⁰) fails fast with a diagnostic
+    * instead of letting one hot key (bot traffic) OOM an executor.
+    * Mitigations at scale: shorter micro-batches, pre-filtering known bot
+    * ids, or raising the cap where executors are sized for it. The buffer
+    * is a single array sorted in place (no intermediate Seq copies).
     */
   def sessionizeStateful(
       events: Dataset[Ev],
       gapUs: Long,
-      flushOpen: Boolean): Dataset[SessionOut] =
+      flushOpen: Boolean,
+      maxEventsPerUserBatch: Int = 1 << 20): Dataset[SessionOut] =
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Ev]
+          evs.foreach { e =>
+            buf += e
+            if (buf.length > maxEventsPerUserBatch)
+              throw new IllegalStateException(
+                s"user $uid has > $maxEventsPerUserBatch events in one micro-batch; " +
+                  "raise maxEventsPerUserBatch or shorten the batch interval")
+          }
+          val sorted = buf.toArray
+          java.util.Arrays.sort(
+            sorted,
+            Ordering.by((e: Ev) => (e.ts_us, e.event_id)))
           val out = ListBuffer.empty[SessionOut]
           var st = state.getOption
           sorted.foreach { e =>

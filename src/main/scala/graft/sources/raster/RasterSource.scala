@@ -26,10 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.raster.RasterSource")
-  *     .option("tiles", "s3://b/a.tif,s3://b/b.tif")
+  *     .option("tiles", "s3://b/a.tif,s3://b/b.tif")   // inline list, OR:
+  *     .option("tileListPath", "s3://b/tiles.txt")     // one URI per line
   *     .option("pixelsPerTile", "40000")   // stub band size
   *     .load()
   * }}}
+  *
+  * `tileListPath` is the scale path for large tile sets (the reference's
+  * bio_*_list.txt shape, S4): the list file is read once at PLAN time
+  * inside `planInputPartitions` via the Hadoop filesystem — no Spark job,
+  * no driver-side collect-and-comma-join, no multi-MB option string.
   *
   * Scale: partition-per-tile is the reference's own parallelism unit
   * (Pool.map over tiles, main.py:93-98); 248 tiles × 40000² px stream
@@ -47,6 +53,7 @@ class RasterSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new RasterTable(
       properties.getOrDefault("tiles", ""),
+      properties.getOrDefault("tileListPath", ""),
       properties.getOrDefault("pixelsPerTile", "10000").toLong)
 }
 
@@ -54,18 +61,38 @@ object RasterSource {
   val Schema: StructType = StructType(
     Seq(StructField("tile_uri", StringType, nullable = false),
       StructField("value", DoubleType, nullable = false)))
+
+  /** Read a one-URI-per-line tile list through the Hadoop filesystem (any
+    * scheme the cluster knows: file://, s3a://, hdfs://). Plan-time only.
+    */
+  def readTileList(path: String): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val in = p.getFileSystem(conf).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toArray
+    finally in.close()
+  }
 }
 
-final class RasterTable(tiles: String, pixelsPerTile: Long) extends Table with SupportsRead {
-  override def name(): String = s"raster(${tiles.split(",").length} tiles)"
+final class RasterTable(tiles: String, tileListPath: String, pixelsPerTile: Long)
+    extends Table
+    with SupportsRead {
+  override def name(): String =
+    if (tileListPath.nonEmpty) s"raster($tileListPath)"
+    else s"raster(${tiles.split(",").length} tiles)"
   override def schema(): StructType = RasterSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RasterScanBuilder(tiles.split(",").filter(_.nonEmpty), pixelsPerTile)
+    new RasterScanBuilder(
+      () =>
+        if (tileListPath.nonEmpty) RasterSource.readTileList(tileListPath)
+        else tiles.split(",").filter(_.nonEmpty),
+      pixelsPerTile)
 }
 
-final class RasterScanBuilder(tiles: Array[String], pixelsPerTile: Long)
+final class RasterScanBuilder(tiles: () => Array[String], pixelsPerTile: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = RasterSource.Schema
@@ -78,13 +105,13 @@ final class RasterScanBuilder(tiles: Array[String], pixelsPerTile: Long)
   override def build(): Scan = new RasterScan(tiles, pixelsPerTile, required)
 }
 
-final class RasterScan(tiles: Array[String], pixelsPerTile: Long, required: StructType)
+final class RasterScan(tiles: () => Array[String], pixelsPerTile: Long, required: StructType)
     extends Scan
     with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    tiles.map(t => RasterInputPartition(t, pixelsPerTile): InputPartition)
+    tiles().map(t => RasterInputPartition(t, pixelsPerTile): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new RasterReaderFactory(required)
 }

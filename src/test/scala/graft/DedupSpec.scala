@@ -51,6 +51,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(5) == 1.0)
   }
 
+  test("jaccard prefix filtering: corpus-hot shingle in EVERY doc, output stays exact") {
+    // 60 docs all sharing the shingle "x y z" (df = 100% — the round-1
+    // quadratic-blocking hazard) plus unique tails; one planted dup pair.
+    // Prefix filtering must return exactly the naive-join answer.
+    val docs = (0 until 60).map(i => (i.toLong, s"x y z u${i}a u${i}b u${i}c u${i}d")) ++
+      Seq((100L, "p q r s t v w"), (101L, "p q r s t v w"))
+    val df = docs.toDF("doc_id", "text")
+    // naive expected: per-pair jaccard over 3-gram shingle sets
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (i, ti) <- docs; (j, tj) <- docs if i < j
+      si = shingleSet(ti); sj = shingleSet(tj)
+      inter = si.intersect(sj).size
+      if inter > 0
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    val got = DedupOps
+      .jaccardPairs(df, 3, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+      .toSet
+    assert(got == expected, s"got $got, want $expected")
+    assert(got == Set((100L, 101L, 1.0)))
+    DedupOps.releaseShingleCaches()
+  }
+
   test("minhash LSH recovers the high-jaccard pairs (est within 0.25 of exact)") {
     val exact = DedupOps
       .jaccardPairs(docs, 3, 0.8)

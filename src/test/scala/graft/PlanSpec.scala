@@ -64,6 +64,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), "native expression must appear in the plan")
   }
 
+  test("dedup_embedding: balanced block-pair equi-join — no cartesian, no BNLJ") {
+    // exact all-pairs on isotropic data is Θ(n²) by output size; the scale
+    // property to pin is HOW the quadratic work is laid out: a shuffled
+    // equi-join on block-pair keys (even tiles, spill-safe), never a
+    // CartesianProduct / BroadcastNestedLoopJoin node
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), "cartesian product in dedup_embedding plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "BNLJ in dedup_embedding plan")
+    assert(p.contains("graft_cosine"), "codegen'd kernel must run inside the join")
+  }
+
   test("dedup_exact: map-side partial aggregation before the exchange") {
     val p = plan("dedup_exact")
     val firstAgg = p.indexOf("HashAggregate")

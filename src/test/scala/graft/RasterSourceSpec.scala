@@ -37,6 +37,24 @@ class RasterSourceSpec extends SparkSpec {
     assert(valid.count() == df.count() - nan)
   }
 
+  test("tileListPath option: list file streams into partition planning") {
+    val list = java.nio.file.Files.createTempFile("tiles", ".txt")
+    java.nio.file.Files.writeString(
+      list,
+      tiles.split(",").mkString("\n") + "\n\n") // trailing blank line dropped
+    val df = spark.read
+      .format("graft.sources.raster.RasterSource")
+      .option("tileListPath", list.toString)
+      .option("pixelsPerTile", "5000")
+      .load()
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 3L * 5000)
+    // identical data to the inline-option form
+    assert(
+      df.groupBy("tile_uri").count().collect().toSet ==
+        load().groupBy("tile_uri").count().collect().toSet)
+  }
+
   test("column pruning reaches the reader (value-only scan)") {
     val df = load().select("value")
     assert(df.schema.fieldNames.toSeq == Seq("value"))

@@ -45,6 +45,24 @@ class SessionSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("hot user: 200k-event group sessionizes; over-cap group fails fast") {
+    // bot-traffic shape: one user, everything in one batch group
+    val hot = (0 until 200000).map(i => Ev(9L, i.toLong, i.toLong * 1_000_000L))
+    val out = SessionOps
+      .sessionizeStateful(hot.toDS(), GapUs, flushOpen = true)
+      .collect()
+    assert(out.map(_.n_events).sum == 200000L)
+    // enforced bound: a clear diagnostic instead of an executor OOM
+    val e = intercept[org.apache.spark.SparkException] {
+      SessionOps
+        .sessionizeStateful(hot.take(200).toDS(), GapUs, flushOpen = true,
+          maxEventsPerUserBatch = 100)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxEventsPerUserBatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxEventsPerUserBatch")))
+  }
+
   test("streaming sessionization closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

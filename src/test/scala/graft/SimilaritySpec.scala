@@ -69,7 +69,7 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
     val lsh = SimilarityOps
-      .knnLsh(q, emb, 10, numPlanes = 4)
+      .knnLsh(q, emb, 10, numPlanes = 4, dim = 64)
       .filter(col("rank") === 1)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
