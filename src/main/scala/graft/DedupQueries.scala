@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.PortableHash
-import graft.operators.{DedupOps, SimilarityOps}
+import graft.operators.{ClusterOps, DedupOps, SimilarityOps}
 import graft.sources.Tables
 
 /** Deduplication queries over `documents` / `embeddings` (SURVEY §7.6).
@@ -37,7 +37,34 @@ object DedupQueries {
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashPairs(Tables.documents(s, dir), maxHamming = 5)),
     "dedup_embedding" -> ((s, dir) =>
-      SimilarityOps.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.4)))
+      SimilarityOps.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.4)),
+    // Connected components over the jaccard pair graph — pairs → duplicate
+    // clusters, the survivor-selection step of a real dedup pipeline.
+    "dedup_clusters" -> ((s, dir) =>
+      ClusterOps.nearDupClusters(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
+
+  /** Shared oracle CTE chain: documents → 3-gram shingles → shared-shingle
+    * pair intersections (relation `p(a_id, b_id, inter, na, nb)`).
+    */
+  private val jaccardPairCtes: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |              ELSE CAST([] AS VARCHAR[]) END AS sh
+      |  FROM t
+      |), u AS (
+      |  SELECT doc_id, CAST(len(sh) AS INT) AS nsh, unnest(sh) AS s FROM sh
+      |), p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         CAST(count(*) AS BIGINT) AS inter,
+      |         min(a.nsh) AS na, min(b.nsh) AS nb
+      |  FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -53,29 +80,29 @@ object DedupQueries {
         |      FROM documents)
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(tk) >= 3
-        |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
-        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-        |              ELSE CAST([] AS VARCHAR[]) END AS sh
-        |  FROM t
-        |), u AS (
-        |  SELECT doc_id, CAST(len(sh) AS INT) AS nsh, unnest(sh) AS s FROM sh
-        |), p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         CAST(count(*) AS BIGINT) AS inter,
-        |         min(a.nsh) AS na, min(b.nsh) AS nb
-        |  FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT a_id, b_id, inter, na, nb,
-        |       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
-        |FROM p
-        |WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $jaccardPairCtes
+         |SELECT a_id, b_id, inter, na, nb,
+         |       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+         |FROM p
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_clusters" ->
+      // min-reachable-label == smallest id in the connected component; the
+      // UNION (not UNION ALL) recursion deduplicates and terminates
+      s"""WITH RECURSIVE $jaccardPairCtes, pairs AS (
+         |  SELECT a_id, b_id FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs
+         |), reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |)
+         |SELECT node AS doc_id, min(lbl) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> {
       // replicate: shingles → one portable hash60 per shingle → per-seed
       // xor against the engine's literal permutation constants →

@@ -22,6 +22,10 @@ object TextQueries {
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     // Winnowing (rolling-hash) document fingerprints, per-doc summary.
     "doc_winnow" -> ((s, dir) => TextOps.winnowSummary(Tables.documents(s, dir))),
+    // Deterministic stratified 80/10/10 split (portable hash60 buckets).
+    "dataset_split" -> ((s, dir) => TextOps.splitSummary(Tables.documents(s, dir))),
+    // Corpus heavy-hitters: top-5 tokens per language.
+    "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir), k = 5)),
     // The composed training-data pipeline: fingerprint dedup (keep lowest
     // doc_id) → quality gate (score ≥ 2) → per-language token budget.
     "pipeline_clean" -> ((s, dir) => {
@@ -134,6 +138,32 @@ object TextQueries {
         |SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
         |       list_min(fp) AS min_fp, list_max(fp) AS max_fp
         |FROM m ORDER BY doc_id""".stripMargin,
+    "dataset_split" -> {
+      val bucket =
+        s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"
+      s"""WITH s AS (
+         |  SELECT lang,
+         |         CASE WHEN $bucket < 80 THEN 'train'
+         |              WHEN $bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS nt
+         |  FROM documents
+         |)
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS sum_tokens
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+    },
+    "top_terms" ->
+      """WITH c AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), n AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY lang, tok
+        |), r AS (
+        |  SELECT lang, tok, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS INT) AS rank
+        |  FROM n
+        |)
+        |SELECT lang, tok, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "pipeline_clean" ->
       s"""WITH surv AS (
          |  SELECT doc_id, text, lang FROM (

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected pair graph — the step a real
+  * dedup pipeline runs AFTER pairwise near-dup detection: pairs → duplicate
+  * CLUSTERS → one survivor per cluster.
+  *
+  * Algorithm: iterative smallest-label propagation (the relational form of
+  * HashToMin / GraphX's connectedComponents): every node starts labeled
+  * with its own id; each round, a node adopts the minimum label among
+  * itself and its neighbors; fixpoint when no label changes. Rounds needed
+  * = component diameter — near-dup clusters are small and dense (diameter
+  * 1-3), so the loop is a handful of shuffle joins even at corpus scale,
+  * each one an equi-join on node id with map-side-combinable min
+  * aggregation. The driver holds only the per-round change counter.
+  *
+  * Labels are persisted per round and released as soon as the next round
+  * is materialized (no lineage growth across iterations).
+  */
+object ClusterOps {
+
+  /** `nodes(id)`, `edges(a_id, b_id)` → `(id, cluster_id)` where
+    * cluster_id = the minimum node id in the component (singletons map to
+    * themselves). Deterministic.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // materialize the pair lineage ONCE: the edge relation is tiny (one row
+    // per near-dup pair) but its lineage (the pairwise-similarity join) is
+    // the expensive part — the symmetrized union would otherwise evaluate
+    // it twice, and every iteration would re-trigger it
+    val e = DedupOps.registerCache(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    e.count()
+    val sym = e
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = nodes
+      .select(col("id"), col("id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      // one action per round: the next generation carries its predecessor
+      // label, so the convergence check reads the same cached relation
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    // the final generation must STAY cached until the caller materializes
+    // the result (its parents were unpersisted each round); registered for
+    // the harness-level release like the shingle caches
+    DedupOps.registerCache(labels)
+    labels.select(col("id"), col("lbl").as("cluster_id")).orderBy(col("id"))
+  }
+
+  /** Near-dup clusters over documents: nodes = every doc, edges = the
+    * n-gram Jaccard pairs at `minJaccard`. Output `(doc_id, cluster_id)`.
+    */
+  def nearDupClusters(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
+    connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      DedupOps.jaccardPairs(docs, n, minJaccard).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+}

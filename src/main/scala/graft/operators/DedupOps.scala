@@ -77,6 +77,14 @@ object DedupOps {
     shingleCaches.clear()
   }
 
+  /** Register an externally-persisted relation for the same release
+    * lifecycle (used by ClusterOps for its final label generation).
+    */
+  private[operators] def registerCache(df: DataFrame): DataFrame = synchronized {
+    shingleCaches += df
+    df
+  }
+
   /** `(doc_id, nsh, shingle)` exploded long form — the join key relation
     * for candidate generation.
     *

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline surface
@@ -154,6 +155,51 @@ object TextOps {
         array_min(col("fp")).as("min_fp"),
         array_max(col("fp")).as("max_fp"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic stratified train/val/test assignment — the standard
+    * reproducible-split primitive for a training pipeline: bucket =
+    * `hash60("split:" doc_id) mod 100`, `< trainPct` → train,
+    * `< trainPct + valPct` → val, else test. Hash-based (not random): the
+    * assignment is stable across runs, engines (DuckDB oracle), cluster
+    * sizes, and re-partitioning — adding documents never reshuffles
+    * existing ones. Narrow per-row transform; no shuffle.
+    */
+  def datasetSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "train + val must leave room for test")
+    val bucket = pmod(
+      graft.functions.PortableHash.hash60(concat(lit("split:"), col("doc_id").cast("string"))),
+      lit(100L))
+    docs.withColumn(
+      "split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Split summary per (lang, split): doc + token counts. */
+  def splitSummary(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    datasetSplit(docs, trainPct, valPct)
+      .select(col("lang"), col("split"), size(tokens(col("text"))).as("nt"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Top-k tokens per language by frequency (corpus heavy-hitters):
+    * group-by count with map-side partials, then a per-language rank
+    * window — Spark's WindowGroupLimit prunes to k before the full sort,
+    * the same top-k-without-global-sort shape as the knn queries.
+    * Deterministic tie-break on the token string.
+    */
+  def topTerms(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    docs
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("lang"), col("rank"))
+  }
 
   /** Token counting per language: whitespace tokens, alphabetic regex
     * tokens, and a BPE-ish fixed-width subword count (`[a-z]{1,4}` chunks —

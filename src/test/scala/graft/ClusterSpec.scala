@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{ClusterOps, DedupOps, TextOps}
+import graft.sources.Tables
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components golden: chain, triangle, singleton") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // chain 1-2-3 (diameter 2), triangle 4-5-6, singleton 7
+    val edges = Seq((2L, 3L), (1L, 2L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("a_id", "b_id")
+    val got = ClusterOps
+      .connectedComponents(nodes, edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    DedupOps.releaseShingleCaches()
+  }
+
+  test("nearDupClusters == union-find over the jaccard pairs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = DedupOps
+      .jaccardPairs(docs, 3, 0.5)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // reference union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    val got = ClusterOps
+      .nearDupClusters(docs, 3, 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == want)
+    assert(got.values.toSet.size < ids.length, "fixture should contain non-trivial clusters")
+    DedupOps.releaseShingleCaches()
+  }
+
+  test("dataset split: deterministic, exhaustive, roughly stratified") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val s1 = TextOps.datasetSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TextOps.datasetSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
+  test("top terms: ranks 1..k per language, counts non-increasing") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = TextOps.topTerms(docs, 5).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).toSeq == (1 to rs.length))
+      val counts = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
