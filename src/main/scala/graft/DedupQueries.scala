@@ -43,26 +43,30 @@ object DedupQueries {
     "dedup_clusters" -> ((s, dir) =>
       ClusterOps.nearDupClusters(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
 
-  /** Shared oracle CTE chain: documents → 3-gram shingles → shared-shingle
-    * pair intersections (relation `p(a_id, b_id, inter, na, nb)`).
+  /** Shared oracle CTE chain: documents → 3-gram shingles → portable
+    * 60-bit shingle hashes (the engine hashes identically — see
+    * [[graft.operators.DedupOps]] shingleRows) → shared-hash pair
+    * intersections (relation `p(a_id, b_id, inter, na, nb)`).
     */
   private val jaccardPairCtes: String =
-    """t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |         CASE WHEN len(tk) >= 3
-      |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
-      |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-      |              ELSE CAST([] AS VARCHAR[]) END AS sh
-      |  FROM t
-      |), u AS (
-      |  SELECT doc_id, CAST(len(sh) AS INT) AS nsh, unnest(sh) AS s FROM sh
-      |), p AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |         CAST(count(*) AS BIGINT) AS inter,
-      |         min(a.nsh) AS na, min(b.nsh) AS nb
-      |  FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= 3
+       |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |              ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM t
+       |), u AS (
+       |  SELECT doc_id, CAST(len(sh) AS INT) AS nsh,
+       |         ${graft.functions.PortableHash.hash60Sql("s")} AS h
+       |  FROM (SELECT doc_id, sh, unnest(sh) AS s FROM sh)
+       |), p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(count(*) AS BIGINT) AS inter,
+       |         min(a.nsh) AS na, min(b.nsh) AS nb
+       |  FROM u a JOIN u b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)""".stripMargin
 
