@@ -41,7 +41,12 @@ object DedupQueries {
     // Connected components over the jaccard pair graph — pairs → duplicate
     // clusters, the survivor-selection step of a real dedup pipeline.
     "dedup_clusters" -> ((s, dir) =>
-      ClusterOps.nearDupClusters(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
+      ClusterOps.nearDupClusters(Tables.documents(s, dir), n = 3, minJaccard = 0.5)),
+    // Benchmark decontamination: flag training docs sharing any 8-gram
+    // with the held-out subset (doc_id % 50 == 0 stands in for the
+    // benchmark corpus).
+    "decontaminate" -> ((s, dir) =>
+      DedupOps.decontaminate(Tables.documents(s, dir), n = 8, evalMod = 50)))
 
   /** Shared oracle CTE chain: documents → 3-gram shingles → portable
     * 60-bit shingle hashes (the engine hashes identically — see
@@ -107,6 +112,39 @@ object DedupQueries {
          |)
          |SELECT node AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 8
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 7),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+         |                          || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+         |                          || ' ' || tk[i+7]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, CAST(len(sh) AS INT) AS nsh,
+         |         ${graft.functions.PortableHash.hash60Sql("s")} AS h
+         |  FROM (SELECT doc_id, sh, unnest(sh) AS s FROM sh)
+         |), e AS (
+         |  SELECT DISTINCT h FROM u WHERE doc_id % 50 = 0
+         |), tr AS (
+         |  SELECT doc_id, min(nsh) AS n_grams FROM u WHERE doc_id % 50 <> 0 GROUP BY 1
+         |), hits AS (
+         |  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS nc
+         |  FROM u JOIN e USING (h) WHERE u.doc_id % 50 <> 0 GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(tr.n_grams, 0) AS n_grams,
+         |       coalesce(hits.nc, 0) AS n_contaminated,
+         |       CAST(CASE WHEN coalesce(hits.nc, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         |         AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN tr ON d.doc_id = tr.doc_id
+         |LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash" -> {
       // replicate: shingles → one portable hash60 per shingle → per-seed
       // xor against the engine's literal permutation constants →

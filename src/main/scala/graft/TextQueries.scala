@@ -26,6 +26,23 @@ object TextQueries {
     "dataset_split" -> ((s, dir) => TextOps.splitSummary(Tables.documents(s, dir))),
     // Corpus heavy-hitters: top-5 tokens per language.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir), k = 5)),
+    // Gopher-style repetition quality signals per document.
+    "doc_repetition" -> ((s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir))),
+    // Quality rollup over the (previously unused) source column.
+    "source_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps
+        .quality(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality_bucket") === "high", 1).otherwise(0)).as("n_high"),
+          sum(when(col("quality_bucket") === "low", 1).otherwise(0)).as("n_low"),
+          round(avg(col("quality_score")), 6).as("avg_score"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
     // The composed training-data pipeline: fingerprint dedup (keep lowest
     // doc_id) → quality gate (score ≥ 2) → per-language token budget.
     "pipeline_clean" -> ((s, dir) => {
@@ -153,6 +170,63 @@ object TextQueries {
          |       CAST(sum(nt) AS BIGINT) AS sum_tokens
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
     },
+    "doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        |         CASE WHEN len(tk) >= 2
+        |              THEN list_transform(generate_series(1, len(tk) - 1),
+        |                     i -> tk[i] || ' ' || tk[i+1])
+        |              ELSE CAST([] AS VARCHAR[]) END AS bgs,
+        |         CASE WHEN len(tk) >= 5
+        |              THEN list_transform(generate_series(1, len(tk) - 4),
+        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          || ' ' || tk[i+3] || ' ' || tk[i+4])
+        |              ELSE CAST([] AS VARCHAR[]) END AS g5
+        |  FROM t
+        |), b AS (
+        |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY 1, 2
+        |), ba AS (
+        |  SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS n_bg
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT g.doc_id, g.n_tokens,
+        |       coalesce(ba.top_n, 0) AS top_bigram_n,
+        |       round(coalesce(CAST(ba.top_n AS DOUBLE) / CAST(ba.n_bg AS DOUBLE), 0.0), 6)
+        |         AS top_bigram_frac,
+        |       round(CASE WHEN len(g5) > 0
+        |                  THEN 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE)
+        |                             / CAST(len(g5) AS DOUBLE)
+        |                  ELSE 0.0 END, 6) AS dup_5gram_frac
+        |FROM g LEFT JOIN ba ON g.doc_id = ba.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    "source_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              w -> list_contains($stopList, w))) AS INT) AS stop_cnt,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1 ELSE 0 END
+         |          + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
+         |                  AND CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5
+         |                 THEN 1 ELSE 0 END
+         |          + CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.2
+         |                 THEN 1 ELSE 0 END) AS quality_score
+         |  FROM t
+         |)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN quality_score >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |       CAST(sum(CASE WHEN quality_score <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |       round(avg(quality_score), 6) AS avg_score,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "top_terms" ->
       """WITH c AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -200,6 +200,45 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Benchmark decontamination — the step a training pipeline runs against
+    * its eval suites: flag every training document sharing at least one
+    * word `n`-gram with the held-out set (here: `doc_id % evalMod == 0`,
+    * standing in for the benchmark corpus). Output per training doc:
+    * `(doc_id, n_grams, n_contaminated, contaminated)` where
+    * `n_contaminated` counts the doc's distinct n-grams that appear
+    * anywhere in the eval set.
+    *
+    * Scale shape: n-grams live in portable-hash space ([[shingleRows]] —
+    * 8-byte keys), and the eval side is `broadcast()` because benchmark
+    * suites are fixed-size and tiny relative to the corpus (the same
+    * justification as the nation×region broadcast) — the contamination
+    * check is then a map-side hash probe per training n-gram, no shuffle
+    * of the corpus at all. If the held-out side ever grows to corpus
+    * scale, drop the hint and the same plan runs as a shuffled join.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8, evalMod: Int = 50): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val isEval = pmod(col("doc_id"), lit(evalMod.toLong)) === 0
+    val evalGrams = sh.filter(isEval).select(col("h")).distinct()
+    val train = sh.filter(!isEval)
+    val perDoc = train.groupBy(col("doc_id")).agg(min(col("nsh")).as("n_grams"))
+    val hits = train
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated")) // shingle rows are distinct per doc
+    docs
+      .filter(!isEval)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_contaminated"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The `numPerm` fixed 60-bit xor constants defining the permutation
     * family: `h_j(s) = hash60(s) XOR C_j`, `C_j = hash60Local("perm:j")`.
     * One md5 per shingle total (not per seed); xor of 60-bit values stays

@@ -201,6 +201,65 @@ object TextOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    * the filters a training pipeline runs before dedup): the fraction of
+    * word bigrams taken by the single most frequent bigram, and the
+    * fraction of word 5-grams that are repeats of an earlier 5-gram.
+    * Output `(doc_id, n_tokens, top_bigram_n, top_bigram_frac,
+    * dup_5gram_frac)`; docs too short for an n-gram score 0.
+    *
+    * Shapes: the 5-gram dup fraction is a pure per-row array expression
+    * (distinct count over the cached token array — no shuffle at all);
+    * the bigram mode needs a per-(doc, bigram) count, one explode +
+    * two keyed aggregations. Tokenization sits behind a persist barrier
+    * so the n-gram lambdas read the cached array instead of re-splitting
+    * the text per element (the Catalyst HOF-inlining trap).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val tokenized = DedupOps.registerCache(
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def grams(width: Int): Column =
+      when(
+        size(col("tk")) >= width,
+        transform(
+          sequence(lit(1), size(col("tk")) - lit(width - 1)),
+          i => concat_ws(" ", slice(col("tk"), i, lit(width)))))
+        .otherwise(array().cast("array<string>"))
+    val perDoc = tokenized.select(
+      col("doc_id"),
+      size(col("tk")).as("n_tokens"),
+      size(grams(5)).as("n_5grams"),
+      size(array_distinct(grams(5))).as("n_distinct_5"))
+    val bgCounts = tokenized
+      .select(col("doc_id"), explode(grams(2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+    val bgAgg = bgCounts
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    perDoc
+      .join(bgAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        round(
+          coalesce(
+            col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"),
+            lit(0.0)),
+          6).as("top_bigram_frac"),
+        round(
+          when(
+            col("n_5grams") > 0,
+            lit(1.0) -
+              col("n_distinct_5").cast("double") / col("n_5grams").cast("double"))
+            .otherwise(lit(0.0)),
+          6).as("dup_5gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting per language: whitespace tokens, alphabetic regex
     * tokens, and a BPE-ish fixed-width subword count (`[a-z]{1,4}` chunks —
     * greedy left-to-right, identical semantics in Java regex and RE2).

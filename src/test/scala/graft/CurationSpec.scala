@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps}
+import graft.sources.Tables
+
+/** Data-curation operators: repetition signals, decontamination,
+  * per-source quality rollup.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals golden: alternating and repeated texts") {
+    val docs = Seq(
+      // "a b" x3: bigrams a b, b a, a b, b a, a b → top 3/5; 5-grams
+      // "a b a b a", "b a b a b" distinct → dup 0
+      (1L, "a b a b a b"),
+      // same 5-gram repeated: 5-grams x w x y z (1..4 distinct of 8)
+      (2L, "x w x y z x w x y z x w"),
+      // too short for any n-gram
+      (3L, "q"))
+      .toDF("doc_id", "text")
+    val got = TextOps
+      .repetitionSignals(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    DedupOps.releaseShingleCaches()
+    assert(got(0) == ((1L, 6, 3L, 0.6, 0.0)))
+    // doc 2: 12 tokens → 11 bigrams, top "x w" ×3 → 3/11; 8 5-grams, 5
+    // distinct ("x w x y z","w x y z x","x y z x w","y z x w x","z x w x y")
+    // → dup 3/8
+    assert(got(1) == ((2L, 12, 3L, math.rint(3.0 / 11 * 1e6) / 1e6, 0.375)))
+    assert(got(2) == ((3L, 1, 0L, 0.0, 0.0)))
+  }
+
+  test("decontaminate golden: planted 8-gram overlap") {
+    val eight = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val docs = Seq(
+      (0L, s"$eight tail tokens here"), // eval doc (0 % 7 == 0)
+      (1L, s"lead in words $eight"), // contaminated via the shared 8-gram
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // clean, 2 distinct 8-grams
+      (3L, "short text")) // no 8-grams at all
+      .toDF("doc_id", "text")
+    val got = DedupOps
+      .decontaminate(docs, n = 8, evalMod = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    DedupOps.releaseShingleCaches()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "eval doc excluded, train ordered")
+    assert(got(0)._4 == 1 && got(0)._3 >= 1L, "doc 1 shares the planted 8-gram")
+    assert(got(1) == ((2L, 2, 0L, 0)))
+    assert(got(2) == ((3L, 0, 0L, 0)))
+  }
+
+  test("decontaminate on fixtures: counts bounded by gram counts") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = DedupOps.decontaminate(docs).collect()
+    DedupOps.releaseShingleCaches()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "eval docs excluded")
+      assert(r.getLong(2) <= r.getInt(1).toLong, "hits bounded by doc's gram count")
+      assert((r.getInt(3) == 1) == (r.getLong(2) > 0))
+    }
+  }
+
+  test("source_quality consistent with per-doc quality") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rollup = SparkEntry.queries("source_quality")(spark, TestSpark.sf0001).collect()
+    val perDoc = TextOps
+      .quality(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .collect()
+    val bySource = perDoc.groupBy(_.getAs[String]("source"))
+    assert(rollup.map(_.getString(0)).toSeq == bySource.keys.toSeq.sorted)
+    rollup.foreach { r =>
+      val g = bySource(r.getString(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.count(_.getAs[String]("quality_bucket") == "high").toLong)
+      assert(r.getLong(3) == g.count(_.getAs[String]("quality_bucket") == "low").toLong)
+    }
+  }
+}
