@@ -23,6 +23,8 @@ object SimilarityQueries {
   private val Planes = 4
   private val NList = 16
   private val NProbe = 4
+  private val KmK = 8
+  private val KmIters = 2
 
   private def queriesAndCorpus(s: SparkSession, dir: String) = {
     val e = SimilarityOps.corpus(Tables.embeddings(s, dir))
@@ -45,7 +47,11 @@ object SimilarityQueries {
     "knn_ivf" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
       SimilarityOps.knnIvf(q, c, k = 10, nlist = NList, nprobe = NProbe)
-    }))
+    }),
+    // Lloyd k-means in exact integer micro-space (KMeansOps): 8 clusters,
+    // 2 iterations, per-cluster size + inertia.
+    "embed_kmeans" -> ((s, dir) =>
+      graft.operators.KMeansOps.fitSummary(Tables.embeddings(s, dir), k = KmK, iters = KmIters)))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -130,5 +136,55 @@ object SimilarityQueries {
          |  FROM p
          |)
          |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+    "embed_kmeans" -> {
+      // Unrolled Lloyd iterations in exact integer micro-space: every
+      // value is an integer in IEEE double, so sums/distances are exact in
+      // any order — bit-identical to the Spark loop (KMeansOps docs).
+      val seedHash = PortableHash.hash60Sql("'km:' || CAST(vec_id AS VARCHAR)")
+      def iterCtes(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""d$i AS (
+           |  SELECT w.vec_id, c.cid,
+           |         w.vv + list_dot_product(c.ci, c.ci)
+           |           - 2 * list_dot_product(w.vi, c.ci) AS dist
+           |  FROM w CROSS JOIN $prev c
+           |), a$i AS (
+           |  SELECT vec_id, cid, dist FROM (
+           |    SELECT d$i.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d$i) WHERE rn = 1
+           |), m$i AS (
+           |  SELECT a.cid, g.i AS pos,
+           |         CAST(CAST(trunc(sum(w.vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+           |  FROM a$i a JOIN w ON a.vec_id = w.vec_id
+           |  CROSS JOIN generate_series(1, $Dim) AS g(i)
+           |  GROUP BY 1, 2
+           |), c$i AS (
+           |  SELECT cid, list(comp ORDER BY pos) AS ci FROM m$i GROUP BY cid
+           |)""".stripMargin
+      }
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+         |), seed AS (
+         |  SELECT vi, row_number() OVER (ORDER BY $seedHash, vec_id) AS rn FROM v
+         |), c0 AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cid, vi AS ci FROM seed WHERE rn <= $KmK
+         |),${(1 until KmIters).map(iterCtes).mkString(", ")}, dF AS (
+         |  SELECT w.vec_id, c.cid,
+         |         w.vv + list_dot_product(c.ci, c.ci)
+         |           - 2 * list_dot_product(w.vi, c.ci) AS dist
+         |  FROM w CROSS JOIN c${KmIters - 1} c
+         |), aF AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT dF.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM dF) WHERE rn = 1
+         |)
+         |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia
+         |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin
     })
 }

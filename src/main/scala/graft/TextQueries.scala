@@ -28,6 +28,8 @@ object TextQueries {
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir), k = 5)),
     // Gopher-style repetition quality signals per document.
     "doc_repetition" -> ((s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir))),
+    // Unigram-LM negative log-likelihood per document (perplexity proxy).
+    "doc_logprob" -> ((s, dir) => TextOps.unigramNll(Tables.documents(s, dir))),
     // Quality rollup over the (previously unused) source column.
     "source_quality" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -202,6 +204,24 @@ object TextQueries {
         |                  ELSE 0.0 END, 6) AS dup_5gram_frac
         |FROM g LEFT JOIN ba ON g.doc_id = ba.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    "doc_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), vocab AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM vocab
+        |), d AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CAST(round(ln(v.n_w) * 1000000000.0) AS BIGINT)) AS BIGINT)
+        |           AS sum_lnq
+        |  FROM tok t JOIN vocab v USING (tok) GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens,
+        |       round(ln((SELECT n_total FROM tot))
+        |             - CAST(sum_lnq AS DOUBLE) / 1000000000.0 / CAST(n_tokens AS DOUBLE), 6)
+        |         AS avg_nll
+        |FROM d ORDER BY doc_id""".stripMargin,
     "source_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

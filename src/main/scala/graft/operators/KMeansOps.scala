@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{GraftFunctions, PortableHash}
+
+/** Distributed Lloyd k-means over an embedding column — the clustering
+  * step of corpus curation (topic bucketing, diversity sampling, IVF
+  * coarse-quantizer training).
+  *
+  * Determinism design: embeddings are quantized to integer micro-units
+  * (`round(x·10⁶)` kept in doubles), so every distance, partial sum, and
+  * centroid component is an integer exactly representable in IEEE double —
+  * additions are exact in ANY order, making results independent of
+  * partitioning and bit-identical in the DuckDB oracle (which unrolls the
+  * same iterations). Seeds come from the portable hash, centroid updates
+  * truncate toward zero — both reproducible cross-engine. |x·10⁶| ≤ ~6·10⁵
+  * for the unit-ish corpus, so squared distances stay ≤ ~10¹⁴ < 2⁵³;
+  * inertia is summed as BIGINT (can exceed 2⁵³ over the corpus).
+  *
+  * Scale shapes: assignment is a broadcast nested-loop against the k-row
+  * centroid relation projected to THIN (vec_id, cid, dist) rows before the
+  * exchange — the vectors themselves never shuffle; per-vector arg-min is
+  * a map-side-combinable `min(struct(dist, cid))`; centroid update is one
+  * posexplode + keyed aggregation (n·dim rows, 8-byte values). The driver
+  * holds no vectors — centroids stay a (persisted, k-row) DataFrame.
+  */
+object KMeansOps {
+
+  val Scale = 1e6
+
+  /** Quantized corpus `(vec_id, vi: array<double> of exact micro-ints,
+    * vv = <vi,vi>)`, persisted (read once per iteration).
+    */
+  def quantize(embeddings: DataFrame): DataFrame =
+    DedupOps.registerCache(
+      embeddings
+        .select(
+          col("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => round(x * lit(Scale)))
+            .as("vi"))
+        .withColumn("vv", GraftFunctions.dot(col("vi"), col("vi")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Deterministic seeds: the k vectors with the smallest
+    * `(hash60("km:" vec_id), vec_id)` — a top-k (`TakeOrderedAndProject`,
+    * no global sort), then cluster ids 0..k-1 in that order.
+    */
+  def seeds(vecs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hk"), col("vec_id")) // k rows only — single partition is fine
+    vecs
+      .withColumn(
+        "hk",
+        PortableHash.hash60(concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .withColumn("cid", row_number().over(w) - 1)
+      .select(col("cid"), col("vi").as("ci"))
+  }
+
+  /** Per-vector nearest centroid: `(vec_id, cid, dist)` with
+    * dist = ‖v−c‖² in micro² units (exact), ties broken on cid.
+    */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val c = broadcast(
+      cents.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+    vecs
+      .crossJoin(c)
+      .select(
+        col("vec_id"),
+        col("cid"),
+        (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
+          .as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+  }
+
+  /** Recompute centroids from an assignment: per-dimension integer mean
+    * truncated toward zero (empty clusters drop out, as in the oracle).
+    */
+  def update(vecs: DataFrame, best: DataFrame): DataFrame =
+    vecs
+      .join(best.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .select(col("cid"), posexplode(col("vi")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
+      .groupBy(col("cid"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("comp")))),
+          s => s.getField("comp")).as("ci"))
+
+  /** Run `iters` Lloyd iterations (assign → update, final pass assign
+    * only) and summarize: `(cluster_id, n_vecs, inertia)` per surviving
+    * cluster. Centroid relations are materialized per round (k rows) so
+    * iteration lineage never re-evaluates prior assignments.
+    */
+  def fitSummary(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val vecs = quantize(embeddings)
+    var cents = DedupOps.registerCache(seeds(vecs, k).persist(StorageLevel.MEMORY_AND_DISK))
+    cents.count()
+    var best: DataFrame = null
+    for (i <- 1 to iters) {
+      best = assign(vecs, cents)
+      if (i < iters) {
+        cents = DedupOps.registerCache(
+          update(vecs, best).persist(StorageLevel.MEMORY_AND_DISK))
+        cents.count()
+      }
+    }
+    best
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("dist").cast("long")).as("inertia"))
+      .orderBy(col("cluster_id"))
+  }
+}

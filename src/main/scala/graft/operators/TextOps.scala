@@ -260,6 +260,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model scoring — the cheap perplexity proxy a
+    * curation pipeline uses to rank documents: train the unigram model on
+    * the corpus itself (`p(w) = n_w / N`), then score each doc by its
+    * average negative log-likelihood `ln N − (Σ ln n_w)/n_d`.
+    *
+    * Determinism: per-token `ln n_w` is quantized to integer nano-units
+    * before summing, so the aggregation is exact integer arithmetic in any
+    * partitioning/order (the float-sum nondeterminism trap); the ~1e-9
+    * quantization never reaches the 6-decimal output. Scale shape: one
+    * token-count aggregation, a vocab equi-join (zipf-small relation —
+    * AQE broadcasts it), and a 1-row broadcast for the corpus total.
+    */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val total = vocab.agg(sum(col("n_w")).as("n_total"))
+    toks
+      .join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(round(log(col("n_w")) * lit(1e9)).cast("long")).as("sum_lnq"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(
+          log(col("n_total")) -
+            col("sum_lnq").cast("double") / lit(1e9) / col("n_tokens").cast("double"),
+          6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting per language: whitespace tokens, alphabetic regex
     * tokens, and a BPE-ish fixed-width subword count (`[a-z]{1,4}` chunks —
     * greedy left-to-right, identical semantics in Java regex and RE2).

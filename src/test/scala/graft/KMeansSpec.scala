@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, KMeansOps, TextOps}
+import graft.sources.Tables
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans golden: two obvious clusters recovered") {
+    // two tight groups on a 4-dim line; k=2 must separate them whatever
+    // the hash picks as seeds
+    val emb = Seq(
+      (1L, Array(0.10f, 0.10f, 0.10f, 0.10f)),
+      (2L, Array(0.11f, 0.10f, 0.10f, 0.10f)),
+      (3L, Array(0.10f, 0.11f, 0.10f, 0.10f)),
+      (4L, Array(0.50f, 0.50f, 0.50f, 0.50f)),
+      (5L, Array(0.51f, 0.50f, 0.50f, 0.50f)),
+      (6L, Array(0.50f, 0.51f, 0.50f, 0.50f)))
+      .toDF("vec_id", "embedding")
+    val vecs = KMeansOps.quantize(emb)
+    val cents = KMeansOps.seeds(vecs, 2)
+    val best = KMeansOps.assign(vecs, KMeansOps.update(vecs, KMeansOps.assign(vecs, cents)))
+    val byCluster = best
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2)
+      .values
+      .map(_.map(_._1).toSet)
+      .toSet
+    DedupOps.releaseShingleCaches()
+    assert(byCluster == Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
+  }
+
+  test("kmeans is partitioning-invariant (exact integer arithmetic)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val a = KMeansOps.fitSummary(emb, k = 8, iters = 2).collect().toSeq
+    DedupOps.releaseShingleCaches()
+    val b = KMeansOps.fitSummary(emb.repartition(7), k = 8, iters = 2).collect().toSeq
+    DedupOps.releaseShingleCaches()
+    assert(a == b)
+    assert(a.map(_.getLong(1)).sum == emb.count())
+    assert(a.forall(_.getLong(2) >= 0L))
+  }
+
+  test("kmeans iterations do not increase inertia") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    def inertia(iters: Int): Long = {
+      val s = KMeansOps.fitSummary(emb, k = 8, iters = iters).collect()
+      DedupOps.releaseShingleCaches()
+      s.map(_.getLong(2)).sum
+    }
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    val i3 = inertia(3)
+    assert(i2 <= i1, s"iter2 $i2 > iter1 $i1")
+    assert(i3 <= i2, s"iter3 $i3 > iter2 $i2")
+  }
+
+  test("unigram NLL: uniform corpus scores ln(vocab), rare tokens score higher") {
+    val docs = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb cc dd"),
+      (3L, "aa bb cc rare"))
+      .toDF("doc_id", "text")
+    val got = TextOps
+      .unigramNll(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // N=12; docs 1,2: tokens n_w = 3,3,3,2 → same score; doc 3 has 'rare'
+    // (n_w=1) → strictly higher NLL
+    assert(got(0)._3 == got(1)._3)
+    assert(got(2)._3 > got(0)._3)
+    val expected1 = math.log(12.0) - (3 * math.log(3.0) + math.log(2.0)) / 4.0
+    assert(math.abs(got(0)._3 - expected1) < 1e-5)
+  }
+}
