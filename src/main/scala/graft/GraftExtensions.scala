@@ -14,6 +14,10 @@ import graft.functions.CosineSimilarity
   *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
   * }}}
   *
+  * and injects [[graft.plans.KernelRewrite]] into the optimizer, so even
+  * the textbook HOF formulation (`aggregate(zip_with(...))`) silently runs
+  * on the fused codegen kernels (gate: `spark.graft.kernelRewrite`).
+  *
   * The Scala API path (GraftFunctions.register via SparkEntry.tune) covers
   * programmatic sessions; this covers spark-sql / JDBC / notebook sessions
   * configured at launch.
@@ -28,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.GraftFunctions.COSINE),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CosineSimilarity(exprs(0), exprs(1))))
+    extensions.injectOptimizerRule(_ => graft.plans.KernelRewrite)
   }
 }

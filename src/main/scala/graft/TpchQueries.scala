@@ -110,6 +110,27 @@ object TpchQueries {
           col("sum_base_cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // Large-volume customers (TPC-H Q18 shape): aggregate-filtered
+    // semi-join — the HAVING subquery becomes a grouped relation joined
+    // back to orders/customer; top-20 via TakeOrderedAndProject.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate"),
+          col("total_qty"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
     // Set operations: viewer/purchaser audience overlap (EXCEPT /
     // INTERSECT / UNION over distinct user sets).
     "set_ops" -> ((s, dir) => {
@@ -196,6 +217,17 @@ object TpchQueries {
         |      FROM lineitem)
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, b.total_qty, o.total_cents
+        |FROM (SELECT l_orderkey, CAST(trunc(sum(l_quantity)) AS BIGINT) AS total_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING CAST(trunc(sum(l_quantity)) AS BIGINT) > 300) b
+        |JOIN (SELECT o_orderkey, o_custkey, o_orderdate,
+        |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+        |      FROM orders) o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY b.total_qty DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin,
     "set_ops" ->
       """SELECT
         |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'

@@ -81,4 +81,18 @@ class PlanSpec extends SparkSpec {
     val exchange = p.indexOf("Exchange")
     assert(firstAgg >= 0 && exchange >= 0)
   }
+
+  test("decontaminate: eval side broadcast — contamination check is a map-side probe") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval n-gram set must broadcast")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("embed_kmeans: assignment broadcasts centroids; vectors never in a join exchange") {
+    val p = plan("embed_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"), "k-row centroid relation must broadcast")
+    assert(p.contains("graft_dot"), "codegen'd distance kernel must run in the projection")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the assignment plan")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
 }
