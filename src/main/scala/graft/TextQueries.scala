@@ -30,6 +30,8 @@ object TextQueries {
     "doc_repetition" -> ((s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir))),
     // Unigram-LM negative log-likelihood per document (perplexity proxy).
     "doc_logprob" -> ((s, dir) => TextOps.unigramNll(Tables.documents(s, dir))),
+    // Greedy context-window packing per (lang, hash shard).
+    "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     // Quality rollup over the (previously unused) source column.
     "source_quality" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -204,6 +206,24 @@ object TextQueries {
         |                  ELSE 0.0 END, 6) AS dup_5gram_frac
         |FROM g LEFT JOIN ba ON g.doc_id = ba.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    "pack_sequences" -> {
+      val shard =
+        s"(${graft.functions.PortableHash.hash60Sql("'shard:' || CAST(doc_id AS VARCHAR)")}) % 8"
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $shard AS shard,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS nt
+         |  FROM documents
+         |), c AS (
+         |  SELECT lang, shard, nt,
+         |         sum(nt) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS cum
+         |  FROM d
+         |)
+         |SELECT lang, shard, CAST(trunc(cum / 2048.0) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
+    },
     "doc_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -167,6 +167,32 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Cost-based dispatcher — the knn a user should reach for by default
+    * (round-1 advice: the quadratic baseline must not be the default
+    * surface). Picks the plan from Catalyst's own size estimate of the
+    * candidate side: below `bruteForceMaxBytes` the exact O(|Q|·N) brute
+    * force is both fastest and exact; above it, IVF probing bounds search
+    * cost at O(N·nprobe/nlist) per query. The threshold check reads
+    * `optimizedPlan.stats` (no extra scan) — the same statistics AQE and
+    * the join planner consult, so the decision tracks whatever the
+    * catalog/files report at plan time. `nlist` scales as ~√N of the
+    * estimate (the standard IVF sizing rule) so list sizes stay bounded
+    * as the corpus grows.
+    */
+  def knnAuto(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      bruteForceMaxBytes: Long = 64L << 20): DataFrame = {
+    val bytes = candidates.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= bruteForceMaxBytes) knnBruteForce(queries, candidates, k)
+    else {
+      val rowSize = 8 + 8 * 64 // id + 64-dim double vector
+      val nlist = math.max(16, math.sqrt((bytes / rowSize).toDouble).toInt)
+      knnIvf(queries, candidates, k, nlist = nlist, nprobe = math.max(4, nlist / 16))
+    }
+  }
+
   /** Embedding near-dup pairs: ALL pairs with cosine ≥ `minCos`, computed
     * exactly via a balanced block-pair equi-join. Output `(a_id, b_id,
     * cos)`, a_id < b_id — byte-identical to the naive cross join.

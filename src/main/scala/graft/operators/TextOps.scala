@@ -260,6 +260,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Greedy sequence packing — the context-window batching step of LLM
+    * data prep: within each (lang, shard) stream, documents in doc_id
+    * order fill fixed `binTokens` budgets; a doc starts a new bin when the
+    * running total before it crosses the budget. Output one row per bin:
+    * `(lang, shard, bin, n_docs, sum_tokens)`.
+    *
+    * Scale: packing is inherently sequential, so the corpus is first
+    * split into `nShards` deterministic hash shards per language (the way
+    * production packers parallelize); each window partition is
+    * corpus/(langs·shards) and shard count scales with the cluster. The
+    * running total is one windowed cumsum; bin id is an exact power-of-two
+    * division (2048 = 2¹¹, so `cum/binTokens` is exact in double).
+    */
+  def packSequences(docs: DataFrame, binTokens: Int = 2048, nShards: Int = 8): DataFrame = {
+    require((binTokens & (binTokens - 1)) == 0, "binTokens must be a power of two (exact division)")
+    val shard = pmod(
+      graft.functions.PortableHash.hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
+      lit(nShards.toLong))
+    val w = Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"), shard.as("shard"), size(tokens(col("text"))).as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w) - col("nt")) // tokens before this doc
+      .withColumn("bin", (col("cum") / lit(binTokens)).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
   /** Unigram language-model scoring — the cheap perplexity proxy a
     * curation pipeline uses to rank documents: train the unigram model on
     * the corpus itself (`p(w) = n_w / N`), then score each doc by its

@@ -63,6 +63,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences == reference greedy packer per (lang, shard)") {
+    // small fixture: 1 shard + 512-token bins so multiple bins fill
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    import org.apache.spark.sql.functions.{concat, lit, pmod, size}
+    val perDoc = docs
+      .select(
+        $"doc_id",
+        $"lang",
+        size(TextOps.tokens($"text")).as("nt"),
+        pmod(
+          graft.functions.PortableHash.hash60(concat(lit("shard:"), $"doc_id".cast("string"))),
+          lit(1L)).as("shard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val want = perDoc.toSeq
+      .groupBy(t => (t._2, t._4))
+      .toSeq
+      .flatMap { case ((lang, shard), rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (_, _, nt, _) =>
+          val bin = cum / 512L
+          cum += nt
+          ((lang, shard, bin), nt.toLong)
+        }
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    val got = TextOps
+      .packSequences(docs, binTokens = 512, nShards = 1)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == want)
+    assert(got.keys.map(_._3).max >= 1L, "fixture should fill more than one bin")
+  }
+
   test("source_quality consistent with per-doc quality") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val rollup = SparkEntry.queries("source_quality")(spark, TestSpark.sf0001).collect()

@@ -102,6 +102,24 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.3, s"mean recall@10 = $meanRecall")
   }
 
+  test("knnAuto dispatches on the Catalyst size estimate") {
+    val e = SimilarityOps.corpus(Tables.embeddings(spark, TestSpark.sf0001))
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+    // generous threshold → brute force, byte-identical
+    val small = SimilarityOps.knnAuto(q, e, k = 5, bruteForceMaxBytes = Long.MaxValue)
+    assert(small.collect().toSeq == SimilarityOps.knnBruteForce(q, e, k = 5).collect().toSeq)
+    // zero threshold → IVF path with the same derived sizing
+    val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nlist = math.max(16, math.sqrt((bytes / (8 + 8 * 64)).toDouble).toInt)
+    val big = SimilarityOps.knnAuto(q, e, k = 5, bruteForceMaxBytes = 0L)
+    assert(
+      big.collect().toSeq ==
+        SimilarityOps
+          .knnIvf(q, e, k = 5, nlist = nlist, nprobe = math.max(4, nlist / 16))
+          .collect()
+          .toSeq)
+  }
+
   test("approx deciles track exact deciles on l_quantity") {
     val values = graft.operators.HistogramOps.validValues(
       spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet"),
