@@ -48,8 +48,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // like-for-like subtotal over the round-1 surface (34 queries): the
+    // full total grows every round as operators are added, so
+    // round-over-round comparisons against the recorded baseline use this
+    val r1Names = Set(
+      "dedup_embedding", "dedup_exact", "dedup_fingerprint", "dedup_minhash",
+      "dedup_ngram_jaccard", "dedup_simhash", "doc_winnow", "events_asof",
+      "events_hourly_hist", "events_json_stats", "events_sessions", "hist_deciles",
+      "hist_linear", "hist_linear_dense", "hist_log", "hist_log_offset",
+      "knn_cosine", "knn_ivf", "knn_lsh", "lang_id", "media_decode",
+      "media_features", "minmax", "minmax_clamped", "pipeline_clean",
+      "q1_pricing", "q1_rollup", "q3_top_orders", "q5_region_volume",
+      "q6_forecast", "set_ops", "text_quality", "text_stats", "token_count")
+    val r1Subtotal = results.collect { case (k, v) if r1Names(k) && v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"r1_subtotal":$r1Subtotal}"""
     println(json)
     // stdout gets wrapped in sbt/log4j noise (round-1 driver record shows
     // parsed:null from tail-scraping) — also land the line in a file
