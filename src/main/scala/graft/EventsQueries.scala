@@ -61,9 +61,51 @@ object EventsQueries {
           "last_purchase_value")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("last_purchase_value"))
         .orderBy(col("event_id"))
-    }))
+    }),
+    // Portable-HLL distinct-user estimate next to the exact count
+    // (SketchOps: integer-exact register sum, cross-engine bit-exact).
+    "approx_users" -> ((s, dir) =>
+      graft.operators.SketchOps.approxDistinct(Tables.events(s, dir), col("user_id"))))
 
   val oracle: Map[String, String] = Map(
+    "approx_users" -> {
+      val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT ($h) AS h FROM events
+         |), b AS (
+         |  SELECT h & 255 AS bucket, h >> 8 AS w FROM h
+         |), r AS (
+         |  SELECT bucket,
+         |         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_j
+         |  FROM b GROUP BY 1
+         |), z AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS z_present
+         |  FROM r
+         |), e AS (
+         |  SELECT n_buckets, z_present,
+         |         (256 - n_buckets) AS v,
+         |         z_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS z_total
+         |  FROM z
+         |), est AS (
+         |  SELECT v,
+         |         0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         |           / CAST(z_total AS DOUBLE) AS raw_e
+         |  FROM e
+         |), f AS (
+         |  SELECT CASE WHEN raw_e <= 640.0 AND v > 0
+         |              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+         |              ELSE raw_e END AS est
+         |  FROM est
+         |)
+         |SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+         |       round(est, 6) AS n_est,
+         |       round(abs(round(est, 6)
+         |                 - CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE))
+         |             / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6)
+         |         AS rel_err
+         |FROM f""".stripMargin
+    },
     "events_hourly_hist" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |       CAST(trunc(value / 10.0) AS INT) AS bin,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Distributed sketches with cross-engine-exact state.
+  *
+  * HyperLogLog (Flajolet et al. 2007) with m = 256 registers over the
+  * portable 60-bit hash: bucket = low 8 bits, rank = leading-zero count
+  * of the remaining 52 bits + 1 (computed exactly via binary string
+  * length — no float log2). The register relation is a group-by max —
+  * associative and mergeable, the same partial-aggregation shape Spark
+  * uses for any map-side-combinable agg, so the sketch state is O(m)
+  * per partition regardless of input size.
+  *
+  * Determinism: the harmonic-mean denominator Σ 2^(−M_j) is accumulated
+  * as INTEGER terms 2^(53−M_j) (BIGINT, max 256·2⁵³ < 2⁶³), so the sum
+  * is exact in any order and the DuckDB oracle reproduces the estimate
+  * bit-for-bit; the only transcendental (small-range ln correction) is
+  * rounded to 6 decimals on both sides.
+  */
+object SketchOps {
+
+  val Registers = 256 // 2^8
+
+  /** One-row HLL summary of `key`'s distinct count next to the exact
+    * count: `(n_exact, n_est, rel_err)`.
+    */
+  def approxDistinct(df: DataFrame, key: Column): DataFrame = {
+    val h = PortableHash.hash60(key.cast("string"))
+    val regs = df
+      .select(h.as("h"))
+      .select(expr("h & 255").as("bucket"), expr("shiftright(h, 8)").as("w"))
+      .select(
+        col("bucket"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w"))))
+          .as("rank"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rank")).as("m_j"))
+    val z = regs.agg(
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum(expr("shiftleft(cast(1 as bigint), 53 - m_j)")).as("z_present"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val empty = lit(Registers.toLong) - col("n_buckets")
+    val zTotal = col("z_present") + empty * lit(1L << 53)
+    val rawE = alpha * lit(65536.0) * lit(9007199254740992.0) / zTotal.cast("double")
+    val est = when(
+      rawE <= lit(640.0) && empty > 0,
+      lit(256.0) * log(lit(256.0) / empty.cast("double")))
+      .otherwise(rawE)
+    val exact = df.agg(count_distinct(key).cast("long").as("n_exact"))
+    exact
+      .crossJoin(broadcast(z))
+      .select(
+        col("n_exact"),
+        round(est, 6).as("n_est"),
+        round(
+          abs(round(est, 6) - col("n_exact").cast("double")) / col("n_exact").cast("double"),
+          6).as("rel_err"))
+  }
+}

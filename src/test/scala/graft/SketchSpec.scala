@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.SketchOps
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def estimate(n: Int, dups: Int): (Long, Double, Double) = {
+    val df = (0 until n * dups).map(i => s"user-${i % n}").toDF("k")
+    val r = SketchOps.approxDistinct(df, col("k")).collect()(0)
+    (r.getLong(0), r.getDouble(1), r.getDouble(2))
+  }
+
+  test("HLL-256 accuracy: within 3 standard errors across cardinalities") {
+    // standard error ≈ 1.04/√256 = 6.5% — allow 3σ ≈ 20%
+    for (n <- Seq(10, 100, 1000, 20000)) {
+      val (exact, est, relErr) = estimate(n, 3)
+      assert(exact == n.toLong)
+      assert(relErr < 0.20, s"n=$n est=$est relErr=$relErr")
+    }
+  }
+
+  test("estimate depends only on the distinct set (duplication-invariant)") {
+    val once = estimate(500, 1)
+    val many = estimate(500, 7)
+    assert(once._2 == many._2, "registers are max-based: duplicates must not move the estimate")
+  }
+
+  test("empty-ish input hits the small-range correction branch") {
+    val (exact, est, relErr) = estimate(3, 2)
+    assert(exact == 3L)
+    assert(relErr < 0.35, s"small-range estimate $est")
+  }
+}
