@@ -65,7 +65,11 @@ object EventsQueries {
     // Portable-HLL distinct-user estimate next to the exact count
     // (SketchOps: integer-exact register sum, cross-engine bit-exact).
     "approx_users" -> ((s, dir) =>
-      graft.operators.SketchOps.approxDistinct(Tables.events(s, dir), col("user_id"))))
+      graft.operators.SketchOps.approxDistinct(Tables.events(s, dir), col("user_id"))),
+    // The sketch composed with a time window: per-hour distinct users,
+    // exact and estimated (streaming twin in StreamingSketchSpec).
+    "hourly_users" -> ((s, dir) =>
+      graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))))
 
   val oracle: Map[String, String] = Map(
     "approx_users" -> {
@@ -105,6 +109,43 @@ object EventsQueries {
          |             / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6)
          |         AS rel_err
          |FROM f""".stripMargin
+    },
+    "hourly_users" -> {
+      val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, ($h) AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT hour, h & 255 AS bucket,
+         |         max(CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END) AS m_j
+         |  FROM h GROUP BY 1, 2
+         |), z AS (
+         |  SELECT hour, CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS z_present
+         |  FROM r GROUP BY 1
+         |), e AS (
+         |  SELECT hour, (256 - n_buckets) AS v,
+         |         z_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS z_total
+         |  FROM z
+         |), f AS (
+         |  SELECT hour, v,
+         |         0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         |           / CAST(z_total AS DOUBLE) AS raw_e
+         |  FROM e
+         |), est AS (
+         |  SELECT hour,
+         |         round(CASE WHEN raw_e <= 640.0 AND v > 0
+         |                    THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+         |                    ELSE raw_e END, 6) AS n_est
+         |  FROM f
+         |), x AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT x.hour, x.n_exact, est.n_est
+         |FROM x JOIN est ON x.hour = est.hour
+         |ORDER BY x.hour""".stripMargin
     },
     "events_hourly_hist" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

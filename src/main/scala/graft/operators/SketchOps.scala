@@ -25,24 +25,31 @@ object SketchOps {
 
   val Registers = 256 // 2^8
 
-  /** One-row HLL summary of `key`'s distinct count next to the exact
-    * count: `(n_exact, n_est, rel_err)`.
+  /** HLL register relation `(groupCols..., bucket, m_j)` — the mergeable
+    * sketch state. Works identically as a batch or streaming aggregation
+    * (max is the state-store fold).
     */
-  def approxDistinct(df: DataFrame, key: Column): DataFrame = {
+  def hllRegisters(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame = {
     val h = PortableHash.hash60(key.cast("string"))
-    val regs = df
-      .select(h.as("h"))
-      .select(expr("h & 255").as("bucket"), expr("shiftright(h, 8)").as("w"))
-      .select(
-        col("bucket"),
-        when(col("w") === 0, lit(53))
-          .otherwise(lit(53) - length(bin(col("w"))))
-          .as("rank"))
-      .groupBy(col("bucket"))
+    df.select(groupCols :+ h.as("h"): _*)
+      .withColumn("bucket", expr("h & 255"))
+      .withColumn("w", expr("shiftright(h, 8)"))
+      .withColumn(
+        "rank",
+        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      .groupBy(groupCols :+ col("bucket"): _*)
       .agg(max(col("rank")).as("m_j"))
-    val z = regs.agg(
-      count(lit(1)).cast("long").as("n_buckets"),
-      sum(expr("shiftleft(cast(1 as bigint), 53 - m_j)")).as("z_present"))
+  }
+
+  /** Finalize registers into an estimate per group: `(groupCols...,
+    * n_est)`. Exact-integer harmonic sum (see object docs).
+    */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[Column]): DataFrame = {
+    val z = regs
+      .groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - m_j)")).as("z_present"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
     val empty = lit(Registers.toLong) - col("n_buckets")
     val zTotal = col("z_present") + empty * lit(1L << 53)
@@ -51,14 +58,39 @@ object SketchOps {
       rawE <= lit(640.0) && empty > 0,
       lit(256.0) * log(lit(256.0) / empty.cast("double")))
       .otherwise(rawE)
+    z.select(groupCols :+ round(est, 6).as("n_est"): _*)
+  }
+
+  /** One-row HLL summary of `key`'s distinct count next to the exact
+    * count: `(n_exact, n_est, rel_err)`.
+    */
+  def approxDistinct(df: DataFrame, key: Column): DataFrame = {
+    val z = estimateFromRegisters(hllRegisters(df, key, Nil), Nil)
     val exact = df.agg(count_distinct(key).cast("long").as("n_exact"))
     exact
       .crossJoin(broadcast(z))
       .select(
         col("n_exact"),
-        round(est, 6).as("n_est"),
+        col("n_est"),
         round(
-          abs(round(est, 6) - col("n_exact").cast("double")) / col("n_exact").cast("double"),
+          abs(col("n_est") - col("n_exact").cast("double")) / col("n_exact").cast("double"),
           6).as("rel_err"))
+  }
+
+  /** Per-hour approximate distinct `key` next to the exact per-hour
+    * count: `(hour, n_exact, n_est)` — the sketch composed with a time
+    * window. In a stream the register aggregation runs incrementally
+    * (watermarked window × bucket state); the finalize step is a read-time
+    * batch pass over the register sink (StreamingSketchSpec).
+    */
+  def hourlyApproxDistinct(events: DataFrame, key: Column): DataFrame = {
+    val withHour = events.withColumn("hour", date_trunc("hour", col("ts")))
+    val est = estimateFromRegisters(
+      hllRegisters(withHour, key, Seq(col("hour"))),
+      Seq(col("hour")))
+    val exact = withHour
+      .groupBy(col("hour"))
+      .agg(count_distinct(key).cast("long").as("n_exact"))
+    exact.join(est, Seq("hour")).orderBy(col("hour"))
   }
 }
