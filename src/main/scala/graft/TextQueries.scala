@@ -32,6 +32,8 @@ object TextQueries {
     "doc_logprob" -> ((s, dir) => TextOps.unigramNll(Tables.documents(s, dir))),
     // Greedy context-window packing per (lang, hash shard).
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    // Overlapping 64/16 token chunking with per-chunk dedup fingerprints.
+    "doc_chunks" -> ((s, dir) => TextOps.chunkDocs(Tables.documents(s, dir))),
     // Quality rollup over the (previously unused) source column.
     "source_quality" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -206,6 +208,24 @@ object TextQueries {
         |                  ELSE 0.0 END, 6) AS dup_5gram_frac
         |FROM g LEFT JOIN ba ON g.doc_id = ba.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    "doc_chunks" -> {
+      val h = graft.functions.PortableHash.hash60Sql("array_to_string(chunk, ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), c AS (
+         |  SELECT doc_id, tk,
+         |         CASE WHEN len(tk) <= 64 THEN 1
+         |              ELSE CAST(trunc((len(tk) - 17) / 48.0) AS INT) + 1 END AS nc
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, CAST(k AS INT) AS chunk_id,
+         |         tk[k * 48 + 1 : k * 48 + 64] AS chunk
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(0, nc - 1)) AS k FROM c)
+         |)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_chunk_tokens,
+         |       ($h) AS chunk_hash
+         |FROM u ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "pack_sequences" -> {
       val shard =
         s"(${graft.functions.PortableHash.hash60Sql("'shard:' || CAST(doc_id AS VARCHAR)")}) % 8"

@@ -260,6 +260,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping-window document chunking — the splitting step of RAG /
+    * long-context pretraining prep: token windows of `chunkSize` with
+    * `overlap` tokens shared between neighbors (stride =
+    * chunkSize − overlap), each chunk fingerprinted (portable hash60 of
+    * its joined tokens — chunk-level dedup keys). Output
+    * `(doc_id, chunk_id, n_chunk_tokens, chunk_hash)`.
+    *
+    * Pure per-document transform: chunk boundaries are arithmetic on the
+    * cached token array (persist barrier against lambda re-tokenization),
+    * one generator per doc — no shuffle until a downstream aggregation.
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than the chunk")
+    val stride = chunkSize - overlap
+    val tokenized = DedupOps.registerCache(
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = size(col("tk"))
+    // chunks needed so every token is covered: 1 for n <= chunkSize, else
+    // 1 + ceil((n - chunkSize) / stride) — exact integer arithmetic
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ((n - lit(chunkSize - stride + 1)).cast("double") / lit(stride.toDouble))
+        .cast("int") + lit(1))
+    tokenized
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), nChunks - 1),
+            k => slice(col("tk"), k * lit(stride) + 1, lit(chunkSize)))))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        size(col("col")).as("n_chunk_tokens"),
+        graft.functions.PortableHash.hash60(concat_ws(" ", col("col"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Greedy sequence packing — the context-window batching step of LLM
     * data prep: within each (lang, shard) stream, documents in doc_id
     * order fill fixed `binTokens` budgets; a doc starts a new bin when the

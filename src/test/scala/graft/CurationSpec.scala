@@ -100,6 +100,44 @@ class CurationSpec extends SparkSpec {
     assert(got.keys.map(_._3).max >= 1L, "fixture should fill more than one bin")
   }
 
+  test("doc_chunks: full coverage, correct overlap, golden small cases") {
+    val docs = Seq(
+      (1L, (1 to 64).map(i => s"t$i").mkString(" ")), // exactly one chunk
+      (2L, (1 to 65).map(i => s"t$i").mkString(" ")), // spills into a 17-token tail
+      (3L, "a b c")) // short doc → single short chunk
+      .toDF("doc_id", "text")
+    val got = TextOps
+      .chunkDocs(docs, chunkSize = 64, overlap = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    DedupOps.releaseShingleCaches()
+    assert(got.toSeq == Seq((1L, 0, 64), (2L, 0, 64), (2L, 1, 17), (3L, 0, 3)))
+  }
+
+  test("doc_chunks covers every token of every fixture doc") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val chunks = TextOps
+      .chunkDocs(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    DedupOps.releaseShingleCaches()
+    val nTokens = docs
+      .select($"doc_id", org.apache.spark.sql.functions.size(TextOps.tokens($"text")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = nTokens(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0 until cs.length))
+      // last chunk must reach the final token: start + len == n
+      val last = sorted.last
+      assert(last._2 * 48 + last._3 == n, s"doc $id: chunks don't cover $n tokens")
+      // every chunk except possibly the last is full-size
+      assert(sorted.init.forall(_._3 == 64))
+    }
+  }
+
   test("source_quality consistent with per-doc quality") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val rollup = SparkEntry.queries("source_quality")(spark, TestSpark.sf0001).collect()
