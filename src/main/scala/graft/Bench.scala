@@ -61,8 +61,11 @@ object Bench {
       "q1_pricing", "q1_rollup", "q3_top_orders", "q5_region_volume",
       "q6_forecast", "set_ops", "text_quality", "text_stats", "token_count")
     val r1Subtotal = results.collect { case (k, v) if r1Names(k) && v >= 0 => v }.sum
+    // failures are excluded from the subtotal sum — surface them so a
+    // regressed-to-failing query can't read as a speedup
+    val r1Failed = results.count { case (k, v) => r1Names(k) && v < 0 }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"r1_subtotal":$r1Subtotal}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"r1_subtotal":$r1Subtotal,"r1_failed":$r1Failed}"""
     println(json)
     // stdout gets wrapped in sbt/log4j noise (round-1 driver record shows
     // parsed:null from tail-scraping) — also land the line in a file

@@ -64,6 +64,13 @@ object ClusterOps {
     // the result (its parents were unpersisted each round); registered for
     // the harness-level release like the shingle caches
     DedupOps.registerCache(labels)
+    // fail fast rather than return silently-wrong intermediate labels: a
+    // component with diameter > maxIter has not converged (near-dup
+    // clusters are diameter 1-3; hitting this means the graph isn't one)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     labels.select(col("id"), col("lbl").as("cluster_id")).orderBy(col("id"))
   }
 

@@ -167,7 +167,13 @@ object DedupOps {
       val p = sh
         .withColumn("df", count(lit(1)).over(wdf))
         .withColumn("rn", row_number().over(wdoc))
-        .filter(col("rn") <= col("nsh") - ceil(lit(minJaccard) * col("nsh")) + lit(1))
+        // ε inside the ceil: for non-dyadic t the double product can land
+        // just ABOVE the true rational (0.1·30 → 3.0000000000000004), and
+        // an overshot ceil would shorten the prefix below what the lemma
+        // requires — silently dropping qualifying pairs. Subtracting 1e-6
+        // only ever lengthens the prefix (recall-safe), same margin as the
+        // length filter below.
+        .filter(col("rn") <= col("nsh") - ceil(lit(minJaccard) * col("nsh") - lit(1e-6)) + lit(1))
         .select(col("doc_id"), col("nsh"), col("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       shingleCaches += p

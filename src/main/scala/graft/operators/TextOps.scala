@@ -343,7 +343,14 @@ object TextOps {
     * AQE broadcasts it), and a 1-row broadcast for the corpus total.
     */
   def unigramNll(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // persist barrier: the exploded token relation feeds BOTH the vocab
+    // aggregation and the scoring join — unpersisted, the tokenize+explode
+    // lineage (the expensive narrow stage) runs twice (same rule as
+    // shingleRows / repetitionSignals)
+    val toks = DedupOps.registerCache(
+      docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
     val total = vocab.agg(sum(col("n_w")).as("n_total"))
     toks

@@ -77,22 +77,51 @@ object KernelRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.kernelRewrite", "true").toBoolean
 
+  /** The HOF chain yields NULL for ragged pairs (zip_with pads the short
+    * side with nulls, the products go null, the sum goes null) while the
+    * raw kernel dots the common prefix — so the rewrite guards with a
+    * length check that reproduces the NULL. Same-expression pairs
+    * (dot(a, a)) skip the guard: lengths are trivially equal.
+    */
+  private def guardedDot(a: Expression, b: Expression): Expression =
+    if (a.semanticEquals(b)) DotProduct(a, b)
+    else
+      If(
+        EqualTo(Size(a), Size(b)),
+        DotProduct(a, b),
+        Literal(null, DoubleType))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else {
-      // pass 1: HOF dot products → DotProduct
+      // pass 1: HOF dot products → guarded DotProduct
       val dotted = plan.transformAllExpressions { case HofDot(a, b) =>
-        DotProduct(a, b)
+        guardedDot(a, b)
       }
-      // pass 2: the normalized-dot quotient → CosineSimilarity
+      // pass 2: the normalized-dot quotient → CosineSimilarity (guarded
+      // the same way; the self-dots in the denominator are never ragged)
       dotted.transformAllExpressions {
         case Divide(
-              DotProduct(a, b),
-              Multiply(Sqrt(DotProduct(a2, a3)), Sqrt(DotProduct(b2, b3)), _),
+              GuardedDot(a, b),
+              Multiply(Sqrt(GuardedDot(a2, a3)), Sqrt(GuardedDot(b2, b3)), _),
               _)
             if a.semanticEquals(a2) && a.semanticEquals(a3) &&
               b.semanticEquals(b2) && b.semanticEquals(b3) =>
-          CosineSimilarity(a, b)
+          if (a.semanticEquals(b)) CosineSimilarity(a, b)
+          else
+            If(
+              EqualTo(Size(a), Size(b)),
+              CosineSimilarity(a, b),
+              Literal(null, DoubleType))
       }
     }
+
+  /** Matches a (possibly length-guarded) rewritten dot product. */
+  private object GuardedDot {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case DotProduct(a, b) => Some((a, b))
+      case If(_, DotProduct(a, b), Literal(null, _)) => Some((a, b))
+      case _ => None
+    }
+  }
 }

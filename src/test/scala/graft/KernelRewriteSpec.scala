@@ -53,6 +53,22 @@ class KernelRewriteSpec extends SparkSpec {
     assert(KernelRewrite(analyzed).toString.contains("graft_dot"))
   }
 
+  test("ragged pairs keep the HOF's NULL semantics after the rewrite") {
+    val ragged = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 1.0)), // ragged → NULL
+      (Array(1.0, 2.0), Array(3.0, 4.0))) // aligned → 11.0
+      .toDF("a", "b")
+    val analyzed = ragged.select(expr(HofDotSql).as("dot")).queryExecution.analyzed
+    val rewritten = KernelRewrite(analyzed)
+    assert(rewritten.toString.contains("graft_dot"))
+    val rows = spark.sessionState
+      .executePlan(rewritten)
+      .executedPlan
+      .executeCollect()
+    assert(rows(0).isNullAt(0), "ragged pair must stay NULL under the kernel rewrite")
+    assert(rows(1).getDouble(0) == 11.0)
+  }
+
   test("non-product / non-sum lambdas are left alone") {
     val other = fixture.select(
       expr("aggregate(zip_with(a, b, (x, y) -> x + y), 0D, (acc, v) -> acc + v)").as("s"))
