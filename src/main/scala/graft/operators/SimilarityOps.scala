@@ -149,7 +149,25 @@ object SimilarityOps {
         .filter(col("cent_rank") <= keep)
         .drop("cent_emb", "cent_rank")
     }
-    val bucketed = assign(c, "c_id", "c_emb", keep = 1)
+    // Corpus assignment is keep=1, and the rank-window formulation sorts
+    // N·nlist rows CARRYING both embedding arrays — with nlist ~ √N that
+    // is an O(N^1.5) fat sort (measured 11 s at 32k vectors,
+    // tools/EmbedScaleStress). Arg-min instead: thin (id, cent, score)
+    // rows into a map-side-combinable min(struct) — identical semantics
+    // (max rounded cos, centroid-id tie-break; the 2.0 sentinel mirrors
+    // the window's NULLS LAST for null cosines) — then re-attach vectors
+    // by id. The small query side keeps the window (keep = nprobe > 1).
+    val bucketed = c
+      .crossJoin(cents)
+      .select(
+        col("c_id"),
+        col("cent_id"),
+        coalesce(-round(GraftFunctions.cosine(col("c_emb"), col("cent_emb")), 6), lit(2.0))
+          .as("neg_cos"))
+      .groupBy(col("c_id"))
+      .agg(min(struct(col("neg_cos"), col("cent_id"))).as("m"))
+      .select(col("c_id"), col("m.cent_id").as("cent_id"))
+      .join(c, Seq("c_id"))
     val probes = assign(queries.toDF("q_id", "q_emb"), "q_id", "q_emb", keep = nprobe)
     val pairs = probes
       .join(bucketed, Seq("cent_id"))
