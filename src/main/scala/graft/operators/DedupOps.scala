@@ -19,19 +19,25 @@ object DedupOps {
 
   /** Exact dedup groups: one row per distinct text, keeping the smallest
     * doc_id as the canonical survivor (standard keep-first policy).
+    *
+    * Keys the aggregation on the md5 digest computed map-side, not the
+    * raw text: the exchange hashes/compares 16-byte keys instead of
+    * multi-KB documents (grouping is identical up to an md5 collision,
+    * ~2⁻¹²⁸ — the digest IS the output column anyway).
     */
   def exact(docs: DataFrame): DataFrame =
     docs
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-      .select(col("keep_id"), col("n_dups"), md5(col("text")).as("text_md5"))
+      .select(col("keep_id"), col("n_dups"), col("text_md5"))
       .orderBy(col("keep_id"))
 
   /** Survivor view: drop all but the canonical copy of each exact group.
-    * Equivalent to `row_number() over (partition by text order by doc_id)=1`.
+    * Equivalent to `row_number() over (partition by text order by doc_id)=1`
+    * — partitioned by the digest so the window sort compares 16-byte keys.
     */
   def exactSurvivors(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
