@@ -110,6 +110,32 @@ object TpchQueries {
           col("sum_base_cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // Promotion revenue share (TPC-H Q14 shape): fact⋈dim join with a
+    // conditional aggregate — covers the part table. Part scales with SF
+    // so no broadcast hint; AQE picks the side at runtime.
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1997-04-01 00:00:00'"))
+        .select(
+          col("l_partkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_c2"))
+      li.join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_c2")).otherwise(0L))
+            .as("promo_c2"),
+          sum(col("rev_c2")).as("total_c2"))
+        .select(
+          col("promo_c2"),
+          col("total_c2"),
+          round(
+            lit(100.0) * col("promo_c2").cast("double") / col("total_c2").cast("double"),
+            6).as("promo_pct"))
+    }),
     // Large-volume customers (TPC-H Q18 shape): aggregate-filtered
     // semi-join — the HAVING subquery becomes a grouped relation joined
     // back to orders/customer; top-20 via TakeOrderedAndProject.
@@ -217,6 +243,19 @@ object TpchQueries {
         |      FROM lineitem)
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q14_promo" ->
+      """SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev_c2 ELSE 0 END) AS BIGINT)
+        |         AS promo_c2,
+        |       CAST(sum(l.rev_c2) AS BIGINT) AS total_c2,
+        |       round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev_c2 ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(l.rev_c2) AS DOUBLE), 6) AS promo_pct
+        |FROM (SELECT l_partkey,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_c2
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00') l
+        |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
     "q18_big_orders" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, b.total_qty, o.total_cents
         |FROM (SELECT l_orderkey, CAST(trunc(sum(l_quantity)) AS BIGINT) AS total_qty
