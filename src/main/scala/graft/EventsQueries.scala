@@ -62,6 +62,21 @@ object EventsQueries {
         .select(col("event_id"), col("user_id"), col("ts_us"), col("last_purchase_value"))
         .orderBy(col("event_id"))
     }),
+    // Staged funnel: view → click → purchase within 24h steps.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      graft.operators.FunnelOps.funnelSummary(
+        ev,
+        "user_id",
+        "ts_us",
+        Seq(
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        maxGap = 86400000000L) // 24h in microseconds
+    }),
     // Portable-HLL distinct-user estimate next to the exact count
     // (SketchOps: integer-exact register sum, cross-engine bit-exact).
     "approx_users" -> ((s, dir) =>
@@ -72,6 +87,26 @@ object EventsQueries {
       graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))))
 
   val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > t1 AND ts_us <= t1 + 86400000000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us <= t2 + 86400000000 GROUP BY 1
+        |)
+        |SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_stage1,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_stage2,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_stage3,
+        |       round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+        |             / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conv_1_2,
+        |       round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+        |             / CAST((SELECT count(*) FROM s2) AS DOUBLE), 6) AS conv_2_3""".stripMargin,
     "approx_users" -> {
       val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
       s"""WITH h AS (
