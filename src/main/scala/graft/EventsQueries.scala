@@ -62,6 +62,29 @@ object EventsQueries {
         .select(col("event_id"), col("user_id"), col("ts_us"), col("last_purchase_value"))
         .orderBy(col("event_id"))
     }),
+    // Bucketed range join: error events (points) matched into the time
+    // intervals of a session subset — per-session error counts. The
+    // interval join runs as RangeJoinOps' grid-bucketed equi-join, not a
+    // BNLJ over points × intervals.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = graft.operators.SessionOps
+        .sessionsBatch(ev, 1800000000L)
+        .filter(pmod(col("user_id"), lit(20L)) === 0)
+        .select(col("user_id"), col("sess_id"), col("start_us"), col("end_us"))
+      val errors = ev.filter(col("event_type") === "error").select(col("ts_us"))
+      val matched = graft.operators.RangeJoinOps
+        .joinPointsToIntervals(errors, sessions, "ts_us", "start_us", "end_us", 1800000000L)
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_err"))
+      sessions
+        .join(matched, Seq("user_id", "sess_id"), "left")
+        .select(
+          col("user_id"),
+          col("sess_id"),
+          coalesce(col("n_err"), lit(0L)).as("n_errors"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
     // Staged funnel: view → click → purchase within 24h steps.
     "events_funnel" -> ((s, dir) => {
       val ev = Tables
@@ -199,6 +222,33 @@ object EventsQueries {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN ts_us - lag(ts_us) OVER
+        |                (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM l
+        |), g AS (
+        |  SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |         min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, sess_id
+        |), sel AS (
+        |  SELECT * FROM g WHERE user_id % 20 = 0
+        |), err AS (
+        |  SELECT epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'
+        |)
+        |SELECT sel.user_id, sel.sess_id, CAST(count(err.ts_us) AS BIGINT) AS n_errors
+        |FROM sel LEFT JOIN err
+        |  ON err.ts_us >= sel.start_us AND err.ts_us <= sel.end_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
