@@ -20,6 +20,16 @@ class ClusterSpec extends SparkSpec {
     DedupOps.releaseShingleCaches()
   }
 
+  test("connected components fails fast when maxIter is too small") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id") // diameter 3
+    val e = intercept[IllegalStateException] {
+      ClusterOps.connectedComponents(nodes, edges, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    DedupOps.releaseShingleCaches()
+  }
+
   test("nearDupClusters == union-find over the jaccard pairs") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = DedupOps
