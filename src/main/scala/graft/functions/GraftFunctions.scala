@@ -15,16 +15,17 @@ object GraftFunctions {
   val COSINE = "graft_cosine"
   val DOT = "graft_dot"
 
-  /** Idempotent per-session registration (called from SparkEntry.tune). */
+  /** Idempotent per-session registration (called from SparkEntry.tune) —
+    * skips names already present so repeated tune() calls (one per query
+    * in Verify/Bench) don't spam "function replaced" warnings.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      COSINE,
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DOT,
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
+    val registry = spark.sessionState.functionRegistry
+    def registerOnce(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    registerOnce(COSINE, exprs => CosineSimilarity(exprs(0), exprs(1)))
+    registerOnce(DOT, exprs => DotProduct(exprs(0), exprs(1)))
   }
 
   /** Cosine similarity over two `array<double>` columns (codegen'd). */
