@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, WITHOUT sbt's
+// "[info] " line prefix: the bench/verify harness parses the one-line JSON
+// that Bench prints, and the prefix broke that parse in rounds 1-2
+// (BENCH_r0{1,2}.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.PortableHash
+import graft.operators.CurationOps
+import graft.sources.Tables
+
+/** Corpus-curation queries (span dedup, entropy, Gopher gate, BM25,
+  * stratified sampling) + DuckDB oracles. Shares the determinism contract
+  * documented on [[CurationOps]].
+  */
+object CurationQueries {
+
+  /** Fixed query-term bag for the BM25 query (high-df corpus terms — the
+    * interesting ranking signal is tf·length normalization, not idf).
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "window", "hash")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CCNet-style span-level dedup over 8-token windows.
+    "dedup_spans" -> ((s, dir) => CurationOps.spanDedup(Tables.documents(s, dir))),
+    // Token-distribution Shannon entropy per doc (nats).
+    "doc_entropy" -> ((s, dir) => CurationOps.docEntropy(Tables.documents(s, dir))),
+    // Composed Gopher rule gate, one flag column per rule.
+    "gopher_rules" -> ((s, dir) => CurationOps.gopherRules(Tables.documents(s, dir))),
+    // BM25 top-20 for the fixed term bag.
+    "bm25_search" -> ((s, dir) => CurationOps.bm25(Tables.documents(s, dir), Bm25Terms)),
+    // Exact-k (10) deterministic sample per source stratum.
+    "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(Tables.documents(s, dir))))
+
+  private val stopList =
+    graft.operators.TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_spans" -> {
+      val h = PortableHash.hash60Sql("s")
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |seg0 AS (
+        |  SELECT doc_id, array_to_string(tk[k * 8 + 1 : k * 8 + 8], ' ') AS s
+        |  FROM (SELECT doc_id, tk,
+        |               unnest(generate_series(0,
+        |                 CAST(trunc((len(tk) + 7) / 8.0) AS INT) - 1)) AS k
+        |        FROM t)
+        |), seg AS (
+        |  SELECT doc_id, HASH_EXPR AS h FROM seg0
+        |), c AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM seg GROUP BY 1
+        |)
+        |SELECT seg.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       round(CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS dup_span_frac
+        |FROM seg JOIN c USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("HASH_EXPR", h)
+    },
+    "doc_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(sum(c * CAST(round(ln(c) * 1000000000.0) AS BIGINT)) AS BIGINT)
+        |           AS sum_clnc
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       round(ln(n_tokens)
+        |             - CAST(sum_clnc AS DOUBLE) / 1000000000.0 / CAST(n_tokens AS DOUBLE),
+        |             6) AS entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS INT) AS nc, string_split(text, ' ') AS tk
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CASE WHEN len(tk) >= 50 AND len(tk) <= 100000 THEN 1 ELSE 0 END AS ok_len,
+         |    CASE WHEN CAST(nc - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 3.0
+         |          AND CAST(nc - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE) <= 10.0
+         |         THEN 1 ELSE 0 END AS ok_mean_len,
+         |    CASE WHEN len(list_filter(list_distinct(tk),
+         |                              w -> list_contains($stopList, w))) >= 2
+         |         THEN 1 ELSE 0 END AS ok_stop,
+         |    CASE WHEN CAST(len(list_filter(tk, w -> length(w) = 1)) AS DOUBLE)
+         |              / CAST(len(tk) AS DOUBLE) <= 0.1
+         |         THEN 1 ELSE 0 END AS ok_short,
+         |    CASE WHEN len(tk) < 2 THEN 1
+         |         WHEN 1.0 - CAST(len(list_distinct(list_transform(
+         |                       generate_series(1, len(tk) - 1),
+         |                       i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE)
+         |                    / CAST(len(tk) - 1 AS DOUBLE) <= 0.2
+         |         THEN 1 ELSE 0 END AS ok_rep
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, ok_len, ok_mean_len, ok_stop, ok_short, ok_rep,
+         |       ok_len * ok_mean_len * ok_stop * ok_short * ok_rep AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "bm25_search" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl FROM documents
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_corpus, CAST(sum(dl) AS BIGINT) AS sum_dl
+         |  FROM dl
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok IN ($termList) GROUP BY 1, 2
+         |), df AS (
+         |  SELECT tok,
+         |         CAST(round(ln(1.0 + (CAST((SELECT n_corpus FROM st) AS DOUBLE)
+         |                              - CAST(count(*) AS DOUBLE) + 0.5)
+         |                             / (CAST(count(*) AS DOUBLE) + 0.5))
+         |                    * 1000000000.0) AS BIGINT) AS idf_nano
+         |  FROM tf GROUP BY tok
+         |), sc AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(d.idf_nano * ((CAST(t.tf AS DOUBLE) * 2.2)
+         |              / (CAST(t.tf AS DOUBLE)
+         |                 + 1.2 * (0.25 + 0.75
+         |                   * CAST(l.dl * (SELECT n_corpus FROM st) AS DOUBLE)
+         |                   / CAST((SELECT sum_dl FROM st) AS DOUBLE)))))
+         |              AS BIGINT) AS s_nano
+         |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id)
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano FROM sc GROUP BY 1
+         |), r AS (
+         |  SELECT doc_id, score_nano,
+         |         CAST(row_number() OVER (ORDER BY score_nano DESC, doc_id) AS INT) AS rank
+         |  FROM agg
+         |)
+         |SELECT doc_id, score_nano,
+         |       round(CAST(score_nano AS DOUBLE) / 1000000000.0, 6) AS score, rank
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+    "stratified_sample" -> {
+      val h = PortableHash.hash60Sql("'sample:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS nt,
+         |         row_number() OVER (PARTITION BY source ORDER BY ($h), doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |       CAST(sum(CASE WHEN rk <= 10 THEN nt ELSE 0 END) AS BIGINT) AS sampled_tokens
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Corpus-curation operators beyond the per-document text statistics
+  * (SURVEY §7.6): span-level dedup, token-distribution entropy, composed
+  * Gopher-style rule filtering, BM25 retrieval, and exact-k stratified
+  * sampling.
+  *
+  * Determinism contract (same as TextOps/DedupOps): every hashed value is
+  * the portable 60-bit md5 prefix ([[PortableHash]]), every transcendental
+  * is quantized to integer nano-units BEFORE any aggregation (float sums
+  * are partition-order-dependent; integer sums are exact), and every
+  * exposed ratio is one double division of exact integers rounded to 6
+  * decimals — so the DuckDB oracles reproduce results bit-for-bit.
+  */
+object CurationOps {
+
+  /** Corpus-level span dedup — the paragraph-dedup step of a CCNet-style
+    * pipeline, re-expressed over token windows (this corpus has no line
+    * structure): each document is cut into non-overlapping `w`-token spans,
+    * spans are hashed (portable 60-bit), and a span occurrence is
+    * "duplicated" when its hash appears more than once in the corpus.
+    * Output per doc: `(doc_id, n_spans, n_dup_spans, dup_span_frac)`.
+    *
+    * Scale shape: one aggregation shuffle keyed by the 8-byte span hash
+    * (count per span), then an equi-join of the span stream back to those
+    * counts — both exchanges move longs, never text. At 100 TB this is the
+    * standard two-pass suffix of every exact-dedup pipeline; the span
+    * relation is persisted because it feeds both the count aggregation and
+    * the join-back (released via [[DedupOps.releaseShingleCaches]]).
+    */
+  def spanDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    // non-overlapping cover: ceil(n/w) spans, the last one possibly short
+    val nSpans = ((size(col("tk")) + lit(w - 1)).cast("double") / lit(w.toDouble)).cast("int")
+    val spans = DedupOps.registerCache(
+      docs
+        .select(col("doc_id"), tk.as("tk"))
+        .select(
+          col("doc_id"),
+          explode(
+            transform(
+              sequence(lit(0), nSpans - 1),
+              k => concat_ws(" ", slice(col("tk"), k * lit(w) + 1, lit(w))))).as("s"))
+        .select(col("doc_id"), PortableHash.hash60(col("s")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    spans
+      .join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 6)
+          .as("dup_span_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-distribution Shannon entropy per document — the gibberish /
+    * boilerplate detector a curation pipeline runs alongside the unigram-LM
+    * score: `H = ln(n) − (Σ_w c_w·ln(c_w)) / n` over the doc's token counts
+    * (natural-log nats). Low entropy → repetitive; `H = ln(n_distinct)`
+    * when all tokens are distinct.
+    *
+    * Determinism: `ln(c_w)` is quantized to integer nano-units per distinct
+    * token BEFORE the weighted sum (`c_w` and the quantized log are both
+    * exact integers), so the aggregation is order-independent; only the
+    * final subtraction is float, rounded to 6 decimals. Scale: one
+    * (doc, token) count aggregation + one per-doc aggregation — both keyed
+    * shuffles, map-side combined, no joins.
+    */
+  def docEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * round(log(col("c")) * lit(1e9)).cast("long")).as("sum_clnc"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(
+          log(col("n_tokens")) -
+            col("sum_clnc").cast("double") / lit(1e9) / col("n_tokens").cast("double"),
+          6).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Composed Gopher-style rule filter (Rae et al. 2021 §A1.1) — the
+    * boolean gates a pretraining pipeline applies before dedup, adapted to
+    * this corpus (no punctuation/symbols, so the symbol-ratio rule becomes
+    * a 1-char-token-ratio rule):
+    *
+    *   - `ok_len`:       50 ≤ n_tokens ≤ 100 000
+    *   - `ok_mean_len`:  3 ≤ mean token length ≤ 10
+    *   - `ok_stop`:      ≥ 2 distinct stopwords present
+    *   - `ok_short`:     ≤ 10% of tokens are single-char
+    *   - `ok_rep`:       duplicate-bigram fraction ≤ 0.2
+    *
+    * `pass` = all five. Every rule is a per-row array expression over one
+    * tokenization — a pure narrow transform, zero shuffles, fully
+    * codegen'd; at 100 TB this runs at scan speed.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val docd = docs.select(col("doc_id"), length(col("text")).as("nc"), tk.as("tk"))
+    val n = size(col("tk"))
+    val meanLen = (col("nc") - (n - lit(1))).cast("double") / n.cast("double")
+    val nStop = size(filter(array_distinct(col("tk")), w => w.isInCollection(TextOps.Stopwords)))
+    val shortFrac =
+      size(filter(col("tk"), w => length(w) === 1)).cast("double") / n.cast("double")
+    val bigrams = transform(
+      sequence(lit(1), n - lit(1)),
+      i => concat_ws(" ", slice(col("tk"), i, lit(2))))
+    val dupBgFrac = when(n >= 2,
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - lit(1)).cast("double"))
+      .otherwise(lit(0.0))
+    val flags: Seq[(String, Column)] = Seq(
+      "ok_len" -> (n >= 50 && n <= 100000),
+      "ok_mean_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_stop" -> (nStop >= 2),
+      "ok_short" -> (shortFrac <= 0.1),
+      "ok_rep" -> (dupBgFrac <= 0.2))
+    docd
+      .select(
+        (col("doc_id") +: n.as("n_tokens") +:
+          flags.map { case (name, c) => c.cast("int").as(name) }): _*)
+      .withColumn("pass", flags.map { case (name, _) => col(name) }.reduce(_ * _))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 retrieval over the corpus for a fixed bag of query terms — the
+    * relevance-ranking primitive of a data-curation search index
+    * (Robertson/Sparck Jones probabilistic weighting, Lucene's
+    * `ln(1 + (N − df + ½)/(df + ½))` non-negative idf variant, k1 = 1.2,
+    * b = 0.75). Returns the global top-`topK` documents as
+    * `(doc_id, score_nano, score, rank)`.
+    *
+    * Determinism: idf and each per-(doc,term) partial score are quantized
+    * to integer nano-units, so the per-doc sum over terms is exact integer
+    * arithmetic regardless of aggregation order; `score` is the one final
+    * float division, rounded. Scale shape: term frequencies are one keyed
+    * aggregation over the (pre-filtered!) token stream — the `isin(terms)`
+    * predicate prunes the explode output before any exchange; corpus stats
+    * (N, Σdl) and per-term df are tiny relations broadcast into the scoring
+    * expression; the global top-k is a rank window that Spark executes as
+    * `WindowGroupLimit` (per-partition top-k before the single-partition
+    * final sort of ≤ topK·partitions rows).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    // k1 = 1.2, b = 0.75. Constants appear ONLY as the literals 2.2, 1.2,
+    // 0.25, 0.75 — spelled identically in the DuckDB oracle, because
+    // computing k1+1 at plan-build time could round differently than the
+    // other engine's literal parse (1.2 + 1.0 is an exact round-to-even
+    // tie in binary64).
+    val dl = docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
+    // corpus stats as a 1-row broadcast (exact integers)
+    val stats = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // idf in nano-units: ln(1 + (N − df + 0.5)/(df + 0.5)), quantized once
+    // per term so the downstream per-doc sum stays exact
+    val idfNano = round(
+      log(
+        lit(1.0) +
+          (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * lit(1e9)).cast("long")
+    // tf saturation: tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl)) — dl·N is
+    // exact int64; the double expression tree is written identically in the
+    // DuckDB oracle, so IEEE evaluation matches term-by-term
+    val sat = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl") * col("n_corpus")).cast("double") / col("sum_dl").cast("double")))
+    val dfIdf = df.crossJoin(broadcast(stats)).select(col("tok"), idfNano.as("idf_nano"))
+    val w = Window.orderBy(col("score_nano").desc, col("doc_id"))
+    tf
+      .join(broadcast(dfIdf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(col("idf_nano") * sat).cast("long").as("s_nano"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_nano")).as("score_nano"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(
+        col("doc_id"),
+        col("score_nano"),
+        round(col("score_nano").cast("double") / lit(1e9), 6).as("score"),
+        col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Exact-k stratified sampling — the "balance the mixture" step of
+    * dataset assembly: keep exactly `min(k, |stratum|)` documents per
+    * stratum, chosen by a deterministic pseudo-random hash rank (stable
+    * across runs, engines, partitionings; adding documents to one stratum
+    * never changes another's sample). Output per stratum:
+    * `(source, n_docs, n_sampled, sampled_tokens)`.
+    *
+    * Scale shape: the rank window (`row_number ≤ k` per stratum, ordered
+    * by hash) is exactly Spark's `WindowGroupLimit` pattern — each map
+    * task pre-prunes to k rows per stratum before the exchange, so the
+    * shuffle carries O(k·partitions·strata) rows, not the corpus; no
+    * full per-stratum sort ever materializes. (The rate-based alternative
+    * — `hash mod 100 < p` — is fully map-side but only approximates k;
+    * it's already shipped as [[TextOps.datasetSplit]].)
+    */
+  def stratifiedSample(docs: DataFrame, k: Int = 10): DataFrame = {
+    val rk = row_number().over(
+      Window
+        .partitionBy(col("source"))
+        .orderBy(
+          PortableHash.hash60(concat(lit("sample:"), col("doc_id").cast("string"))),
+          col("doc_id")))
+    val sampled = docs
+      .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("nt"))
+      .withColumn("rk", rk)
+      .withColumn("keep", (col("rk") <= k).cast("int"))
+    sampled
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_sampled"),
+        sum(when(col("keep") === 1, col("nt").cast("long")).otherwise(0L)).as("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{CurationOps, DedupOps}
+import graft.sources.Tables
+
+/** Corpus-curation operators: span dedup, entropy, Gopher gate, BM25,
+  * stratified sampling.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("span dedup golden: shared 8-token prefix is one duplicated span") {
+    val eight = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$eight i j"), // spans: [a..h] (dup), [i j]
+      (2L, s"$eight x y"), // spans: [a..h] (dup), [x y]
+      (3L, "z z z")) // one short span, unique
+      .toDF("doc_id", "text")
+    val got = CurationOps
+      .spanDedup(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    DedupOps.releaseShingleCaches()
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("entropy golden: uniform two-token doc is ln 2, constant doc is 0") {
+    val docs = Seq((1L, "a a b b"), (2L, "c c c")).toDF("doc_id", "text")
+    val got = CurationOps
+      .docEntropy(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0)._1 == 1L && got(0)._2 == 4L && got(0)._3 == 2L)
+    assert(math.abs(got(0)._4 - math.log(2)) < 1e-5, "H(½,½) = ln 2")
+    assert(got(1) == ((2L, 3L, 1L, 0.0)), "single-token distribution has zero entropy")
+  }
+
+  test("gopher rules golden: each rule fails on its crafted violator") {
+    // 52 distinct-ish 3-char tokens incl. two stopwords → passes all rules
+    val good = (1 to 50).map(i => f"w$i%03d").mkString("the of ", " ", "")
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of tok one two"), // fails ok_len only (5 tokens < 50)
+      (3L, (1 to 50).map(_ => "a").mkString("the of ", " ", "")), // 1-char + repetitive
+      (4L, good.replace("the of ", "xx1 xx2 "))) // no stopwords
+      .toDF("doc_id", "text")
+    val got = CurationOps
+      .gopherRules(docs)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getInt(7)))
+    assert(got(0) == ((1L, 1, 1, 1, 1, 1, 1)), "well-formed doc passes all rules")
+    assert(got(1)._2 == 0 && got(1)._7 == 0, "short doc fails ok_len and overall")
+    val d3 = got(2)
+    assert(d3._5 == 0 && d3._6 == 0, "single-char spam fails ok_short and ok_rep")
+    assert(got(3)._4 == 0 && got(3)._7 == 0, "stopword-free doc fails ok_stop")
+  }
+
+  test("bm25 golden: higher tf at equal length ranks first; scores positive") {
+    val docs = Seq(
+      (1L, "spark spark x"),
+      (2L, "spark x x"),
+      (3L, "y y y")) // no query terms → absent from results
+      .toDF("doc_id", "text")
+    val got = CurationOps
+      .bm25(docs, Seq("spark", "window", "hash"), topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "tf=2 beats tf=1 at equal dl; doc 3 absent")
+    assert(got.forall(_._2 > 0L), "Lucene idf variant keeps scores positive")
+    assert(got.map(_._3).toSeq == Seq(1, 2))
+  }
+
+  test("stratified sample: exactly min(k, stratum size) kept, deterministic") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val a = CurationOps.stratifiedSample(docs, k = 10).collect()
+    val b = CurationOps.stratifiedSample(docs, k = 10).collect()
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq, "hash-rank sampling is run-deterministic")
+    a.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == math.min(10L, n), s"stratum ${r.getString(0)}")
+      assert(r.getLong(3) > 0L)
+    }
+  }
+
+  test("fixture smoke: every curation query returns rows at sf0.001") {
+    for ((name, fn) <- CurationQueries.queries) {
+      val n = fn(spark, TestSpark.sf0001).count()
+      DedupOps.releaseShingleCaches()
+      assert(n > 0, name)
+    }
+  }
+}
