@@ -100,6 +100,76 @@ object EventsQueries {
           col("event_type") === "purchase"),
         maxGap = 86400000000L) // 24h in microseconds
     }),
+    // Weekly cohort retention — the standard activation matrix: users are
+    // cohorted by their first active week; each (cohort, week-offset) cell
+    // counts users still active. Scale shape: distinct (user, week) pairs
+    // via one keyed aggregation, first-week per user via a second; the
+    // per-cohort sizes are a weeks-sized relation that AQE broadcasts into
+    // the final join. Week offsets are exact integer arithmetic on
+    // truncated-timestamp seconds (differences are whole multiples of
+    // 604800), so the cross-engine compare is bit-exact.
+    "events_retention" -> ((s, dir) => {
+      val active = Tables
+        .events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      val cohortSize =
+        first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+      active
+        .join(first, Seq("user_id"))
+        .select(
+          col("cohort_week"),
+          ((col("wk").cast("long") - col("cohort_week").cast("long")) / lit(604800L))
+            .cast("long")
+            .as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users")) // rows upstream are distinct per (user, wk)
+        .join(cohortSize, Seq("cohort_week"))
+        .select(
+          col("cohort_week"),
+          col("week_offset"),
+          col("n_users"),
+          col("cohort_users"),
+          round(col("n_users").cast("double") / col("cohort_users").cast("double"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+    // Hourly volume anomalies per event type: hours whose count deviates
+    // from the type's mean by more than 2 population standard deviations.
+    // The 2σ gate is evaluated WITHOUT any float: |c−μ| > 2σ is squared
+    // and scaled by n² to (c·n − Σc)² > 4·(n·Σc² − (Σc)²) — all-BIGINT
+    // over exact count sums, so the flag can never flip on a cross-engine
+    // sqrt/division ulp. (Exact while c·n < ~3·10⁹ — beyond that, hourly
+    // counts would be pre-aggregated to coarser cells anyway.) Scale:
+    // one keyed aggregation to hourly cells, a per-type stats aggregate
+    // (rows = #types — broadcast), and a narrow filter.
+    "events_anomaly" -> ((s, dir) => {
+      val hourly = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = hourly
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(col("cnt")).as("sum_c"),
+          sum(col("cnt") * col("cnt")).as("sum_c2"))
+      hourly
+        .join(broadcast(stats), Seq("event_type"))
+        .withColumn("dev_n", col("cnt") * col("n_hours") - col("sum_c"))
+        .filter(
+          col("dev_n") * col("dev_n") >
+            lit(4L) * (col("n_hours") * col("sum_c2") - col("sum_c") * col("sum_c")))
+        .select(
+          col("event_type"),
+          col("hour"),
+          col("cnt"),
+          round(col("sum_c").cast("double") / col("n_hours").cast("double"), 6)
+            .as("mean_cnt"),
+          when(col("dev_n") > 0, lit(1)).otherwise(lit(-1)).as("direction"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
     // Portable-HLL distinct-user estimate next to the exact count
     // (SketchOps: integer-exact register sum, cross-engine bit-exact).
     "approx_users" -> ((s, dir) =>
@@ -110,6 +180,44 @@ object EventsQueries {
       graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))))
 
   val oracle: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY 1
+        |), cs AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1
+        |), j AS (
+        |  SELECT f.cohort_week,
+        |         (epoch_us(a.wk) - epoch_us(f.cohort_week)) // 604800000000 AS week_offset
+        |  FROM a JOIN f USING (user_id)
+        |), g AS (
+        |  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM j GROUP BY 1, 2
+        |)
+        |SELECT g.cohort_week, g.week_offset, g.n_users, cs.cohort_users,
+        |       round(CAST(g.n_users AS DOUBLE) / CAST(cs.cohort_users AS DOUBLE), 6)
+        |         AS retention
+        |FROM g JOIN cs USING (cohort_week) ORDER BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |         CAST(sum(cnt) AS BIGINT) AS sum_c,
+        |         CAST(sum(cnt * cnt) AS BIGINT) AS sum_c2
+        |  FROM hourly GROUP BY 1
+        |)
+        |SELECT h.event_type, h.hour, h.cnt,
+        |       round(CAST(st.sum_c AS DOUBLE) / CAST(st.n_hours AS DOUBLE), 6) AS mean_cnt,
+        |       CASE WHEN h.cnt * st.n_hours - st.sum_c > 0 THEN 1 ELSE -1 END AS direction
+        |FROM hourly h JOIN st USING (event_type)
+        |WHERE (h.cnt * st.n_hours - st.sum_c) * (h.cnt * st.n_hours - st.sum_c)
+        |      > 4 * (st.n_hours * st.sum_c2 - st.sum_c * st.sum_c)
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     "events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events

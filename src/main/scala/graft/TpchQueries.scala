@@ -157,6 +157,33 @@ object TpchQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(20)
     }),
+    // Returned-item revenue (TPC-H Q10 shape): who cost us the most in
+    // returns — lineitem filtered to returnflag R, joined through orders
+    // to customer and the fixed-size nation dim (explicit broadcast),
+    // grouped per customer, top-20 via TakeOrderedAndProject. Revenue in
+    // exact cents² (the cents pattern — order-independent integer sums).
+    "q10_returns" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(
+          col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_c2"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables
+        .customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val nation =
+        broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev_c2")).as("revenue_c2"))
+        .orderBy(col("revenue_c2").desc, col("c_custkey"))
+        .limit(20)
+    }),
     // Set operations: viewer/purchaser audience overlap (EXCEPT /
     // INTERSECT / UNION over distinct user sets).
     "set_ops" -> ((s, dir) => {
@@ -207,6 +234,19 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+        |            AS BIGINT) AS revenue_c2
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_c2 DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(trunc(sum(l_quantity)) AS BIGINT) AS sum_qty,
