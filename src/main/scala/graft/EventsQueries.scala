@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -102,29 +103,40 @@ object EventsQueries {
     }),
     // Weekly cohort retention — the standard activation matrix: users are
     // cohorted by their first active week; each (cohort, week-offset) cell
-    // counts users still active. Scale shape: distinct (user, week) pairs
-    // via one keyed aggregation, first-week per user via a second; the
-    // per-cohort sizes are a weeks-sized relation that AQE broadcasts into
-    // the final join. Week offsets are exact integer arithmetic on
+    // counts users still active. Scale shape: ONE scan → distinct
+    // (user, week) cells (map-side combine collapses the event stream to
+    // users×weeks rows) → the cohort week as a window-min over the same
+    // relation (no second lineage of the scan — a first-draft
+    // groupBy+join-back evaluated the scan three times, the hist_deciles
+    // anti-pattern) → per-cell counts. Cohort sizes fall out for free:
+    // every user is active in their first week, so the offset-0 cell IS
+    // the cohort size — a self-join of the tiny cells relation, which AQE
+    // broadcasts. Week offsets are exact integer arithmetic on
     // truncated-timestamp seconds (differences are whole multiples of
     // 604800), so the cross-engine compare is bit-exact.
     "events_retention" -> ((s, dir) => {
-      val active = Tables
-        .events(s, dir)
-        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-        .distinct()
-      val first = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
-      val cohortSize =
-        first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
-      active
-        .join(first, Seq("user_id"))
-        .select(
-          col("cohort_week"),
-          ((col("wk").cast("long") - col("cohort_week").cast("long")) / lit(604800L))
-            .cast("long")
-            .as("week_offset"))
-        .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(count(lit(1)).as("n_users")) // rows upstream are distinct per (user, wk)
+      val wUser = Window.partitionBy(col("user_id"))
+      // persisted: the cells relation (≤ weeks² rows) feeds both the main
+      // side and the cohort-size side — uncached, each would re-evaluate
+      // the scan+distinct+window lineage (same rule as shingleRows)
+      val cells = graft.operators.DedupOps.registerCache(
+        Tables
+          .events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+          .withColumn("cohort_week", min(col("wk")).over(wUser))
+          .select(
+            col("cohort_week"),
+            ((col("wk").cast("long") - col("cohort_week").cast("long")) / lit(604800L))
+              .cast("long")
+              .as("week_offset"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users")) // rows upstream are distinct per (user, wk)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cohortSize = cells
+        .filter(col("week_offset") === 0L)
+        .select(col("cohort_week"), col("n_users").as("cohort_users"))
+      cells
         .join(cohortSize, Seq("cohort_week"))
         .select(
           col("cohort_week"),

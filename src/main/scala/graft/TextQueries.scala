@@ -34,12 +34,15 @@ object TextQueries {
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     // Overlapping 64/16 token chunking with per-chunk dedup fingerprints.
     "doc_chunks" -> ((s, dir) => TextOps.chunkDocs(Tables.documents(s, dir))),
-    // Quality rollup over the (previously unused) source column.
+    // Quality rollup over the (previously unused) source column. The
+    // quality columns are computed INLINE with source in a single scan —
+    // the round-2 shape (quality(docs) ⋈ docs on doc_id) re-read and
+    // re-tokenized the corpus just to re-attach a column it had dropped:
+    // two scans plus a corpus-sized shuffle join for zero semantic gain.
     "source_quality" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps
-        .quality(docs)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .quality(docs, keyName = "source")
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

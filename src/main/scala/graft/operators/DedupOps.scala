@@ -84,9 +84,10 @@ object DedupOps {
   }
 
   /** Register an externally-persisted relation for the same release
-    * lifecycle (used by ClusterOps for its final label generation).
+    * lifecycle (used by ClusterOps for its final label generation and by
+    * query modules with multi-consumer intermediate relations).
     */
-  private[operators] def registerCache(df: DataFrame): DataFrame = synchronized {
+  private[graft] def registerCache(df: DataFrame): DataFrame = synchronized {
     shingleCaches += df
     df
   }
@@ -180,20 +181,39 @@ object DedupOps {
         // only ever lengthens the prefix (recall-safe), same margin as the
         // length filter below.
         .filter(col("rn") <= col("nsh") - ceil(lit(minJaccard) * col("nsh") - lit(1e-6)) + lit(1))
-        .select(col("doc_id"), col("nsh"), col("h"))
+        .select(col("doc_id"), col("nsh"), col("h"), col("rn"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       shingleCaches += p
       p
     }
+    // Positional filter (PPJoin): a shared prefix shingle at df-sorted
+    // ranks (i, j) bounds the whole-set overlap by
+    //   O ≤ min(i, j) − 1  (common shingles strictly before it, in BOTH
+    //                       prefix orders)
+    //     + 1              (the shared shingle itself)
+    //     + min(na − i, nb − j)   (everything after it).
+    // Each shared shingle gives a valid bound → take the pair's MINIMUM,
+    // and J ≥ t forces O ≥ t·(na+nb)/(1+t), so candidates whose tightest
+    // bound misses that threshold are dropped BEFORE the verify join ever
+    // fans out their full shingle sets. (ε margin as above: j is rational
+    // with denominator ≤ na+nb, so 1e-6 can never cross a feasible
+    // boundary — recall stays exact, the oracle unchanged.)
+    val ubRow = least(col("rn_a"), col("rn_b")) +
+      least(col("na") - col("rn_a"), col("nb") - col("rn_b"))
     val cand = prefix
-      .toDF("a_id", "na", "h")
-      .join(prefix.toDF("b_id", "nb", "h"), Seq("h"))
+      .toDF("a_id", "na", "h", "rn_a")
+      .join(prefix.toDF("b_id", "nb", "h", "rn_b"), Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .filter(
         least(col("na"), col("nb")).cast("double") >=
           (lit(minJaccard) - lit(1e-6)) * greatest(col("na"), col("nb")))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(ubRow).as("ub"), min(col("na")).as("cna"), min(col("nb")).as("cnb"))
+      .filter(
+        col("ub").cast("double") >=
+          lit(minJaccard) * (col("cna") + col("cnb")).cast("double") /
+            lit(1 + minJaccard) - lit(1e-6))
       .select(col("a_id"), col("b_id"))
-      .distinct()
     val a = sh.toDF("a_id", "na", "h")
     val b = sh.toDF("b_id", "nb", "h")
     // SHUFFLE_HASH over sort-merge for the verify joins: the streamed side
@@ -275,16 +295,28 @@ object DedupOps {
 
   /** MinHash signatures: min over shingles of `hash60(s) XOR C_seed` per
     * (doc, seed). Long form `(doc_id, seed, mh)`.
+    *
+    * All `numPerm` minima are computed as one wide aggregation over the
+    * shingle stream (one `min` column per seed), then unpivoted to long
+    * form AFTER the aggregate. The round-2 shape exploded a seed row per
+    * shingle occurrence first — numPerm× more rows into the partial
+    * aggregation for identical output; map-side combine absorbed most of
+    * it, but the explode itself still materialized (and the wide form
+    * keeps every per-seed xor+min inside one codegen stage).
     */
   def minhash(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
-    val seedConsts = array(permConstants(numPerm).zipWithIndex.map { case (c, j) =>
-      struct(lit(j).as("seed"), lit(c).as("c"))
-    }: _*)
+    val consts = permConstants(numPerm)
+    val aggs = consts.zipWithIndex.map { case (c, j) =>
+      min(col("h").bitwiseXOR(lit(c))).as(s"mh$j")
+    }
     shingleRows(docs, n)
-      .select(col("doc_id"), col("h").as("h0"))
-      .select(col("doc_id"), col("h0"), explode(seedConsts).as("sc"))
-      .groupBy(col("doc_id"), col("sc.seed").as("seed"))
-      .agg(min(col("h0").bitwiseXOR(col("sc.c"))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id"),
+        explode(array(consts.indices.map(j =>
+          struct(lit(j).as("seed"), col(s"mh$j").as("mh"))): _*)).as("sm"))
+      .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.mh").as("mh"))
   }
 
   /** MinHash + LSH banding near-dup candidates: seeds are grouped into

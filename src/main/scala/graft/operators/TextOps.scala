@@ -43,8 +43,13 @@ object TextOps {
   /** Quality scoring: stopword ratio, lexical diversity, length checks →
     * a 0-3 integer score and a bucket label. Thresholds are exact
     * comparisons on deterministically-computed ratios.
+    *
+    * `keyName` selects the carried-through identifier column (default
+    * `doc_id`; rollup callers pass their grouping column instead of
+    * re-joining it on afterwards — the scoring itself is one narrow scan
+    * either way).
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, keyName: String = "doc_id"): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t)
     val stopCnt = size(filter(t, w => w.isInCollection(Stopwords)))
@@ -54,7 +59,7 @@ object TextOps {
       + when(stopRatio >= lit(0.02) && stopRatio <= lit(0.5), 1).otherwise(0)
       + when(diversity >= lit(0.2), 1).otherwise(0))
     docs.select(
-      col("doc_id"),
+      col(keyName),
       nTok.as("n_tokens"),
       stopCnt.as("stop_cnt"),
       round(stopRatio, 6).as("stop_ratio"),
