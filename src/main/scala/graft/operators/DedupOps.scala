@@ -425,11 +425,17 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 5, "6-band blocking only guarantees recall for Hamming <= 5")
     val sig = simhash(docs)
-    val banded = sig.select(
-      col("doc_id"),
-      col("simhash"),
-      explode(sequence(lit(0), lit(5))).as("band"))
-      .withColumn("band_val", expr("shiftright(simhash, band * 10) & 1023L"))
+    // persisted: both sides of the band self-join read this relation —
+    // uncached, the whole signature lineage (token explode + vocab join +
+    // 60-sum aggregation) would run once per side (6 rows per doc, tiny)
+    val banded = registerCache(
+      sig
+        .select(
+          col("doc_id"),
+          col("simhash"),
+          explode(sequence(lit(0), lit(5))).as("band"))
+        .withColumn("band_val", expr("shiftright(simhash, band * 10) & 1023L"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.toDF("a_id", "sim_a", "band", "band_val")
     val b = banded.toDF("b_id", "sim_b", "band", "band_val")
     a.join(b, Seq("band", "band_val"))
