@@ -155,9 +155,9 @@ object CurationOps {
     * aggregation over the (pre-filtered!) token stream — the `isin(terms)`
     * predicate prunes the explode output before any exchange; corpus stats
     * (N, Σdl) and per-term df are tiny relations broadcast into the scoring
-    * expression; the global top-k is a rank window that Spark executes as
-    * `WindowGroupLimit` (per-partition top-k before the single-partition
-    * final sort of ≤ topK·partitions rows).
+    * expression; the global top-k is a rank window whose input Spark
+    * executes as `TakeOrderedAndProject` (per-partition heap top-k, no
+    * global sort of the scored relation).
     */
   def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
     // k1 = 1.2, b = 0.75. Constants appear ONLY as the literals 2.2, 1.2,
@@ -168,11 +168,18 @@ object CurationOps {
     val dl = docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
     // corpus stats as a 1-row broadcast (exact integers)
     val stats = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
-    val tf = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .filter(col("tok").isInCollection(terms))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted: the per-(doc, term) frequencies feed both the df
+    // aggregation and the scoring join — uncached, the token explode +
+    // filter + aggregation lineage runs twice. The relation is bounded by
+    // |terms|·N rows (tiny next to the corpus), so the cache is safe at
+    // any scale; released via DedupOps.releaseShingleCaches.
+    val tf = DedupOps.registerCache(
+      docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isInCollection(terms))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // idf in nano-units: ln(1 + (N − df + 0.5)/(df + 0.5)), quantized once
     // per term so the downstream per-doc sum stays exact
@@ -188,13 +195,17 @@ object CurationOps {
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) +
           lit(0.75) * (col("dl") * col("n_corpus")).cast("double") / col("sum_dl").cast("double")))
-    val dfIdf = df.crossJoin(broadcast(stats)).select(col("tok"), idfNano.as("idf_nano"))
+    // idf is evaluated inside the scoring projection (df and n_corpus are
+    // both in scope after the joins) rather than via a separate
+    // df×stats relation — one fewer evaluation of the stats aggregate,
+    // and the quantize-then-multiply order is unchanged so every
+    // per-(doc,term) s_nano is bit-identical
     val w = Window.orderBy(col("score_nano").desc, col("doc_id"))
     tf
-      .join(broadcast(dfIdf), Seq("tok"))
+      .join(broadcast(df), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(col("idf_nano") * sat).cast("long").as("s_nano"))
+      .select(col("doc_id"), round(idfNano * sat).cast("long").as("s_nano"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s_nano")).as("score_nano"))
       .withColumn("rank", row_number().over(w))
@@ -214,31 +225,35 @@ object CurationOps {
     * never changes another's sample). Output per stratum:
     * `(source, n_docs, n_sampled, sampled_tokens)`.
     *
-    * Scale shape: the rank window (`row_number ≤ k` per stratum, ordered
-    * by hash) is exactly Spark's `WindowGroupLimit` pattern — each map
-    * task pre-prunes to k rows per stratum before the exchange, so the
-    * shuffle carries O(k·partitions·strata) rows, not the corpus; no
-    * full per-stratum sort ever materializes. (The rate-based alternative
-    * — `hash mod 100 < p` — is fully map-side but only approximates k;
-    * it's already shipped as [[TextOps.datasetSplit]].)
+    * Scale shape: the sample side filters `row_number ≤ k` per stratum
+    * (ordered by hash), which Spark rewrites to `WindowGroupLimit` — each
+    * map task pre-prunes to k rows per stratum before the exchange, so
+    * the window shuffle carries O(k·tasks·strata) rows and no full
+    * per-stratum sort ever materializes; stratum totals come from a
+    * separate plain count aggregation (a first draft computed totals and
+    * sample in ONE window pass, which forced every corpus row through the
+    * per-stratum sort — the group-limit pruning only exists when the rank
+    * filter is actually in the plan). (The rate-based alternative —
+    * `hash mod 100 < p` — is fully map-side but only approximates k; it's
+    * already shipped as [[TextOps.datasetSplit]].)
     */
   def stratifiedSample(docs: DataFrame, k: Int = 10): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("nt"))
+    val totals = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val rk = row_number().over(
       Window
         .partitionBy(col("source"))
         .orderBy(
           PortableHash.hash60(concat(lit("sample:"), col("doc_id").cast("string"))),
           col("doc_id")))
-    val sampled = docs
-      .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("nt"))
+    val sampledAgg = base
       .withColumn("rk", rk)
-      .withColumn("keep", (col("rk") <= k).cast("int"))
-    sampled
+      .filter(col("rk") <= k)
       .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("keep").cast("long")).as("n_sampled"),
-        sum(when(col("keep") === 1, col("nt").cast("long")).otherwise(0L)).as("sampled_tokens"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("nt").cast("long")).as("sampled_tokens"))
+    totals
+      .join(sampledAgg, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_sampled"), col("sampled_tokens"))
       .orderBy(col("source"))
   }
 }
