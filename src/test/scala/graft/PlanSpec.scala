@@ -95,4 +95,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian in the assignment plan")
     graft.operators.DedupOps.releaseShingleCaches()
   }
+
+  test("stratified_sample: rank filter rewrites to WindowGroupLimit (map-side prune)") {
+    val p = plan("stratified_sample")
+    assert(p.contains("WindowGroupLimit"), "row_number <= k must prune before the exchange")
+  }
+
+  test("bm25_search: cached tf relation, heap top-k, no cartesian fan-out") {
+    val p = plan("bm25_search")
+    assert(p.contains("InMemoryTableScan"), "tf must be computed once and cached")
+    assert(p.contains("TakeOrderedAndProject"), "global top-k must avoid a full sort")
+    assert(!p.contains("CartesianProduct"), "stats joins must broadcast")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("events_anomaly: per-type stats broadcast onto hourly cells") {
+    val p = plan("events_anomaly")
+    assert(p.contains("BroadcastHashJoin"), "stats relation (rows = #types) must broadcast")
+    assert(!p.contains("sqrt"), "the 2-sigma gate is integer arithmetic, no sqrt in the plan")
+  }
 }
