@@ -46,7 +46,11 @@ object DedupQueries {
     // with the held-out subset (doc_id % 50 == 0 stands in for the
     // benchmark corpus).
     "decontaminate" -> ((s, dir) =>
-      DedupOps.decontaminate(Tables.documents(s, dir), n = 8, evalMod = 50)))
+      DedupOps.decontaminate(Tables.documents(s, dir), n = 8, evalMod = 50)),
+    // Substring-level near-dups: winnowing-fingerprint containment ≥ 0.8
+    // (catches copy-with-additions that token Jaccard under-scores).
+    "dedup_substring" -> ((s, dir) =>
+      DedupOps.substringPairs(Tables.documents(s, dir), minContain = 0.8)))
 
   /** Shared oracle CTE chain: documents → 3-gram shingles → portable
     * 60-bit shingle hashes (the engine hashes identically — see
@@ -145,6 +149,42 @@ object DedupQueries {
          |LEFT JOIN tr ON d.doc_id = tr.doc_id
          |LEFT JOIN hits ON d.doc_id = hits.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_substring" ->
+      // token-span winnowing: per-position 3-gram hash60s, window-min over
+      // 4 consecutive positions ('0x'||hex cast == the hash60 polynomial,
+      // bit-identical, just terser inside the nested lambda)
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 6 THEN
+        |           list_transform(generate_series(1, len(tk) - 2),
+        |             i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+        |                                       1, 15)) AS BIGINT))
+        |         ELSE CAST([] AS BIGINT[]) END AS hseq
+        |  FROM t
+        |), m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hseq) >= 4 THEN
+        |           list_distinct(list_transform(generate_series(0, len(hseq) - 4),
+        |             p -> list_min(hseq[p + 1 : p + 4])))
+        |         ELSE CAST([] AS BIGINT[]) END AS fp
+        |  FROM hs
+        |), u AS (
+        |  SELECT doc_id, CAST(len(fp) AS INT) AS nf, unnest(fp) AS f FROM m
+        |), p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(count(*) AS BIGINT) AS n_shared,
+        |         min(a.nf) AS na, min(b.nf) AS nb
+        |  FROM u a JOIN u b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_shared,
+        |       round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6)
+        |         AS containment
+        |FROM p
+        |WHERE round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash" -> {
       // replicate: shingles → one portable hash60 per shingle → per-seed
       // xor against the engine's literal permutation constants →

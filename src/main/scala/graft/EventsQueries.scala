@@ -182,6 +182,38 @@ object EventsQueries {
           when(col("dev_n") > 0, lit(1)).otherwise(lit(-1)).as("direction"))
         .orderBy(col("event_type"), col("hour"))
     }),
+    // Hour × event-type count matrix via the DataFrame pivot API (explicit
+    // value list — deterministic column set, no discovery pass). One
+    // shuffle keyed by hour; the per-type conditional counts are map-side
+    // partials.
+    "events_pivot" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(
+          col("hour"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy(col("hour"))),
+    // First-order event-type transition counts (the Markov matrix of user
+    // behavior): lag window per user, then a keyed count — the same
+    // one-shuffle-per-user shape as sessionization.
+    "events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
     // Portable-HLL distinct-user estimate next to the exact count
     // (SketchOps: integer-exact register sum, cross-engine bit-exact).
     "approx_users" -> ((s, dir) =>
@@ -212,6 +244,24 @@ object EventsQueries {
         |       round(CAST(g.n_users AS DOUBLE) / CAST(cs.cohort_users AS DOUBLE), 6)
         |         AS retention
         |FROM g JOIN cs USING (cohort_week) ORDER BY 1, 2""".stripMargin,
+    "events_pivot" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "events_transitions" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
     "events_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -157,6 +158,31 @@ object TpchQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(20)
     }),
+    // Rolling 7-day revenue average — the RANGE-frame window surface
+    // (value-based frames handle calendar gaps that ROWS frames silently
+    // get wrong): daily revenue in exact cents, then a trailing
+    // 6-preceding-days RANGE window keyed on the integer day number.
+    // Like hist_deciles, the unpartitioned window runs over the
+    // AGGREGATED relation (≤ #days rows), never the raw fact table; at
+    // scale the day axis could be range-partitioned with boundary overlap
+    // if #days ever mattered.
+    "daily_revenue_ma" -> ((s, dir) => {
+      val daily = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_c"))
+        .withColumn("day_num", (col("day").cast("long") / lit(86400L)).cast("long"))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("s7", sum(col("revenue_c")).over(w))
+        .select(
+          col("day"),
+          col("revenue_c"),
+          col("n7"),
+          round(col("s7").cast("double") / col("n7").cast("double"), 6).as("ma7"))
+        .orderBy(col("day"))
+    }),
     // Returned-item revenue (TPC-H Q10 shape): who cost us the most in
     // returns — lineitem filtered to returnflag R, joined through orders
     // to customer and the fixed-size nation dim (explicit broadcast),
@@ -234,6 +260,24 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "daily_revenue_ma" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS revenue_c
+        |  FROM orders GROUP BY 1
+        |), n AS (
+        |  SELECT day, revenue_c, epoch_us(day) // 86400000000 AS day_num FROM d
+        |), w AS (
+        |  SELECT day, revenue_c,
+        |         CAST(count(*) OVER win AS BIGINT) AS n7,
+        |         CAST(sum(revenue_c) OVER win AS BIGINT) AS s7
+        |  FROM n
+        |  WINDOW win AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT day, revenue_c, n7,
+        |       round(CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE), 6) AS ma7
+        |FROM w ORDER BY day""".stripMargin,
     "q10_returns" ->
       """SELECT c.c_custkey, c.c_name, n.n_name,
         |       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)

@@ -377,6 +377,128 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Token-span winnowing fingerprints (Schleimer et al.'s MOSS scheme
+    * lifted from characters to word 3-grams): the per-position 3-gram
+    * portable hashes, window-minimized over every `w` consecutive positions and
+    * deduplicated. Two documents sharing any run of ≥ 3+w−1 tokens are
+    * GUARANTEED to share a fingerprint. Character-level winnowing
+    * ([[TextOps.winnowFingerprints]], the doc_winnow summary) is the wrong
+    * key space for PAIR generation on a small-alphabet corpus — its
+    * fingerprint domain collapses (sf0.01: 523 distinct values, hottest in
+    * 80% of docs) and any join on it goes quadratic; the 60-bit shingle
+    * hash domain cannot collapse.
+    */
+  private val WinnowW = 4
+
+  /** 3-gram hash sequence per doc (positional, NOT distinct — winnowing
+    * needs order). Guarded: sequence() runs descending when stop < start,
+    * so an unguarded short doc would index negatively.
+    */
+  private def shingleHashSeq(text: Column): Column = {
+    val tk = TextOps.tokens(text)
+    when(
+      size(tk) >= 3 + WinnowW - 1,
+      transform(
+        sequence(lit(1), size(tk) - lit(2)),
+        i => graft.functions.PortableHash.hash60(concat_ws(" ", slice(tk, i, lit(3))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Window minima over an ALREADY-MATERIALIZED hash-sequence column.
+    * The two stages must sit on opposite sides of a persist barrier: fused
+    * into one projection, Catalyst inlines the md5 chain into every window
+    * position's slice and the interpreted hashing re-runs O(positions)
+    * times per doc (measured 106 s cold at sf0.1 fused vs 10 s split).
+    */
+  private def winnowMins(hseq: Column, w: Int = WinnowW): Column =
+    when(
+      size(hseq) >= w,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(hseq) - lit(w)),
+          p => array_min(slice(hseq, p + lit(1), lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Shared-substring near-dup pairs via token-span winnowing
+    * fingerprints: containment
+    * `|fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|)` is the substring-level
+    * near-dup measure — high when one document's text largely appears
+    * inside the other (the copy-with-additions case Jaccard under-scores).
+    * Output `(a_id, b_id, n_shared, containment)` with containment ≥
+    * `minContain`.
+    *
+    * Scale shape: same skeleton as the shingle pipeline — fingerprints
+    * are 8-byte int64s, candidates come from a prefix-filtered equi-join,
+    * and the winnowing density keeps per-doc fingerprint counts at
+    * ~2/(w+1) of the shingle count. All intermediates are persisted
+    * (multi-consumer) and released via [[releaseShingleCaches]].
+    */
+  def substringPairs(docs: DataFrame, minContain: Double = 0.8): DataFrame = {
+    // TWO HOF barriers (same rule as shingleRows, one per interpreted
+    // stage): hash sequence materialized first, window minima computed
+    // from the cached arrays — fused, the md5 chain re-runs per window
+    // position; exploded uncached, the whole thing re-runs per element
+    val hseqRel = registerCache(
+      docs
+        .select(col("doc_id"), shingleHashSeq(col("text")).as("hseq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val fpArrays = registerCache(
+      hseqRel
+        .select(col("doc_id"), winnowMins(col("hseq")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val u = registerCache(
+      fpArrays
+        .select(col("doc_id"), size(col("fp")).as("nf"), explode(col("fp")).as("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Candidate generation must NOT self-join the raw fingerprint stream:
+    // winnow minima concentrate under a small vocabulary (sf0.01: 523
+    // distinct fps, hottest in 80% of docs), so Σ df² explodes — the
+    // round-1 hot-key hazard in substring clothing. Prefix-filter instead,
+    // on the pair's SMALLER set: O ≥ t·min(na,nb) = t·na when a is
+    // smaller, so a's rarest common fingerprint sits inside a's df-sorted
+    // prefix of na − ⌈t·na⌉ + 1 (pigeonhole), and it is ALWAYS in b's full
+    // stream — joining prefix(smaller) × full catches every qualifying
+    // pair exactly. A corpus-hot fingerprint only enters a prefix for docs
+    // made almost entirely of hotter ones, so prefix df stays tiny and the
+    // join fan-out is Σ df_prefix·df — linear-ish, not quadratic.
+    val wdf = Window.partitionBy(col("f"))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("f"))
+    val prefix = registerCache(
+      u.withColumn("df", count(lit(1)).over(wdf))
+        .withColumn("rn", row_number().over(wdoc))
+        // ε inside the ceil, recall-safe direction (see jaccardPairs)
+        .filter(col("rn") <= col("nf") - ceil(lit(minContain) * col("nf") - lit(1e-6)) + lit(1))
+        .select(col("doc_id"), col("nf"), col("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = prefix
+      .toDF("p_id", "np", "f")
+      .join(u.toDF("q_id", "nq", "f"), Seq("f"))
+      .filter(col("p_id") =!= col("q_id") && col("np") <= col("nq"))
+      .select(
+        least(col("p_id"), col("q_id")).as("a_id"),
+        greatest(col("p_id"), col("q_id")).as("b_id"))
+      .distinct()
+    // exact verify from the full fingerprint sets, fan-out bounded by
+    // |candidates| · per-doc fingerprint count (SHUFFLE_HASH: same
+    // partition-bounded build sides as the jaccard verify)
+    val a = u.toDF("a_id", "na", "f")
+    val b = u.toDF("b_id", "nb", "f")
+    cand
+      .hint("SHUFFLE_HASH")
+      .join(a, Seq("a_id"))
+      .join(b.hint("SHUFFLE_HASH"), Seq("b_id", "f"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .withColumn(
+        "containment",
+        round(
+          col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"),
+          6))
+      .filter(col("containment") >= lit(minContain))
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** SimHash bit width: 60 (one portable hash60 per token). */
   val SimhashBits = 60
 

@@ -120,4 +120,22 @@ class DedupSpec extends SparkSpec {
     val found = exactPairs.intersect(simPairs)
     assert(found.size.toDouble / exactPairs.size >= 0.7, s"recall ${found.size}/${exactPairs.size}")
   }
+
+  test("substring pairs: copy-with-additions found by containment, strangers absent") {
+    val core = (1 to 20).map(i => s"core$i").mkString(" ")
+    val docs = Seq(
+      (1L, core), // the original
+      (2L, s"lead in padding $core plus trailing extras here"), // contains all of doc 1
+      (3L, (1 to 20).map(i => s"other$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = DedupOps
+      .substringPairs(docs, minContain = 0.8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    DedupOps.releaseShingleCaches()
+    assert(pairs.contains((1L, 2L)), "the containing pair must surface")
+    assert(pairs((1L, 2L)) >= 0.8, "nearly every doc-1 fingerprint also appears in doc 2")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L }, "no stranger pairs")
+  }
 }
