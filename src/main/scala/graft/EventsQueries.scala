@@ -200,6 +200,22 @@ object EventsQueries {
           coalesce(col("signup"), lit(0L)).as("n_signup"),
           coalesce(col("view"), lit(0L)).as("n_view"))
         .orderBy(col("hour"))),
+    // CUBE over (event_type, hour-of-day): all four grouping sets — full
+    // cells, both marginals, grand total — in ONE aggregation pass
+    // (Spark expands the grouping sets before the shuffle; marginal NULLs
+    // are labeled so they can't collide with data values).
+    "events_cube" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(col("event_type"), hour(col("ts")).as("hod"), col("user_id"))
+        .cube(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("hod"), lit(-1)).as("hod"),
+          col("n"),
+          col("n_users"))
+        .orderBy(col("event_type"), col("hod"))),
     // First-order event-type transition counts (the Markov matrix of user
     // behavior): lag window per user, then a keyed count — the same
     // one-shuffle-per-user shape as sessionization.
@@ -252,6 +268,14 @@ object EventsQueries {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "events_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(hod, -1) AS hod,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hod, user_id FROM events)
+        |GROUP BY CUBE(event_type, hod)
+        |ORDER BY 1, 2""".stripMargin,
     "events_transitions" ->
       """WITH l AS (
         |  SELECT event_type,

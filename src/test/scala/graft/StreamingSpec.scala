@@ -127,4 +127,49 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("streaming transitions == batch lag-window transitions (cross-batch chain)") {
+    import graft.streaming.StreamingTransitions
+    import graft.streaming.StreamingTransitions.TEv
+    implicit val sqlCtx = spark.sqlContext
+    // 3 users × interleaved types; the split point lands mid-user so the
+    // first event of batch 2 must chain off batch 1's state
+    val evs = (0 until 90).map { i =>
+      TEv(i % 3L, i.toLong, 1000000L * i, Seq("view", "click", "purchase")(i % 4 % 3))
+    }
+    val input = MemoryStream[TEv]
+    val q = StreamingTransitions
+      .transitionsStateful(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("trans_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(evs.take(45))
+      q.processAllAvailable()
+      input.addData(evs.drop(45))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("trans_out")
+        .groupBy("prev_type", "event_type")
+        .count()
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val batch = evs
+        .toDF()
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .count()
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
