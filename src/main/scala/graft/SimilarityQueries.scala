@@ -51,7 +51,27 @@ object SimilarityQueries {
     // Lloyd k-means in exact integer micro-space (KMeansOps): 8 clusters,
     // 2 iterations, per-cluster size + inertia.
     "embed_kmeans" -> ((s, dir) =>
-      graft.operators.KMeansOps.fitSummary(Tables.embeddings(s, dir), k = KmK, iters = KmIters)))
+      graft.operators.KMeansOps.fitSummary(Tables.embeddings(s, dir), k = KmK, iters = KmIters)),
+    // Recall@10 of the LSH scale path against the exact baseline — the
+    // quality gate an ANN deployment monitors. One summary row; the hit
+    // count is an exact-integer join intersection, so the metric itself is
+    // oracle-hashable (both top-k pipelines were already bit-exact).
+    "ann_recall" -> ((s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      val bf = SimilarityOps.knnBruteForce(q, c, k = 10).select(col("q_id"), col("c_id"))
+      val lsh = SimilarityOps
+        .knnLsh(q, c, k = 10, numPlanes = Planes, dim = Dim)
+        .select(col("q_id"), col("c_id"))
+      val nQ = bf.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+      val hits = bf.join(lsh, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hits"))
+      nQ.crossJoin(hits)
+        .select(
+          col("n_queries"),
+          col("n_exact"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall"))
+    }))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -136,6 +156,46 @@ object SimilarityQueries {
          |  FROM p
          |)
          |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+    "ann_recall" -> {
+      val bucket = (0 until Planes)
+        .map(p =>
+          s"CASE WHEN round(list_dot_product(emb, ${planeSqlLiteral(p)}), 6) > 0 " +
+            s"THEN ${1L << p} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0
+         |), p AS (
+         |  SELECT q_id, e.vec_id AS c_id, ${cosSql("q_emb", "e.emb")} AS cos
+         |  FROM q, e WHERE e.vec_id <> q.q_id
+         |), r AS (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         |  FROM p
+         |), bf AS (
+         |  SELECT q_id, c_id FROM r WHERE rank <= 10
+         |), b AS (
+         |  SELECT vec_id, emb, $bucket AS bucket FROM e
+         |), ql AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, bucket FROM b WHERE vec_id % 50 = 0
+         |), pl AS (
+         |  SELECT q_id, c.vec_id AS c_id, ${cosSql("q_emb", "c.emb")} AS cos
+         |  FROM ql JOIN b c ON ql.bucket = c.bucket AND c.vec_id <> ql.q_id
+         |), rl AS (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         |  FROM pl
+         |), lsh AS (
+         |  SELECT q_id, c_id FROM rl WHERE rank <= 10
+         |)
+         |SELECT (SELECT CAST(count(DISTINCT q_id) AS BIGINT) FROM bf) AS n_queries,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_exact,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM bf JOIN lsh USING (q_id, c_id))
+         |         AS n_hits,
+         |       round(CAST((SELECT count(*) FROM bf JOIN lsh USING (q_id, c_id)) AS DOUBLE)
+         |             / CAST((SELECT count(*) FROM bf) AS DOUBLE), 6) AS recall""".stripMargin
     },
     "embed_kmeans" -> {
       // Unrolled Lloyd iterations in exact integer micro-space: every
