@@ -200,6 +200,23 @@ object EventsQueries {
           coalesce(col("signup"), lit(0L)).as("n_signup"),
           coalesce(col("view"), lit(0L)).as("n_view"))
         .orderBy(col("hour"))),
+    // Latest event per user (the dimension-snapshot pattern): arg-max via
+    // a map-side-combinable max(struct) — one aggregation, no rank window
+    // and no per-user sort; ties broken by (ts_us, event_id) inside the
+    // struct ordering.
+    "latest_events" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(
+            struct(col("ts_us"), col("event_id"), col("event_type"))).as("m"))
+        .select(
+          col("user_id"),
+          col("m.ts_us").as("ts_us"),
+          col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"))
+        .orderBy(col("user_id"))),
     // CUBE over (event_type, hour-of-day): all four grouping sets — full
     // cells, both marginals, grand total — in ONE aggregation pass
     // (Spark expands the grouping sets before the shuffle; marginal NULLs
@@ -268,6 +285,15 @@ object EventsQueries {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "latest_events" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts_us, event_id, event_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "events_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(hod, -1) AS hod,

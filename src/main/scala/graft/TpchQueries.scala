@@ -210,6 +210,22 @@ object TpchQueries {
         .orderBy(col("revenue_c2").desc, col("c_custkey"))
         .limit(20)
     }),
+    // Anti-join surface: customers who placed NO orders in 1998 —
+    // Spark executes the left_anti as a broadcast/shuffled hash anti-join
+    // (NOT EXISTS without a subquery re-scan per row).
+    "q_no_orders" -> ((s, dir) => {
+      val ord98 = Tables
+        .orders(s, dir)
+        .filter(
+          col("o_orderdate") >= expr("timestamp'1998-01-01 00:00:00'"))
+        .select(col("o_custkey"))
+      Tables
+        .customer(s, dir)
+        .join(ord98, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy(col("c_mktsegment"))
+    }),
     // Set operations: viewer/purchaser audience overlap (EXCEPT /
     // INTERSECT / UNION over distinct user sets).
     "set_ops" -> ((s, dir) => {
@@ -260,6 +276,14 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_no_orders" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "daily_revenue_ma" ->
       """WITH d AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
