@@ -27,7 +27,11 @@ object CurationQueries {
     // BM25 top-20 for the fixed term bag.
     "bm25_search" -> ((s, dir) => CurationOps.bm25(Tables.documents(s, dir), Bm25Terms)),
     // Exact-k (10) deterministic sample per source stratum.
-    "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(Tables.documents(s, dir))))
+    "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(Tables.documents(s, dir))),
+    // α=0.5 temperature-weighted mixture weights per source.
+    "source_mixture" -> ((s, dir) => CurationOps.sourceMixture(Tables.documents(s, dir))),
+    // CCNet head/middle/tail LM-score terciles.
+    "doc_lm_buckets" -> ((s, dir) => CurationOps.lmBuckets(Tables.documents(s, dir))))
 
   private val stopList =
     graft.operators.TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -139,6 +143,54 @@ object CurationQueries {
          |       round(CAST(score_nano AS DOUBLE) / 1000000000.0, 6) AS score, rank
          |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
+    "source_mixture" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000.0) AS BIGINT)
+        |           AS q_nano
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(q_nano) AS BIGINT) AS q_total FROM c
+        |)
+        |SELECT source, n_docs,
+        |       round(CAST(q_nano AS DOUBLE) / CAST((SELECT q_total FROM t) AS DOUBLE), 6)
+        |         AS weight,
+        |       round(CAST(q_nano AS DOUBLE) / CAST((SELECT q_total FROM t) AS DOUBLE)
+        |             * 1000, 6) AS expected_docs
+        |FROM c ORDER BY source""".stripMargin,
+    "doc_lm_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), vocab AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM vocab
+        |), d AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CAST(round(ln(v.n_w) * 1000000000.0) AS BIGINT)) AS BIGINT)
+        |           AS sum_lnq
+        |  FROM tok t JOIN vocab v USING (tok) GROUP BY 1
+        |), s AS (
+        |  SELECT doc_id,
+        |         round(ln((SELECT n_total FROM tot))
+        |               - CAST(sum_lnq AS DOUBLE) / 1000000000.0 / CAST(n_tokens AS DOUBLE),
+        |               6) AS avg_nll
+        |  FROM d
+        |), b AS (
+        |  SELECT doc_id, avg_nll, ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket FROM s
+        |), g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CAST(round(avg_nll * 1000000000.0) AS BIGINT)) AS BIGINT)
+        |           AS sum_nll_nano
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT CASE WHEN bucket = 1 THEN 'head'
+        |            WHEN bucket = 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       n_docs, sum_nll_nano,
+        |       round(CAST(sum_nll_nano AS DOUBLE) / 1000000000.0
+        |             / CAST(n_docs AS DOUBLE), 6) AS mean_nll
+        |FROM g ORDER BY bucket""".stripMargin,
     "stratified_sample" -> {
       val h = PortableHash.hash60Sql("'sample:' || CAST(doc_id AS VARCHAR)")
       s"""WITH d AS (

@@ -218,6 +218,73 @@ object CurationOps {
       .orderBy(col("rank"))
   }
 
+  /** Temperature-weighted mixture sampling weights — the "how much of
+    * each source" step of dataset assembly (the α-smoothed sampling used
+    * for multilingual/multi-source training mixes): `w_s ∝ n_s^α` with
+    * α = 0.5, i.e. sqrt-damped so small sources are upsampled relative to
+    * raw proportions. Output per source:
+    * `(source, n_docs, weight, expected_docs)` for a `budget`-doc sample.
+    *
+    * Determinism: each source's `sqrt(n)` is quantized to nano-units
+    * BEFORE the normalizing sum (a raw float Σ√n would be
+    * aggregation-order-dependent); the weight is then one double division
+    * of exact integers. Scale: one count aggregation + a 1-row broadcast.
+    */
+  def sourceMixture(docs: DataFrame, budget: Int = 1000): DataFrame = {
+    val counts = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("q_nano", round(sqrt(col("n_docs").cast("double")) * lit(1e9)).cast("long"))
+    val total = counts.agg(sum(col("q_nano")).as("q_total"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("n_docs"),
+        round(col("q_nano").cast("double") / col("q_total").cast("double"), 6).as("weight"),
+        round(
+          col("q_nano").cast("double") / col("q_total").cast("double") * lit(budget),
+          6).as("expected_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** CCNet-style language-model buckets: rank documents by their unigram
+    * NLL ([[TextOps.unigramNll]]) and split into terciles — `head` (most
+    * fluent), `middle`, `tail` (most surprising / likely noise). Output
+    * per bucket: doc count and the exact integer NLL-nano sum (so the
+    * per-bucket mean is reproducible bit-for-bit).
+    *
+    * The tercile boundary is an `ntile(3)` window over (avg_nll, doc_id) —
+    * deterministic ties. The window orders the per-DOC relation (corpus
+    * cardinality, not token cardinality); at 100 TB you'd swap ntile for
+    * quantile cutpoints from the binned-histogram path (hist_deciles'
+    * shape) to avoid the global sort — this query keeps the reference
+    * ntile semantics.
+    */
+  def lmBuckets(docs: DataFrame): DataFrame = {
+    val scored = TextOps
+      .unigramNll(docs)
+      .withColumn(
+        "bucket",
+        ntile(3).over(Window.orderBy(col("avg_nll"), col("doc_id"))))
+    scored
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(col("avg_nll") * lit(1e9)).cast("long")).as("sum_nll_nano"))
+      .select(
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail")
+          .as("bucket"),
+        col("n_docs"),
+        col("sum_nll_nano"),
+        round(
+          col("sum_nll_nano").cast("double") / lit(1e9) / col("n_docs").cast("double"),
+          6).as("mean_nll"))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact-k stratified sampling — the "balance the mixture" step of
     * dataset assembly: keep exactly `min(k, |stratum|)` documents per
     * stratum, chosen by a deterministic pseudo-random hash rank (stable

@@ -85,6 +85,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("source mixture: weights normalize, sqrt damping flattens the raw shares") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = CurationOps
+      .sourceMixture(docs, budget = 1000)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_._3).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    val total = rows.map(_._2).sum.toDouble
+    rows.filter(_._2 > 0).foreach { case (s, n, w) =>
+      val raw = n / total
+      if (raw < 1.0 / rows.length) assert(w >= raw - 1e-9, s"$s: small source damped up")
+      if (raw > 1.0 / rows.length) assert(w <= raw + 1e-9, s"$s: large source damped down")
+    }
+  }
+
+  test("lm buckets: terciles partition the corpus, mean NLL rises head -> tail") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = CurationOps
+      .lmBuckets(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    DedupOps.releaseShingleCaches()
+    assert(rows.map(_._1).toSeq == Seq("head", "middle", "tail"))
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows(0)._3 <= rows(1)._3 && rows(1)._3 <= rows(2)._3, "NLL ordered by bucket")
+  }
+
   test("fixture smoke: every curation query returns rows at sf0.001") {
     for ((name, fn) <- CurationQueries.queries) {
       val n = fn(spark, TestSpark.sf0001).count()
