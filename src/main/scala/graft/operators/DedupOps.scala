@@ -77,9 +77,14 @@ object DedupOps {
     */
   private val shingleCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Unpersist every shingle cache registered since the last release. */
+  /** Unpersist every shingle cache registered since the last release.
+    * Blocking: async unpersist lets dead cache blocks pile up across a
+    * long bench/verify session (measured: with ~70 queries the storage
+    * backlog turns into GC pauses that land on UNRELATED queries —
+    * q18_big_orders swung 0.6 → 4 s purely by its position in the run).
+    */
   def releaseShingleCaches(): Unit = synchronized {
-    shingleCaches.foreach(_.unpersist(blocking = false))
+    shingleCaches.foreach(_.unpersist(blocking = true))
     shingleCaches.clear()
   }
 
