@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Source/sink format breadth: JSON-lines and CSV roundtrips with
+  * explicit schemas (schema-on-read, no inference job), equal to the
+  * parquet truth.
+  */
+class FormatSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+
+  test("json-lines roundtrip: explicit schema, no inference, lossless") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val path = "target/format_spec/docs_jsonl"
+    docs.write.mode("overwrite").json(path)
+    // schema passed explicitly: at 100 TB an inference pass is a full
+    // extra read of the corpus
+    val back = spark.read.schema(schema).json(path)
+    assert(canon(back) == canon(docs))
+  }
+
+  test("csv roundtrip: quoted text survives, explicit schema") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val path = "target/format_spec/docs_csv"
+    docs.write.mode("overwrite").option("header", "true").csv(path)
+    val back = spark.read.schema(schema).option("header", "true").csv(path)
+    assert(canon(back) == canon(docs))
+  }
+
+  test("format-agnostic queries: the oracle query tree runs unchanged on a json copy") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val path = "target/format_spec/docs_for_query"
+    docs.write.mode("overwrite").json(path)
+    val jsonDocs = spark.read.schema(schema).json(path)
+    val a = graft.operators.TextOps.stats(docs).orderBy("doc_id").collect().toSeq
+    val b = graft.operators.TextOps.stats(jsonDocs).orderBy("doc_id").collect().toSeq
+    assert(a == b, "operators are source-format agnostic")
+  }
+}
