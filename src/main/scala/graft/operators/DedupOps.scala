@@ -191,20 +191,22 @@ object DedupOps {
       shingleCaches += p
       p
     }
-    // Positional filter (PPJoin): a shared prefix shingle at df-sorted
-    // ranks (i, j) bounds the whole-set overlap by
-    //   O ≤ min(i, j) − 1  (common shingles strictly before it, in BOTH
-    //                       prefix orders)
-    //     + 1              (the shared shingle itself)
-    //     + min(na − i, nb − j)   (everything after it).
-    // Each shared shingle gives a valid bound → take the pair's MINIMUM,
-    // and J ≥ t forces O ≥ t·(na+nb)/(1+t), so candidates whose tightest
-    // bound misses that threshold are dropped BEFORE the verify join ever
-    // fans out their full shingle sets. (ε margin as above: j is rational
-    // with denominator ≤ na+nb, so 1e-6 can never cross a feasible
-    // boundary — recall stays exact, the oracle unchanged.)
-    val ubRow = least(col("rn_a"), col("rn_b")) +
-      least(col("na") - col("rn_a"), col("nb") - col("rn_b"))
+    // Positional + suffix filter (PPJoin): the df-sorted shingle order is
+    // GLOBAL, so any token the pair shares sits on the same side of any
+    // other shared token in BOTH documents. Consequences, per pair:
+    //  - every common token ranked before the LAST shared prefix token w
+    //    lies inside both prefixes, i.e. is itself one of the join rows —
+    //    common-before-w = cnt − 1 exactly;
+    //  - common tokens after w number at most
+    //    min(na − max_rn_a, nb − max_rn_b) (w's own ranks, same row);
+    // so O ≤ cnt + min(na − max_rn_a, nb − max_rn_b) — a far tighter
+    // bound than the per-row min-rank one (which degenerates to ~na when
+    // the rarest shared token sits early). J ≥ t forces
+    // O ≥ t·(na+nb)/(1+t); candidates whose bound misses it are dropped
+    // BEFORE the verify join fans out their full shingle sets. (ε margin
+    // as above: feasible Jaccard values are rationals with denominator
+    // ≤ na+nb, so 1e-6 can never cross a boundary — recall stays exact,
+    // the oracle unchanged.)
     val cand = prefix
       .toDF("a_id", "na", "h", "rn_a")
       .join(prefix.toDF("b_id", "nb", "h", "rn_b"), Seq("h"))
@@ -213,9 +215,15 @@ object DedupOps {
         least(col("na"), col("nb")).cast("double") >=
           (lit(minJaccard) - lit(1e-6)) * greatest(col("na"), col("nb")))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(min(ubRow).as("ub"), min(col("na")).as("cna"), min(col("nb")).as("cnb"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        max(col("rn_a")).as("maxa"),
+        max(col("rn_b")).as("maxb"),
+        min(col("na")).as("cna"),
+        min(col("nb")).as("cnb"))
       .filter(
-        col("ub").cast("double") >=
+        (col("cnt") + least(col("cna") - col("maxa"), col("cnb") - col("maxb")))
+          .cast("double") >=
           lit(minJaccard) * (col("cna") + col("cnb")).cast("double") /
             lit(1 + minJaccard) - lit(1e-6))
       .select(col("a_id"), col("b_id"))
