@@ -210,6 +210,47 @@ object TpchQueries {
         .orderBy(col("revenue_c2").desc, col("c_custkey"))
         .limit(20)
     }),
+    // Order-priority check (TPC-H Q4 shape): orders from 1996 with at
+    // least one lineitem shipped after the order date — EXISTS as a
+    // left_semi hash join (one probe per order, no fan-out on multi-item
+    // orders), counted per priority.
+    "q4_priority" -> ((s, dir) => {
+      val ord = Tables
+        .orders(s, dir)
+        .filter(
+          col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord
+        .join(
+          li,
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Rank-function breadth: percent_rank + ntile quartiles of customer
+    // account balance within each market segment. percent_rank is the
+    // rational (rank−1)/(n−1) of exact integers — deterministic at
+    // 6 decimals; ties broken by custkey.
+    "customer_balance_pct" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_c"), col("c_custkey"))
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey"),
+          col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal_c"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w))
+        .filter(col("quartile") === 4) // top quartile per segment
+        .select(col("c_mktsegment"), col("c_custkey"), col("bal_c"), col("pct_rank"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
     // Anti-join surface: customers who placed NO orders in 1998 —
     // Spark executes the left_anti as a broadcast/shuffled hash anti-join
     // (NOT EXISTS without a subquery re-scan per row).
@@ -276,6 +317,30 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "customer_balance_pct" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        |  FROM customer
+        |), r AS (
+        |  SELECT c_custkey, c_mktsegment, bal_c,
+        |         round(percent_rank() OVER w, 6) AS pct_rank,
+        |         ntile(4) OVER w AS quartile
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_c, c_custkey)
+        |)
+        |SELECT c_mktsegment, c_custkey, bal_c, pct_rank
+        |FROM r WHERE quartile = 4
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q_no_orders" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
         |FROM customer c
