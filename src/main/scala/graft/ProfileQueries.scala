@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{LayoutOps, ProfileOps, TrainsetOps}
+import graft.sources.Tables
+
+/** Dataset-profiling, data-layout, and training-set-construction queries
+  * + DuckDB oracles: per-column profile, exact per-group quantiles,
+  * Z-order cell occupancy, deterministic class rebalancing, and
+  * contrastive triplet mining.
+  */
+object ProfileQueries {
+
+  /** Numeric lineitem columns the profiler covers. */
+  val ProfiledCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Long-form per-column completeness/cardinality/range profile.
+    "profile_columns" -> ((s, dir) =>
+      ProfileOps.profileColumns(Tables.lineitem(s, dir), ProfiledCols)),
+    // Exact rank-interpolated quartiles (+p90) of event value per type.
+    "group_quantiles" -> ((s, dir) =>
+      ProfileOps.groupQuantiles(Tables.events(s, dir), "event_type", "value")),
+    // Z-order (Morton) cell occupancy over (l_partkey, l_suppkey).
+    "zorder_cells" -> ((s, dir) =>
+      LayoutOps.zCells(Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
+    // Oversample every label to the majority count, exactly.
+    "rebalance_classes" -> ((s, dir) =>
+      TrainsetOps.rebalanceClasses(Tables.embeddings(s, dir))),
+    // One anchor/positive/negative triplet per vector with cosine margins.
+    "contrastive_triplets" -> ((s, dir) =>
+      TrainsetOps.contrastiveTriplets(Tables.embeddings(s, dir))))
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b)
+       |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+
+  /** DuckDB twin of [[LayoutOps.zValue]]'s spread16 chain, one doubling
+    * step per CTE stage (`x`/`y` carried through together).
+    */
+  private val zorderStages =
+    """b0 AS (
+      |  SELECT l_partkey AS xk, l_suppkey AS yk,
+      |         l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+      |  FROM lineitem
+      |), b1 AS (
+      |  SELECT xk, yk, (x | (x << 8)) & 16711935 AS x,
+      |                 (y | (y << 8)) & 16711935 AS y FROM b0
+      |), b2 AS (
+      |  SELECT xk, yk, (x | (x << 4)) & 252645135 AS x,
+      |                 (y | (y << 4)) & 252645135 AS y FROM b1
+      |), b3 AS (
+      |  SELECT xk, yk, (x | (x << 2)) & 858993459 AS x,
+      |                 (y | (y << 2)) & 858993459 AS y FROM b2
+      |), b4 AS (
+      |  SELECT xk, yk, (x | (x << 1)) & 1431655765 AS x,
+      |                 (y | (y << 1)) & 1431655765 AS y FROM b3
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "profile_columns" -> {
+      val melt = ProfiledCols
+        .map(c => s"SELECT '$c' AS col_name, $c AS v FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH m AS (
+         |  $melt
+         |)
+         |SELECT col_name,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(v) AS BIGINT) AS n_nonnull,
+         |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |       min(v) AS min_v, max(v) AS max_v,
+         |       CAST(sum(CAST(trunc(v * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "group_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type AS grp,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY CAST(trunc(value * 100.0) AS BIGINT)) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), t AS (
+        |  SELECT grp, n, p,
+        |         CAST(p AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 100.0 AS pos
+        |  FROM (SELECT DISTINCT grp, n FROM r),
+        |       (SELECT unnest([25, 50, 75, 90]) AS p)
+        |), tk AS (
+        |  SELECT grp, p, n, pos, CAST(trunc(pos) AS BIGINT) AS k FROM t
+        |)
+        |SELECT tk.grp, tk.p, CAST(tk.n AS BIGINT) AS n,
+        |       round((CAST(lo.cents AS DOUBLE)
+        |              + (CAST(coalesce(hi.cents, lo.cents) AS DOUBLE)
+        |                 - CAST(lo.cents AS DOUBLE))
+        |                * (tk.pos - CAST(tk.k AS DOUBLE))) / 100.0, 6) AS q
+        |FROM tk
+        |JOIN r lo ON lo.grp = tk.grp AND lo.rn = tk.k + 1
+        |LEFT JOIN r hi ON hi.grp = tk.grp AND hi.rn = tk.k + 2
+        |ORDER BY 1, 2""".stripMargin,
+    "zorder_cells" ->
+      s"""WITH $zorderStages, z AS (
+         |  SELECT xk, yk, (x | (y << 1)) >> 10 AS cell FROM b4
+         |), g AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_rows,
+         |         min(xk) AS x_min, max(xk) AS x_max,
+         |         min(yk) AS y_min, max(yk) AS y_max
+         |  FROM z GROUP BY 1
+         |)
+         |SELECT cell, n_rows, x_min, x_max, y_min, y_max
+         |FROM g ORDER BY n_rows DESC, cell LIMIT 20""".stripMargin,
+    "rebalance_classes" ->
+      """WITH c AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS c FROM embeddings GROUP BY 1
+        |), mx AS (
+        |  SELECT max(c) AS t FROM c
+        |), r AS (
+        |  SELECT e.vec_id, e.label, c.c, (SELECT t FROM mx) AS t,
+        |         row_number() OVER (PARTITION BY e.label ORDER BY e.vec_id) - 1 AS i
+        |  FROM embeddings e JOIN c USING (label)
+        |), x AS (
+        |  SELECT label, vec_id, c,
+        |         ((i + 1) * t) // c - (i * t) // c AS reps
+        |  FROM r
+        |), ex AS (
+        |  SELECT label, vec_id, c, unnest(generate_series(1, reps)) AS rr FROM x
+        |)
+        |SELECT label, CAST(max(c) AS BIGINT) AS n_orig,
+        |       CAST(count(*) AS BIGINT) AS n_after,
+        |       CAST(sum(vec_id) AS BIGINT) AS id_checksum
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
+    "contrastive_triplets" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), r AS (
+         |  SELECT vec_id, label, emb,
+         |         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+         |         count(*) OVER (PARTITION BY label) AS c
+         |  FROM e
+         |), l AS (
+         |  SELECT label, coalesce(lead(label) OVER (ORDER BY label),
+         |                         min(label) OVER ()) AS nxt
+         |  FROM (SELECT DISTINCT label FROM e)
+         |), a AS (
+         |  SELECT r.vec_id AS anchor_id, r.emb AS a_emb, r.label, l.nxt, r.rn, r.c,
+         |         (r.rn % r.c) + 1 AS pos_rn
+         |  FROM r JOIN l USING (label)
+         |), nc AS (
+         |  SELECT label AS n_label, max(c) AS nc FROM r GROUP BY 1
+         |)
+         |SELECT a.anchor_id, p.vec_id AS pos_id, ng.vec_id AS neg_id,
+         |       ${cosSql("a.a_emb", "p.emb")} AS cos_ap,
+         |       ${cosSql("a.a_emb", "ng.emb")} AS cos_an
+         |FROM a
+         |JOIN r p ON p.label = a.label AND p.rn = a.pos_rn
+         |JOIN nc ON nc.n_label = a.nxt
+         |JOIN r ng ON ng.label = a.nxt AND ng.rn = ((a.rn - 1) % nc.nc) + 1
+         |ORDER BY anchor_id""".stripMargin)
+}

@@ -32,7 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventsQueries.queries ++ TpchQueries.queries ++
-      MediaQueries.queries ++ CurationQueries.queries)
+      MediaQueries.queries ++ CurationQueries.queries ++ ProfileQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(tune(s), dir))
       }
@@ -42,5 +42,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ EventsQueries.oracle ++ TpchQueries.oracle ++
-      MediaQueries.oracle ++ CurationQueries.oracle
+      MediaQueries.oracle ++ CurationQueries.oracle ++ ProfileQueries.oracle
 }

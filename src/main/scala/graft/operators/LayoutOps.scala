@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) interleaving for multi-column
+  * clustering. At 100 TB the dominant cost of most queries is the scan;
+  * sorting a table by the Z-value of its two hottest filter columns makes
+  * every written file's min/max range tight in BOTH dimensions at once, so
+  * Parquet row-group / file pruning works for filters on either column —
+  * the standard layout trick a single-column sort cannot give (sorting by
+  * `a` leaves `b`'s per-file ranges as wide as the table).
+  *
+  * The interleave is pure BIGINT shift/mask arithmetic — bit-identical in
+  * the DuckDB oracle (same operators) and codegen-friendly in Spark (no
+  * UDF, stays inside WholeStageCodegen).
+  */
+object LayoutOps {
+
+  /** Spread the low 16 bits of `x` to the even bit positions of a 32-bit
+    * value (Morton spread via the classic magic-mask doubling chain).
+    */
+  private def spread16(x: Column): Column = {
+    val a = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Z-value interleaving the low 16 bits of `x` (even positions)
+    * and `y` (odd positions). Inputs are masked to 16 bits first, so any
+    * non-negative BIGINT key works (keys are bucketed, not truncated in
+    * value order — Z-ordering hash-bucketed keys still co-locates equal
+    * keys, which is what pruning needs).
+    */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x.bitwiseAND(lit(0xFFFFL)))
+      .bitwiseOR(shiftleft(spread16(y.bitwiseAND(lit(0xFFFFL))), 1))
+
+  /** Coarse Z-cell occupancy summary: rows land in 2^(32-shift) Z-cells
+    * (shift 10 → every cell is a 32×32 box in (x,y) key space); per cell
+    * we report the row count and the (min,max) span of each key — the
+    * direct measure of what file-level min/max pruning would see if the
+    * table were written in Z order with one file per cell. Top-k cells by
+    * population (deterministic tie-break on cell id).
+    */
+  def zCells(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      shift: Int = 10,
+      k: Int = 20): DataFrame =
+    df.select(
+        col(xCol).as("x"),
+        col(yCol).as("y"),
+        shiftright(zValue(col(xCol), col(yCol)), shift).as("cell"))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"),
+        max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"),
+        max(col("y")).as("y_max"))
+      .orderBy(col("n_rows").desc, col("cell"))
+      .limit(k)
+}

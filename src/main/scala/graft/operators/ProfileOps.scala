@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-profiling operators: the "what is in this table" pass every
+  * large-scale pipeline runs before training — per-column completeness /
+  * cardinality / range, and exact per-group quantiles.
+  *
+  * Determinism contract (same as CurationOps): values that feed float
+  * arithmetic are quantized to integer cents first (`cast` truncation,
+  * mirrored by `trunc()` in the DuckDB oracles), sums run over BIGINT, and
+  * every exposed double is a single arithmetic chain over exact integers
+  * rounded to 6 decimals — bit-reproducible cross-engine.
+  */
+object ProfileOps {
+
+  /** Long-form per-column profile of the given numeric columns: row count,
+    * non-null count, exact distinct count, min/max, and an exact integer
+    * cents sum. One scan: the columns are melted to `(column, v)` long form
+    * (linear blow-up of ncols ×, the unavoidable cost of a long-form
+    * profile), then one grouped aggregation over `ncols` keys.
+    *
+    * Scale note: the exact `count(DISTINCT v)` makes Catalyst plan a
+    * two-level aggregate (partial distinct on (column, v), then final) —
+    * the shuffle carries one row per distinct value per column, which for
+    * profiling continuous doubles at 100 TB approaches the data size. At
+    * that scale swap `countDistinct` for the portable HLL sketch
+    * ([[SketchOps]], `approx_users` pattern — still oracle-exact) or
+    * `approx_count_distinct`; the exact form is the oracle baseline.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val melted = df.select(
+      explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
+    melted
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum((col("v") * lit(100.0)).cast("bigint")).as("sum_cents"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Exact per-group quantiles by rank arithmetic — the distributed-sort
+    * formulation (one shuffle: a rank window partitioned by the group key),
+    * NOT the built-in `percentile` aggregate (which collects every value
+    * of a group into one aggregation buffer — an executor-memory bomb for
+    * a hot group at 100 TB). For each requested percentile p over n rows:
+    * pos = p·(n−1)/100, and the quantile linearly interpolates the values
+    * at ranks ⌊pos⌋+1 and ⌊pos⌋+2 (1-based). Only those ≤ 2·|ps| rows per
+    * group survive the rank filter — Spark prunes them map-side via
+    * WindowGroupLimit-style rank predicates on the sorted stream.
+    *
+    * Values are quantized to integer cents before ranking so the
+    * interpolation arithmetic (the only float math) runs over exact
+    * integers — the oracle reproduces it bit-for-bit.
+    * Output: `(group, p, n, q)` long form, one row per group × percentile.
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val cents = (col(valueCol) * lit(100.0)).cast("bigint")
+    val ranked = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(col(groupCol).as("grp"), cents.as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val pRows = explode(array(ps.map(p => lit(p)): _*)).as("p")
+    // one row per group × p, carrying the target position
+    val targets = ranked
+      .select(col("grp"), col("n")).distinct()
+      .select(col("grp"), col("n"), pRows)
+      .withColumn("pos", col("p").cast("double") * (col("n") - 1).cast("double") / lit(100.0))
+      .withColumn("k", col("pos").cast("bigint")) // floor: pos >= 0
+    val loSide = ranked.select(col("grp").as("g1"), col("rn").as("rn1"), col("cents").as("lo_c"))
+    val hiSide = ranked.select(col("grp").as("g2"), col("rn").as("rn2"), col("cents").as("hi_c"))
+    targets
+      .join(loSide, col("grp") === col("g1") && col("rn1") === col("k") + 1)
+      .join(hiSide, col("grp") === col("g2") && col("rn2") === col("k") + 2, "left")
+      .select(
+        col("grp"), col("p"), col("n"),
+        round(
+          (col("lo_c").cast("double") +
+            (coalesce(col("hi_c"), col("lo_c")).cast("double") - col("lo_c").cast("double")) *
+              (col("pos") - col("k").cast("double"))) / lit(100.0),
+          6).as("q"))
+      .orderBy(col("grp"), col("p"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Training-set construction over the labeled embedding corpus:
+  * deterministic class rebalancing (oversample every label to the majority
+  * count) and contrastive triplet mining (anchor/positive/negative).
+  *
+  * Both are pure integer/rank arithmetic — no RNG — so the expansion is
+  * reproducible run-to-run, partition-count-independent, and expressible
+  * in the DuckDB oracles. A real pipeline would key the rank on a salted
+  * hash instead of the id for an unbiased draw; the id keeps the fixtures
+  * readable and changes nothing structurally.
+  */
+object TrainsetOps {
+
+  /** Oversample every label to exactly the majority-class count using
+    * largest-remainder integer arithmetic: the 0-based rank `i` of a row
+    * inside its label (of `c` rows, target `t`) replicates
+    * `⌊(i+1)·t/c⌋ − ⌊i·t/c⌋` times — per label the replicas sum to exactly
+    * `t`, each row appears ⌊t/c⌋ or ⌈t/c⌉ times, and the arithmetic is
+    * BIGINT-exact (no float, no overflow until t·c ~ 2^63).
+    *
+    * Scale shape: label counts are a tiny aggregate broadcast back onto
+    * the corpus; the rank is one window shuffle keyed by label; the
+    * expansion is `explode(sequence(...))` — map-side, linear in the
+    * OUTPUT size, which is the floor for any oversampler. Returns the
+    * per-label summary `(label, n_orig, n_after, id_checksum)` where
+    * `id_checksum = Σ vec_id·reps` over the expanded rows (pins the exact
+    * replica multiset, not just its size).
+    */
+  def rebalanceClasses(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    val t = counts.agg(max(col("c")).as("t"))
+    val ranked = embeddings
+      .select(col("vec_id"), col("label"))
+      .withColumn("i",
+        row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id"))) - 1)
+      .join(broadcast(counts), Seq("label"))
+      .crossJoin(broadcast(t))
+      .withColumn("reps",
+        expr("(i + 1) * t DIV c") - expr("i * t DIV c"))
+    ranked
+      // reps >= 1 always (t = max label count >= c), so the sequence is
+      // never empty — Spark's sequence(1, 0) would descend, not vanish
+      .select(col("label"), col("vec_id"), col("c"),
+        explode(sequence(lit(1L), col("reps"))).as("r"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("c")).as("n_orig"),
+        count(lit(1)).as("n_after"),
+        sum(col("vec_id")).as("id_checksum"))
+      .orderBy(col("label"))
+  }
+
+  /** Deterministic contrastive triplets: every vector anchors one triplet;
+    * the positive is the next vector of the same label in vec_id order
+    * (cyclic), the negative is the rank-aligned vector of the next label
+    * (cyclic over the sorted distinct labels). Output carries the cosine
+    * of both pairs (native codegen kernel, round 6) — the margin signal a
+    * triplet-loss curriculum would threshold on.
+    *
+    * Scale shape: two equi-joins on (label, rank) — rank assignment is the
+    * only window shuffle; the label successor table is a broadcast of
+    * |labels| rows. No pairwise blow-up anywhere: exactly one triplet per
+    * corpus row.
+    */
+  def contrastiveTriplets(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val ranked = e
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("label"))))
+    // cyclic label successor: lead(label) over label order, wrapping to first
+    val labels = e.select(col("label")).distinct()
+      .withColumn("nxt", lead(col("label"), 1).over(Window.orderBy(col("label"))))
+      .withColumn("nxt", coalesce(col("nxt"), min(col("label")).over()))
+    val anchors = ranked
+      .join(broadcast(labels), Seq("label"))
+      .select(
+        col("vec_id").as("anchor_id"), col("emb").as("a_emb"), col("label"),
+        col("nxt"), col("rn"), col("c"),
+        (pmod(col("rn"), col("c")) + 1).as("pos_rn"))
+    val pos = ranked.select(
+      col("label").as("p_label"), col("rn").as("p_rn"),
+      col("vec_id").as("pos_id"), col("emb").as("p_emb"))
+    val negCounts = ranked.groupBy(col("label")).agg(max(col("c")).as("nc"))
+      .select(col("label").as("n_label"), col("nc"))
+    val neg = ranked.select(
+      col("label").as("n_label2"), col("rn").as("n_rn"),
+      col("vec_id").as("neg_id"), col("emb").as("n_emb"))
+    anchors
+      .join(pos, col("label") === col("p_label") && col("pos_rn") === col("p_rn"))
+      .join(broadcast(negCounts), col("nxt") === col("n_label"))
+      .withColumn("neg_rn", pmod(col("rn") - 1, col("nc")) + 1)
+      .join(neg, col("nxt") === col("n_label2") && col("neg_rn") === col("n_rn"))
+      .select(
+        col("anchor_id"), col("pos_id"), col("neg_id"),
+        round(GraftFunctions.cosine(col("a_emb"), col("p_emb")), 6).as("cos_ap"),
+        round(GraftFunctions.cosine(col("a_emb"), col("n_emb")), 6).as("cos_an"))
+      .orderBy(col("anchor_id"))
+  }
+}

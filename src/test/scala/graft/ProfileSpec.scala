@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LayoutOps, ProfileOps, TrainsetOps}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileColumns: counts, nulls, distincts, range, cents sum") {
+    val df = Seq(
+      (Some(1.5), Some(10.0)),
+      (Some(2.5), None),
+      (Some(1.5), Some(-3.25)),
+      (None, Some(10.0))).toDF("a", "b")
+    val rows = ProfileOps.profileColumns(df, Seq("a", "b")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = rows(0)
+    assert(a.getLong(1) == 4 && a.getLong(2) == 3 && a.getLong(3) == 2)
+    assert(a.getDouble(4) == 1.5 && a.getDouble(5) == 2.5)
+    assert(a.getLong(6) == 550) // 150 + 250 + 150
+    val b = rows(1)
+    assert(b.getLong(2) == 3 && b.getLong(3) == 2)
+    assert(b.getDouble(4) == -3.25 && b.getDouble(5) == 10.0)
+    assert(b.getLong(6) == 10 * 100 * 2 - 325)
+  }
+
+  test("groupQuantiles: golden interpolation incl. exact-rank landing") {
+    // group g: cents 100..500 (5 rows): p50 pos=2.0 → exactly 300;
+    // p25 pos=1.0 → 200; p75 pos=3.0 → 400; p90 pos=3.6 → 400+0.6*100=460
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val q = ProfileOps.groupQuantiles(df, "k", "v")
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(q == Map(25 -> 2.0, 50 -> 3.0, 75 -> 4.0, 90 -> 4.6))
+  }
+
+  test("groupQuantiles: matches sort-based reference on multiple groups") {
+    val rows = (1 to 377).map(i => (s"g${i % 3}", (i * 37 % 101).toDouble))
+    val df = rows.toDF("k", "v")
+    val got = ProfileOps.groupQuantiles(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(v => (v._2 * 100).toLong).sorted)
+    for (((g, p), q) <- got) {
+      val vs = byGroup(g)
+      val pos = p.toDouble * (vs.length - 1) / 100.0
+      val k = pos.toInt
+      val lo = vs(k).toDouble
+      val hi = if (k + 1 < vs.length) vs(k + 1).toDouble else lo
+      val want = BigDecimal((lo + (hi - lo) * (pos - k)) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(q == want, s"group $g p$p")
+    }
+  }
+}
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: golden Morton interleaves") {
+    val df = Seq(
+      (0xFFFFL, 0L), // all x bits → even positions
+      (0L, 0xFFFFL), // all y bits → odd positions
+      (3L, 1L), //       x bits 0,1 → z bits 0,2 (5); y bit 0 → z bit 1 (2)
+      (0L, 0L),
+      (0x10000L, 0L) // 17th bit masked off
+    ).toDF("x", "y")
+    val z = df.select(LayoutOps.zValue(col("x"), col("y"))).as[Long].collect()
+    assert(z.toSeq == Seq(0x55555555L, 0xAAAAAAAAL, 7L, 0L, 0L))
+  }
+
+  test("z-sorted layout gives tighter two-dimensional file ranges than x-sort") {
+    // uniform 2-D grid of keys; cut each layout into equal "files" and sum
+    // (x range + y range) per file — the pruning-relevant width
+    val pts = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = pts.toDF("x", "y")
+    def totalWidth(sorted: Seq[(Long, Long)], files: Int): Long =
+      sorted.grouped(sorted.size / files).map { chunk =>
+        val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+        (xs.max - xs.min) + (ys.max - ys.min)
+      }.sum
+    val zsorted = df
+      .withColumn("z", LayoutOps.zValue(col("x"), col("y")))
+      .orderBy("z").select("x", "y").as[(Long, Long)].collect().toSeq
+    val xsorted = pts.sortBy(p => (p._1, p._2))
+    val zw = totalWidth(zsorted, 16)
+    val xw = totalWidth(xsorted, 16)
+    // x-sort leaves every file's y range at full width (63); Z-order
+    // bounds both dimensions per file
+    assert(zw < xw / 2, s"z width $zw vs x width $xw")
+  }
+
+  test("zCells covers all rows and cell key ranges nest inside 32x32 boxes") {
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val cells = LayoutOps.zCells(li, "l_partkey", "l_suppkey", k = 1000).collect()
+    assert(cells.map(_.getLong(1)).sum == li.count())
+    for (c <- cells) {
+      // shift 10 drops 5 x-bits + 5 y-bits: every cell is exactly one
+      // 32×32 key box, and at sf0.001 keys are < 65536 so spans are direct
+      assert(c.getLong(3) - c.getLong(2) < 32, s"x span in $c")
+      assert(c.getLong(5) - c.getLong(4) < 32, s"y span in $c")
+    }
+  }
+}
+
+class TrainsetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rebalanceClasses: every label lands exactly on the majority count") {
+    val df = ((1 to 7).map(i => (i.toLong, 0)) ++ (8 to 10).map(i => (i.toLong, 1)) ++
+      Seq((11L, 2))).toDF("vec_id", "label")
+    val out = TrainsetOps.rebalanceClasses(df).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0, 7L, 7L), (1, 3L, 7L), (2, 1L, 7L)))
+    // label 2: the single row replicates 7× → checksum 7*11
+    assert(out(2).getLong(3) == 77L)
+    // label 1: ranks 0,1,2 of (8,9,10), target 7 → floor-diff reps 2,2,3
+    assert(out(1).getLong(3) == 8 * 2 + 9 * 2 + 10 * 3)
+  }
+
+  test("rebalanceClasses on real embeddings: all labels equal, ids conserved") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val out = TrainsetOps.rebalanceClasses(emb).collect()
+    val t = out.map(_.getLong(1)).max
+    assert(out.forall(_.getLong(2) == t))
+  }
+
+  test("contrastiveTriplets: one per vector, pos same label, neg next label") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sortedLabels = labels.values.toSeq.distinct.sorted
+    val nextLabel = sortedLabels.zip(sortedLabels.tail :+ sortedLabels.head).toMap
+    val out = TrainsetOps.contrastiveTriplets(emb).collect()
+    assert(out.length == labels.size)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    for (r <- out) {
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(labels(p) == labels(a), "positive label")
+      assert(labels(n) == nextLabel(labels(a)), "negative label")
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+}
