@@ -306,16 +306,19 @@ object DedupOps {
   def permConstants(numPerm: Int): Array[Long] =
     Array.tabulate(numPerm)(j => graft.functions.PortableHash.hash60Local(s"perm:$j"))
 
-  /** MinHash signatures: min over shingles of `hash60(s) XOR C_seed` per
-    * (doc, seed). Long form `(doc_id, seed, mh)`.
+  /** MinHash signatures, WIDE form `(doc_id, mh0 … mh{numPerm−1})`: min
+    * over shingles of `hash60(s) XOR C_seed`, all `numPerm` minima in one
+    * aggregation over the shingle stream (one `min` column per seed —
+    * every per-seed xor+min stays inside one codegen stage, and the
+    * partial aggregation sees each shingle occurrence exactly once).
     *
-    * All `numPerm` minima are computed as one wide aggregation over the
-    * shingle stream (one `min` column per seed), then unpivoted to long
-    * form AFTER the aggregate. The round-2 shape exploded a seed row per
-    * shingle occurrence first — numPerm× more rows into the partial
-    * aggregation for identical output; map-side combine absorbed most of
-    * it, but the explode itself still materialized (and the wide form
-    * keeps every per-seed xor+min inside one codegen stage).
+    * Wide (not long/unpivoted) is the scale shape for everything
+    * downstream: banding is a per-row projection of column slices and the
+    * signature-agreement estimate is a per-row comparison of 2·numPerm
+    * columns — neither needs the signature exploded back to numPerm rows
+    * (the round-2/3 long form paid a collect_list re-aggregation for
+    * banding and a seed-level join + re-aggregation for the estimate:
+    * three avoidable shuffles).
     */
   def minhash(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
     val consts = permConstants(numPerm)
@@ -325,11 +328,6 @@ object DedupOps {
     shingleRows(docs, n)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("doc_id"),
-        explode(array(consts.indices.map(j =>
-          struct(lit(j).as("seed"), col(s"mh$j").as("mh"))): _*)).as("sm"))
-      .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.mh").as("mh"))
   }
 
   /** MinHash + LSH banding near-dup candidates: seeds are grouped into
@@ -346,46 +344,51 @@ object DedupOps {
       numPerm: Int,
       rowsPerBand: Int,
       minEst: Double): DataFrame = {
-    // the signature relation is read three times (banding + both sides of
-    // the estimate join) — persist it (numPerm rows per doc; tiny) rather
-    // than re-hashing the shingle corpus thrice
-    val mh = synchronized {
-      val m = minhash(docs, n, numPerm)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      shingleCaches += m
-      m
-    }
+    // the wide signature relation is read three times (banding + both
+    // sides of the estimate) — persist it (one row per doc) rather than
+    // re-hashing the shingle corpus thrice
+    val mh = registerCache(
+      minhash(docs, n, numPerm)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // band key: the band's minhash components serialized in seed order —
     // portable (the DuckDB oracle builds the identical string_agg), and
     // collision-free by construction, unlike a 64-bit hash of the struct
     // list. At the exchange this is a ≤ rowsPerBand·21-char key: still
-    // map-side-small.
+    // map-side-small. Pure projection of the wide row — no re-aggregation.
+    val nBands = numPerm / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat_ws(
+        ",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(j =>
+          concat_ws(":", lit(j), col(s"mh$j"))): _*)
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
     val bands = mh
-      .withColumn("band", col("seed") divide lit(rowsPerBand) cast "int")
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        concat_ws(
-          ",",
-          transform(
-            sort_array(collect_list(struct(col("seed"), col("mh")))),
-            s => concat_ws(":", s.getField("seed"), s.getField("mh")))).as("band_key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val cand = bands
       .toDF("a_id", "band", "band_key")
       .join(bands.toDF("b_id", "band", "band_key"), Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    val sigA = mh.toDF("a_id", "seed", "mh_a")
-    val sigB = mh.toDF("b_id", "seed", "mh_b")
-    cand
-      .join(sigA, Seq("a_id"))
-      .join(sigB, Seq("b_id", "seed"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(
-        round(
-          sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).cast("double") /
-            lit(numPerm.toDouble),
-          6).as("est_jaccard"))
+    // estimate = fraction of agreeing components, compared column-wise on
+    // the wide rows: the candidate relation (bounded: actual near-dup
+    // pairs + banding false positives) broadcasts onto the signatures —
+    // no seed-level fan-out join, no re-aggregation
+    val sigA = mh.select(col("doc_id").as("a_id") +:
+      (0 until numPerm).map(j => col(s"mh$j").as(s"amh$j")): _*)
+    val sigB = mh.select(col("doc_id").as("b_id") +:
+      (0 until numPerm).map(j => col(s"mh$j").as(s"bmh$j")): _*)
+    val matches = (0 until numPerm)
+      .map(j => when(col(s"amh$j") === col(s"bmh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    broadcast(broadcast(cand).join(sigA, Seq("a_id")))
+      .join(sigB, Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(matches.cast("double") / lit(numPerm.toDouble), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= lit(minEst))
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -70,39 +70,42 @@ object TrainsetOps {
     * corpus row.
     */
   def contrastiveTriplets(embeddings: DataFrame): DataFrame = {
-    val e = embeddings.select(
-      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-    val ranked = e
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id"))))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("label"))))
-    // cyclic label successor: lead(label) over label order, wrapping to first
-    val labels = e.select(col("label")).distinct()
-      .withColumn("nxt", lead(col("label"), 1).over(Window.orderBy(col("label"))))
-      .withColumn("nxt", coalesce(col("nxt"), min(col("label")).over()))
-    val anchors = ranked
-      .join(broadcast(labels), Seq("label"))
-      .select(
-        col("vec_id").as("anchor_id"), col("emb").as("a_emb"), col("label"),
-        col("nxt"), col("rn"), col("c"),
-        (pmod(col("rn"), col("c")) + 1).as("pos_rn"))
-    val pos = ranked.select(
-      col("label").as("p_label"), col("rn").as("p_rn"),
-      col("vec_id").as("pos_id"), col("emb").as("p_emb"))
-    val negCounts = ranked.groupBy(col("label")).agg(max(col("c")).as("nc"))
-      .select(col("label").as("n_label"), col("nc"))
+    val byLabel = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    // the positive is the NEXT row of the same window (cyclic), so it needs
+    // no join at all — lead() with a first_value() wrap rides the same sort
+    // the rank assignment already paid for. One shuffle keyed by label.
+    val ranked = DedupOps.registerCache(
+      embeddings
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+        .select(
+          col("vec_id"), col("label"), col("emb"),
+          row_number().over(byLabel).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("label"))).as("c"),
+          coalesce(lead(col("vec_id"), 1).over(byLabel),
+            first(col("vec_id")).over(byLabel)).as("pos_id"),
+          coalesce(lead(col("emb"), 1).over(byLabel),
+            first(col("emb")).over(byLabel)).as("p_emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // cyclic label successor + its cardinality: |labels| rows, broadcast
+    val labels = ranked.groupBy(col("label")).agg(max(col("c")).as("nc"))
+      .withColumn("nxt", coalesce(
+        lead(col("label"), 1).over(Window.orderBy(col("label"))),
+        min(col("label")).over()))
+      .withColumn("nxt_c", coalesce(
+        lead(col("nc"), 1).over(Window.orderBy(col("label"))),
+        min(struct(col("label"), col("nc"))).over().getField("nc")))
+      .select(col("label"), col("nxt"), col("nxt_c"))
     val neg = ranked.select(
-      col("label").as("n_label2"), col("rn").as("n_rn"),
+      col("label").as("n_label"), col("rn").as("n_rn"),
       col("vec_id").as("neg_id"), col("emb").as("n_emb"))
-    anchors
-      .join(pos, col("label") === col("p_label") && col("pos_rn") === col("p_rn"))
-      .join(broadcast(negCounts), col("nxt") === col("n_label"))
-      .withColumn("neg_rn", pmod(col("rn") - 1, col("nc")) + 1)
-      .join(neg, col("nxt") === col("n_label2") && col("neg_rn") === col("n_rn"))
+    ranked
+      .join(broadcast(labels), Seq("label"))
+      .withColumn("neg_rn", pmod(col("rn") - 1, col("nxt_c")) + 1)
+      .join(neg, col("nxt") === col("n_label") && col("neg_rn") === col("n_rn"))
       .select(
-        col("anchor_id"), col("pos_id"), col("neg_id"),
-        round(GraftFunctions.cosine(col("a_emb"), col("p_emb")), 6).as("cos_ap"),
-        round(GraftFunctions.cosine(col("a_emb"), col("n_emb")), 6).as("cos_an"))
+        col("vec_id").as("anchor_id"), col("pos_id"), col("neg_id"),
+        round(GraftFunctions.cosine(col("emb"), col("p_emb")), 6).as("cos_ap"),
+        round(GraftFunctions.cosine(col("emb"), col("n_emb")), 6).as("cos_an"))
       .orderBy(col("anchor_id"))
   }
 }
