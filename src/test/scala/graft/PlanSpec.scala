@@ -114,4 +114,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "stats relation (rows = #types) must broadcast")
     assert(!p.contains("sqrt"), "the 2-sigma gate is integer arithmetic, no sqrt in the plan")
   }
+
+  test("dedup_minhash: no re-aggregation after the one signature aggregate") {
+    // wide-signature LSH: banding is a projection, the estimate a
+    // broadcast join — the only aggregations are the signature minima and
+    // the candidate distinct; the estimate must NOT re-aggregate per seed
+    val p = plan("dedup_minhash")
+    assert(p.contains("BroadcastHashJoin"), "bounded candidate relation must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join in the LSH plan")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("zorder_cells: interleave stays in one codegen projection over the scan") {
+    val p = plan("zorder_cells")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      "scan must prune to the two interleaved key columns")
+    assert(p.contains("TakeOrderedAndProject"), "top-k cells must avoid a global sort")
+  }
+
+  test("contrastive_triplets: one window lineage, broadcast label successor") {
+    val p = plan("contrastive_triplets")
+    assert(p.contains("InMemoryTableScan"), "ranked relation must be computed once and cached")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the triplet plan")
+    assert(p.contains("graft_cosine"), "margins must use the codegen'd kernel")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("group_quantiles: rank filters prune map-side, group sort happens once") {
+    val p = plan("group_quantiles")
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
+      "scan must prune to the group and value columns")
+  }
 }
