@@ -31,7 +31,9 @@ object CurationQueries {
     // α=0.5 temperature-weighted mixture weights per source.
     "source_mixture" -> ((s, dir) => CurationOps.sourceMixture(Tables.documents(s, dir))),
     // CCNet head/middle/tail LM-score terciles.
-    "doc_lm_buckets" -> ((s, dir) => CurationOps.lmBuckets(Tables.documents(s, dir))))
+    "doc_lm_buckets" -> ((s, dir) => CurationOps.lmBuckets(Tables.documents(s, dir))),
+    // First BPE merge iteration: weighted adjacent-char pair counts.
+    "bpe_merges" -> ((s, dir) => CurationOps.bpeMergeCandidates(Tables.documents(s, dir))))
 
   private val stopList =
     graft.operators.TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -202,5 +204,24 @@ object CurationQueries {
          |       CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |       CAST(sum(CASE WHEN rk <= 10 THEN nt ELSE 0 END) AS BIGINT) AS sampled_tokens
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
-    })
+    },
+    "bpe_merges" ->
+      """WITH v AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT w, wc,
+        |         unnest(CASE WHEN length(w) >= 2 THEN
+        |                  list_transform(generate_series(1, length(w) - 1),
+        |                                 i -> substr(w, i, 2))
+        |                ELSE CAST([] AS VARCHAR[]) END) AS pair
+        |  FROM v
+        |), g AS (
+        |  SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT pair, pair_count, n_words
+        |FROM g ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin)
 }

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LayoutOps, ProfileOps, TrainsetOps}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeltaOps, LayoutOps, ProfileOps, TrainsetOps}
 import graft.sources.Tables
 
 /** Dataset-profiling, data-layout, and training-set-construction queries
@@ -31,7 +33,21 @@ object ProfileQueries {
       TrainsetOps.rebalanceClasses(Tables.embeddings(s, dir))),
     // One anchor/positive/negative triplet per vector with cosine margins.
     "contrastive_triplets" -> ((s, dir) =>
-      TrainsetOps.contrastiveTriplets(Tables.embeddings(s, dir))))
+      TrainsetOps.contrastiveTriplets(Tables.embeddings(s, dir))),
+    // CDC-style diff of two simulated orders snapshots (drops, arrivals,
+    // price updates) by map-side row digest + one full-outer key join.
+    "snapshot_diff" -> ((s, dir) => {
+      val cents = (col("o_totalprice") * lit(100.0)).cast("bigint")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), cents.as("cents"), col("o_orderstatus"))
+      val oldSnap = base.filter(pmod(col("o_orderkey"), lit(97)) =!= 3)
+      val newSnap = base
+        .filter(pmod(col("o_orderkey"), lit(89)) =!= 7)
+        .withColumn("cents",
+          col("cents") + when(pmod(col("o_orderkey"), lit(13)) === 0, 1L).otherwise(0L))
+      DeltaOps.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+        Seq(col("cents").cast("string"), col("o_orderstatus")))
+    }))
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_dot_product($a, $b)
@@ -157,5 +173,29 @@ object ProfileQueries {
          |JOIN r p ON p.label = a.label AND p.rn = a.pos_rn
          |JOIN nc ON nc.n_label = a.nxt
          |JOIN r ng ON ng.label = a.nxt AND ng.rn = ((a.rn - 1) % nc.nc) + 1
-         |ORDER BY anchor_id""".stripMargin)
+         |ORDER BY anchor_id""".stripMargin,
+    "snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(trunc(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |         o_orderstatus AS st
+        |  FROM orders
+        |), s_old AS (
+        |  SELECT k, md5(CAST(cents AS VARCHAR) || '|' || st) AS od
+        |  FROM base WHERE k % 97 <> 3
+        |), s_new AS (
+        |  SELECT k, md5(CAST(cents + CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END
+        |                     AS VARCHAR) || '|' || st) AS nd
+        |  FROM base WHERE k % 89 <> 7
+        |), j AS (
+        |  SELECT coalesce(s_old.k, s_new.k) AS k,
+        |         CASE WHEN od IS NULL THEN 'added'
+        |              WHEN nd IS NULL THEN 'removed'
+        |              WHEN od <> nd THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM s_old FULL OUTER JOIN s_new ON s_old.k = s_new.k
+        |)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(k) AS BIGINT) AS key_checksum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -56,6 +56,10 @@ object SimilarityQueries {
     // quality gate an ANN deployment monitors. One summary row; the hit
     // count is an exact-integer join intersection, so the metric itself is
     // oracle-hashable (both top-k pipelines were already bit-exact).
+    // Int8 scalar quantization summary per dimension (range, saturation,
+    // mean reconstruction error) — the compression step before ANN.
+    "embed_quantize" -> ((s, dir) =>
+      graft.operators.TrainsetOps.quantizeEmbeddings(Tables.embeddings(s, dir))),
     "ann_recall" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
       val bf = SimilarityOps.knnBruteForce(q, c, k = 10).select(col("q_id"), col("c_id"))
@@ -157,6 +161,37 @@ object SimilarityQueries {
          |)
          |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |), d AS (
+        |  SELECT vec_id,
+        |         unnest(generate_series(0, len(emb) - 1)) AS dim,
+        |         unnest(emb) AS v
+        |  FROM e
+        |), st AS (
+        |  SELECT dim, min(v) AS min_v, max(v) AS max_v FROM d GROUP BY 1
+        |), q AS (
+        |  SELECT d.dim, d.v, st.min_v, st.max_v,
+        |         CASE WHEN st.max_v = st.min_v THEN 0
+        |              ELSE least(255, CAST(floor((d.v - st.min_v) * 255.0
+        |                                         / (st.max_v - st.min_v)) AS BIGINT))
+        |         END AS code
+        |  FROM d JOIN st USING (dim)
+        |), r AS (
+        |  SELECT dim, v, min_v, max_v, code,
+        |         CAST(round(abs(v - (min_v + (CAST(code AS DOUBLE) + 0.5)
+        |                                     * (max_v - min_v) / 255.0))
+        |                    * 1000000000.0) AS BIGINT) AS err_nano
+        |  FROM q
+        |)
+        |SELECT dim, min(min_v) AS min_v, max(max_v) AS max_v,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_saturated,
+        |       round(CAST(sum(err_nano) AS DOUBLE) / 1000000000.0
+        |             / CAST(count(*) AS DOUBLE), 6) AS mean_abs_err
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_recall" -> {
       val bucket = (0 until Planes)
         .map(p =>

@@ -323,4 +323,34 @@ object CurationOps {
       .select(col("source"), col("n_docs"), col("n_sampled"), col("sampled_tokens"))
       .orderBy(col("source"))
   }
+
+  /** First BPE merge iteration: corpus-weighted counts of adjacent
+    * character pairs inside words — the candidate table a byte-pair
+    * tokenizer trainer merges from. Top-k pairs by weighted frequency.
+    *
+    * Scale shape: the classic BPE-trainer trick — aggregate the corpus to
+    * its VOCABULARY first (one shuffle over word keys; |vocab| ≪ corpus
+    * tokens, and it only grows sublinearly with corpus size), then explode
+    * character pairs over vocab rows weighted by word count. The pair
+    * aggregation input is O(|vocab| · word length), independent of corpus
+    * row count.
+    */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = 20): DataFrame = {
+    val vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+    val pairs = when(
+      length(col("w")) >= 2,
+      transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    vocab
+      .select(col("w"), col("wc"), explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("pair_count"), countDistinct(col("w")).as("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -57,6 +57,48 @@ object TrainsetOps {
       .orderBy(col("label"))
   }
 
+  /** Int8 scalar quantization of the embedding corpus — the storage/ANN
+    * compression step (4× smaller vectors, SIMD-friendly distance): each
+    * dimension's global [min, max] maps linearly onto codes 0..255, and
+    * the per-dim summary reports the range, the saturated-code count and
+    * the mean absolute reconstruction error (midpoint decode).
+    *
+    * Scale shape: two passes over the exploded (vec, dim, value) stream —
+    * a 64-row min/max aggregate broadcast back onto the stream, then one
+    * aggregate for the error summary. All float arithmetic is the same
+    * left-to-right expression tree in both engines over float32-exact
+    * doubles, and the error is quantized to integer nanos before the sum
+    * — bit-reproducible in the DuckDB oracle.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+    val stats = dims.groupBy(col("dim"))
+      .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val code = when(col("max_v") === col("min_v"), lit(0L))
+      .otherwise(least(
+        lit(255L),
+        floor((col("v") - col("min_v")) * lit(255.0) / (col("max_v") - col("min_v")))))
+    val recon = col("min_v") +
+      (col("code").cast("double") + lit(0.5)) * (col("max_v") - col("min_v")) / lit(255.0)
+    dims
+      .join(broadcast(stats), Seq("dim"))
+      .withColumn("code", code)
+      .withColumn("err_nano", (round(abs(col("v") - recon) * lit(1e9), 0)).cast("bigint"))
+      .groupBy(col("dim"))
+      .agg(
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        count(lit(1)).as("n"),
+        sum(when(col("code") === 255L, 1L).otherwise(0L)).as("n_saturated"),
+        sum(col("err_nano")).as("sum_err_nano"))
+      .select(
+        col("dim"), col("min_v"), col("max_v"), col("n"), col("n_saturated"),
+        round(col("sum_err_nano").cast("double") / lit(1e9) / col("n").cast("double"), 6)
+          .as("mean_abs_err"))
+      .orderBy(col("dim"))
+  }
+
   /** Deterministic contrastive triplets: every vector anchors one triplet;
     * the positive is the next vector of the same label in vec_id order
     * (cyclic), the negative is the rank-aligned vector of the next label

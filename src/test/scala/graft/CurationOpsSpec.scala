@@ -121,4 +121,14 @@ class CurationOpsSpec extends SparkSpec {
       assert(n > 0, name)
     }
   }
+  test("bpe merge candidates golden: weighted pair counts over the vocab") {
+    // vocab: spark×3, lake×1, park×1 — "ar","pa","rk" appear in 2 words
+    // with weight 3+1=4; "sp" only in spark (3); rest weight 1
+    val docs = Seq((1L, "spark spark lake"), (2L, "spark park")).toDF("doc_id", "text")
+    val got = CurationOps
+      .bpeMergeCandidates(docs, k = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("ar", 4L, 2L), ("pa", 4L, 2L), ("rk", 4L, 2L), ("sp", 3L, 1L)))
+  }
 }

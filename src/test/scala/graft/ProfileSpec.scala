@@ -102,6 +102,26 @@ class LayoutSpec extends SparkSpec {
   }
 }
 
+class DeltaSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val newSnap = Seq((2L, "b"), (3L, "C"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    val out = graft.operators.DeltaOps
+      .snapshotDiff(oldSnap, newSnap, "k", Seq(col("v")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      "added" -> (1L, 5L), //     key 5 arrived
+      "removed" -> (1L, 1L), //   key 1 dropped
+      "changed" -> (1L, 3L), //   key 3's digest moved
+      "unchanged" -> (2L, 6L))) // keys 2 + 4
+  }
+}
+
 class TrainsetSpec extends SparkSpec {
   import spark.implicits._
 
@@ -122,6 +142,18 @@ class TrainsetSpec extends SparkSpec {
     val out = TrainsetOps.rebalanceClasses(emb).collect()
     val t = out.map(_.getLong(1)).max
     assert(out.forall(_.getLong(2) == t))
+  }
+
+  test("quantizeEmbeddings: codes bounded, reconstruction error within half a step") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val out = TrainsetOps.quantizeEmbeddings(emb).collect()
+    assert(out.length == 64)
+    for (r <- out) {
+      val (minV, maxV, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(5))
+      // midpoint decode: |err| <= step/2 = (max-min)/510 per value
+      assert(err <= (maxV - minV) / 510.0 + 1e-9, s"dim ${r.getInt(0)} err $err")
+      assert(r.getLong(4) <= r.getLong(3), "saturated count bounded by n")
+    }
   }
 
   test("contrastiveTriplets: one per vector, pos same label, neg next label") {
