@@ -254,7 +254,38 @@ object EventsQueries {
     // The sketch composed with a time window: per-hour distinct users,
     // exact and estimated (streaming twin in StreamingSketchSpec).
     "hourly_users" -> ((s, dir) =>
-      graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))))
+      graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))),
+    // Time-series resample + gap fill: per-minute event counts over the
+    // full calendar (sequence join marks empty minutes), revenue carried
+    // forward with last_value(IGNORE NULLS). The unpartitioned fill
+    // window runs on the CALENDAR relation (bounded: minutes in range),
+    // never on raw events — same cardinality-reduction-before-window rule
+    // as the deciles.
+    "minute_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perMin = ev
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("value").isNotNull && !isnan(col("value")),
+            (col("value") * lit(100.0)).cast("bigint"))).as("rev_c"))
+      val calendar = perMin
+        .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 minute")))
+          .as("minute"))
+      calendar
+        .join(perMin, Seq("minute"), "left")
+        .select(
+          col("minute"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("n_events").isNull, 1).otherwise(0).as("is_gap"),
+          col("rev_c"),
+          last(col("rev_c"), ignoreNulls = true)
+            .over(Window.orderBy(col("minute"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("rev_c_filled"))
+        .orderBy(col("minute"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "events_retention" ->
@@ -505,5 +536,31 @@ object EventsQueries {
         |  FROM u
         |)
         |SELECT event_id, user_id, ts_us, last_purchase_value
-        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin)
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "minute_gapfill" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+        |         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |              THEN CAST(trunc(value * 100.0) AS BIGINT) END AS cents
+        |  FROM events
+        |), pm AS (
+        |  SELECT minute, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(cents) AS BIGINT) AS rev_c
+        |  FROM e GROUP BY 1
+        |), cal AS (
+        |  SELECT unnest(generate_series((SELECT min(minute) FROM pm),
+        |                                (SELECT max(minute) FROM pm),
+        |                                INTERVAL 1 MINUTE)) AS minute
+        |), j AS (
+        |  SELECT cal.minute,
+        |         CAST(coalesce(pm.n_events, 0) AS BIGINT) AS n_events,
+        |         CASE WHEN pm.n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+        |         pm.rev_c
+        |  FROM cal LEFT JOIN pm USING (minute)
+        |)
+        |SELECT minute, n_events, is_gap, rev_c,
+        |       last_value(rev_c IGNORE NULLS) OVER (
+        |         ORDER BY minute
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_c_filled
+        |FROM j ORDER BY minute""".stripMargin)
 }

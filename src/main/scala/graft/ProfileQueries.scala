@@ -34,6 +34,10 @@ object ProfileQueries {
     // One anchor/positive/negative triplet per vector with cosine margins.
     "contrastive_triplets" -> ((s, dir) =>
       TrainsetOps.contrastiveTriplets(Tables.embeddings(s, dir))),
+    // Outlier-clamped per-group mean: values winsorized to the group's
+    // [p5, p95] order statistics (exact integer thresholds).
+    "winsorized_stats" -> ((s, dir) =>
+      ProfileOps.winsorizedStats(Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")),
     // CDC-style diff of two simulated orders snapshots (drops, arrivals,
     // price updates) by map-side row digest + one full-outer key join.
     "snapshot_diff" -> ((s, dir) => {
@@ -197,5 +201,34 @@ object ProfileQueries {
         |)
         |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
         |       CAST(sum(k) AS BIGINT) AS key_checksum
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "winsorized_stats" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(trunc(l_extendedprice * 100.0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY CAST(trunc(l_extendedprice * 100.0)
+        |                                          AS BIGINT)) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        |), th AS (
+        |  SELECT grp,
+        |         max(CASE WHEN rn = (5 * (n - 1)) // 100 + 1 THEN cents END) AS lo_c,
+        |         max(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN cents END) AS hi_c
+        |  FROM r GROUP BY 1
+        |), c AS (
+        |  SELECT r.grp, th.lo_c, th.hi_c, r.cents,
+        |         greatest(th.lo_c, least(th.hi_c, r.cents)) AS clamped
+        |  FROM r JOIN th USING (grp)
+        |)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |       max(lo_c) AS lo_c, max(hi_c) AS hi_c,
+        |       CAST(sum(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clip_lo,
+        |       CAST(sum(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clip_hi,
+        |       round(CAST(sum(clamped) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             / 100.0, 6) AS wins_mean
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 }

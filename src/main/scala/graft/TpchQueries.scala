@@ -314,6 +314,54 @@ object TpchQueries {
         .groupBy(col("n_name"))
         .agg(sum(col("rev_c2")).as("revenue_c2"))
         .orderBy(col("revenue_c2").desc, col("n_name"))
+    }),
+    // National market share (TPC-H Q8 shape): the deepest join tree in the
+    // suite — lineitem through part, orders, customer, nation×region (the
+    // market filter), supplier, and the supplier-nation dim, grouped by
+    // order year. Catalyst owns the join order; the fixed-size nation and
+    // region relations get explicit broadcasts, everything else is left to
+    // AQE. The share division is the only float op, over exact cents²
+    // sums, rounded to 6.
+    "q8_market_share" -> ((s, dir) => {
+      val marketNations = broadcast(
+        Tables
+          .nation(s, dir)
+          .join(
+            broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key")))
+      val suppNation = broadcast(
+        Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val std = Tables.part(s, dir)
+        .filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val li = Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_c2"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      li.join(std, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(marketNations, col("c_nationkey") === col("cn_key"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(col("rev_c2")).as("total_c2"),
+          sum(when(col("supp_nation") === "NATION_2", col("rev_c2")).otherwise(0L))
+            .as("nation_c2"))
+        .select(
+          col("o_year"), col("total_c2"), col("nation_c2"),
+          round(col("nation_c2").cast("double") / col("total_c2").cast("double"), 6)
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -477,5 +525,30 @@ object TpchQueries {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
         |GROUP BY n.n_name
-        |ORDER BY revenue_c2 DESC, n_name""".stripMargin)
+        |ORDER BY revenue_c2 DESC, n_name""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+        |            AS BIGINT) AS total_c2,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |                     THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |                          * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+        |                     ELSE 0 END) AS BIGINT) AS nation_c2,
+        |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |                          THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |                               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+        |                          ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+        |                    AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -95,4 +95,58 @@ object ProfileOps {
           6).as("q"))
       .orderBy(col("grp"), col("p"))
   }
+
+  /** Winsorized (outlier-clamped) per-group statistics: values are clamped
+    * to the [pLo, pHi] order statistics of their group (lower/type-1
+    * quantile — an actual data value, so thresholds and the clamped sum
+    * stay exact integers; no interpolation float enters the aggregate) and
+    * the summary reports the thresholds, clip counts, and winsorized mean.
+    * The robust-mean step of any metric pipeline with heavy-tailed values.
+    *
+    * Scale shape: same distributed-sort rank window as [[groupQuantiles]],
+    * then the per-group threshold relation (2 values per group) joins back
+    * onto the ranked stream — broadcast-sized for any real group count.
+    * Rank selection uses pure BIGINT arithmetic (`p·(n−1) DIV 100`).
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Int = 5,
+      pHi: Int = 95): DataFrame = {
+    val cents = (col(valueCol) * lit(100.0)).cast("bigint")
+    val ranked = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(col(groupCol).as("grp"), cents.as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val kLo = expr(s"$pLo * (n - 1) DIV 100") + 1
+    val kHi = expr(s"$pHi * (n - 1) DIV 100") + 1
+    val thresholds = ranked
+      .groupBy(col("grp"))
+      .agg(
+        max(when(col("rn") === kLo, col("cents"))).as("lo_c"),
+        max(when(col("rn") === kHi, col("cents"))).as("hi_c"))
+    ranked
+      .join(broadcast(thresholds), Seq("grp"))
+      .select(
+        col("grp"), col("lo_c"), col("hi_c"),
+        col("cents"),
+        greatest(col("lo_c"), least(col("hi_c"), col("cents"))).as("clamped"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("lo_c")).as("lo_c"),
+        max(col("hi_c")).as("hi_c"),
+        sum(when(col("cents") < col("lo_c"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi_c"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("clamped")).as("sum_clamped_c"))
+      .select(
+        col("grp"), col("n"), col("lo_c"), col("hi_c"),
+        col("n_clip_lo"), col("n_clip_hi"),
+        round(col("sum_clamped_c").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("wins_mean"))
+      .orderBy(col("grp"))
+  }
 }

@@ -63,4 +63,54 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(rows.forall(_._2 > 0L))
   }
+  test("q8: market share in [0,1], nation revenue bounded by total, all years present") {
+    val rows = TpchQueries.queries("q8_market_share")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, nation, share) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nation >= 0L && nation <= total)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - nation.toDouble / total.toDouble) < 1e-6)
+    }
+  }
+
+  test("minute_gapfill: calendar is dense, gap rows carry forward the last revenue") {
+    import spark.implicits._
+    val out = EventsQueries.queries("minute_gapfill")(spark, TestSpark.sf0001).collect()
+    // dense calendar: row count == minutes between first and last, inclusive
+    val mins = out.map(_.getTimestamp(0).getTime / 60000)
+    assert(mins.last - mins.head + 1 == out.length)
+    assert(mins.sliding(2).forall(p => p(1) == p(0) + 1), "no missing calendar minute")
+    // every gap row has zero events and inherits the previous filled value
+    out.sliding(2).foreach { w =>
+      val (prev, cur) = (w(0), w(1))
+      if (cur.getInt(2) == 1) {
+        assert(cur.getLong(1) == 0L)
+        assert(cur.isNullAt(3), "gap rows have no raw revenue")
+        assert(cur.get(4) == prev.get(4), "fill carries the previous value")
+      }
+    }
+    assert(out.exists(_.getInt(2) == 1), "sf0.001 should contain at least one empty minute")
+  }
+
+  test("winsorized_stats: thresholds are order statistics, clip counts consistent") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val out = graft.operators.ProfileOps
+      .winsorizedStats(li, "l_returnflag", "l_extendedprice")
+      .collect()
+    val byFlag = li
+      .select(col("l_returnflag"), (col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    out.foreach { r =>
+      val (g, n, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val vs = byFlag(g)
+      assert(n == vs.length)
+      assert(lo == vs(((5 * (n - 1)) / 100).toInt) && hi == vs(((95 * (n - 1)) / 100).toInt))
+      assert(r.getLong(4) == vs.count(_ < lo) && r.getLong(5) == vs.count(_ > hi))
+      val mean = BigDecimal(vs.map(v => math.max(lo, math.min(hi, v))).sum) / n / 100
+      assert(r.getDouble(6) == mean.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
