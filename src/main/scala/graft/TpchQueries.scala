@@ -362,6 +362,33 @@ object TpchQueries {
           round(col("nation_c2").cast("double") / col("total_c2").cast("double"), 6)
             .as("mkt_share"))
         .orderBy(col("o_year"))
+    }),
+    // Correlated scalar subqueries through the SQL surface: orders above
+    // their own customer's average order value, per market segment.
+    // Catalyst DECORRELATES both subqueries into aggregate + join (the
+    // rewrite a naive executor would run as O(n) point lookups); the
+    // comparison is cross-multiplied into exact integers (cents·count vs
+    // sum-of-cents) so no float average is ever materialized.
+    "above_avg_orders" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      s.sql(
+        """WITH o AS (
+          |  SELECT o_orderkey, o_custkey,
+          |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          |  FROM graft_orders
+          |), flagged AS (
+          |  SELECT c.c_mktsegment AS segment,
+          |         CASE WHEN o.cents *
+          |                (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+          |              > (SELECT sum(cents) FROM o o3 WHERE o3.o_custkey = o.o_custkey)
+          |              THEN 1L ELSE 0L END AS above
+          |  FROM o JOIN graft_customer c ON o.o_custkey = c.c_custkey
+          |)
+          |SELECT segment, count(*) AS n_orders, sum(above) AS n_above,
+          |       round(CAST(sum(above) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          |         AS above_frac
+          |FROM flagged GROUP BY segment ORDER BY segment""".stripMargin)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -550,5 +577,27 @@ object TpchQueries {
         |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle is written in the DECORRELATED form Catalyst rewrites the
+    // engine's correlated subqueries into — same relation, documents the rewrite
+    "above_avg_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders
+        |), a AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_c,
+        |         CAST(sum(cents) AS BIGINT) AS sum_c
+        |  FROM o GROUP BY 1
+        |), flagged AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         CASE WHEN o.cents * a.n_c > a.sum_c THEN 1 ELSE 0 END AS above
+        |  FROM o JOIN a USING (o_custkey)
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(above) AS BIGINT) AS n_above,
+        |       round(CAST(sum(above) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS above_frac
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin)
 }

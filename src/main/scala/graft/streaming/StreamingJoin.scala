@@ -36,4 +36,16 @@ object StreamingJoin {
       "inner")
       .drop(r(keyCol))
   }
+
+  /** Stream-static enrichment: attach dimension attributes to a stream by
+    * key. The static side is a plain (bounded) DataFrame — Spark plans it
+    * as a broadcast hash join probed per micro-batch, so the stream never
+    * shuffles and NO join state accumulates (the scale contrast to a
+    * stream-stream join: dimension lookups should always take this path,
+    * not a watermarked join). Left join keeps stream rows with no
+    * dimension match (`dim` columns null) — dropping events because a dim
+    * is late-loaded is never acceptable in a pipeline.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
 }

@@ -105,6 +105,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim probe, unmatched rows kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Timestamp, Long)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = graft.streaming.StreamingJoin.enrich(
+      events.toDF().toDF("ts", "user_id"), dim, "user_id")
+    val q = enriched.writeStream
+      .format("memory")
+      .queryName("enrich_out")
+      .outputMode("append")
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      events.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:01:00"), 9L))
+      q.processAllAvailable()
+      // second micro-batch probes the same broadcast — no state growth
+      events.addData((t("2024-01-01 10:02:00"), 2L))
+      q.processAllAvailable()
+      // using-join output order: (user_id, ts, tier)
+      val got = spark
+        .table("enrich_out")
+        .orderBy("ts")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)).getOrElse("none")))
+        .toSeq
+      assert(got == Seq(1L -> "gold", 9L -> "none", 2L -> "silver"))
+      // no stateful operator in the plan: enrichment must not accumulate
+      // join state the way a stream-stream join does
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
