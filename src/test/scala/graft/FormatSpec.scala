@@ -43,6 +43,19 @@ class FormatSpec extends SparkSpec {
     assert(canon(back) == canon(docs))
   }
 
+  test("orc roundtrip: columnar alternative, schema preserved, lossless") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val path = "target/format_spec/docs_orc"
+    docs.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    // ORC carries its own schema — no explicit StructType needed, and
+    // predicate pushdown works like parquet's
+    assert(back.schema.fieldNames.toSeq == docs.schema.fieldNames.toSeq)
+    assert(canon(back) == canon(docs))
+    val pruned = back.select("doc_id").filter(col("doc_id") > 400)
+    assert(pruned.count() == docs.filter(col("doc_id") > 400).count())
+  }
+
   test("format-agnostic queries: the oracle query tree runs unchanged on a json copy") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val path = "target/format_spec/docs_for_query"
