@@ -174,6 +174,30 @@ object HistogramOps {
       .orderBy(col("value"))
   }
 
+  /** Histogram from an ALREADY-BINNED relation `(code: int, cnt: long)` —
+    * the merge suffix for sources that aggregate per partition themselves
+    * (the DSv2 raster `mode=hist` scan, mirroring the reference's
+    * per-worker `np.histogram`, compute_histogram/main.py:182-201 + the
+    * `_add_histogram` fold at :100-108). Input codes must already respect
+    * the range/last-bin semantics; this stage only merges (Σ per code) and
+    * densifies — identical output to [[histogram]] over the raw values.
+    */
+  def histogramFromBinned(binned: DataFrame, spec: BinSpec): DataFrame = {
+    val spark = binned.sparkSession
+    if (spec.bins == 0) {
+      import spark.implicits._
+      return Seq.empty[(Double, Long)].toDF("value", "cnt")
+    }
+    val merged = binned
+      .groupBy(col("code").as("bin"))
+      .agg(sum(col("cnt")).as("count"))
+    val bins = spark.range(spec.lo.toLong, spec.hi.toLong).select(col("id").cast("int").as("bin"))
+    bins
+      .join(merged, Seq("bin"), "left")
+      .select(binEdge(col("bin"), spec).as("value"), coalesce(col("count"), lit(0L)).as("cnt"))
+      .orderBy(col("value"))
+  }
+
   /** End-to-end two-job pipeline: stats pass (A1/A2) → derive BinSpec on the
     * driver (1 collected row) → histogram pass. Mirrors the reference's
     * pass-1/pass-2 shape (compute_histogram/main.py:53-57).

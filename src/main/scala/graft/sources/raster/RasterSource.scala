@@ -29,8 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("tiles", "s3://b/a.tif,s3://b/b.tif")   // inline list, OR:
   *     .option("tileListPath", "s3://b/tiles.txt")     // one URI per line
   *     .option("pixelsPerTile", "40000")   // stub band size
+  *     .option("mode", "values")           // values (default) | stats | hist
   *     .load()
   * }}}
+  *
+  * `mode=stats` and `mode=hist` aggregate per tile INSIDE the reader (the
+  * reference's own worker functions as scan modes — see
+  * [[RasterAggScans]]); `hist` additionally takes
+  * `binLo`/`binHi`/`binMethod`/`binOffset`/`legacyLogOffset100`.
   *
   * `tileListPath` is the scale path for large tile sets (the reference's
   * bio_*_list.txt shape, S4): the list file is read once at PLAN time
@@ -45,7 +51,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class RasterSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    RasterSource.Schema
+    RasterSource.schemaFor(options.getOrDefault("mode", "values"))
 
   override def getTable(
       schema: StructType,
@@ -54,13 +60,35 @@ class RasterSource extends TableProvider {
     new RasterTable(
       properties.getOrDefault("tiles", ""),
       properties.getOrDefault("tileListPath", ""),
-      properties.getOrDefault("pixelsPerTile", "10000").toLong)
+      properties.getOrDefault("pixelsPerTile", "10000").toLong,
+      properties.getOrDefault("mode", "values"),
+      properties)
 }
 
 object RasterSource {
   val Schema: StructType = StructType(
     Seq(StructField("tile_uri", StringType, nullable = false),
       StructField("value", DoubleType, nullable = false)))
+
+  /** `mode=stats` schema: one aggregated row per tile (pass 1 pushed). */
+  val StatsSchema: StructType = StructType(
+    Seq(StructField("tile_uri", StringType, nullable = false),
+      StructField("min_value", DoubleType, nullable = false),
+      StructField("max_value", DoubleType, nullable = false),
+      StructField("n_valid", LongType, nullable = false)))
+
+  /** `mode=hist` schema: sparse per-tile bin counts (pass 2 pushed). */
+  val HistSchema: StructType = StructType(
+    Seq(StructField("tile_uri", StringType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+
+  def schemaFor(mode: String): StructType = mode match {
+    case "values" => Schema
+    case "stats"  => StatsSchema
+    case "hist"   => HistSchema
+    case other    => throw new IllegalArgumentException(s"Unknown raster scan mode $other")
+  }
 
   /** Read a one-URI-per-line tile list through the Hadoop filesystem (any
     * scheme the cluster knows: file://, s3a://, hdfs://). Plan-time only.
@@ -75,13 +103,20 @@ object RasterSource {
   }
 }
 
-final class RasterTable(tiles: String, tileListPath: String, pixelsPerTile: Long)
+final class RasterTable(
+    tiles: String,
+    tileListPath: String,
+    pixelsPerTile: Long,
+    mode: String,
+    properties: util.Map[String, String])
     extends Table
     with SupportsRead {
+  def this(tiles: String, tileListPath: String, pixelsPerTile: Long) =
+    this(tiles, tileListPath, pixelsPerTile, "values", new util.HashMap[String, String]())
   override def name(): String =
-    if (tileListPath.nonEmpty) s"raster($tileListPath)"
-    else s"raster(${tiles.split(",").length} tiles)"
-  override def schema(): StructType = RasterSource.Schema
+    if (tileListPath.nonEmpty) s"raster($tileListPath, $mode)"
+    else s"raster(${tiles.split(",").length} tiles, $mode)"
+  override def schema(): StructType = RasterSource.schemaFor(mode)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -89,31 +124,57 @@ final class RasterTable(tiles: String, tileListPath: String, pixelsPerTile: Long
       () =>
         if (tileListPath.nonEmpty) RasterSource.readTileList(tileListPath)
         else tiles.split(",").filter(_.nonEmpty),
-      pixelsPerTile)
+      pixelsPerTile,
+      mode,
+      properties)
 }
 
-final class RasterScanBuilder(tiles: () => Array[String], pixelsPerTile: Long)
+final class RasterScanBuilder(
+    tiles: () => Array[String],
+    pixelsPerTile: Long,
+    mode: String,
+    properties: util.Map[String, String])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns {
-  private var required: StructType = RasterSource.Schema
+  private var required: StructType = RasterSource.schemaFor(mode)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands us the projected schema; empty projection (count(*))
     // keeps zero columns and the reader emits empty rows
     required = requiredSchema
 
-  override def build(): Scan = new RasterScan(tiles, pixelsPerTile, required)
+  override def build(): Scan =
+    new RasterScan(tiles, pixelsPerTile, required, mode, properties)
 }
 
-final class RasterScan(tiles: () => Array[String], pixelsPerTile: Long, required: StructType)
+final class RasterScan(
+    tiles: () => Array[String],
+    pixelsPerTile: Long,
+    required: StructType,
+    mode: String,
+    properties: util.Map[String, String])
     extends Scan
     with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     tiles().map(t => RasterInputPartition(t, pixelsPerTile): InputPartition)
-  override def createReaderFactory(): PartitionReaderFactory =
-    new RasterReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = mode match {
+    case "values" => new RasterReaderFactory(required)
+    case "stats"  => new RasterStatsReaderFactory(required)
+    case "hist" =>
+      val spec = graft.core.BinSpec(
+        lo = properties.get("binLo").toInt,
+        hi = properties.get("binHi").toInt,
+        offset =
+          Option(properties.get("binOffset")).map(_.toDouble).getOrElse(0.0),
+        method = graft.core.BinMethod.parse(
+          Option(properties.get("binMethod")).getOrElse("linear")))
+      new RasterHistReaderFactory(
+        required,
+        spec,
+        Option(properties.get("legacyLogOffset100")).exists(_.toBoolean))
+  }
 }
 
 final case class RasterInputPartition(tileUri: String, pixels: Long) extends InputPartition
