@@ -50,7 +50,10 @@ object DedupQueries {
     // Substring-level near-dups: winnowing-fingerprint containment ≥ 0.8
     // (catches copy-with-additions that token Jaccard under-scores).
     "dedup_substring" -> ((s, dir) =>
-      DedupOps.substringPairs(Tables.documents(s, dir), minContain = 0.8)))
+      DedupOps.substringPairs(Tables.documents(s, dir), minContain = 0.8)),
+    // Survivor selection per near-dup cluster (longest-copy-wins policy).
+    "dedup_survivors" -> ((s, dir) =>
+      ClusterOps.nearDupSurvivors(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
 
   /** Shared oracle CTE chain: documents → 3-gram shingles → portable
     * 60-bit shingle hashes (the engine hashes identically — see
@@ -116,6 +119,34 @@ object DedupQueries {
          |)
          |SELECT node AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_survivors" ->
+      // same recursive component chain as dedup_clusters + the
+      // longest-copy-wins policy rank
+      s"""WITH RECURSIVE $jaccardPairCtes, pairs AS (
+         |  SELECT a_id, b_id FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs
+         |), reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), cl AS (
+         |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+         |), rk AS (
+         |  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY d.n_chars DESC, cl.doc_id) AS rk
+         |  FROM cl JOIN documents d USING (doc_id)
+         |)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+         |       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+         |       CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+         |         AS survivor_nchars,
+         |       CAST(count(*) - 1 AS BIGINT) AS n_removed
+         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

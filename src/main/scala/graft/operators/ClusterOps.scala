@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -82,4 +83,33 @@ object ClusterOps {
       docs.select(col("doc_id").as("id")),
       DedupOps.jaccardPairs(docs, n, minJaccard).select(col("a_id"), col("b_id")))
       .select(col("id").as("doc_id"), col("cluster_id"))
+
+  /** Survivor selection — the final step of the dedup pipeline: per
+    * near-dup cluster keep ONE document under a deterministic policy
+    * (longest text wins, doc_id breaks ties — the "keep the most complete
+    * copy" rule). Output one row per cluster:
+    * `(cluster_id, cluster_size, survivor_id, survivor_nchars, n_removed)`.
+    *
+    * Scale shape: clusters come from the iterative min-label propagation
+    * (bounded rounds, near-dup graphs have diameter 1-3); the policy rank
+    * is one window shuffle keyed by cluster_id, and the rank-1 filter
+    * prunes map-side (WindowGroupLimit) before the summary aggregate.
+    */
+  def nearDupSurvivors(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val clusters = nearDupClusters(docs, n, minJaccard)
+    val ranked = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+    ranked
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("rk") === 1, col("n_chars"))).as("survivor_nchars"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -78,4 +78,19 @@ class ClusterSpec extends SparkSpec {
       assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     }
   }
+  test("survivors: one winner per cluster, longest copy wins, removals add up") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = graft.operators.ClusterOps
+      .nearDupSurvivors(docs, n = 3, minJaccard = 0.5)
+      .collect()
+    graft.operators.DedupOps.releaseShingleCaches()
+    val nDocs = docs.count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "every doc in exactly one cluster")
+    assert(out.map(_.getLong(4)).sum == nDocs - out.length, "removed = docs - clusters")
+    // the survivor must be a member of its own cluster (id >= cluster min label)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(0))
+      assert(r.getLong(1) == r.getLong(4) + 1)
+    }
+  }
 }
