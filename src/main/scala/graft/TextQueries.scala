@@ -26,6 +26,12 @@ object TextQueries {
     "dataset_split" -> ((s, dir) => TextOps.splitSummary(Tables.documents(s, dir))),
     // Corpus heavy-hitters: top-5 tokens per language.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir), k = 5)),
+    // Count-Min sketch point queries vs exact counts (fixed 4×1024 state).
+    "cms_terms" -> ((s, dir) =>
+      graft.operators.SketchOps.cmsEstimate(
+        Tables.documents(s, dir).select(explode(TextOps.tokens(col("text"))).as("tok")),
+        col("tok"),
+        CmsTerms)),
     // Gopher-style repetition quality signals per document.
     "doc_repetition" -> ((s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir))),
     // Unigram-LM negative log-likelihood per document (perplexity proxy).
@@ -91,7 +97,45 @@ object TextQueries {
     s"CASE ${whens.mkString(" ")} ELSE '${langs.head}' END"
   }
 
+  /** Fixed probe terms for the CMS point queries: three corpus-hot tokens
+    * + two mid-frequency ones.
+    */
+  val CmsTerms: Seq[String] = Seq("spark", "window", "hash", "customer", "vector")
+
+  private val cmsOracle: String = {
+    val stateHash = graft.functions.PortableHash
+      .hash60Sql("'cms' || CAST(r AS VARCHAR) || ':' || tok")
+    val probeHash = graft.functions.PortableHash
+      .hash60Sql("'cms' || CAST(r AS VARCHAR) || ':' || term")
+    val termList = CmsTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |), rows AS (
+       |  SELECT unnest(generate_series(0, 3)) AS r
+       |), st AS (
+       |  SELECT r AS row, ($stateHash) % 1024 AS bucket,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM tok, rows GROUP BY 1, 2
+       |), terms AS (
+       |  SELECT unnest([$termList]) AS term
+       |), pr AS (
+       |  SELECT term, r, ($probeHash) % 1024 AS bucket FROM terms, rows
+       |), est AS (
+       |  SELECT pr.term, min(coalesce(st.c, 0)) AS n_cms
+       |  FROM pr LEFT JOIN st ON st.row = pr.r AND st.bucket = pr.bucket
+       |  GROUP BY 1
+       |), ex AS (
+       |  SELECT tok AS term, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM tok WHERE tok IN ($termList) GROUP BY 1
+       |)
+       |SELECT est.term, coalesce(ex.n_exact, 0) AS n_exact, est.n_cms,
+       |       est.n_cms - coalesce(ex.n_exact, 0) AS overcount
+       |FROM est LEFT JOIN ex ON est.term = ex.term
+       |ORDER BY est.term""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "cms_terms" -> cmsOracle,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars,

@@ -93,4 +93,71 @@ object SketchOps {
       .agg(count_distinct(key).cast("long").as("n_exact"))
     exact.join(est, Seq("hour")).orderBy(col("hour"))
   }
+
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Count-Min sketch state over a key column: `(row, bucket, c)` counts,
+    * `depth × width` rows total — a FIXED-size relation no matter how many
+    * input rows stream through, built with one map-side-combinable
+    * aggregation (the frequency twin of the HLL's register relation;
+    * Cormode & Muthukrishnan 2005). Buckets use the portable 60-bit hash
+    * salted per row, so the DuckDB oracle rebuilds the identical sketch.
+    */
+  def cmsState(df: DataFrame, key: Column): DataFrame = {
+    val rows = (0 until CmsDepth).map { r =>
+      struct(
+        lit(r).as("row"),
+        pmod(
+          PortableHash.hash60(concat(lit(s"cms$r:"), key.cast("string"))),
+          lit(CmsWidth.toLong)).as("bucket"))
+    }
+    df.select(explode(array(rows: _*)).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for the given terms: exact count, CMS estimate
+    * (min over depth rows — always ≥ exact), and the overestimate. Output
+    * one row per term; the probe is a `depth`-row broadcast join against
+    * the fixed-size state.
+    */
+  def cmsEstimate(df: DataFrame, key: Column, terms: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val state = cmsState(df, key)
+    val probes = terms
+      .flatMap(t => (0 until CmsDepth).map(r => (t, r)))
+      .toDF("term", "p_row")
+      .withColumn(
+        "p_bucket",
+        pmod(
+          PortableHash.hash60(concat(concat(lit("cms"), col("p_row")), lit(":"), col("term"))),
+          lit(CmsWidth.toLong)))
+    // LEFT join from the probes: an empty bucket means estimate 0, not a
+    // missing output row (a never-seen term must report n_cms = 0). The
+    // state is the broadcast side — it's the fixed depth×width relation
+    // (the probes can't broadcast: they're the outer side).
+    val est = probes
+      .join(
+        broadcast(state),
+        col("row") === col("p_row") && col("bucket") === col("p_bucket"),
+        "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
+    val exact = df
+      .select(key.cast("string").as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_exact"))
+    est
+      .join(exact, Seq("term"), "left")
+      .select(
+        col("term"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_cms"),
+        (col("n_cms") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+      .orderBy(col("term"))
+  }
 }

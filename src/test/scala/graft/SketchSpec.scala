@@ -33,4 +33,25 @@ class SketchSpec extends SparkSpec {
     assert(exact == 3L)
     assert(relErr < 0.35, s"small-range estimate $est")
   }
+  test("count-min: estimate never undercounts; tiny corpus estimates exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++ Seq.fill(1)("gamma") ++
+      (1 to 30).map(i => s"filler$i")
+    val df = scala.util.Random.shuffle(words).toDF("tok")
+    val out = graft.operators.SketchOps
+      .cmsEstimate(df, col("tok"), Seq("alpha", "beta", "gamma", "absent"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // CMS one-sided error: n_cms >= n_exact always
+    out.values.foreach { case (exact, cms, over) =>
+      assert(cms >= exact && over == cms - exact)
+    }
+    // 78 tokens over 4x1024 buckets: collisions vanish, estimates exact
+    assert(out("alpha") == ((40L, 40L, 0L)))
+    assert(out("beta") == ((7L, 7L, 0L)))
+    assert(out("gamma") == ((1L, 1L, 0L)))
+    assert(out("absent")._1 == 0L)
+  }
 }
