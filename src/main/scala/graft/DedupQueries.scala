@@ -53,7 +53,10 @@ object DedupQueries {
       DedupOps.substringPairs(Tables.documents(s, dir), minContain = 0.8)),
     // Survivor selection per near-dup cluster (longest-copy-wins policy).
     "dedup_survivors" -> ((s, dir) =>
-      ClusterOps.nearDupSurvivors(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
+      ClusterOps.nearDupSurvivors(Tables.documents(s, dir), n = 3, minJaccard = 0.5)),
+    // Integer-exact PageRank over the near-dup graph: duplication hubs.
+    "dedup_pagerank" -> ((s, dir) =>
+      ClusterOps.nearDupPagerank(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
 
   /** Shared oracle CTE chain: documents → 3-gram shingles → portable
     * 60-bit shingle hashes (the engine hashes identically — see
@@ -147,6 +150,38 @@ object DedupQueries {
          |         AS survivor_nchars,
          |       CAST(count(*) - 1 AS BIGINT) AS n_removed
          |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_pagerank" -> {
+      // three unrolled integer-nano iterations — `//` on positive BIGINTs
+      // == Spark's DIV truncation
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT tp.id, (15 * tp.t + 85 * coalesce(f.inflow, 0)) // 100 AS r
+           |  FROM tp LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+           |    FROM edges e JOIN deg d ON d.src = e.src JOIN $prev r ON r.id = e.src
+           |    GROUP BY 1) f ON f.id = tp.id
+           |)""".stripMargin
+      s"""WITH $jaccardPairCtes, pairs AS (
+         |  SELECT a_id, b_id FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs
+         |), deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents
+         |), tp AS (
+         |  SELECT doc_id AS id,
+         |         CAST(1000000000 AS BIGINT) // (SELECT n_nodes FROM nn) AS t
+         |  FROM documents
+         |), r0 AS (
+         |  SELECT id, t AS r FROM tp
+         |), ${iter("r0", "i1")}, ${iter("i1", "i2")}, ${iter("i2", "i3")}
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_nano
+         |FROM i3 ORDER BY rank_nano DESC, doc_id LIMIT 20""".stripMargin
+    },
     "decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

@@ -95,6 +95,61 @@ object ClusterOps {
     * is one window shuffle keyed by cluster_id, and the rank-1 filter
     * prunes map-side (WindowGroupLimit) before the summary aggregate.
     */
+  /** Integer-exact PageRank over the near-dup pair graph — "which
+    * documents sit at the center of a duplication cluster" (the docs a
+    * curation pass inspects first). Ranks live in integer nano-units:
+    * teleport T = 10⁹ DIV n, update r′ = (15·T + 85·Σ_in (r_src DIV
+    * deg_src)) DIV 100 — every step is BIGINT arithmetic, so the result
+    * is partition-order-independent and bit-identical in the DuckDB
+    * oracle's unrolled iterations (documented integer variant of the
+    * 0.85-damped walk; DIV truncation loses ≤ 1 nano per term).
+    *
+    * Scale shape: same as every iteration here — edges persist once,
+    * each round is one join + keyed aggregation; rounds are fixed (the
+    * rank ORDER stabilizes in a few iterations on near-dup graphs, whose
+    * components have diameter 1-3).
+    */
+  def pagerank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    val e = DedupOps.registerCache(
+      edges
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = nodes.select(col("id")).distinct()
+    val tele = expr("CAST(1000000000 AS BIGINT) DIV n_nodes")
+    val withT = n
+      .crossJoin(broadcast(n.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("id"), tele.as("t"))
+    var ranks = withT.select(col("id"), col("t").as("r"))
+    for (_ <- 0 until iterations) {
+      val inflow = e
+        .join(deg, Seq("src"))
+        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("id"), expr("r DIV deg").as("contrib"))
+        .groupBy(col("id"))
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = withT
+        .join(inflow, Seq("id"), "left")
+        .select(
+          col("id"),
+          expr("(15 * t + 85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100").as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_nano"))
+  }
+
+  /** Top-k documents by near-dup-graph PageRank. */
+  def nearDupPagerank(docs: DataFrame, n: Int, minJaccard: Double, k: Int = 20): DataFrame =
+    pagerank(
+      docs.select(col("doc_id").as("id")),
+      DedupOps.jaccardPairs(docs, n, minJaccard).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("rank_nano"))
+      .orderBy(col("rank_nano").desc, col("doc_id"))
+      .limit(k)
+
   def nearDupSurvivors(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val clusters = nearDupClusters(docs, n, minJaccard)
     val ranked = clusters

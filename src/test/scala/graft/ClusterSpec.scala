@@ -93,4 +93,19 @@ class ClusterSpec extends SparkSpec {
       assert(r.getLong(1) == r.getLong(4) + 1)
     }
   }
+  test("pagerank golden: linked pair holds teleport-steady rank, dangling node decays") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = graft.operators.ClusterOps
+      .pagerank(nodes, edges, iterations = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    graft.operators.DedupOps.releaseShingleCaches()
+    val t = 1000000000L / 3
+    // the 1-2 pair exchanges its full rank each round: (15t + 85t) DIV 100 == t
+    assert(out(1L) == t && out(2L) == t)
+    // the dangling node keeps only the teleport share
+    assert(out(3L) == 15L * t / 100)
+  }
 }
