@@ -78,4 +78,56 @@ class PropertySpec extends SparkSpec {
       out.map(_.getLong(3)).sum == counts.sum
     }, n = 10)
   }
+  test("zValue is a bijection on 16-bit key pairs (local interleave model)") {
+    // model the interleave in plain Scala and check injectivity + inverse
+    def spread(x: Long): Long = {
+      var v = x & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    val pairGen = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+    check(Prop.forAll(pairGen, pairGen) { (a, b) =>
+      val za = spread(a._1) | (spread(a._2) << 1)
+      val zb = spread(b._1) | (spread(b._2) << 1)
+      (a == b) == (za == zb)
+    })
+    // the Spark expression agrees with the model on a sample
+    val sample = (0 until 200).map(i => ((i * 131L) % 65536, (i * 771L) % 65536))
+    val got = sample
+      .toDF("x", "y")
+      .select(graft.operators.LayoutOps.zValue(col("x"), col("y")))
+      .as[Long]
+      .collect()
+    val want = sample.map { case (x, y) => spread(x) | (spread(y) << 1) }
+    assert(got.toSeq == want)
+  }
+
+  test("groupQuantiles: q is monotone in p and bounded by the group's range") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-500.0, 500.0))
+    check(Prop.forAll(gen) { xs: List[Double] =>
+      val df = xs.map(v => ("g", v)).toDF("k", "v")
+      val qs = graft.operators.ProfileOps
+        .groupQuantiles(df, "k", "v")
+        .collect()
+        .map(r => r.getInt(1) -> r.getDouble(3))
+        .sortBy(_._1)
+      val cents = xs.map(v => (v * 100).toLong)
+      val lo = cents.min / 100.0
+      val hi = cents.max / 100.0
+      qs.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)) &&
+      qs.forall { case (_, q) => q >= lo - 1e-9 && q <= hi + 1e-9 }
+    }, n = 15)
+  }
+
+  test("rebalanceClasses: every label lands on the max count for random multisets") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0, 4)).map(_.take(60))
+    check(Prop.forAll(gen) { labels: List[Int] =>
+      val df = labels.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("vec_id", "label")
+      val out = graft.operators.TrainsetOps.rebalanceClasses(df).collect()
+      val t = out.map(_.getLong(1)).max
+      out.forall(_.getLong(2) == t)
+    }, n = 15)
+  }
 }
