@@ -31,7 +31,9 @@ object DumpPlans {
     "zorder_cells" -> "Morton interleave as pure BIGINT shift/mask arithmetic inside one codegen projection over a two-column pruned scan; cell top-k via TakeOrderedAndProject.",
     "group_quantiles" -> "Exact quantiles by rank arithmetic over a distributed sort: one window shuffle keyed by group, then joins pick ≤ 2 rows per group×p — the built-in collect-the-group percentile buffer never appears.",
     "minute_gapfill" -> "Calendar sequence join + IGNORE-NULLS carry-forward; the unpartitioned fill window consumes the bounded calendar relation, never raw events.",
-    "snapshot_diff" -> "CDC diff: md5 row digests computed map-side; the one full-outer exchange moves (key, digest) pairs — payload columns never shuffle.")
+    "snapshot_diff" -> "CDC diff: md5 row digests computed map-side; the one full-outer exchange moves (key, digest) pairs — payload columns never shuffle.",
+    "dedup_survivors" -> "Survivor selection: cluster labels from the iterative propagation, then one rank window keyed by cluster (WindowGroupLimit-prunable) and the summary aggregate.",
+    "cms_terms" -> "Count-Min point queries: the fixed 4×1024 state is ONE map-side-combinable aggregation; probes left-join the broadcast state — estimate 0 for empty buckets survives.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession
