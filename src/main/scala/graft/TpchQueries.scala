@@ -363,6 +363,20 @@ object TpchQueries {
             .as("mkt_share"))
         .orderBy(col("o_year"))
     }),
+    // Nested-array results through the oracle gate: per-order sorted part
+    // baskets (collect_list under a keyed aggregation — the market-basket
+    // shape; sort_array makes the nested value deterministic regardless of
+    // partitioning, which is what makes an array column hash-comparable).
+    "order_basket" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sort_array(collect_list(col("l_partkey"))).as("basket"),
+          count(lit(1)).as("n_items"))
+        .filter(col("n_items") >= 7)
+        .orderBy(col("l_orderkey"))
+        .limit(100)),
     // Correlated scalar subqueries through the SQL surface: orders above
     // their own customer's average order value, per market segment.
     // Catalyst DECORRELATES both subqueries into aggregate + join (the
@@ -578,6 +592,13 @@ object TpchQueries {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "order_basket" ->
+      """SELECT l_orderkey,
+        |       list_sort(list(l_partkey)) AS basket,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) >= 7
+        |ORDER BY l_orderkey LIMIT 100""".stripMargin,
     // the oracle is written in the DECORRELATED form Catalyst rewrites the
     // engine's correlated subqueries into — same relation, documents the rewrite
     "above_avg_orders" ->
