@@ -363,6 +363,23 @@ object TpchQueries {
             .as("mkt_share"))
         .orderBy(col("o_year"))
     }),
+    // DATE + BOOLEAN output columns through the oracle gate (all other
+    // queries return numerics/strings/timestamps/arrays): monthly revenue
+    // calendar with a peak-month flag.
+    "monthly_revenue" -> ((s, dir) => {
+      val monthly = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_c"))
+      val mx = monthly.agg(max(col("revenue_c")).as("mx"))
+      monthly
+        .crossJoin(broadcast(mx))
+        .select(
+          col("month"),
+          col("revenue_c"),
+          (col("revenue_c") * 10L >= col("mx") * 9L).as("near_peak"))
+        .orderBy(col("month"))
+    }),
     // Nested-array results through the oracle gate: per-order sorted part
     // baskets (collect_list under a keyed aggregation — the market-basket
     // shape; sort_array makes the nested value deterministic regardless of
@@ -592,6 +609,18 @@ object TpchQueries {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "monthly_revenue" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS revenue_c
+        |  FROM orders GROUP BY 1
+        |), mx AS (
+        |  SELECT max(revenue_c) AS mx FROM m
+        |)
+        |SELECT month, revenue_c,
+        |       revenue_c * 10 >= (SELECT mx FROM mx) * 9 AS near_peak
+        |FROM m ORDER BY month""".stripMargin,
     "order_basket" ->
       """SELECT l_orderkey,
         |       list_sort(list(l_partkey)) AS basket,
