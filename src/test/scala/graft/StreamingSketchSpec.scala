@@ -65,4 +65,26 @@ class StreamingSketchSpec extends SparkSpec {
       assert(streamed == batch, "incremental register state must equal the batch registers")
     } finally query.stop()
   }
+  test("streaming CMS state == batch state; point estimates equal") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val streamState = SketchOps.cmsState(input.toDF().toDF("tok"), col("tok"))
+    val query = streamState.writeStream
+      .format("memory")
+      .queryName("stream_cms")
+      .outputMode("complete")
+      .start()
+    val words = (0 until 500).map(i => s"w${i % 37}")
+    try {
+      input.addData(words.take(200))
+      query.processAllAvailable()
+      input.addData(words.drop(200))
+      query.processAllAvailable()
+      val streamed = spark.table("stream_cms")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = SketchOps.cmsState(words.toDF("tok"), col("tok"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, "CMS count state is a streaming-safe aggregation")
+    } finally query.stop()
+  }
 }
