@@ -173,3 +173,52 @@ class TrainsetSpec extends SparkSpec {
     }
   }
 }
+class ProfileEdgeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("groupQuantiles: empty input and single-row groups are defined") {
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(ProfileOps.groupQuantiles(empty, "k", "v").collect().isEmpty)
+    val single = Seq(("a", 7.0), ("b", -2.0)).toDF("k", "v")
+    val qs = ProfileOps.groupQuantiles(single, "k", "v").collect()
+    // n = 1: every percentile is the value itself
+    assert(qs.length == 8)
+    qs.foreach { r =>
+      val want = if (r.getString(0) == "a") 7.0 else -2.0
+      assert(r.getDouble(3) == want)
+    }
+  }
+
+  test("winsorizedStats: NaN/null rows are dropped before ranking") {
+    val df = Seq(
+      Some(1.0), Some(2.0), Some(3.0), None, Some(Double.NaN)
+    ).map(v => ("g", v)).toDF("k", "v")
+      .select(col("k"), col("v").cast("double").as("v"))
+    val out = ProfileOps.winsorizedStats(df, "k", "v").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 3)
+  }
+
+  test("profileColumns: an all-null column keeps its row with zero stats") {
+    val df = Seq((Option.empty[Double], 1.0), (None, 2.0)).toDF("a", "b")
+    val rows = ProfileOps.profileColumns(df, Seq("a", "b")).collect()
+    val a = rows.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 2 && a.getLong(2) == 0 && a.getLong(3) == 0)
+    assert(a.isNullAt(4) && a.isNullAt(5) && a.isNullAt(6))
+  }
+
+  test("zCells: empty input yields an empty cell relation") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(LayoutOps.zCells(empty, "x", "y").collect().isEmpty)
+  }
+
+  test("snapshotDiff: identical snapshots are all unchanged; disjoint all add/remove") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val same = graft.operators.DeltaOps.snapshotDiff(a, a, "k", Seq(col("v"))).collect()
+    assert(same.map(r => r.getString(0) -> r.getLong(1)).toSeq == Seq("unchanged" -> 2L))
+    val b = Seq((3L, "z")).toDF("k", "v")
+    val disj = graft.operators.DeltaOps.snapshotDiff(a, b, "k", Seq(col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(disj == Map("added" -> 1L, "removed" -> 2L))
+  }
+}
