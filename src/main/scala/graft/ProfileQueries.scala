@@ -22,6 +22,10 @@ object ProfileQueries {
     // Long-form per-column completeness/cardinality/range profile.
     "profile_columns" -> ((s, dir) =>
       ProfileOps.profileColumns(Tables.lineitem(s, dir), ProfiledCols)),
+    // The 100 TB-default profiler: HLL cardinality instead of the exact
+    // distinct — registers shuffle, not distinct values.
+    "profile_approx" -> ((s, dir) =>
+      ProfileOps.profileColumnsApprox(Tables.lineitem(s, dir), ProfiledCols)),
     // Exact rank-interpolated quartiles (+p90) of event value per type.
     "group_quantiles" -> ((s, dir) =>
       ProfileOps.groupQuantiles(Tables.events(s, dir), "event_type", "value")),
@@ -94,6 +98,50 @@ object ProfileQueries {
          |       min(v) AS min_v, max(v) AS max_v,
          |       CAST(sum(CAST(trunc(v * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "profile_approx" -> {
+      val melt = ProfiledCols
+        .map(c => s"SELECT '$c' AS col_name, $c AS v FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      val h = graft.functions.PortableHash
+        .hash60Sql("CAST(CAST(trunc(v * 100.0) AS BIGINT) AS VARCHAR)")
+      s"""WITH m AS (
+         |  $melt
+         |), st AS (
+         |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(v) AS BIGINT) AS n_nonnull,
+         |         min(v) AS min_v, max(v) AS max_v
+         |  FROM m GROUP BY 1
+         |), hh AS (
+         |  SELECT col_name, ($h) AS h FROM m WHERE v IS NOT NULL
+         |), r AS (
+         |  SELECT col_name, h & 255 AS bucket,
+         |         max(CASE WHEN (h >> 8) = 0 THEN 53
+         |                  ELSE 53 - length(bin(h >> 8)) END) AS m_j
+         |  FROM hh GROUP BY 1, 2
+         |), z AS (
+         |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS z_present
+         |  FROM r GROUP BY 1
+         |), e AS (
+         |  SELECT col_name, (256 - n_buckets) AS v_empty,
+         |         z_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS z_total
+         |  FROM z
+         |), f AS (
+         |  SELECT col_name, v_empty,
+         |         0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         |           / CAST(z_total AS DOUBLE) AS raw_e
+         |  FROM e
+         |), est AS (
+         |  SELECT col_name,
+         |         round(CASE WHEN raw_e <= 640.0 AND v_empty > 0
+         |                    THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
+         |                    ELSE raw_e END, 6) AS n_est
+         |  FROM f
+         |)
+         |SELECT st.col_name, st.n_rows, st.n_nonnull, est.n_est, st.min_v, st.max_v
+         |FROM st JOIN est ON st.col_name = est.col_name
+         |ORDER BY st.col_name""".stripMargin
     },
     "group_quantiles" ->
       """WITH r AS (

@@ -47,6 +47,44 @@ object ProfileOps {
       .orderBy(col("col_name"))
   }
 
+  /** The 100 TB-default profiler: same long-form melt, but cardinality
+    * comes from the portable HLL sketch ([[SketchOps]]) instead of an
+    * exact `count(DISTINCT)` — the shuffle carries ≤ 256 registers per
+    * column instead of one row per distinct value, so the pass stays
+    * scan-bound at any scale. Still oracle-exact: the sketch registers and
+    * the estimate arithmetic are bit-reproducible in DuckDB.
+    * Output: `(col_name, n_rows, n_nonnull, n_est, min_v, max_v)`.
+    */
+  def profileColumnsApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val melted = df.select(
+      explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
+    val stats = melted
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+    // the sketch hashes the integer-cents form, not the double's string:
+    // BIGINT→VARCHAR is identical cross-engine, while Java and DuckDB
+    // disagree on double formatting past 1e7 (scientific vs positional).
+    // For 2-decimal money/quantity columns cents are value-faithful.
+    val est = SketchOps.estimateFromRegisters(
+      SketchOps.hllRegisters(
+        melted.filter(col("v").isNotNull),
+        (col("v") * lit(100.0)).cast("bigint"),
+        Seq(col("col_name"))),
+      Seq(col("col_name")))
+    stats
+      .join(est, Seq("col_name"))
+      .select(
+        col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_est"), col("min_v"), col("max_v"))
+      .orderBy(col("col_name"))
+  }
+
   /** Exact per-group quantiles by rank arithmetic — the distributed-sort
     * formulation (one shuffle: a rank window partitioned by the group key),
     * NOT the built-in `percentile` aggregate (which collects every value
@@ -61,6 +99,13 @@ object ProfileOps {
     * interpolation arithmetic (the only float math) runs over exact
     * integers — the oracle reproduces it bit-for-bit.
     * Output: `(group, p, n, q)` long form, one row per group × percentile.
+    *
+    * Scale caveat: the rank window parallelizes ACROSS groups — with few,
+    * enormous groups each group is one task's sort. For that shape use the
+    * binned formulation instead (quantize → bounded bin counts → walk the
+    * cumulative histogram, exactly [[PercentileOps.deciles]]' plan): it
+    * trades the arbitrary-percentile interpolation for full map-side
+    * parallelism at any group size.
     */
   def groupQuantiles(
       df: DataFrame,
@@ -103,10 +148,12 @@ object ProfileOps {
     * the summary reports the thresholds, clip counts, and winsorized mean.
     * The robust-mean step of any metric pipeline with heavy-tailed values.
     *
-    * Scale shape: same distributed-sort rank window as [[groupQuantiles]],
-    * then the per-group threshold relation (2 values per group) joins back
-    * onto the ranked stream — broadcast-sized for any real group count.
-    * Rank selection uses pure BIGINT arithmetic (`p·(n−1) DIV 100`).
+    * Scale shape: same distributed-sort rank window as [[groupQuantiles]]
+    * (including its few-groups caveat — switch to the binned cumulative
+    * histogram for few enormous groups), then the per-group threshold
+    * relation (2 values per group) joins back onto the ranked stream —
+    * broadcast-sized for any real group count. Rank selection uses pure
+    * BIGINT arithmetic (`p·(n−1) DIV 100`).
     */
   def winsorizedStats(
       df: DataFrame,
