@@ -145,4 +145,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
       "scan must prune to the group and value columns")
   }
+
+  test("profiler contrast: exact plan aggregates distinct values, HLL plan doesn't") {
+    // the reason profile_approx is the 100 TB default: the exact profiler's
+    // distinct aggregate shuffles one row per distinct (col, value) pair,
+    // while the sketch shuffles <=256 registers per column
+    assert(plan("profile_columns").toLowerCase.contains("distinct"))
+    assert(!plan("profile_approx").toLowerCase.contains("distinct"))
+  }
 }
