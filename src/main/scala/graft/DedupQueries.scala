@@ -56,7 +56,10 @@ object DedupQueries {
       ClusterOps.nearDupSurvivors(Tables.documents(s, dir), n = 3, minJaccard = 0.5)),
     // Integer-exact PageRank over the near-dup graph: duplication hubs.
     "dedup_pagerank" -> ((s, dir) =>
-      ClusterOps.nearDupPagerank(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
+      ClusterOps.nearDupPagerank(Tables.documents(s, dir), n = 3, minJaccard = 0.5)),
+    // Character-level verify on the candidate pairs: exact Levenshtein.
+    "dedup_editdist" -> ((s, dir) =>
+      DedupOps.editDistancePairs(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
 
   /** Shared oracle CTE chain: documents → 3-gram shingles → portable
     * 60-bit shingle hashes (the engine hashes identically — see
@@ -150,6 +153,20 @@ object DedupQueries {
          |         AS survivor_nchars,
          |       CAST(count(*) - 1 AS BIGINT) AS n_removed
          |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_editdist" ->
+      s"""WITH $jaccardPairCtes, pairs AS (
+         |  SELECT a_id, b_id FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+         |)
+         |SELECT pr.a_id, pr.b_id,
+         |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |       round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |             / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6)
+         |         AS norm_sim
+         |FROM pairs pr
+         |JOIN documents da ON da.doc_id = pr.a_id
+         |JOIN documents db ON db.doc_id = pr.b_id
+         |ORDER BY pr.a_id, pr.b_id""".stripMargin,
     "dedup_pagerank" -> {
       // three unrolled integer-nano iterations — `//` on positive BIGINTs
       // == Spark's DIV truncation

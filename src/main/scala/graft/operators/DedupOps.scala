@@ -293,6 +293,35 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance verification over the Jaccard CANDIDATE pairs: exact
+    * Levenshtein (codegen'd built-in) + a length-normalized similarity on
+    * the pairs the shingle join already bounded — character-level evidence
+    * the token-level Jaccard can't give (transpositions, in-word edits).
+    *
+    * Scale shape: Levenshtein is O(|a|·|b|) per pair, so it NEVER runs
+    * corpus-wide — only on the candidate relation (output-bounded), with
+    * the two text joins on doc_id. The same staged-verify rule as the
+    * PPJoin pipeline: cheap bounded candidates, expensive exact kernel on
+    * survivors only.
+    */
+  def editDistancePairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val pairs = jaccardPairs(docs, n, minJaccard).select(col("a_id"), col("b_id"))
+    val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    pairs
+      .join(ta, Seq("a_id"))
+      .join(tb, Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).cast("bigint").as("edit_dist"),
+        round(
+          lit(1.0) - levenshtein(col("a_text"), col("b_text")).cast("double") /
+            greatest(length(col("a_text")), length(col("b_text"))).cast("double"),
+          6).as("norm_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** The `numPerm` fixed 60-bit xor constants defining the permutation
     * family: `h_j(s) = hash60(s) XOR C_j`, `C_j = hash60Local("perm:j")`.
     * One md5 per shingle total (not per seed); xor of 60-bit values stays
