@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
 import graft.operators.CurationOps
@@ -33,7 +34,43 @@ object CurationQueries {
     // CCNet head/middle/tail LM-score terciles.
     "doc_lm_buckets" -> ((s, dir) => CurationOps.lmBuckets(Tables.documents(s, dir))),
     // First BPE merge iteration: weighted adjacent-char pair counts.
-    "bpe_merges" -> ((s, dir) => CurationOps.bpeMergeCandidates(Tables.documents(s, dir))))
+    "bpe_merges" -> ((s, dir) => CurationOps.bpeMergeCandidates(Tables.documents(s, dir))),
+    // The full curation funnel in ONE DAG: eval-holdout exclusion → exact
+    // dedup survivors → decontamination → Gopher gate, with per-source
+    // attrition at every stage and the surviving token budget. Each stage
+    // is the already-oracled operator; the funnel composes their flag
+    // columns instead of materializing intermediate corpora — one pass
+    // over each stage's lineage, joined on doc_id.
+    "pipeline_full" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nonEval = docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0)
+      val surv = nonEval
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .select(col("doc_id"), col("source"),
+          when(col("rn") === 1, 1L).otherwise(0L).as("s_dedup"))
+      val decon = graft.operators.DedupOps
+        .decontaminate(docs, n = 8, evalMod = 50)
+        .select(col("doc_id"), col("contaminated"))
+      val gopher = CurationOps.gopherRules(docs)
+        .select(col("doc_id"), col("pass"), col("n_tokens"))
+      surv
+        .join(decon, Seq("doc_id"))
+        .join(gopher, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("s_dedup")).as("n_after_dedup"),
+          sum(when(col("s_dedup") === 1 && col("contaminated") === 0, 1L).otherwise(0L))
+            .as("n_after_decon"),
+          sum(when(col("s_dedup") === 1 && col("contaminated") === 0 && col("pass") === 1,
+            1L).otherwise(0L)).as("n_after_gopher"),
+          sum(when(col("s_dedup") === 1 && col("contaminated") === 0 && col("pass") === 1,
+            col("n_tokens").cast("long")).otherwise(0L)).as("tokens_final"))
+        .orderBy(col("source"))
+    }))
 
   private val stopList =
     graft.operators.TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -223,5 +260,71 @@ object CurationQueries {
         |  FROM p GROUP BY 1
         |)
         |SELECT pair, pair_count, n_words
-        |FROM g ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin)
+        |FROM g ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    "pipeline_full" -> {
+      val h = PortableHash.hash60Sql("s8")
+      s"""WITH tk8 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), sh8 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 8
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 7),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+         |                          || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+         |                          || ' ' || tk[i+7]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tk8
+         |), u8 AS (
+         |  SELECT doc_id, ($h) AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s8 FROM sh8)
+         |), ev AS (
+         |  SELECT DISTINCT h FROM u8 WHERE doc_id % 50 = 0
+         |), hits AS (
+         |  SELECT u8.doc_id, CAST(count(*) AS BIGINT) AS nc
+         |  FROM u8 JOIN ev USING (h) WHERE u8.doc_id % 50 <> 0 GROUP BY 1
+         |), gf AS (
+         |  SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |    CASE WHEN len(tk) >= 50 AND len(tk) <= 100000 THEN 1 ELSE 0 END
+         |    * CASE WHEN CAST(length_text - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 3.0
+         |            AND CAST(length_text - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE) <= 10.0
+         |           THEN 1 ELSE 0 END
+         |    * CASE WHEN len(list_filter(list_distinct(tk),
+         |                                w -> list_contains($stopList, w))) >= 2
+         |           THEN 1 ELSE 0 END
+         |    * CASE WHEN CAST(len(list_filter(tk, w -> length(w) = 1)) AS DOUBLE)
+         |                / CAST(len(tk) AS DOUBLE) <= 0.1
+         |           THEN 1 ELSE 0 END
+         |    * CASE WHEN len(tk) < 2 THEN 1
+         |           WHEN 1.0 - CAST(len(list_distinct(list_transform(
+         |                         generate_series(1, len(tk) - 1),
+         |                         i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE)
+         |                      / CAST(len(tk) - 1 AS DOUBLE) <= 0.2
+         |           THEN 1 ELSE 0 END AS pass
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+         |               CAST(length(text) AS INT) AS length_text
+         |        FROM documents)
+         |), sv AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN row_number() OVER (PARTITION BY md5(text)
+         |                                      ORDER BY doc_id) = 1
+         |              THEN 1 ELSE 0 END AS s_dedup
+         |  FROM documents WHERE doc_id % 50 <> 0
+         |), j AS (
+         |  SELECT sv.source, sv.s_dedup,
+         |         CASE WHEN coalesce(hits.nc, 0) > 0 THEN 1 ELSE 0 END AS cont,
+         |         gf.pass, gf.n_tokens
+         |  FROM sv
+         |  LEFT JOIN hits ON hits.doc_id = sv.doc_id
+         |  JOIN gf ON gf.doc_id = sv.doc_id
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(s_dedup) AS BIGINT) AS n_after_dedup,
+         |       CAST(sum(CASE WHEN s_dedup = 1 AND cont = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_after_decon,
+         |       CAST(sum(CASE WHEN s_dedup = 1 AND cont = 0 AND pass = 1
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
+         |       CAST(sum(CASE WHEN s_dedup = 1 AND cont = 0 AND pass = 1
+         |                     THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }

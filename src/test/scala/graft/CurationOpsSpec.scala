@@ -131,4 +131,14 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(("ar", 4L, 2L), ("pa", 4L, 2L), ("rk", 4L, 2L), ("sp", 3L, 1L)))
   }
+  test("pipeline_full funnel is monotone per source and globally lossy-only") {
+    val rows = CurationQueries.queries("pipeline_full")(spark, TestSpark.sf0001).collect()
+    DedupOps.releaseShingleCaches()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, c, g) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= d && d >= c && c >= g, s"funnel must only shrink: $r")
+      if (g > 0) assert(r.getLong(5) > 0, "surviving docs carry tokens")
+    }
+  }
 }
