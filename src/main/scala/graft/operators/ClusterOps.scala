@@ -113,17 +113,30 @@ object ClusterOps {
       nodes: DataFrame,
       edges: DataFrame,
       iterations: Int = 3): DataFrame = {
+    // cache the SYMMETRIZED edge relation before deriving anything from it
+    // — deg and every iteration read the cache; deriving deg from the raw
+    // lineage would re-evaluate the (expensive) pair join per consumer
     val e = DedupOps.registerCache(
       edges
         .select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = nodes.select(col("id")).distinct()
+    // teleport relation: tiny (one row per node) but its lineage (distinct
+    // + count) would otherwise re-run once per iteration level of the
+    // final plan — materialize it once, like the CC label generations
     val tele = expr("CAST(1000000000 AS BIGINT) DIV n_nodes")
-    val withT = n
-      .crossJoin(broadcast(n.agg(count(lit(1)).as("n_nodes"))))
-      .select(col("id"), tele.as("t"))
+    val n = nodes.select(col("id")).distinct()
+    val withT = DedupOps.registerCache(
+      n.crossJoin(broadcast(n.agg(count(lit(1)).as("n_nodes"))))
+        .select(col("id"), tele.as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // the rank chain itself stays LAZY: at a fixed small iteration count a
+    // depth-3 join tree over the two cached relations runs as one job —
+    // measured faster warm than materializing each generation (that trades
+    // three scheduler+cache-write rounds for nothing when the inputs are
+    // already cached; contrast connectedComponents, whose VARIABLE round
+    // count needs per-round convergence actions anyway)
     var ranks = withT.select(col("id"), col("t").as("r"))
     for (_ <- 0 until iterations) {
       val inflow = e

@@ -62,6 +62,12 @@ object DedupScaleStress {
       DedupOps.releaseShingleCaches()
       t("minhash lsh")(DedupOps.minhashLsh(docs, 3, 16, 4, 0.4).count())
       DedupOps.releaseShingleCaches()
+      t("components ")(graft.operators.ClusterOps
+        .nearDupClusters(docs, 3, 0.5).count())
+      DedupOps.releaseShingleCaches()
+      t("pagerank   ")(graft.operators.ClusterOps
+        .nearDupPagerank(docs, 3, 0.5).count())
+      DedupOps.releaseShingleCaches()
     }
     spark.stop()
   }
