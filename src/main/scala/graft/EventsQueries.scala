@@ -255,6 +255,21 @@ object EventsQueries {
     // exact and estimated (streaming twin in StreamingSketchSpec).
     "hourly_users" -> ((s, dir) =>
       graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))),
+    // Calendar seasonality heatmap: ISO day-of-week × hour-of-day event
+    // counts and exact revenue — the weekly-rhythm summary every traffic
+    // pipeline keeps. Pure calendar-part projection + one 168-key
+    // aggregation (date-part parity note: Spark weekday()+1 == DuckDB
+    // isodow, both Monday=1).
+    "dow_seasonality" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          (weekday(col("ts")) + lit(1)).as("iso_dow"),
+          hour(col("ts")).as("hour_of_day"),
+          when(col("value").isNotNull && !isnan(col("value")),
+            (col("value") * lit(100.0)).cast("bigint")).as("cents"))
+        .groupBy(col("iso_dow"), col("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("rev_c"))
+        .orderBy(col("iso_dow"), col("hour_of_day"))),
     // Time-series resample + gap fill: per-minute event counts over the
     // full calendar (sequence join marks empty minutes), revenue carried
     // forward with last_value(IGNORE NULLS). The unpartitioned fill
@@ -537,6 +552,14 @@ object EventsQueries {
         |)
         |SELECT event_id, user_id, ts_us, last_purchase_value
         |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "dow_seasonality" ->
+      """SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+        |       CAST(hour(ts) AS INT) AS hour_of_day,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |                     THEN CAST(trunc(value * 100.0) AS BIGINT) END)
+        |            AS BIGINT) AS rev_c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "minute_gapfill" ->
       """WITH e AS (
         |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
