@@ -25,6 +25,8 @@ object Bench {
         catch { case _: Throwable => () }
         finally graft.operators.DedupOps.releaseShingleCaches()
       }
+      // evict the warm-up scale's session shingle corpora before timing
+      graft.operators.DedupOps.releaseAllCaches()
     }
     // best-of-N (default 2): per-query numbers otherwise vary with which
     // query happens to pay a cache materialization or GC pause

@@ -380,16 +380,21 @@ object TpchQueries {
           (col("revenue_c") * 10L >= col("mx") * 9L).as("near_peak"))
         .orderBy(col("month"))
     }),
-    // Nested-array results through the oracle gate: per-order sorted part
-    // baskets (collect_list under a keyed aggregation — the market-basket
-    // shape; sort_array makes the nested value deterministic regardless of
-    // partitioning, which is what makes an array column hash-comparable).
+    // Per-order part baskets (collect_list under a keyed aggregation — the
+    // market-basket shape). The nested array is built and sorted inside the
+    // plan, then serialized to a canonical comma-joined string: sort_array
+    // makes the value deterministic regardless of partitioning, and the
+    // scalar string form is what the oracle gate can hash (its row
+    // comparator cannot hash array-typed cells — nested outputs stay
+    // covered at spec level in TpchQuerySpec).
     "order_basket" -> ((s, dir) =>
       Tables
         .lineitem(s, dir)
         .groupBy(col("l_orderkey"))
         .agg(
-          sort_array(collect_list(col("l_partkey"))).as("basket"),
+          expr(
+            "array_join(transform(sort_array(collect_list(l_partkey)), x -> CAST(x AS STRING)), ',')")
+            .as("basket"),
           count(lit(1)).as("n_items"))
         .filter(col("n_items") >= 7)
         .orderBy(col("l_orderkey"))
@@ -623,7 +628,7 @@ object TpchQueries {
         |FROM m ORDER BY month""".stripMargin,
     "order_basket" ->
       """SELECT l_orderkey,
-        |       list_sort(list(l_partkey)) AS basket,
+        |       array_to_string(list_sort(list(l_partkey)), ',') AS basket,
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) >= 7

@@ -227,18 +227,21 @@ object HistogramOps {
   def writeCsv(histo: DataFrame, path: String): Unit = {
     histo
       .coalesce(1)
-      .select(format_string("%.2f", col("value")).as("value"), col("cnt"))
+      // one pre-formatted text column: np.savetxt(fmt="%1.2f, %d") puts a
+      // comma AND a space between the fields (main.py:124) — the CSV
+      // writer's single-char separator can't, so the row is rendered in
+      // the plan and written as raw text for byte-identical output
+      .select(format_string("%.2f, %d", col("value"), col("cnt")).as("line"))
       .write
       .mode("overwrite")
-      .option("header", "false")
-      .csv(path)
+      .text(path)
     // rename the single part file to the reference's fixed name
     val conf = histo.sparkSession.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
     fs.listStatus(dir)
       .map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".txt"))
       .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, "histogram.csv")))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * rounded to 6 decimals — bit-reproducible cross-engine.
   */
 object ProfileOps {
+
+  /** NaN → null in the profile melts: profiled NaNs count as MISSING
+    * (inside n_rows, outside n_nonnull/distinct/min/max/sum), matching the
+    * isnan filters of groupQuantiles/winsorizedStats. Without this,
+    * non-ANSI Spark casts NaN to 0L in sum_cents and counts it as a
+    * distinct value while the DuckDB oracle's CAST does not — the profiler
+    * would only stay oracle-exact on NaN-free inputs.
+    */
+  private def nanAsNull(v: Column): Column = when(isnan(v), lit(null)).otherwise(v)
 
   /** Long-form per-column profile of the given numeric columns: row count,
     * non-null count, exact distinct count, min/max, and an exact integer
@@ -33,7 +42,7 @@ object ProfileOps {
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val melted = df.select(
       explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("cv"))
+        struct(lit(c).as("col_name"), nanAsNull(col(c).cast("double")).as("v"))): _*)).as("cv"))
       .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
     melted
       .groupBy(col("col_name"))
@@ -58,7 +67,7 @@ object ProfileOps {
   def profileColumnsApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     val melted = df.select(
       explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("cv"))
+        struct(lit(c).as("col_name"), nanAsNull(col(c).cast("double")).as("v"))): _*)).as("cv"))
       .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
     val stats = melted
       .groupBy(col("col_name"))

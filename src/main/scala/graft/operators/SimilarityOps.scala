@@ -242,10 +242,32 @@ object SimilarityOps {
     * where LSH recall is high; an exact-at-0.4 sweep is a corpus-audit
     * query, sized in blocks accordingly.
     */
-  def nearDupPairs(embeddings: DataFrame, minCos: Double, blocks: Int = 16): DataFrame = {
+  def nearDupPairs(embeddings: DataFrame, minCos: Double, blocks: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = corpus(embeddings)
+    // blocks <= 0 → auto-size from Catalyst's size estimate (same
+    // plan-time stats knnAuto consults — no extra scan): aim for ~4M
+    // cosine evaluations per tile, so B ~ n/2048. Small corpora get B=1 —
+    // zero replication, one tile, the plan the fixed B=16 was measured 4×
+    // slower than at sf0.1 (2k vectors). B is capped so the broadcast
+    // block-pair relation stays tiny; beyond the cap tiles grow past the
+    // target, which only means more work per task, never more replication
+    // than B+1 rows per vector.
+    val B =
+      if (blocks > 0) blocks
+      else {
+        val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+        val rowSize = 8 + 8 * 64 // id + 64-dim double vector
+        val nEst = (bytes / rowSize).toDouble.max(1.0)
+        math.min(256, math.max(1, math.ceil(nEst / 2048.0).toInt))
+      }
+    nearDupPairsBlocked(e, minCos, B)
+  }
+
+  private def nearDupPairsBlocked(e: DataFrame, minCos: Double, blocks: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val pairKeys = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
       .toDF("bi", "bj")
     val blocked = e.select(

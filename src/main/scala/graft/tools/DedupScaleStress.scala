@@ -50,24 +50,24 @@ object DedupScaleStress {
     graft.SparkEntry.tune(spark)
     // warm-up: codegen + JIT on the small corpus
     DedupOps.jaccardPairs(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"), 3, 0.5).count()
-    DedupOps.releaseShingleCaches()
+    DedupOps.releaseAllCaches()
     for (factor <- Seq(1, 2, 4)) {
       val path = s"target/stress/docs_x$factor.parquet"
       if (!new java.io.File(path).exists()) salted(spark, factor).write.parquet(path)
       val docs = spark.read.parquet(path)
       println(s"factor $factor (${docs.count()} docs):")
       t("jaccard pairs")(DedupOps.jaccardPairs(docs, 3, 0.5).count())
-      DedupOps.releaseShingleCaches()
+      DedupOps.releaseAllCaches()
       t("decontaminate")(DedupOps.decontaminate(docs).count())
-      DedupOps.releaseShingleCaches()
+      DedupOps.releaseAllCaches()
       t("minhash lsh")(DedupOps.minhashLsh(docs, 3, 16, 4, 0.4).count())
-      DedupOps.releaseShingleCaches()
+      DedupOps.releaseAllCaches()
       t("components ")(graft.operators.ClusterOps
         .nearDupClusters(docs, 3, 0.5).count())
-      DedupOps.releaseShingleCaches()
+      DedupOps.releaseAllCaches()
       t("pagerank   ")(graft.operators.ClusterOps
         .nearDupPagerank(docs, 3, 0.5).count())
-      DedupOps.releaseShingleCaches()
+      DedupOps.releaseAllCaches()
     }
     spark.stop()
   }

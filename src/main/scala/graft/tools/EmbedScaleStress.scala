@@ -36,7 +36,7 @@ object EmbedScaleStress {
     val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
     // warm-up
     KMeansOps.fitSummary(graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"), 8, 2).count()
-    DedupOps.releaseShingleCaches()
+    DedupOps.releaseAllCaches()
     for (factor <- Seq(1, 4, 16)) {
       val path = s"target/stress/emb_x$factor.parquet"
       if (!new java.io.File(path).exists()) {
@@ -49,12 +49,12 @@ object EmbedScaleStress {
       val emb = spark.read.parquet(path)
       println(s"factor $factor (${emb.count()} vectors):")
       t("kmeans k=8 x2 iters")(KMeansOps.fitSummary(emb, 8, 2).count())
-      DedupOps.releaseShingleCaches()
+      DedupOps.releaseAllCaches()
       val c = SimilarityOps.corpus(emb)
       val q = c.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0) // fixed |Q|
       val nlist = math.max(16, math.sqrt(emb.count().toDouble).toInt)
       t(s"knn_ivf nlist=$nlist")(SimilarityOps.knnIvf(q, c, 10, nlist, math.max(4, nlist / 16)).count())
-      DedupOps.releaseShingleCaches()
+      DedupOps.releaseAllCaches()
     }
     spark.stop()
   }

@@ -33,7 +33,7 @@ object JaccardPhases {
 
     // warm JIT on the small corpus first
     DedupOps.jaccardPairs(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"), 3, 0.5).count()
-    DedupOps.releaseShingleCaches()
+    DedupOps.releaseAllCaches()
 
     (0 until 2).foreach { rep =>
       println(s"rep $rep:")

@@ -34,7 +34,7 @@ object MinhashPhases {
     DedupOps.minhashLsh(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
       3, 16, 4, 0.4).count()
-    DedupOps.releaseShingleCaches()
+    DedupOps.releaseAllCaches()
 
     (0 until 2).foreach { rep =>
       println(s"rep $rep:")

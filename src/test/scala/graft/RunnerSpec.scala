@@ -87,7 +87,9 @@ class RunnerSpec extends SparkSpec {
     // one "histogram.csv" — compute_histogram/main.py:124)
     assert(dataFiles.length == 1, s"expected one csv, got ${dataFiles.toSeq}")
     assert(dataFiles.head.endsWith("histogram.csv"))
+    // byte-identical to np.savetxt(fmt="%1.2f, %d"): comma PLUS space
+    // (compute_histogram/main.py:124)
     val lines = scala.io.Source.fromFile(dataFiles.head).getLines().toSeq.sorted
-    assert(lines == Seq("1.50,3", "1.51,0"))
+    assert(lines == Seq("1.50, 3", "1.51, 0"))
   }
 }
