@@ -29,9 +29,11 @@ object Bench {
       graft.operators.DedupOps.releaseAllCaches()
     }
     // best-of-N (default 2): per-query numbers otherwise vary with which
-    // query happens to pay a cache materialization or GC pause
+    // query happens to pay a cache materialization or GC pause. Medians
+    // are recorded alongside (at n >= 3 they separate a real regression
+    // from one slow rep under host load — the round-3 lesson).
     val reps = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val allTimes = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -43,11 +45,19 @@ object Bench {
       // steady state where intra-query caches are warm, while a long bench
       // session still doesn't accumulate shingle corpora across queries
       graft.operators.DedupOps.releaseShingleCaches()
-      // any failed rep marks the query failed (-1) rather than letting the
+      // any failed rep marks the query failed rather than letting the
       // fast exception path masquerade as a speedup
-      name -> (if (times.exists(_.isEmpty)) -1.0 else times.flatten.min)
+      name -> (if (times.exists(_.isEmpty)) Seq.empty[Double] else times.flatten)
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = allTimes.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else ts.min) }
+    val medians = allTimes.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else median(ts)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMed = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // like-for-like subtotal over the round-1 surface (34 queries): the
@@ -66,8 +76,9 @@ object Bench {
     // failures are excluded from the subtotal sum — surface them so a
     // regressed-to-failing query can't read as a speedup
     val r1Failed = results.count { case (k, v) => r1Names(k) && v < 0 }
+    val r1SubtotalMed = medians.collect { case (k, v) if r1Names(k) && v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$reps,"r1_subtotal":$r1Subtotal,"r1_failed":$r1Failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","n":$reps,"r1_subtotal":$r1Subtotal,"r1_subtotal_median":$r1SubtotalMed,"r1_failed":$r1Failed}"""
     println(json)
     // stdout gets wrapped in sbt/log4j noise (round-1 driver record shows
     // parsed:null from tail-scraping) — also land the line in a file

@@ -20,6 +20,16 @@ object SparkEntry {
     // timestamp type — read as LongType nanos and convert explicitly
     // (graft.sources.Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // let AQE re-plan the fill of persisted relations too (off by default):
+    // the iterative operators (connected components, pagerank) persist one
+    // small generation per round, and without this every generation fill
+    // runs its shuffles at the static partition count — at sf0.1 that is
+    // 32-task stages over 5000-row relations, ~1 s of pure scheduling per
+    // iteration. With it, AQE coalesces tiny exchanges and auto-broadcasts
+    // from runtime sizes, while big corpora keep full parallelism — the
+    // scale-adaptive behavior everywhere else in the engine already relies
+    // on.
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     graft.functions.GraftFunctions.register(spark)
     spark
   }

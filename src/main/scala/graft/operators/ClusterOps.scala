@@ -116,36 +116,40 @@ object ClusterOps {
     // cache the SYMMETRIZED edge relation before deriving anything from it
     // — deg and every iteration read the cache; deriving deg from the raw
     // lineage would re-evaluate the (expensive) pair join per consumer
-    val e = DedupOps.registerCache(
-      edges
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    // fill the edge cache BEFORE anything reads it: the depth-3 join tree
-    // below references e at every level, and an unfilled cache lets
-    // concurrent stages race down the expensive pair-join lineage
-    // (measured 19.6 s lazy vs <3 s materialized at sf0.1 — the earlier
-    // "faster warm" note was wrong; this mirrors connectedComponents)
-    e.count()
-    // deg is read once per iteration — persist so each round scans the
-    // tiny (src, deg) relation, not a re-aggregation of e
+    // Materialize the EXPENSIVE inputs once, then keep the fixed-count
+    // rank recurrence lazy. Measured at sf0.1 (PagerankPhases, idle
+    // host): the lazy depth-3 chain over warm caches runs in ~0.65 s as
+    // ONE job, vs ~3.5 s for per-generation persist+count round-trips —
+    // at a FIXED small iteration count the per-round cache writes and
+    // actions are pure overhead. (Contrast connectedComponents, whose
+    // VARIABLE round count needs a per-round convergence action anyway.)
+    // The r3 19.6 s pathology was never laziness itself: the edge cache
+    // was declared but never FILLED before the multi-consumer rank tree
+    // ran, so concurrent stages raced down the un-cached pair-join
+    // lineage, re-evaluating it per consumer.
+    //
+    // raw (not the symmetrized union) is what persists: filling a cached
+    // union would evaluate the pair-join lineage once per branch.
+    val raw = DedupOps.registerCache(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    raw.count()
+    val e = raw
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(raw.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // deg and the teleport relation are each read at every level of the
+    // lazy tree — persist + fill both so no level re-aggregates e or
+    // re-runs the distinct+count lineage
     val deg = DedupOps.registerCache(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    // teleport relation: tiny (one row per node) but its lineage (distinct
-    // + count) would otherwise re-run once per iteration level of the
-    // final plan — materialize it once, like the CC label generations
+    deg.count()
     val tele = expr("CAST(1000000000 AS BIGINT) DIV n_nodes")
     val n = nodes.select(col("id")).distinct()
     val withT = DedupOps.registerCache(
       n.crossJoin(broadcast(n.agg(count(lit(1)).as("n_nodes"))))
         .select(col("id"), tele.as("t"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    // materialize each rank generation (the CC cache lifecycle): one
-    // bounded join + keyed aggregation per round, predecessor released as
-    // soon as its successor is cached — no lineage growth across rounds
+    withT.count()
     var ranks = withT.select(col("id"), col("t").as("r"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iterations) {
       val inflow = e
         .join(deg, Seq("src"))
@@ -153,19 +157,12 @@ object ClusterOps {
         .select(col("dst").as("id"), expr("r DIV deg").as("contrib"))
         .groupBy(col("id"))
         .agg(sum(col("contrib")).as("inflow"))
-      val next = withT
+      ranks = withT
         .join(inflow, Seq("id"), "left")
         .select(
           col("id"),
           expr("(15 * t + 85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100").as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist(blocking = false)
-      ranks = next
     }
-    // the final generation stays cached until the harness-level release
-    // (its predecessors were unpersisted each round)
-    DedupOps.registerCache(ranks)
     ranks.select(col("id"), col("r").as("rank_nano"))
   }
 

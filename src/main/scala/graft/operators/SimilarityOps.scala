@@ -247,22 +247,26 @@ object SimilarityOps {
     import spark.implicits._
     val e = corpus(embeddings)
     // blocks <= 0 → auto-size from Catalyst's size estimate (same
-    // plan-time stats knnAuto consults — no extra scan): aim for ~4M
-    // cosine evaluations per tile, so B ~ n/2048. Small corpora get B=1 —
-    // zero replication, one tile, the plan the fixed B=16 was measured 4×
-    // slower than at sf0.1 (2k vectors). B is capped so the broadcast
-    // block-pair relation stays tiny; beyond the cap tiles grow past the
-    // target, which only means more work per task, never more replication
-    // than B+1 rows per vector.
-    val B =
-      if (blocks > 0) blocks
-      else {
-        val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
-        val rowSize = 8 + 8 * 64 // id + 64-dim double vector
-        val nEst = (bytes / rowSize).toDouble.max(1.0)
-        math.min(256, math.max(1, math.ceil(nEst / 2048.0).toInt))
-      }
+    // plan-time stats knnAuto consults — no extra scan): aim for tiles of
+    // ~256k cosine evaluations (B ~ n/512) — big enough that per-task
+    // scheduling is noise, small enough that a 32-core host sees real
+    // parallelism at 2k vectors (the fixed B=16 paid 17× replication for
+    // nothing at that size; B=1 serialized the whole kernel into one
+    // task). B is capped so the broadcast block-pair relation stays tiny;
+    // beyond the cap tiles grow past the target, which only means more
+    // work per task, never more replication than B+1 rows per vector.
+    val B = if (blocks > 0) blocks else autoBlocks(e)
     nearDupPairsBlocked(e, minCos, B)
+  }
+
+  /** The block count [[nearDupPairs]] auto-derives from plan-time stats
+    * (public so stress tools can report the decision alongside timings).
+    */
+  def autoBlocks(corpusRel: DataFrame): Int = {
+    val bytes = corpusRel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rowSize = 8 + 8 * 64 // id + 64-dim double vector
+    val nEst = (bytes / rowSize).toDouble.max(1.0)
+    math.min(256, math.max(1, math.ceil(nEst / 512.0).toInt))
   }
 
   private def nearDupPairsBlocked(e: DataFrame, minCos: Double, blocks: Int): DataFrame = {

@@ -55,6 +55,13 @@ object EmbedScaleStress {
       val nlist = math.max(16, math.sqrt(emb.count().toDouble).toInt)
       t(s"knn_ivf nlist=$nlist")(SimilarityOps.knnIvf(q, c, 10, nlist, math.max(4, nlist / 16)).count())
       DedupOps.releaseAllCaches()
+      // the Θ(n²)-by-design exact all-pairs path: the interesting datapoint
+      // is the auto-sizer ESCALATING the block count with the corpus (B=1
+      // collapses to the cheap plan at 2k; the blocked equi-join must
+      // engage at 4×+) while wall time tracks n²/cores, not replication
+      val autoB = SimilarityOps.autoBlocks(SimilarityOps.corpus(emb))
+      t(s"nearDupPairs cos>=0.4 autoB=$autoB")(SimilarityOps.nearDupPairs(emb, 0.4).count())
+      DedupOps.releaseAllCaches()
     }
     spark.stop()
   }

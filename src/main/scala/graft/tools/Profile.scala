@@ -20,15 +20,21 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    // warm-up round then 2 timed rounds
-    for (i <- 0 until 3) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"RUN$i $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // comma-separated names profile sequentially in one JVM; per-query
+    // transient caches release between queries (the bench lifecycle),
+    // session shingle corpora stay warm across the list
+    for (q <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val fn = graft.SparkEntry.queries(q)
+      // warm-up round then 2 timed rounds
+      for (i <- 0 until 3) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"RUN$i $q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      if (sys.env.get("PROFILE_EXPLAIN").contains("1"))
+        fn(spark, sfDir).explain("formatted")
+      graft.operators.DedupOps.releaseShingleCaches()
     }
-    if (sys.env.get("PROFILE_EXPLAIN").contains("1"))
-      fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }
