@@ -37,6 +37,17 @@ object ClusterOps {
     val sym = e
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // labels start as ALL nodes (singletons included). The tempting
+    // alternative — iterate over edge-touched nodes only and left-join
+    // singletons back at the end — was measured SLOWER at sf0.1
+    // (tools/CCPhases: rounds 0.67+1.20 s + 1.72 s final join vs
+    // 0.41+0.58+0.40 s this way): the extra corpus-wide join and the
+    // distinct-over-edges gen0 lineage cost more than iterating the full
+    // 5000-row label relation ever did. At cluster scale the trade can
+    // reverse (per-round shuffles shrink to the duplicate subgraph), but
+    // each round here is one id-keyed equi-join with map-side-combinable
+    // min — O(corpus) per round with a small constant and ≤ diameter+1
+    // rounds, which is already scan-bound, not shuffle-bound.
     var labels = nodes
       .select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
