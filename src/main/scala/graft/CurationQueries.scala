@@ -31,6 +31,9 @@ object CurationQueries {
     "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(Tables.documents(s, dir))),
     // α=0.5 temperature-weighted mixture weights per source.
     "source_mixture" -> ((s, dir) => CurationOps.sourceMixture(Tables.documents(s, dir))),
+    // Token-budget allocation: α=0.5 weights over AVAILABLE tokens plus the
+    // per-source repeat factor (epochs) a 1M-token budget implies.
+    "mixture_budget" -> ((s, dir) => CurationOps.mixtureBudget(Tables.documents(s, dir))),
     // CCNet head/middle/tail LM-score terciles.
     "doc_lm_buckets" -> ((s, dir) => CurationOps.lmBuckets(Tables.documents(s, dir))),
     // First BPE merge iteration: weighted adjacent-char pair counts.
@@ -197,6 +200,27 @@ object CurationQueries {
         |       round(CAST(q_nano AS DOUBLE) / CAST((SELECT q_total FROM t) AS DOUBLE)
         |             * 1000, 6) AS expected_docs
         |FROM c ORDER BY source""".stripMargin,
+    "mixture_budget" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1
+        |), q AS (
+        |  SELECT c.*,
+        |         CAST(round(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000000.0) AS BIGINT)
+        |           AS q_nano
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(sum(q_nano) AS BIGINT) AS q_total FROM q
+        |)
+        |SELECT source, n_docs, avail_tokens,
+        |       round(CAST(q_nano AS DOUBLE) / CAST((SELECT q_total FROM t) AS DOUBLE), 6)
+        |         AS weight,
+        |       CAST(trunc(CAST(q_nano AS DOUBLE) / CAST((SELECT q_total FROM t) AS DOUBLE)
+        |                  * 1000000.0) AS BIGINT) AS target_tokens,
+        |       round(CAST(q_nano AS DOUBLE) / CAST((SELECT q_total FROM t) AS DOUBLE)
+        |             * 1000000.0 / CAST(avail_tokens AS DOUBLE), 6) AS epochs
+        |FROM q ORDER BY source""".stripMargin,
     "doc_lm_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -52,6 +52,13 @@ object SimilarityQueries {
     // 2 iterations, per-cluster size + inertia.
     "embed_kmeans" -> ((s, dir) =>
       graft.operators.KMeansOps.fitSummary(Tables.embeddings(s, dir), k = KmK, iters = KmIters)),
+    // SemDeDup: the same k-means fit, then near-dup pruning ONLY within a
+    // cluster — the scale path for embedding dedup (dedup_embedding is the
+    // exact all-pairs baseline it approximates). Threshold matches the
+    // baseline's 0.4 so the two surfaces are directly comparable.
+    "dedup_semantic" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(
+        Tables.embeddings(s, dir), k = KmK, iters = KmIters, minCos = 0.4)),
     // Recall@10 of the LSH scale path against the exact baseline — the
     // quality gate an ANN deployment monitors. One summary row; the hit
     // count is an exact-integer join intersection, so the metric itself is
@@ -239,54 +246,84 @@ object SimilarityQueries {
          |       round(CAST((SELECT count(*) FROM bf JOIN lsh USING (q_id, c_id)) AS DOUBLE)
          |             / CAST((SELECT count(*) FROM bf) AS DOUBLE), 6) AS recall""".stripMargin
     },
-    "embed_kmeans" -> {
-      // Unrolled Lloyd iterations in exact integer micro-space: every
-      // value is an integer in IEEE double, so sums/distances are exact in
-      // any order — bit-identical to the Spark loop (KMeansOps docs).
-      val seedHash = PortableHash.hash60Sql("'km:' || CAST(vec_id AS VARCHAR)")
-      def iterCtes(i: Int): String = {
-        val prev = s"c${i - 1}"
-        s"""d$i AS (
-           |  SELECT w.vec_id, c.cid,
-           |         w.vv + list_dot_product(c.ci, c.ci)
-           |           - 2 * list_dot_product(w.vi, c.ci) AS dist
-           |  FROM w CROSS JOIN $prev c
-           |), a$i AS (
-           |  SELECT vec_id, cid, dist FROM (
-           |    SELECT d$i.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-           |    FROM d$i) WHERE rn = 1
-           |), m$i AS (
-           |  SELECT a.cid, g.i AS pos,
-           |         CAST(CAST(trunc(sum(w.vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
-           |  FROM a$i a JOIN w ON a.vec_id = w.vec_id
-           |  CROSS JOIN generate_series(1, $Dim) AS g(i)
-           |  GROUP BY 1, 2
-           |), c$i AS (
-           |  SELECT cid, list(comp ORDER BY pos) AS ci FROM m$i GROUP BY cid
-           |)""".stripMargin
-      }
-      s"""WITH v AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
-         |  FROM embeddings
-         |), w AS (
-         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
-         |), seed AS (
-         |  SELECT vi, row_number() OVER (ORDER BY $seedHash, vec_id) AS rn FROM v
-         |), c0 AS (
-         |  SELECT CAST(rn - 1 AS INT) AS cid, vi AS ci FROM seed WHERE rn <= $KmK
-         |),${(1 until KmIters).map(iterCtes).mkString(", ")}, dF AS (
+    "embed_kmeans" ->
+      s"""$kmeansWithChain
+         |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia
+         |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_semantic" ->
+      s"""$kmeansWithChain, e2 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), j AS (
+         |  SELECT a.vec_id, a.cid, e2.emb FROM aF a JOIN e2 USING (vec_id)
+         |), pr AS (
+         |  SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+         |         ${cosSql("x.emb", "y.emb")} AS cos
+         |  FROM j x JOIN j y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |), sel AS (
+         |  SELECT cid, a_id, b_id FROM pr WHERE cos >= 0.4
+         |), np AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs FROM sel GROUP BY 1
+         |), nd AS (
+         |  SELECT cid, CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
+         |  FROM sel GROUP BY 1
+         |), nv AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM aF GROUP BY 1
+         |)
+         |SELECT nv.cid AS cluster_id, nv.n_vecs,
+         |       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM nv LEFT JOIN np USING (cid) LEFT JOIN nd USING (cid)
+         |ORDER BY 1""".stripMargin)
+
+  /** Shared oracle CTE chain for the Lloyd fit: unrolled iterations in
+    * exact integer micro-space — every value is an integer in IEEE double,
+    * so sums/distances are exact in any order, bit-identical to the Spark
+    * loop (KMeansOps docs). Ends at `aF(vec_id, cid, dist)`, the final
+    * assignment; consumers append their own CTEs/SELECT.
+    */
+  private lazy val kmeansWithChain: String = {
+    val seedHash = PortableHash.hash60Sql("'km:' || CAST(vec_id AS VARCHAR)")
+    def iterCtes(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""d$i AS (
          |  SELECT w.vec_id, c.cid,
          |         w.vv + list_dot_product(c.ci, c.ci)
          |           - 2 * list_dot_product(w.vi, c.ci) AS dist
-         |  FROM w CROSS JOIN c${KmIters - 1} c
-         |), aF AS (
+         |  FROM w CROSS JOIN $prev c
+         |), a$i AS (
          |  SELECT vec_id, cid, dist FROM (
-         |    SELECT dF.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM dF) WHERE rn = 1
-         |)
-         |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
-         |       CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia
-         |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin
-    })
+         |    SELECT d$i.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$i) WHERE rn = 1
+         |), m$i AS (
+         |  SELECT a.cid, g.i AS pos,
+         |         CAST(CAST(trunc(sum(w.vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+         |  FROM a$i a JOIN w ON a.vec_id = w.vec_id
+         |  CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  GROUP BY 1, 2
+         |), c$i AS (
+         |  SELECT cid, list(comp ORDER BY pos) AS ci FROM m$i GROUP BY cid
+         |)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+       |  FROM embeddings
+       |), w AS (
+       |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+       |), seed AS (
+       |  SELECT vi, row_number() OVER (ORDER BY $seedHash, vec_id) AS rn FROM v
+       |), c0 AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cid, vi AS ci FROM seed WHERE rn <= $KmK
+       |),${(1 until KmIters).map(iterCtes).mkString(", ")}, dF AS (
+       |  SELECT w.vec_id, c.cid,
+       |         w.vv + list_dot_product(c.ci, c.ci)
+       |           - 2 * list_dot_product(w.vi, c.ci) AS dist
+       |  FROM w CROSS JOIN c${KmIters - 1} c
+       |), aF AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT dF.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dF) WHERE rn = 1
+       |)""".stripMargin
+  }
 }

@@ -248,6 +248,46 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** Token-budget mixture plan: temperature-weighted (α=0.5) allocation of
+    * a total training-token budget across sources, plus the repeat factor
+    * ("epochs") each source needs to fill its allocation — the signal a
+    * data-constrained mixture watches (epochs ≫ 1 means heavy upsampling;
+    * usefulness of repetition decays after ~4 epochs, Muennighoff et al.
+    * 2023, arXiv:2305.16264). Output per source:
+    * `(source, n_docs, avail_tokens, weight, target_tokens, epochs)`.
+    *
+    * Determinism: per-source √tokens is quantized to nano-units BEFORE the
+    * normalizing sum (the [[sourceMixture]] convention); `target_tokens`
+    * truncates toward zero (oracle: `CAST(trunc(…) AS BIGINT)`); the
+    * `epochs` division chain is the same IEEE double expression on both
+    * engines, rounded to 6. Scale: one count+sum aggregation over the
+    * corpus and a 1-row broadcast — no shuffle beyond the groupBy.
+    */
+  def mixtureBudget(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    val counts = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+      .withColumn(
+        "q_nano",
+        round(sqrt(col("avail_tokens").cast("double")) * lit(1e9)).cast("long"))
+    val total = counts.agg(sum(col("q_nano")).as("q_total"))
+    val share = col("q_nano").cast("double") / col("q_total").cast("double")
+    counts
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("avail_tokens"),
+        round(share, 6).as("weight"),
+        (share * lit(budgetTokens.toDouble)).cast("long").as("target_tokens"),
+        round(
+          share * lit(budgetTokens.toDouble) / col("avail_tokens").cast("double"),
+          6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** CCNet-style language-model buckets: rank documents by their unigram
     * NLL ([[TextOps.unigramNll]]) and split into terciles — `head` (most
     * fluent), `middle`, `tail` (most surprising / likely noise). Output

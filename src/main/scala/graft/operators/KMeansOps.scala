@@ -95,11 +95,11 @@ object KMeansOps {
           s => s.getField("comp")).as("ci"))
 
   /** Run `iters` Lloyd iterations (assign → update, final pass assign
-    * only) and summarize: `(cluster_id, n_vecs, inertia)` per surviving
-    * cluster. Centroid relations are materialized per round (k rows) so
-    * iteration lineage never re-evaluates prior assignments.
+    * only) and return the final assignment `(vec_id, cid, dist)`.
+    * Centroid relations are materialized per round (k rows) so iteration
+    * lineage never re-evaluates prior assignments.
     */
-  def fitSummary(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fitAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1)
     val vecs = quantize(embeddings)
     var cents = DedupOps.registerCache(seeds(vecs, k).persist(StorageLevel.MEMORY_AND_DISK))
@@ -114,10 +114,16 @@ object KMeansOps {
       }
     }
     best
+  }
+
+  /** [[fitAssign]] summarized: `(cluster_id, n_vecs, inertia)` per
+    * surviving cluster.
+    */
+  def fitSummary(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    fitAssign(embeddings, k, iters)
       .groupBy(col("cid").as("cluster_id"))
       .agg(
         count(lit(1)).as("n_vecs"),
         sum(col("dist").cast("long")).as("inertia"))
       .orderBy(col("cluster_id"))
-  }
 }

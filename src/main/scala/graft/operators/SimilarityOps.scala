@@ -304,4 +304,65 @@ object SimilarityOps {
       .filter(col("cos") >= lit(minCos))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the corpus, then prune near-duplicates ONLY within a
+    * cluster — the quadratic cosine kernel runs over ~n/k-row clusters
+    * instead of the corpus, so at 100 TB you raise k with the corpus
+    * (k ≈ n / target-cluster-size) and the per-cluster work stays bounded
+    * while the clustering itself is the linear-time [[KMeansOps]] loop.
+    *
+    * Clustering is the exact integer micro-space Lloyd fit (deterministic,
+    * oracle-reproducible — [[KMeansOps]] docs); pruning keeps the
+    * lowest-id member of each near-dup pair (greedy-by-id, the same
+    * survivor convention as the text dedup family). Output, one row per
+    * cluster: `(cluster_id, n_vecs, n_pairs, n_dropped)` where `n_pairs`
+    * counts intra-cluster pairs with cosine ≥ `minCos` and `n_dropped`
+    * counts members with a lower-id neighbor above the threshold.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    // the Lloyd iterations are the expensive lineage; both pair sides (and
+    // the per-cluster size count) consume the assignment → persist + fill
+    val assigned = DedupOps.registerCache(
+      KMeansOps
+        .fitAssign(embeddings, k, iters)
+        .select(col("vec_id"), col("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    assigned.count()
+    val e = corpus(embeddings).join(assigned, Seq("vec_id"))
+    // candidate generation is an EQUI-join on cluster id — never corpus²
+    val pairs = e
+      .select(col("cid"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+      .join(
+        e.select(col("cid"), col("vec_id").as("b_id"), col("emb").as("b_emb")),
+        Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("cid"),
+        col("a_id"),
+        col("b_id"),
+        round(GraftFunctions.cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+    val dup = DedupOps.registerCache(
+      pairs
+        .select(col("cid"), col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nPairs = dup.groupBy(col("cid")).agg(count(lit(1)).as("n_pairs"))
+    val nDropped = dup
+      .select(col("cid"), col("b_id"))
+      .distinct()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dropped"))
+    assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(nPairs, Seq("cid"), "left")
+      .join(nDropped, Seq("cid"), "left")
+      .select(
+        col("cid").as("cluster_id"),
+        col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -24,6 +24,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
   }
 
+  test("mixtureBudget: weights normalize, allocation covers the budget, epochs consistent") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = CurationOps.mixtureBudget(docs, budgetTokens = 100000L).collect()
+    assert(rows.nonEmpty)
+    val weights = rows.map(_.getDouble(3))
+    assert(math.abs(weights.sum - 1.0) < 1e-4)
+    // truncation loses < 1 token per source
+    val targets = rows.map(_.getLong(4))
+    assert(targets.sum <= 100000L && targets.sum >= 100000L - rows.length)
+    rows.foreach { r =>
+      val (avail, target, epochs) = (r.getLong(2), r.getLong(4), r.getDouble(5))
+      assert(avail > 0)
+      // epochs is the repeat factor of the PRE-truncation allocation:
+      // truncating target loses < 1 token, i.e. < 1/avail in epochs
+      assert(math.abs(epochs - target.toDouble / avail) < 1.0 / avail + 1e-6)
+    }
+  }
+
   test("entropy golden: uniform two-token doc is ln 2, constant doc is 0") {
     val docs = Seq((1L, "a a b b"), (2L, "c c c")).toDF("doc_id", "text")
     val got = CurationOps

@@ -120,6 +120,42 @@ class SimilaritySpec extends SparkSpec {
           .toSeq)
   }
 
+  test("semanticDedup: intra-cluster pairs are a subset of the exact all-pairs set") {
+    val raw = Tables.embeddings(spark, TestSpark.sf0001)
+    val sem = SimilarityOps
+      .semanticDedup(raw, k = 4, iters = 2, minCos = 0.3)
+      .collect()
+    assert(sem.length == 4) // every cluster summarized, even pair-free ones
+    val nVecs = sem.map(_.getLong(1)).sum
+    assert(nVecs == raw.count()) // partition of the corpus
+    sem.foreach { r =>
+      val (pairs, dropped) = (r.getLong(2), r.getLong(3))
+      assert(dropped <= pairs) // each drop is justified by >= 1 pair
+      assert(dropped <= r.getLong(1)) // can't drop more than the cluster
+    }
+    // clustering only PRUNES candidates: the intra-cluster pair count is
+    // bounded by the exact all-pairs count at the same threshold
+    val exact = SimilarityOps.nearDupPairs(raw, minCos = 0.3).count()
+    assert(sem.map(_.getLong(2)).sum <= exact)
+  }
+
+  test("semanticDedup cluster sizes agree with fitSummary") {
+    val raw = Tables.embeddings(spark, TestSpark.sf0001)
+    val sem = SimilarityOps
+      .semanticDedup(raw, k = 4, iters = 2, minCos = 0.3)
+      .select(col("cluster_id"), col("n_vecs"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val km = graft.operators.KMeansOps
+      .fitSummary(raw, k = 4, iters = 2)
+      .select(col("cluster_id"), col("n_vecs"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    assert(sem == km)
+  }
+
   test("approx deciles track exact deciles on l_quantity") {
     val values = graft.operators.HistogramOps.validValues(
       spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet"),
