@@ -36,6 +36,11 @@ object CurationQueries {
     "mixture_budget" -> ((s, dir) => CurationOps.mixtureBudget(Tables.documents(s, dir))),
     // CCNet head/middle/tail LM-score terciles.
     "doc_lm_buckets" -> ((s, dir) => CurationOps.lmBuckets(Tables.documents(s, dir))),
+    // DSIR importance weights toward the `en` slice over 256 hashed
+    // unigram buckets.
+    "dsir_weights" -> ((s, dir) => CurationOps.dsirWeights(Tables.documents(s, dir))),
+    // PII/lexical regex profile per source.
+    "pattern_scan" -> ((s, dir) => CurationOps.patternScan(Tables.documents(s, dir))),
     // First BPE merge iteration: weighted adjacent-char pair counts.
     "bpe_merges" -> ((s, dir) => CurationOps.bpeMergeCandidates(Tables.documents(s, dir))),
     // The full curation funnel in ONE DAG: eval-holdout exclusion → exact
@@ -221,6 +226,54 @@ object CurationQueries {
         |       round(CAST(q_nano AS DOUBLE) / CAST((SELECT q_total FROM t) AS DOUBLE)
         |             * 1000000.0 / CAST(avail_tokens AS DOUBLE), 6) AS epochs
         |FROM q ORDER BY source""".stripMargin,
+    "dsir_weights" -> {
+      val bucket = s"(${PortableHash.hash60Sql("'dsir:' || tok")}) % 256"
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), tb AS (
+         |  SELECT doc_id, lang, $bucket AS bucket FROM tok
+         |), b AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM tb GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+         |         CAST(sum(n_tgt) AS BIGINT) AS tot_tgt FROM b
+         |), s AS (
+         |  SELECT bucket,
+         |         CAST(round(ln(n_tgt + 1) * 1000000000.0) AS BIGINT)
+         |           - CAST(round(ln((SELECT tot_tgt FROM t) + 256) * 1000000000.0) AS BIGINT)
+         |           - CAST(round(ln(n_raw + 1) * 1000000000.0) AS BIGINT)
+         |           + CAST(round(ln((SELECT tot_raw FROM t) + 256) * 1000000000.0) AS BIGINT)
+         |           AS lr_nano
+         |  FROM b
+         |), d AS (
+         |  SELECT tb.doc_id, tb.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(s.lr_nano) AS BIGINT) AS sum_lr
+         |  FROM tb JOIN s USING (bucket) GROUP BY 1, 2
+         |)
+         |SELECT doc_id, lang, n_tokens,
+         |       round(CAST(sum_lr AS DOUBLE) / 1000000000.0, 6) AS logw
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "pattern_scan" -> {
+      val branches = CurationOps.DefaultPatterns
+        .map { case (name, re) =>
+          s"""SELECT source, '$name' AS pattern,
+             |       CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS cnt
+             |FROM documents""".stripMargin
+        }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH h AS (
+         |  $branches
+         |)
+         |SELECT source, pattern, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+         |       CAST(sum(cnt) AS BIGINT) AS n_matches,
+         |       round(CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS hit_rate
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "doc_lm_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

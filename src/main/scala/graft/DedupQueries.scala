@@ -59,7 +59,12 @@ object DedupQueries {
       ClusterOps.nearDupPagerank(Tables.documents(s, dir), n = 3, minJaccard = 0.5)),
     // Character-level verify on the candidate pairs: exact Levenshtein.
     "dedup_editdist" -> ((s, dir) =>
-      DedupOps.editDistancePairs(Tables.documents(s, dir), n = 3, minJaccard = 0.5)))
+      DedupOps.editDistancePairs(Tables.documents(s, dir), n = 3, minJaccard = 0.5)),
+    // Incremental ingest: batch (doc_id % 5 == 0) classified against the
+    // base corpus as exact_dup / near_dup / new.
+    "dedup_incremental" -> ((s, dir) =>
+      DedupOps.incrementalStatus(Tables.documents(s, dir), batchMod = 5, n = 3,
+        minJaccard = 0.5)))
 
   /** Shared oracle CTE chain: documents → 3-gram shingles → portable
     * 60-bit shingle hashes (the engine hashes identically — see
@@ -167,6 +172,20 @@ object DedupQueries {
          |JOIN documents da ON da.doc_id = pr.a_id
          |JOIN documents db ON db.doc_id = pr.b_id
          |ORDER BY pr.a_id, pr.b_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $jaccardPairCtes, np AS (
+         |  SELECT DISTINCT CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS doc_id
+         |  FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+         |    AND ((a_id % 5 = 0) <> (b_id % 5 = 0))
+         |)
+         |SELECT d.doc_id,
+         |       CASE WHEN EXISTS (SELECT 1 FROM documents b
+         |                         WHERE b.doc_id % 5 <> 0 AND md5(b.text) = md5(d.text))
+         |              THEN 'exact_dup'
+         |            WHEN d.doc_id IN (SELECT doc_id FROM np) THEN 'near_dup'
+         |            ELSE 'new' END AS status
+         |FROM documents d WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
     "dedup_pagerank" -> {
       // three unrolled integer-nano iterations — `//` on positive BIGINTs
       // == Spark's DIV truncation

@@ -52,6 +52,11 @@ object SimilarityQueries {
     // 2 iterations, per-cluster size + inertia.
     "embed_kmeans" -> ((s, dir) =>
       graft.operators.KMeansOps.fitSummary(Tables.embeddings(s, dir), k = KmK, iters = KmIters)),
+    // SSL-prototypes pruning: keep the 3/4 of each cluster closest to its
+    // centroid; exact integer distance sums on both sides of the cut.
+    "embed_prototypes" -> ((s, dir) =>
+      graft.operators.KMeansOps.prototypeSummary(
+        Tables.embeddings(s, dir), k = KmK, iters = KmIters)),
     // SemDeDup: the same k-means fit, then near-dup pruning ONLY within a
     // cluster — the scale path for embedding dedup (dedup_embedding is the
     // exact all-pairs baseline it approximates). Threshold matches the
@@ -251,6 +256,22 @@ object SimilarityQueries {
          |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
          |       CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia
          |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embed_prototypes" ->
+      s"""$kmeansWithChain, r AS (
+         |  SELECT vec_id, cid, dist,
+         |         row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rk,
+         |         CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+         |  FROM aF
+         |), kk AS (
+         |  SELECT r.*, greatest(CAST(1 AS BIGINT), (n_vecs * 3) // 4) AS n_keep FROM r
+         |)
+         |SELECT cid AS cluster_id, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+         |       CAST(max(n_keep) AS BIGINT) AS n_keep,
+         |       CAST(sum(CASE WHEN rk <= n_keep THEN CAST(dist AS BIGINT) ELSE 0 END)
+         |            AS BIGINT) AS kept_dist,
+         |       CAST(sum(CASE WHEN rk > n_keep THEN CAST(dist AS BIGINT) ELSE 0 END)
+         |            AS BIGINT) AS pruned_dist
+         |FROM kk GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_semantic" ->
       s"""$kmeansWithChain, e2 AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

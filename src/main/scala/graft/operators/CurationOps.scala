@@ -288,6 +288,130 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score each raw-pool document by how target-like its hashed n-gram
+    * feature distribution is — `log w(d) = Σ_tokens ln p̂_target(b(tok)) −
+    * ln p̂_raw(b(tok))` over `nBuckets` hashed unigram buckets with add-1
+    * smoothing. Documents with high `logw` are up-weighted when resampling
+    * the raw pool toward the target domain (here: the `targetLang`
+    * documents stand in for the target corpus; the whole table is the raw
+    * pool). Output per doc: `(doc_id, lang, n_tokens, logw)`.
+    *
+    * Determinism: every `ln` is of an exact integer (bucket count + 1 or
+    * total + nBuckets), quantized to nano-units BEFORE the per-doc sum —
+    * the per-bucket log-ratio is integer arithmetic on those nano values,
+    * so the sum is exact in any partition order ([[TextOps.unigramNll]]
+    * convention); the exposed `logw` is one nano→double division rounded
+    * to 6.
+    *
+    * Scale shape: token explode → one aggregation to a FIXED `nBuckets`-row
+    * feature table (two counts in one pass via conditional sum), a 1-row
+    * total, then a broadcast join of tokens→buckets and a per-doc sum. The
+    * feature table never grows with the corpus — that is the point of
+    * hashed features: at 100 TB the only corpus-sized shuffles are the
+    * token count and the per-doc sum, both map-side combinable.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en", nBuckets: Int = 256): DataFrame = {
+    val toks = DedupOps.registerCache(
+      docs
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn(
+          "bucket",
+          pmod(PortableHash.hash60(concat(lit("dsir:"), col("tok"))), lit(nBuckets.toLong)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // one pass over the token stream: raw count + target count per bucket
+    val buckets = toks
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === lit(targetLang), 1L).otherwise(0L)).as("n_tgt"))
+    val totals = buckets.agg(
+      sum(col("n_raw")).as("tot_raw"),
+      sum(col("n_tgt")).as("tot_tgt"))
+    def lnNano(c: Column): Column = round(log(c) * lit(1e9)).cast("long")
+    // add-1 smoothing: ln((n_tgt+1)/(tot_tgt+B)) - ln((n_raw+1)/(tot_raw+B)),
+    // expanded so every ln argument is an exact integer (cross-engine safe)
+    val scored = buckets
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        (lnNano(col("n_tgt") + lit(1L)) - lnNano(col("tot_tgt") + lit(nBuckets.toLong))
+          - lnNano(col("n_raw") + lit(1L)) + lnNano(col("tot_raw") + lit(nBuckets.toLong)))
+          .as("lr_nano"))
+    toks
+      .join(broadcast(scored), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_nano")).as("sum_lr"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        round(col("sum_lr").cast("double") / lit(1e9), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Regex pattern profiling — the PII/contamination scan of a curation
+    * pipeline: count matches of a named pattern set per source. The
+    * default set mixes PII shapes (email, IPv4 — the patterns a redaction
+    * pass greps for) with lexical probes that do hit this corpus, so the
+    * cross-engine regex parity is exercised on real matches too; the
+    * PII-positive path is spec-verified on golden fixtures
+    * (`CurationOpsSpec`). Patterns stay in the Java∩RE2 common subset
+    * (classes, bounded repeats — no lookaround, no `\b`). Output per
+    * (source, pattern): `(source, pattern, n_docs, n_docs_hit, n_matches,
+    * hit_rate)`.
+    *
+    * Scale shape: single narrow scan — per doc an array of (name, count)
+    * structs, exploded then aggregated by (source, pattern); the shuffle
+    * carries `sources × patterns` groups of longs. Match counting is
+    * `regexp_extract_all` length (non-overlapping leftmost, identical in
+    * Java regex and RE2).
+    */
+  def patternScan(
+      docs: DataFrame,
+      patterns: Seq[(String, String)] = DefaultPatterns): DataFrame = {
+    val hits = array(patterns.map { case (name, re) =>
+      struct(
+        lit(name).as("pattern"),
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long").as("cnt"))
+    }: _*)
+    docs
+      .select(col("source"), explode(hits).as("h"))
+      .select(col("source"), col("h.pattern").as("pattern"), col("h.cnt").as("cnt"))
+      .groupBy(col("source"), col("pattern"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("cnt")).as("n_matches"))
+      .withColumn(
+        "hit_rate",
+        round(col("n_docs_hit").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"), col("pattern"))
+  }
+
+  /** Default [[patternScan]] set: two PII shapes + two lexical probes. */
+  val DefaultPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+    "ipv4" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "kw_spark" -> "spark",
+    "short_tok" -> " [a-z]{1,3} ")
+
+  /** PII redaction: replace every match of the PII patterns with a typed
+    * placeholder (`<EMAIL>`, `<IPV4>`). Narrow per-row transform — the
+    * write-side twin of the [[patternScan]] report. Spec-verified on
+    * golden fixtures (the corpus itself is PII-free by construction).
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.withColumn(
+      "text",
+      regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}", "<EMAIL>"),
+        "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+        "<IPV4>"))
+
   /** CCNet-style language-model buckets: rank documents by their unigram
     * NLL ([[TextOps.unigramNll]]) and split into terciles — `head` (most
     * fluent), `middle`, `tail` (most surprising / likely noise). Output

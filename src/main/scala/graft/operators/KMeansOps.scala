@@ -126,4 +126,51 @@ object KMeansOps {
         count(lit(1)).as("n_vecs"),
         sum(col("dist").cast("long")).as("inertia"))
       .orderBy(col("cluster_id"))
+
+  /** Prototypicality pruning (SSL-prototypes, Sorscher et al. 2022,
+    * arXiv:2206.14486): rank each vector within its cluster by distance to
+    * the centroid and keep the `keepNum/keepDen` fraction CLOSEST to it —
+    * pruning the hardest/outlier examples (for abundant data the paper
+    * inverts the rule; the rank machinery is the same). Output per
+    * cluster: `(cluster_id, n_vecs, n_keep, kept_dist, pruned_dist)` with
+    * the exact integer micro-space distance sums on each side of the cut.
+    *
+    * Determinism: distances are exact integers ([[fitAssign]]), the
+    * in-cluster rank breaks ties on `vec_id`, and the keep count is
+    * integer arithmetic (`DIV`, floored, min 1). Scale: the rank window
+    * partitions by cluster id — cluster size is ~n/k, and k grows with the
+    * corpus (the [[graft.operators.SimilarityOps.semanticDedup]]
+    * argument), so no unpartitioned window ever sees corpus-scale rows.
+    */
+  def prototypeSummary(
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int,
+      keepNum: Int = 3,
+      keepDen: Int = 4): DataFrame = {
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen)
+    val assigned = fitAssign(embeddings, k, iters)
+    val ranked = assigned
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cid"))
+            .orderBy(col("dist"), col("vec_id"))))
+      .withColumn("n_vecs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+      .withColumn(
+        "n_keep",
+        greatest(lit(1L), expr(s"(n_vecs * $keepNum) DIV $keepDen")))
+    ranked
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(
+        first(col("n_vecs")).as("n_vecs"),
+        first(col("n_keep")).as("n_keep"),
+        sum(when(col("rk") <= col("n_keep"), col("dist").cast("long")).otherwise(0L))
+          .as("kept_dist"),
+        sum(when(col("rk") > col("n_keep"), col("dist").cast("long")).otherwise(0L))
+          .as("pruned_dist"))
+      .orderBy(col("cluster_id"))
+  }
 }

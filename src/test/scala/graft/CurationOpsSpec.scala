@@ -24,6 +24,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
   }
 
+  test("patternScan golden: PII fixtures counted per source, corpus-free patterns zero") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or eve@test.org today", "s1"),
+      (2L, "server at 10.0.0.1 and 192.168.1.1 up", "s1"),
+      (3L, "no pii here at all", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = CurationOps
+      .patternScan(docs, Seq("email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+        "ipv4" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("s1", "email", 2L, 1L, 2L),
+      ("s1", "ipv4", 2L, 1L, 2L),
+      ("s2", "email", 1L, 0L, 0L),
+      ("s2", "ipv4", 1L, 0L, 0L)))
+  }
+
+  test("redactPii golden: typed placeholders, non-PII text untouched") {
+    val docs = Seq(
+      (1L, "mail bob@example.com from 10.0.0.1 now"),
+      (2L, "plain text stays put"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.redactPii(docs).orderBy("doc_id").collect().map(_.getString(1))
+    assert(got(0) == "mail <EMAIL> from <IPV4> now")
+    assert(got(1) == "plain text stays put")
+  }
+
+  test("dsirWeights: covers the corpus; target-language docs score higher on average") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = CurationOps.dsirWeights(docs, targetLang = "en").collect()
+    DedupOps.releaseShingleCaches()
+    assert(rows.length == docs.count())
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    // E[log w] under the target slice is the KL(target ‖ raw) estimate — it
+    // must exceed the raw-pool mean (which mixes in the off-target mass)
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(en.map(_.getDouble(3))) > mean(rest.map(_.getDouble(3))))
+  }
+
   test("mixtureBudget: weights normalize, allocation covers the budget, epochs consistent") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val rows = CurationOps.mixtureBudget(docs, budgetTokens = 100000L).collect()

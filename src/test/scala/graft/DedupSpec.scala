@@ -17,6 +17,24 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.exactSurvivors(docs).count() == groups.count())
   }
 
+  test("incrementalStatus golden: exact / near / new classified against the base") {
+    val df = Seq(
+      (1L, "x y z w q r s t"), // base
+      (2L, "a b c d e f g h"), // base
+      (3L, "filler base words entirely unrelated tokens all"), // base
+      (5L, "x y z w q r s t"), // batch: byte-identical to base 1
+      (10L, "a b c d e f g zz"), // batch: J = 5/7 vs base 2
+      (15L, "completely different words here now ok yes")) // batch: new
+      .toDF("doc_id", "text")
+    val got = DedupOps
+      .incrementalStatus(df, batchMod = 5, n = 3, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    DedupOps.releaseShingleCaches()
+    assert(got == Seq((5L, "exact_dup"), (10L, "near_dup"), (15L, "new")))
+  }
+
   test("fingerprint dedup is case/whitespace-insensitive") {
     val df = Seq(
       (1L, "a b c"),

@@ -58,6 +58,29 @@ class KMeansSpec extends SparkSpec {
     assert(i3 <= i2, s"iter3 $i3 > iter2 $i2")
   }
 
+  test("prototypeSummary: keep fraction exact, kept+pruned distance equals inertia") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val proto = KMeansOps.prototypeSummary(emb, k = 8, iters = 2).collect()
+    DedupOps.releaseShingleCaches()
+    val summary = KMeansOps.fitSummary(emb, k = 8, iters = 2).collect()
+    DedupOps.releaseShingleCaches()
+    val inertia = summary.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val sizes = summary.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(proto.length == summary.length)
+    proto.foreach { r =>
+      val (cid, n, keep, kept, pruned) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n == sizes(cid))
+      assert(keep == math.max(1L, n * 3 / 4))
+      // the cut partitions the cluster's distance mass exactly
+      assert(kept + pruned == inertia(cid))
+      // kept side holds the CLOSEST members: its mean can't exceed the
+      // pruned side's mean (strict ranking by distance)
+      if (n > keep)
+        assert(kept.toDouble / keep <= pruned.toDouble / (n - keep) + 1e-9)
+    }
+  }
+
   test("unigram NLL: uniform corpus scores ln(vocab), rare tokens score higher") {
     val docs = Seq(
       (1L, "aa bb cc dd"),
