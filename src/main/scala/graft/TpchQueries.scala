@@ -399,6 +399,170 @@ object TpchQueries {
         .filter(col("n_items") >= 7)
         .orderBy(col("l_orderkey"))
         .limit(100)),
+    // TPC-H Q7 volume shipping: bidirectional nation pair filtered at the
+    // two broadcast nation dims; revenue per (supp_nation, cust_nation,
+    // year) in exact cents².
+    "q7_volume" -> ((s, dir) => {
+      val n1 = broadcast(Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+      val li = Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        .select(
+          col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_c2"))
+      li.join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev_c2")).as("revenue_c2"), count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // Q12-flavored lateness analysis (this schema has no commit/receipt
+    // dates): lines shipped > 90 days after their order date, per order
+    // priority — timestamp interval arithmetic through the gate.
+    "q12_late" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(
+          Tables.orders(s, dir)
+            .filter(
+              col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+                col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("n_late"))
+        .withColumn(
+          "late_frac",
+          round(col("n_late").cast("double") / col("n_lines").cast("double"), 6))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // TPC-H Q13 customer distribution: LEFT join so zero-order customers
+    // keep count 0, then the count-of-counts histogram.
+    "q13_custdist" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"))
+        .join(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q15 top supplier: quarterly revenue per supplier, argmax via a
+    // 1-row broadcast max — ties kept (the spec's correlated = max form).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("total_c2"))
+      val mx = rev.agg(max(col("total_c2")).as("mx"))
+      rev
+        .crossJoin(broadcast(mx))
+        .filter(col("total_c2") === col("mx"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_c2"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // TPC-H Q17 small-quantity revenue: the correlated per-part average
+    // DECORRELATED into an aggregate+join; the 20%-of-average compare is
+    // cross-multiplied into exact integers (5·qty·n < Σqty — no float
+    // average), and the yearly figure is one double division at the end.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("ext_c"))
+      val brand = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val perPart = li
+        .join(brand, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .select(col("l_partkey").as("ap_key"), col("sum_qty"), col("n_lines"))
+      li.join(brand, col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("ap_key"))
+        .filter(col("qty") * lit(5L) * col("n_lines") < col("sum_qty"))
+        .agg(
+          count(lit(1)).as("n_small"),
+          sum(col("ext_c")).as("sum_cents"))
+        .select(
+          col("n_small"),
+          col("sum_cents"),
+          round(col("sum_cents").cast("double") / lit(7.0), 6).as("avg_yearly_c"))
+    }),
+    // TPC-H Q19 discounted revenue: disjunctive brand × size × quantity
+    // predicate — one OR-of-ANDs filter over the part⋈lineitem join (the
+    // shape Catalyst turns into a common-join + residual filter; the part
+    // side prunes to the three brands at the scan).
+    "q19_discounted" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_c2"))
+      val pt = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+              col("l_quantity").between(20, 40)))
+        .agg(sum(col("rev_c2")).as("revenue_c2"), count(lit(1)).as("n_lines"))
+    }),
+    // Q22-flavored idle-capital report (no phone country codes in this
+    // schema — nation stands in): customers from a nation subset with
+    // above-positive-average balance and no RECENT orders (every customer
+    // here has SOME order, so the anti-join is against the recent slice);
+    // the average compare is cross-multiplied exact cents, the
+    // no-recent-order check a left anti join with the date pushed to the
+    // orders scan.
+    "q22_idle" -> ((s, dir) => {
+      val nations = Seq(1, 3, 5, 7, 9).map(lit(_))
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_nationkey").isin(nations: _*))
+        .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+      val avgPos = cust
+        .filter(col("bal_c") > 0L)
+        .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_pos"))
+      cust
+        .crossJoin(broadcast(avgPos))
+        .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+        .join(
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= expr("timestamp'2000-01-01 00:00:00'"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
+        .orderBy(col("c_nationkey"))
+    }),
     // Correlated scalar subqueries through the SQL surface: orders above
     // their own customer's average order value, per market segment.
     // Catalyst DECORRELATES both subqueries into aggregate + join (the
@@ -428,6 +592,107 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+        |            AS BIGINT) AS revenue_c2,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q12_late" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       round(CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS late_frac
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1
+        |)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |              AS BIGINT) AS total_c2
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, r.total_c2
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_c2 = (SELECT max(total_c2) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, CAST(trunc(l.l_quantity) AS BIGINT) AS qty,
+        |         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS ext_c
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+        |), pp AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(li.ext_c) AS BIGINT) AS sum_cents,
+        |       round(CAST(sum(li.ext_c) AS DOUBLE) / 7.0, 6) AS avg_yearly_c
+        |FROM li JOIN pp ON li.l_partkey = pp.l_partkey
+        |WHERE li.qty * 5 * pp.n_lines < pp.sum_qty""".stripMargin,
+    "q19_discounted" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+        |            AS BIGINT) AS revenue_c2,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+        |       AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+        |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_idle" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |), ap AS (
+        |  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+        |         CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM cust WHERE bal_c > 0
+        |)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(c.bal_c) AS BIGINT) AS total_bal_c
+        |FROM cust c, ap
+        |WHERE c.bal_c * ap.n_pos > ap.sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o
