@@ -33,7 +33,13 @@ object DumpPlans {
     "minute_gapfill" -> "Calendar sequence join + IGNORE-NULLS carry-forward; the unpartitioned fill window consumes the bounded calendar relation, never raw events.",
     "snapshot_diff" -> "CDC diff: md5 row digests computed map-side; the one full-outer exchange moves (key, digest) pairs — payload columns never shuffle.",
     "dedup_survivors" -> "Survivor selection: cluster labels from the iterative propagation, then one rank window keyed by cluster (WindowGroupLimit-prunable) and the summary aggregate.",
-    "cms_terms" -> "Count-Min point queries: the fixed 4×1024 state is ONE map-side-combinable aggregation; probes left-join the broadcast state — estimate 0 for empty buckets survives.")
+    "cms_terms" -> "Count-Min point queries: the fixed 4×1024 state is ONE map-side-combinable aggregation; probes left-join the broadcast state — estimate 0 for empty buckets survives.",
+    "dedup_semantic" -> "SemDeDup: the quadratic cosine kernel joins on CLUSTER ID (equi-join, no corpus²); the materialized assignment relation feeds pair sides + size counts from cache; graft_cosine runs inside the join projection.",
+    "embed_prototypes" -> "Prototypicality cut: rank window PARTITIONED by cluster id over the thin (vec_id, cid, dist) assignment — never an unpartitioned corpus window; both distance sums come from one aggregation pass.",
+    "dsir_weights" -> "DSIR: the 256-row hashed feature table (log-ratios) BROADCASTS into the token stream; corpus-sized shuffles are only the bucket count and per-doc sum, both map-side combinable.",
+    "q7_volume" -> "Q7: both nation dims broadcast with the pair filter applied BEFORE the join; ship-date range pushed to the lineitem scan; exact cents² aggregation.",
+    "q17_small_qty" -> "Q17 decorrelated: per-part averages as an aggregate joined back (AQE broadcasts the brand-pruned side); the 20%-of-avg compare is integer-exact inside the filter.",
+    "dedup_incremental" -> "Incremental ingest: base md5 fingerprint index probed by the batch (16-byte keys); near-dups are a FILTER on the memoized PPJoin pair relation — candidate pipeline not re-paid.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession
