@@ -41,6 +41,10 @@ object CurationQueries {
     "dsir_weights" -> ((s, dir) => CurationOps.dsirWeights(Tables.documents(s, dir))),
     // PII/lexical regex profile per source.
     "pattern_scan" -> ((s, dir) => CurationOps.patternScan(Tables.documents(s, dir))),
+    // Logistic-regression quality filter trained in-engine (2 GD steps,
+    // exact-integer reproducibility).
+    "quality_classifier" -> ((s, dir) =>
+      CurationOps.qualityClassifier(Tables.documents(s, dir))),
     // First BPE merge iteration: weighted adjacent-char pair counts.
     "bpe_merges" -> ((s, dir) => CurationOps.bpeMergeCandidates(Tables.documents(s, dir))),
     // The full curation funnel in ONE DAG: eval-holdout exclusion → exact
@@ -273,6 +277,73 @@ object CurationQueries {
          |       round(CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6) AS hit_rate
          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "quality_classifier" -> {
+      val stopList = graft.operators.TextOps.Stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              w -> list_contains($stopList, w))) AS BIGINT) AS sc,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+         |  FROM documents
+         |), f AS (
+         |  SELECT CASE WHEN nt BETWEEN 20 AND 1000 AND sc * 50 >= nt
+         |                   AND sc * 2 <= nt AND nd * 5 >= nt
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+         |         CAST(1 AS BIGINT) AS x0,
+         |         least(nt // 64, 15) AS x1,
+         |         ((sc * 100 // nt) // 10) AS x2,
+         |         ((nd * 100 // nt) // 10) AS x3
+         |  FROM b
+         |), g1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT) * x0) AS BIGINT) AS g0,
+         |         CAST(sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT) * x1) AS BIGINT) AS g1,
+         |         CAST(sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT) * x2) AS BIGINT) AS g2,
+         |         CAST(sum(CAST(round((y - 0.5) * 1000000000.0) AS BIGINT) * x3) AS BIGINT) AS g3
+         |  FROM f
+         |), w1 AS (
+         |  SELECT CAST(trunc(CAST(g0 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a0,
+         |         CAST(trunc(CAST(g1 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a1,
+         |         CAST(trunc(CAST(g2 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a2,
+         |         CAST(trunc(CAST(g3 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a3
+         |  FROM g1
+         |), s2 AS (
+         |  SELECT f.*, (x0 * a0 + x1 * a1 + x2 * a2 + x3 * a3) AS z,
+         |         a0, a1, a2, a3
+         |  FROM f, w1
+         |), g2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         max(a0) AS a0, max(a1) AS a1, max(a2) AS a2, max(a3) AS a3,
+         |         CAST(sum(CAST(round((y - 1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1000000000.0)))
+         |                             * 1000000000.0) AS BIGINT) * x0) AS BIGINT) AS g0,
+         |         CAST(sum(CAST(round((y - 1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1000000000.0)))
+         |                             * 1000000000.0) AS BIGINT) * x1) AS BIGINT) AS g1,
+         |         CAST(sum(CAST(round((y - 1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1000000000.0)))
+         |                             * 1000000000.0) AS BIGINT) * x2) AS BIGINT) AS g2,
+         |         CAST(sum(CAST(round((y - 1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1000000000.0)))
+         |                             * 1000000000.0) AS BIGINT) * x3) AS BIGINT) AS g3
+         |  FROM s2
+         |), w2 AS (
+         |  SELECT a0 + CAST(trunc(CAST(g0 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a0,
+         |         a1 + CAST(trunc(CAST(g1 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a1,
+         |         a2 + CAST(trunc(CAST(g2 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a2,
+         |         a3 + CAST(trunc(CAST(g3 AS DOUBLE) / (4.0 * n)) AS BIGINT) AS a3
+         |  FROM g2
+         |), sf AS (
+         |  SELECT f.y, (x0 * a0 + x1 * a1 + x2 * a2 + x3 * a3) AS z,
+         |         a0, a1, a2, a3
+         |  FROM f, w2
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(CAST(max(a0) AS DOUBLE) / 1000000000.0, 4) AS w_bias,
+         |       round(CAST(max(a1) AS DOUBLE) / 1000000000.0, 4) AS w_len,
+         |       round(CAST(max(a2) AS DOUBLE) / 1000000000.0, 4) AS w_stop,
+         |       round(CAST(max(a3) AS DOUBLE) / 1000000000.0, 4) AS w_div,
+         |       round(CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS acc
+         |FROM sf""".stripMargin
     },
     "doc_lm_buckets" ->
       """WITH tok AS (

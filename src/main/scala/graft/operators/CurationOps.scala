@@ -412,6 +412,95 @@ object CurationOps {
         "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
         "<IPV4>"))
 
+  /** Trainable quality classifier — logistic regression fit by
+    * distributed batch gradient descent INSIDE the engine (the
+    * fastText-style "train a cheap filter, score the corpus" step of a
+    * curation pipeline, here distilling the rule gate into a linear
+    * scorer). Features are small exact integers (length bucket, stopword
+    * percent decile, diversity percent decile + bias); the label is the
+    * integer-exact form of the [[TextOps.quality]] "high" bucket. Output,
+    * one row: `(n_docs, w_bias, w_len, w_stop, w_div, acc)`.
+    *
+    * Determinism (the whole design): weights live as nano-unit longs, so
+    * the margin `z = Σ wᵢxᵢ` is EXACT integer arithmetic; the only float
+    * step is the per-doc sigmoid, whose residual is quantized to nano
+    * BEFORE the gradient sum (`Σ s·xᵢ` is again exact in any partition
+    * order); the update divides by `4n` once and truncates back to nano
+    * integers. Train accuracy is an exact `z > 0` integer compare. The
+    * oracle unrolls the same two iterations in CTEs — bit-identical.
+    *
+    * Scale shape: each iteration is ONE map-side-combinable aggregation
+    * over the feature relation (cached once) producing a 1-row gradient,
+    * broadcast back — O(features) driver-side state, never O(corpus);
+    * exactly the classic distributed-GD-on-Spark layout, minus the float
+    * nondeterminism that usually makes it unreproducible.
+    */
+  def qualityClassifier(docs: DataFrame, iters: Int = 2): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val base = docs.select(
+      size(t).cast("long").as("nt"),
+      size(filter(t, w => w.isInCollection(TextOps.Stopwords))).cast("long").as("sc"),
+      size(array_distinct(t)).cast("long").as("nd"))
+    val feats = DedupOps.registerCache(
+      base
+        .select(
+          when(
+            col("nt").between(20L, 1000L) &&
+              col("sc") * 50L >= col("nt") && col("sc") * 2L <= col("nt") &&
+              col("nd") * 5L >= col("nt"),
+            1L).otherwise(0L).as("y"),
+          lit(1L).as("x0"),
+          least(expr("nt DIV 64"), lit(15L)).as("x1"),
+          expr("((sc * 100) DIV nt) DIV 10").as("x2"),
+          expr("((nd * 100) DIV nt) DIV 10").as("x3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val spark = docs.sparkSession
+    var w: DataFrame = spark
+      .range(1)
+      .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+    for (_ <- 1 to iters) {
+      val z = col("x0") * col("w0") + col("x1") * col("w1") +
+        col("x2") * col("w2") + col("x3") * col("w3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z.cast("double") / lit(1e9)))
+      val s = round((col("y").cast("double") - p) * lit(1e9)).cast("long")
+      w = feats
+        .crossJoin(broadcast(w))
+        .select(col("w0"), col("w1"), col("w2"), col("w3"),
+          col("x0"), col("x1"), col("x2"), col("x3"), s.as("s"))
+        .agg(
+          count(lit(1)).as("n"),
+          first(col("w0")).as("pw0"), first(col("w1")).as("pw1"),
+          first(col("w2")).as("pw2"), first(col("w3")).as("pw3"),
+          sum(col("s") * col("x0")).as("g0"), sum(col("s") * col("x1")).as("g1"),
+          sum(col("s") * col("x2")).as("g2"), sum(col("s") * col("x3")).as("g3"))
+        .select(
+          (col("pw0") + (col("g0").cast("double") / (lit(4.0) * col("n"))).cast("long"))
+            .as("w0"),
+          (col("pw1") + (col("g1").cast("double") / (lit(4.0) * col("n"))).cast("long"))
+            .as("w1"),
+          (col("pw2") + (col("g2").cast("double") / (lit(4.0) * col("n"))).cast("long"))
+            .as("w2"),
+          (col("pw3") + (col("g3").cast("double") / (lit(4.0) * col("n"))).cast("long"))
+            .as("w3"))
+    }
+    val zF = col("x0") * col("w0") + col("x1") * col("w1") +
+      col("x2") * col("w2") + col("x3") * col("w3")
+    feats
+      .crossJoin(broadcast(w))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        first(col("w0")).as("fw0"), first(col("w1")).as("fw1"),
+        first(col("w2")).as("fw2"), first(col("w3")).as("fw3"),
+        sum(when((zF > 0L) === (col("y") === 1L), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("n_docs"),
+        round(col("fw0").cast("double") / lit(1e9), 4).as("w_bias"),
+        round(col("fw1").cast("double") / lit(1e9), 4).as("w_len"),
+        round(col("fw2").cast("double") / lit(1e9), 4).as("w_stop"),
+        round(col("fw3").cast("double") / lit(1e9), 4).as("w_div"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6).as("acc"))
+  }
+
   /** CCNet-style language-model buckets: rank documents by their unigram
     * NLL ([[TextOps.unigramNll]]) and split into terciles — `head` (most
     * fluent), `middle`, `tail` (most surprising / likely noise). Output

@@ -53,6 +53,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1) == "plain text stays put")
   }
 
+  test("qualityClassifier: partition-invariant (exact-integer GD) and sane") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val a = CurationOps.qualityClassifier(docs).collect().head
+    DedupOps.releaseShingleCaches()
+    val b = CurationOps.qualityClassifier(docs.repartition(7)).collect().head
+    DedupOps.releaseShingleCaches()
+    // the whole point of the nano-integer design: bit-identical under any
+    // partitioning (float-sum GD would not be)
+    assert(a == b)
+    assert(a.getLong(0) == docs.count())
+    val acc = a.getDouble(5)
+    assert(acc >= 0.0 && acc <= 1.0)
+    // stopword-percent weight must move POSITIVE: the label requires the
+    // stopword ratio in-band and the corpus is built around that band
+    assert(a.getDouble(3) != 0.0 || a.getDouble(4) != 0.0)
+  }
+
   test("dsirWeights: covers the corpus; target-language docs score higher on average") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val rows = CurationOps.dsirWeights(docs, targetLang = "en").collect()
