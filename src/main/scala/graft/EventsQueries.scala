@@ -13,6 +13,38 @@ import graft.sources.Tables
 object EventsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-sample A/B z-test over a deterministic user split (user_id
+    // parity): Welch z from exact integer cents sums — the experiment
+    // readout an events pipeline serves. One map-side-combinable
+    // aggregation (conditional sums, no shuffle beyond the 1-row
+    // combine); every float enters only in the final 1-row projection,
+    // in the SAME expression order as the oracle.
+    "ab_test" -> ((s, dir) => {
+      val c = (col("value") * lit(100.0)).cast("bigint")
+      val isA = pmod(col("user_id"), lit(2L)) === 0L
+      val agg = Tables
+        .events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(when(isA, 1L).otherwise(0L).as("a"), c.as("c"))
+        .agg(
+          sum(col("a")).as("n_a"),
+          sum(lit(1L) - col("a")).as("n_b"),
+          sum(col("a") * col("c")).as("s_a"),
+          sum((lit(1L) - col("a")) * col("c")).as("s_b"),
+          sum(col("a") * col("c") * col("c")).as("q_a"),
+          sum((lit(1L) - col("a")) * col("c") * col("c")).as("q_b"))
+      val dbl = (name: String) => col(name).cast("double")
+      val va = (dbl("q_a") - dbl("s_a") * dbl("s_a") / dbl("n_a")) / (dbl("n_a") - lit(1.0))
+      val vb = (dbl("q_b") - dbl("s_b") * dbl("s_b") / dbl("n_b")) / (dbl("n_b") - lit(1.0))
+      val z = (dbl("s_a") / dbl("n_a") - dbl("s_b") / dbl("n_b")) /
+        sqrt(va / dbl("n_a") + vb / dbl("n_b"))
+      agg.select(
+        col("n_a"), col("n_b"),
+        round(dbl("s_a") / dbl("n_a"), 6).as("mean_a_c"),
+        round(dbl("s_b") / dbl("n_b"), 6).as("mean_b_c"),
+        round(z, 6).as("z_score"),
+        (abs(z) > lit(1.96)).as("significant"))
+    }),
     // Tumbling-window histogram: hour bucket × width-10 value bin. The
     // identical groupBy runs incrementally under Structured Streaming
     // (StreamingHistogram.windowed); counts merge by A4 associativity.
@@ -303,6 +335,41 @@ object EventsQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ab_test" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), g AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |         CAST(sum(a * c) AS BIGINT) AS s_a,
+        |         CAST(sum((1 - a) * c) AS BIGINT) AS s_b,
+        |         CAST(sum(a * c * c) AS BIGINT) AS q_a,
+        |         CAST(sum((1 - a) * c * c) AS BIGINT) AS q_b
+        |  FROM e
+        |)
+        |SELECT n_a, n_b,
+        |       round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a_c,
+        |       round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b_c,
+        |       round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |             / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |                      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |                    / CAST(n_a AS DOUBLE)
+        |                    + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |                        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |                    / CAST(n_b AS DOUBLE)), 6) AS z_score,
+        |       abs((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |            - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |           / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |                    / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |                  / CAST(n_a AS DOUBLE)
+        |                  + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |                      / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |                  / CAST(n_b AS DOUBLE))) > 1.96 AS significant
+        |FROM g""".stripMargin,
     "events_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
