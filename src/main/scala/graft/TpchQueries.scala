@@ -563,6 +563,44 @@ object TpchQueries {
         .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
         .orderBy(col("c_nationkey"))
     }),
+    // Market-basket co-occurrence (frequent itemsets, size 2): top-20
+    // part pairs by shared-order count, with support and lift. The pair
+    // self-join fans out per order by basket-size² — bounded by the max
+    // lines-per-order (≤ 7 here), NOT corpus size, so the shuffle stays
+    // linear in lineitem at 100 TB; part marginals and the order total
+    // broadcast back onto the top-k (TakeOrderedAndProject, no global
+    // sort).
+    "basket_pairs" -> ((s, dir) => {
+      val items = graft.operators.DedupOps.registerCache(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val partCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      val total = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val a = items.select(col("ok"), col("pk").as("a_part"))
+      val b = items.select(col("ok"), col("pk").as("b_part"))
+      a.join(b, Seq("ok"))
+        .filter(col("a_part") < col("b_part"))
+        .groupBy(col("a_part"), col("b_part"))
+        .agg(count(lit(1)).as("n_co"))
+        .orderBy(col("n_co").desc, col("a_part"), col("b_part"))
+        .limit(20)
+        .join(broadcast(partCnt.select(col("pk").as("a_part"), col("cnt").as("cnt_a"))),
+          Seq("a_part"))
+        .join(broadcast(partCnt.select(col("pk").as("b_part"), col("cnt").as("cnt_b"))),
+          Seq("b_part"))
+        .crossJoin(broadcast(total))
+        .select(
+          col("a_part"), col("b_part"), col("n_co"),
+          round(col("n_co").cast("double") / col("n_orders").cast("double"), 6)
+            .as("support"),
+          round(
+            col("n_co").cast("double") * col("n_orders").cast("double")
+              / (col("cnt_a").cast("double") * col("cnt_b").cast("double")),
+            6).as("lift"))
+        .orderBy(col("n_co").desc, col("a_part"), col("b_part"))
+    }),
     // Correlated scalar subqueries through the SQL surface: orders above
     // their own customer's average order value, per market segment.
     // Catalyst DECORRELATES both subqueries into aggregate + join (the
@@ -592,6 +630,29 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "basket_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), pc AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it
+        |), pr AS (
+        |  SELECT a.pk AS a_part, b.pk AS b_part, CAST(count(*) AS BIGINT) AS n_co
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT * FROM pr ORDER BY n_co DESC, a_part, b_part LIMIT 20
+        |)
+        |SELECT a_part, b_part, n_co,
+        |       round(CAST(n_co AS DOUBLE) / CAST((SELECT n_orders FROM t) AS DOUBLE), 6)
+        |         AS support,
+        |       round(CAST(n_co AS DOUBLE) * CAST((SELECT n_orders FROM t) AS DOUBLE)
+        |             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+        |FROM top
+        |JOIN pc ca ON top.a_part = ca.pk
+        |JOIN pc cb ON top.b_part = cb.pk
+        |ORDER BY n_co DESC, a_part, b_part""".stripMargin,
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l.l_shipdate) AS INT) AS l_year,
