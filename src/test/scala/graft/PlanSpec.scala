@@ -146,6 +146,30 @@ class PlanSpec extends SparkSpec {
       "scan must prune to the group and value columns")
   }
 
+  test("basket_pairs: top-k without global sort, marginals broadcast, pairs equi-join") {
+    val p = plan("basket_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 pairs must avoid a global sort")
+    assert(p.contains("BroadcastHashJoin"), "part marginals must broadcast onto the top-k")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"),
+      "pair generation must be the orderkey equi-join, never a cross product")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("dsir_weights: the fixed feature table broadcasts into the token stream") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row log-ratio table must broadcast — the token stream never shuffles for it")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("q7_volume: nation pair filter pushed to the dims, ship-date range pushed to the scan") {
+    val p = plan("q7_volume")
+    assert(p.contains("In(n_name, [NATION_1,NATION_2])"),
+      "nation-pair filter must reach the nation scans")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date range must reach the lineitem scan")
+  }
+
   test("profiler contrast: exact plan aggregates distinct values, HLL plan doesn't") {
     // the reason profile_approx is the 100 TB default: the exact profiler's
     // distinct aggregate shuffles one row per distinct (col, value) pair,
