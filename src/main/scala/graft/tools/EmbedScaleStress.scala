@@ -62,6 +62,14 @@ object EmbedScaleStress {
       val autoB = SimilarityOps.autoBlocks(SimilarityOps.corpus(emb))
       t(s"nearDupPairs cos>=0.4 autoB=$autoB")(SimilarityOps.nearDupPairs(emb, 0.4).count())
       DedupOps.releaseAllCaches()
+      // the SemDeDup scale path: k grows with the corpus (target ~n/256
+      // per cluster) so the intra-cluster quadratic kernel stays bounded —
+      // wall time should track n·(n/k), i.e. ~linear when k scales, vs the
+      // n² of the exact path above
+      val kSem = math.max(8, (emb.count() / 256).toInt)
+      t(s"semanticDedup k=$kSem")(
+        SimilarityOps.semanticDedup(emb, k = kSem, iters = 2, minCos = 0.4).count())
+      DedupOps.releaseAllCaches()
     }
     spark.stop()
   }
