@@ -58,6 +58,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming A/B stats == batch stats across a mid-experiment batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val events: Seq[(Long, Double)] =
+      (0 until 400).map(i => (i.toLong % 37, (i % 89).toDouble + 0.55))
+    val input = MemoryStream[(Long, Double)]
+    val stream = graft.streaming.StreamingAbTest.variantStats(
+      input.toDF().toDF("user_id", "value"))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("stream_ab")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(events.take(150))
+      query.processAllAvailable()
+      input.addData(events.drop(150))
+      query.processAllAvailable()
+      def row(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+      val streamed = spark.table("stream_ab").collect().map(row).toMap
+      val batch = graft.streaming.StreamingAbTest
+        .variantStats(events.toDF("user_id", "value"))
+        .collect()
+        .map(row)
+        .toMap
+      // incremental state merge must reproduce the batch sufficient stats
+      // exactly — they are integer sums, so not just approximately
+      assert(streamed == batch)
+      assert(streamed.keySet == Set(0L, 1L))
+      // and the finishing z is a pure function of those stats
+      val z = graft.streaming.StreamingAbTest.withZ(streamed(0L), streamed(1L))
+      assert(!z.isNaN && math.abs(z) < 50)
+    } finally query.stop()
+  }
+
   test("windowed counts sum to valid input rows (batch)") {
     val df = StreamingHistogram.windowedCounts(sampleEvents.toDF("ts", "value"), spec, "1 hour")
     assert(df.agg(sum("cnt")).head().getLong(0) == 500L)
