@@ -456,7 +456,7 @@ object DedupOps {
     */
   def minhash(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
     val consts = permConstants(numPerm)
-    val aggs = consts.zipWithIndex.map { case (c, j) =>
+    val aggs = consts.toIndexedSeq.zipWithIndex.map { case (c, j) =>
       min(col("h").bitwiseXOR(lit(c))).as(s"mh$j")
     }
     shingleRows(docs, n)

@@ -50,7 +50,7 @@ object MinhashPhases {
       val numPerm = 16
       val rowsPerBand = 4
       val consts = DedupOps.permConstants(numPerm)
-      val aggs = consts.zipWithIndex.map { case (c, j) =>
+      val aggs = consts.toIndexedSeq.zipWithIndex.map { case (c, j) =>
         min(col("h").bitwiseXOR(lit(c))).as(s"mh$j")
       }
       val mh = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).persist()

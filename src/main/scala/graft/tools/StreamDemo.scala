@@ -56,7 +56,7 @@ object StreamDemo {
     val s = streamed.agg(sum("cnt")).head().getLong(0)
     val b = batch.agg(sum("cnt")).head().getLong(0)
     val diff = streamed
-      .union(batch.select(streamed.columns.map(col): _*))
+      .union(batch.select(streamed.columns.toIndexedSeq.map(col): _*))
       .groupBy("win_start", "bin")
       .agg(count(lit(1)).as("n"), countDistinct(col("cnt")).as("d"))
       .filter(col("n") =!= 2 || col("d") =!= 1)
