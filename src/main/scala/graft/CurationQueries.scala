@@ -29,6 +29,9 @@ object CurationQueries {
     "bm25_search" -> ((s, dir) => CurationOps.bm25(Tables.documents(s, dir), Bm25Terms)),
     // Exact-k (10) deterministic sample per source stratum.
     "stratified_sample" -> ((s, dir) => CurationOps.stratifiedSample(Tables.documents(s, dir))),
+    // Efraimidis–Spirakis weighted sampling (weight = n_chars), nano-exact keys.
+    "weighted_sample" -> ((s, dir) =>
+      graft.operators.TrainsetOps.weightedSample(Tables.documents(s, dir))),
     // α=0.5 temperature-weighted mixture weights per source.
     "source_mixture" -> ((s, dir) => CurationOps.sourceMixture(Tables.documents(s, dir))),
     // Token-budget allocation: α=0.5 weights over AVAILABLE tokens plus the
@@ -389,6 +392,18 @@ object CurationQueries {
          |       CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |       CAST(sum(CASE WHEN rk <= 10 THEN nt ELSE 0 END) AS BIGINT) AS sampled_tokens
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "weighted_sample" -> {
+      val h = PortableHash.hash60Sql("'wsample:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (
+         |  SELECT doc_id, source, n_chars,
+         |         CAST(round(ln(CAST(($h) + 1 AS DOUBLE)
+         |                       / CAST(1152921504606846976 AS DOUBLE))
+         |                    / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_chars, key_nano
+         |FROM s ORDER BY key_nano DESC, doc_id LIMIT 25""".stripMargin
     },
     "bpe_merges" ->
       """WITH v AS (

@@ -287,6 +287,15 @@ object EventsQueries {
     // exact and estimated (streaming twin in StreamingSketchSpec).
     "hourly_users" -> ((s, dir) =>
       graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))),
+    // Sketch MERGE + inclusion–exclusion: viewer/purchaser audience
+    // overlap from HLL register unions, next to exact membership counts.
+    "hll_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.SketchOps.overlapEstimate(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        col("user_id"))
+    }),
     // Calendar seasonality heatmap: ISO day-of-week × hour-of-day event
     // counts and exact revenue — the weekly-rhythm summary every traffic
     // pipeline keeps. Pure calendar-part projection + one 168-key
@@ -500,6 +509,56 @@ object EventsQueries {
          |             / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6)
          |         AS rel_err
          |FROM f""".stripMargin
+    },
+    "hll_overlap" -> {
+      val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH t AS (
+         |  SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS side,
+         |         ($h) AS h, user_id
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |), r AS (
+         |  SELECT side, h & 255 AS bucket,
+         |         max(CASE WHEN (h >> 8) = 0 THEN 53
+         |                  ELSE 53 - length(bin(h >> 8)) END) AS m_j
+         |  FROM t GROUP BY 1, 2
+         |), r3 AS (
+         |  SELECT side AS tag, bucket, m_j FROM r
+         |  UNION ALL
+         |  SELECT 'u' AS tag, bucket, max(m_j) AS m_j FROM r GROUP BY 1, 2
+         |), z AS (
+         |  SELECT tag, CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS z_present
+         |  FROM r3 GROUP BY 1
+         |), e AS (
+         |  SELECT tag, (256 - n_buckets) AS v,
+         |         z_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS z_total
+         |  FROM z
+         |), f AS (
+         |  SELECT tag, v,
+         |         0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         |           / CAST(z_total AS DOUBLE) AS raw_e
+         |  FROM e
+         |), est AS (
+         |  SELECT tag, round(CASE WHEN raw_e <= 640.0 AND v > 0
+         |                    THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+         |                    ELSE raw_e END, 6) AS n_est
+         |  FROM f
+         |), ex AS (
+         |  SELECT CAST(sum(in_a) AS BIGINT) AS n_exact_a,
+         |         CAST(sum(in_b) AS BIGINT) AS n_exact_b,
+         |         CAST(sum(in_a * in_b) AS BIGINT) AS n_exact_both
+         |  FROM (SELECT user_id,
+         |               max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+         |               max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+         |        FROM t GROUP BY 1)
+         |)
+         |SELECT ex.n_exact_a, ex.n_exact_b, ex.n_exact_both,
+         |       a.n_est AS est_a, b.n_est AS est_b, u.n_est AS est_union,
+         |       round(a.n_est + b.n_est - u.n_est, 6) AS est_overlap
+         |FROM ex,
+         |     (SELECT n_est FROM est WHERE tag = 'a') a,
+         |     (SELECT n_est FROM est WHERE tag = 'b') b,
+         |     (SELECT n_est FROM est WHERE tag = 'u') u""".stripMargin
     },
     "hourly_users" -> {
       val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")

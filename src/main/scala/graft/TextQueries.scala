@@ -34,6 +34,9 @@ object TextQueries {
         CmsTerms)),
     // Gopher-style repetition quality signals per document.
     "doc_repetition" -> ((s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir))),
+    // Power-of-two sequence-length histogram + padding overhead at a
+    // 512-token context (integer bit-length buckets, exact pad counts).
+    "seq_len_hist" -> ((s, dir) => TextOps.seqLenHistogram(Tables.documents(s, dir))),
     // Unigram-LM negative log-likelihood per document (perplexity proxy).
     "doc_logprob" -> ((s, dir) => TextOps.unigramNll(Tables.documents(s, dir))),
     // Greedy context-window packing per (lang, hash shard).
@@ -291,6 +294,22 @@ object TextQueries {
          |       CAST(sum(nt) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
     },
+    "seq_len_hist" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+        |), b AS (
+        |  SELECT nt, CAST(length(bin(nt)) AS INT) AS len_bucket,
+        |         (nt + 511) // 512 AS n_seqs
+        |  FROM d
+        |)
+        |SELECT len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_seqs) AS BIGINT) AS total_seqs,
+        |       CAST(sum(n_seqs * 512 - nt) AS BIGINT) AS pad_tokens,
+        |       round(CAST(sum(n_seqs * 512 - nt) AS DOUBLE)
+        |             / CAST(sum(n_seqs) * 512 AS DOUBLE), 6) AS pad_frac
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

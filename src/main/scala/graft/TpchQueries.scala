@@ -601,6 +601,172 @@ object TpchQueries {
             6).as("lift"))
         .orderBy(col("n_co").desc, col("a_part"), col("b_part"))
     }),
+    // Cheapest-supplier-per-part (TPC-H Q2 shape, adapted — no partsupp
+    // table, so observed minimum sale cents per (part, supplier) stands in
+    // for ps_supplycost): the correlated `= (SELECT min ...)` resolves as a
+    // window min PARTITIONed BY part over the aggregated (part, supplier)
+    // relation — one pass, no self-join re-scan of the aggregate, and the
+    // window key is the join key so no extra exchange.
+    "q2_min_cost" -> ((s, dir) => {
+      val cost = Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(cents(col("l_extendedprice"))).as("cost_c"))
+      val small = Tables.part(s, dir).filter(col("p_size") <= 3).select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      cost
+        .join(small, col("l_partkey") === col("p_partkey"))
+        .withColumn("min_c", min(col("cost_c")).over(w))
+        .filter(col("cost_c") === col("min_c"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("cost_c"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    }),
+    // Product-line profit (TPC-H Q9 shape, adapted): the widest
+    // star join in the suite — lineitem through part (name LIKE filter
+    // pushed to the part scan), supplier, nation, orders — with profit as
+    // revenue minus a 20%-of-retail unit-cost proxy (no ps_supplycost in
+    // this schema), all in exact integer cents² per the money convention.
+    "q9_profit" -> ((s, dir) => {
+      val gearParts = Tables.part(s, dir)
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+      val li = Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("ext_c"),
+          cents(col("l_discount")).as("disc_c"))
+      li.join(gearParts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(
+          col("ext_c") * (lit(100L) - col("disc_c")) -
+            col("qty") * col("retail_c") * lit(20L)).as("profit_c2"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+    // Important-part value report (TPC-H Q11 shape): the scalar-subquery
+    // HAVING — per-part sale value restricted to a nation group, kept only
+    // when above twice the mean part value. The global (total, n_parts)
+    // aggregate is a 1-row broadcast; the compare is cross-multiplied
+    // exact integers (value·n > 2·total), so the threshold is
+    // scale-invariant — the row count tracks the shape of the value
+    // distribution, not the corpus size.
+    "q11_top_value" -> ((s, dir) => {
+      val v = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir)
+            .filter(col("s_nationkey").isin(1, 2, 3))
+            .select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+      val t = v.agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n_parts"))
+      v.crossJoin(broadcast(t))
+        .filter(col("value_c") * col("n_parts") > lit(2L) * col("total_c"))
+        .select(col("l_partkey").as("p_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("p_partkey"))
+        .limit(50)
+    }),
+    // Supplier diversity per part profile (TPC-H Q16 shape): COUNT
+    // DISTINCT suppliers per (brand, type, size) with a NOT IN exclusion
+    // — the subquery is non-null-producing (s_suppkey is a key), so the
+    // anti-join is exactly NOT IN without the tri-valued-NULL trap; the
+    // anti side (suppliers in deficit) broadcasts.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val pt = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(50)
+    }),
+    // High-volume promo shippers (TPC-H Q20 shape): the nested
+    // IN-chain — part filter feeds a grouped HAVING on 1996 shipped
+    // quantity, whose distinct supplier set semi-joins supplier, then the
+    // nation filter. Each IN is a left_semi hash join (one probe per row,
+    // no fan-out), and the date range prunes the lineitem scan.
+    "q20_excess" -> ((s, dir) => {
+      val promo = Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val qualifying = Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'"))
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 50L)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, dir)
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_nationkey") <= 7)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // Suppliers who kept finished orders waiting (TPC-H Q21 shape):
+    // EXISTS (another supplier in the order) AND NOT EXISTS (another LATE
+    // supplier) DECORRELATED into two per-order aggregates — distinct
+    // supplier count > 1 and late-supplier count = 1 — joined back to the
+    // distinct late (order, supplier) pairs. The pair relation feeds two
+    // consumers (itself and its per-order count), so it persists through
+    // the session cache registry; "late" = shipped > 60 days after the
+    // order date (this schema has no commit/receipt dates).
+    "q21_waiting" -> ((s, dir) => {
+      val ordF = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val latePairs = graft.operators.DedupOps.registerCache(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(ordF, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val multiSupp = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .filter(col("n_supp") > 1)
+        .select(col("l_orderkey"))
+      val loneLate = latePairs
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_late"))
+        .filter(col("n_late") === 1)
+        .select(col("l_orderkey"))
+      latePairs
+        .join(multiSupp, Seq("l_orderkey"), "left_semi")
+        .join(loneLate, Seq("l_orderkey"), "left_semi")
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     // Correlated scalar subqueries through the SQL surface: orders above
     // their own customer's average order value, per market segment.
     // Catalyst DECORRELATES both subqueries into aggregate + join (the
@@ -630,6 +796,94 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // written in the correlated form the engine's window-min decorrelates
+    "q2_min_cost" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(min(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+        |           AS cost_c
+        |  FROM lineitem GROUP BY 1,2
+        |)
+        |SELECT c.l_partkey AS p_partkey, s.s_suppkey, s.s_name, n.n_name, c.cost_c
+        |FROM cost c
+        |JOIN part p ON c.l_partkey = p.p_partkey AND p.p_size <= 3
+        |JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE c.cost_c = (SELECT min(c2.cost_c) FROM cost c2
+        |                  WHERE c2.l_partkey = c.l_partkey)
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    "q9_profit" ->
+      """SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+        |                  * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))
+        |                - CAST(trunc(l.l_quantity) AS BIGINT)
+        |                  * CAST(round(p.p_retailprice*100,0) AS BIGINT) * 20)
+        |            AS BIGINT) AS profit_c2
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q11_top_value" ->
+      """WITH v AS (
+        |  SELECT l.l_partkey,
+        |         CAST(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+        |           AS value_c
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey IN (1,2,3)
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+        |         CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM v
+        |)
+        |SELECT v.l_partkey AS p_partkey, v.value_c
+        |FROM v, t WHERE v.value_c * t.n_parts > 2 * t.total_c
+        |ORDER BY v.value_c DESC, p_partkey LIMIT 50""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2,3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 50""".stripMargin,
+    "q20_excess" ->
+      """SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_nationkey <= 7
+        |  AND s.s_suppkey IN (
+        |    SELECT l.l_suppkey
+        |    FROM lineitem l
+        |    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l.l_suppkey, l.l_partkey
+        |    HAVING CAST(sum(CAST(trunc(l.l_quantity) AS BIGINT)) AS BIGINT) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |), ns AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1
+        |), nl AS (
+        |  SELECT l_orderkey FROM lp GROUP BY 1 HAVING count(*) = 1
+        |)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lp
+        |JOIN ns ON lp.l_orderkey = ns.l_orderkey
+        |JOIN nl ON lp.l_orderkey = nl.l_orderkey
+        |JOIN supplier s ON lp.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "basket_pairs" ->
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

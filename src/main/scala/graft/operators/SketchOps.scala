@@ -94,6 +94,49 @@ object SketchOps {
     exact.join(est, Seq("hour")).orderBy(col("hour"))
   }
 
+  /** Audience-overlap estimate via sketch MERGE + inclusion–exclusion:
+    * per-side HLL register relations are built in ONE tagged pass over
+    * `a ∪ b`, the union sketch is a per-bucket max over both sides (the
+    * HLL merge operator — the property that makes the sketch useful at
+    * 100 TB: partial sketches combine without re-reading either input),
+    * and `|A∩B| ≈ |A| + |B| − |A∪B|`. One output row:
+    * `(n_exact_a, n_exact_b, n_exact_both, est_a, est_b, est_union,
+    * est_overlap)` — exact counts come from a single per-key
+    * membership-flag aggregation (one shuffle), not three set ops.
+    *
+    * The ≤ 2·Registers-row register relation feeds both the per-side and
+    * the merged estimates, so it persists through the session cache
+    * registry rather than re-aggregating the corpus per consumer.
+    */
+  def overlapEstimate(a: DataFrame, b: DataFrame, key: Column): DataFrame = {
+    val tagged = a.select(key.as("k")).withColumn("side", lit("a"))
+      .union(b.select(key.as("k")).withColumn("side", lit("b")))
+    val regs = DedupOps.registerCache(
+      hllRegisters(tagged, col("k"), Seq(col("side")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val estA = estimateFromRegisters(regs.filter(col("side") === "a").drop("side"), Nil)
+      .select(col("n_est").as("est_a"))
+    val estB = estimateFromRegisters(regs.filter(col("side") === "b").drop("side"), Nil)
+      .select(col("n_est").as("est_b"))
+    val estU = estimateFromRegisters(
+      regs.groupBy(col("bucket")).agg(max(col("m_j")).as("m_j")), Nil)
+      .select(col("n_est").as("est_union"))
+    val exact = tagged
+      .groupBy(col("k"))
+      .agg(
+        max(when(col("side") === "a", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("side") === "b", 1L).otherwise(0L)).as("in_b"))
+      .agg(
+        sum(col("in_a")).as("n_exact_a"),
+        sum(col("in_b")).as("n_exact_b"),
+        sum(col("in_a") * col("in_b")).as("n_exact_both"))
+    exact
+      .crossJoin(broadcast(estA))
+      .crossJoin(broadcast(estB))
+      .crossJoin(broadcast(estU))
+      .withColumn("est_overlap", round(col("est_a") + col("est_b") - col("est_union"), 6))
+  }
+
   val CmsDepth = 4
   val CmsWidth = 1024
 

@@ -379,6 +379,41 @@ object TextOps {
     * tokens, and a BPE-ish fixed-width subword count (`[a-z]{1,4}` chunks —
     * greedy left-to-right, identical semantics in Java regex and RE2).
     */
+  /** Sequence-length distribution + padding overhead — the capacity-
+    * planning summary a pretraining pipeline reads before choosing a
+    * context length: documents bucketed by power-of-two token count
+    * (`bucket = bit_length(n_tokens)`, so bucket b covers
+    * [2^(b−1), 2^b)), with per-bucket doc/token totals and the padding
+    * cost of packing each doc into `maxLen`-token sequences
+    * (`ceil(nt/maxLen)` sequences, `seqs·maxLen − nt` pad tokens). All
+    * integer arithmetic; the one ratio is a final rounded division.
+    *
+    * Scale shape: narrow per-doc projection (the bit-length bucket is a
+    * `bin()` string length — integer-exact, no float log2) into a
+    * ≤ ~30-key aggregation — map-side combined, bounded state.
+    */
+  def seqLenHistogram(docs: DataFrame, maxLen: Int = 512): DataFrame = {
+    val nt = size(tokens(col("text")))
+    docs
+      .select(nt.cast("long").as("nt"))
+      .withColumn("len_bucket", length(bin(col("nt"))).cast("int"))
+      // `div`, not `/`: Column./ on longs is double division
+      .withColumn("n_seqs", expr(s"(nt + ${maxLen - 1}) div ${maxLen}"))
+      .groupBy(col("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("n_seqs")).as("total_seqs"),
+        sum(col("n_seqs") * lit(maxLen.toLong) - col("nt")).as("pad_tokens"))
+      .withColumn(
+        "pad_frac",
+        round(
+          col("pad_tokens").cast("double") /
+            (col("total_seqs") * lit(maxLen.toLong)).cast("double"),
+          6))
+      .orderBy(col("len_bucket"))
+  }
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs
       .select(

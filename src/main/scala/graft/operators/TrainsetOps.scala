@@ -111,6 +111,34 @@ object TrainsetOps {
     * |labels| rows. No pairwise blow-up anywhere: exactly one triplet per
     * corpus row.
     */
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    * each doc draws a deterministic uniform `u = (hash60(doc_id)+1)/2⁶⁰`
+    * and competes on the ES key `u^(1/w)` — computed in log domain as
+    * `ln(u)/w` and quantized to integer nano-units (the repo's standard
+    * cross-engine transcendental guard), with doc_id as the total-order
+    * tiebreak. Weight = `n_chars`, so longer documents are
+    * proportionally likelier to be kept — the "sample by quality score"
+    * step of trainset assembly with reproducible draws (stable across
+    * runs, engines, and partitionings; no RNG state).
+    *
+    * Scale shape: the key is a pure narrow projection (codegen'd, no
+    * shuffle), and the global top-k is TakeOrderedAndProject — per-task
+    * k-row heaps, never a full sort.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 25): DataFrame = {
+    val u60 = graft.functions.PortableHash
+      .hash60(concat(lit("wsample:"), col("doc_id").cast("string")))
+    val lnU = log((u60 + lit(1L)).cast("double") / lit(1152921504606846976L).cast("double"))
+    docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        round(lnU / col("n_chars").cast("double") * lit(1e9)).cast("long").as("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def contrastiveTriplets(embeddings: DataFrame): DataFrame = {
     val byLabel = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     // the positive is the NEXT row of the same window (cyclic), so it needs

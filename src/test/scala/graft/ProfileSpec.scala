@@ -172,6 +172,25 @@ class TrainsetSpec extends SparkSpec {
       assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("weightedSample: matches a local Efraimidis–Spirakis reference") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1 to 200)
+      .map(i => (i.toLong, s"src${i % 3}", 10L + (i * 37) % 900))
+      .toDF("doc_id", "source", "n_chars")
+    val got = TrainsetOps.weightedSample(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val want = (1 to 200).map { i =>
+      val h = graft.functions.PortableHash.hash60Local(s"wsample:$i")
+      val lnU = math.log((h + 1).toDouble / 1152921504606846976L.toDouble)
+      val w = 10L + (i * 37) % 900
+      (i.toLong, math.round(lnU / w.toDouble * 1e9))
+    }.sortBy { case (id, key) => (-key, id) }.take(10)
+    assert(got.toSeq == want.toSeq)
+    // larger weight ⇒ key closer to 0: same hash, bigger n_chars wins
+    val lnU = math.log(0.5)
+    assert(math.round(lnU / 100.0 * 1e9) > math.round(lnU / 10.0 * 1e9))
+  }
 }
 class ProfileEdgeSpec extends SparkSpec {
   import spark.implicits._

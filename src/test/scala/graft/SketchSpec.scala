@@ -33,6 +33,30 @@ class SketchSpec extends SparkSpec {
     assert(exact == 3L)
     assert(relErr < 0.35, s"small-range estimate $est")
   }
+  test("overlapEstimate: exact flags right, inclusion–exclusion consistent, merge = rebuild") {
+    import org.apache.spark.sql.functions._
+    // A = 0..599, B = 400..999 → |A|=600 |B|=600 |A∩B|=200 |A∪B|=1000
+    val a = (0 until 600).map(i => s"u$i").toDF("user_id")
+    val b = (400 until 1000).map(i => s"u$i").toDF("user_id")
+    val r = SketchOps.overlapEstimate(a, b, col("user_id")).collect()(0)
+    val (nA, nB, nBoth) = (r.getAs[Long]("n_exact_a"), r.getAs[Long]("n_exact_b"),
+      r.getAs[Long]("n_exact_both"))
+    assert((nA, nB, nBoth) == ((600L, 600L, 200L)))
+    val (eA, eB, eU, eO) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"), r.getAs[Double]("est_overlap"))
+    // the output IS the inclusion–exclusion of its own parts
+    assert(math.abs(eO - (eA + eB - eU)) < 1e-6)
+    // HLL 256 standard error ≈ 6.5%; union of 1000 within 3σ
+    assert(math.abs(eU - 1000.0) / 1000.0 < 0.20, s"est_union=$eU")
+    // the MERGED register estimate must equal rebuilding the sketch from
+    // the concatenated input — the lossless-merge property
+    val rebuilt = SketchOps
+      .approxDistinct(a.union(b), col("user_id"))
+      .collect()(0)
+      .getDouble(1)
+    assert(eU == rebuilt, s"merged=$eU rebuilt=$rebuilt")
+  }
+
   test("count-min: estimate never undercounts; tiny corpus estimates exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -63,6 +63,22 @@ class TextSpec extends SparkSpec {
     assert(fp.isEmpty)
   }
 
+  test("seqLenHistogram: bit-length buckets and exact pad accounting") {
+    val docs = Seq(
+      (1L, "a"),                                    // nt=1   → bucket 1, 1 seq, 511 pad
+      (2L, Seq.fill(500)("w").mkString(" ")),       // nt=500 → bucket 9, 1 seq, 12 pad
+      (3L, Seq.fill(513)("w").mkString(" ")),       // nt=513 → bucket 10, 2 seqs, 511 pad
+      (4L, Seq.fill(300)("w").mkString(" "))        // nt=300 → bucket 9, 1 seq, 212 pad
+    ).toDF("doc_id", "text")
+    val out = TextOps.seqLenHistogram(docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out == Map(
+      1 -> (1L, 1L, 1L, 511L),
+      9 -> (2L, 800L, 2L, 224L),
+      10 -> (1L, 513L, 2L, 511L)))
+  }
+
   test("token counts: ws vs regex vs bpe-ish on a golden doc") {
     val df = Seq((1L, "abc de12 fghij", "en")).toDF("doc_id", "text", "lang")
     val r = TextOps.tokenCounts(df).head()
