@@ -287,6 +287,21 @@ object EventsQueries {
     // exact and estimated (streaming twin in StreamingSketchSpec).
     "hourly_users" -> ((s, dir) =>
       graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))),
+    // Bloom filter over user-day keys: days a user purchased form the
+    // filter; every active user-day probes it. Measured FP rate vs the
+    // exact membership join, zero false negatives. (Plain user ids are
+    // degenerate here — every viewer also purchases — so the composite
+    // key supplies real non-members at any SF.)
+    "bloom_probe" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def userDay(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(col("user_id").cast("string"), lit(":"),
+          to_date(col("ts")).cast("string")).as("k"))
+      graft.operators.SketchOps.bloomProbeSummary(
+        userDay(ev.filter(col("event_type") === "purchase")),
+        userDay(ev),
+        mBits = 16384)
+    }),
     // Sketch MERGE + inclusion–exclusion: viewer/purchaser audience
     // overlap from HLL register unions, next to exact membership counts.
     "hll_overlap" -> ((s, dir) => {
@@ -509,6 +524,53 @@ object EventsQueries {
          |             / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6)
          |         AS rel_err
          |FROM f""".stripMargin
+    },
+    "bloom_probe" -> {
+      val hs = (0 until 3).map(i =>
+        graft.functions.PortableHash.hash60Sql(s"'bloom$i:' || k"))
+      s"""WITH fk AS (
+         |  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+         |         CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+         |  FROM events WHERE event_type = 'purchase'
+         |), pk AS (
+         |  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+         |         CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+         |  FROM events
+         |), fb AS (
+         |  SELECT DISTINCT k, bit FROM (
+         |    SELECT k, (${hs(0)}) % 16384 AS bit FROM fk
+         |    UNION ALL SELECT k, (${hs(1)}) % 16384 FROM fk
+         |    UNION ALL SELECT k, (${hs(2)}) % 16384 FROM fk)
+         |), st AS (
+         |  SELECT DISTINCT bit FROM fb
+         |), pb AS (
+         |  SELECT DISTINCT k, bit FROM (
+         |    SELECT k, (${hs(0)}) % 16384 AS bit FROM pk
+         |    UNION ALL SELECT k, (${hs(1)}) % 16384 FROM pk
+         |    UNION ALL SELECT k, (${hs(2)}) % 16384 FROM pk)
+         |), need AS (
+         |  SELECT k, count(*) AS n_need FROM pb GROUP BY 1
+         |), hit AS (
+         |  SELECT pb.k, count(*) AS n_hit
+         |  FROM pb JOIN st USING (bit) GROUP BY 1
+         |), fl AS (
+         |  SELECT need.k FROM need JOIN hit
+         |  ON need.k = hit.k AND need.n_need = hit.n_hit
+         |), tr AS (
+         |  SELECT pk.k,
+         |         CASE WHEN f2.k IS NULL THEN 0 ELSE 1 END AS in_f,
+         |         CASE WHEN fl.k IS NULL THEN 0 ELSE 1 END AS is_fl
+         |  FROM pk LEFT JOIN fk f2 ON pk.k = f2.k LEFT JOIN fl ON pk.k = fl.k
+         |)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fk) AS n_filter_keys,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_set_bits,
+         |       CAST(count(*) AS BIGINT) AS n_probes,
+         |       CAST(sum(is_fl) AS BIGINT) AS n_flagged,
+         |       CAST(sum(in_f) AS BIGINT) AS n_true_member,
+         |       CAST(sum(is_fl * (1 - in_f)) AS BIGINT) AS n_false_pos,
+         |       round(CAST(sum(is_fl * (1 - in_f)) AS DOUBLE)
+         |             / CAST(count(*) - sum(in_f) AS DOUBLE), 6) AS fp_rate
+         |FROM tr""".stripMargin
     },
     "hll_overlap" -> {
       val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")

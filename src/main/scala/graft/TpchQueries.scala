@@ -601,6 +601,23 @@ object TpchQueries {
             6).as("lift"))
         .orderBy(col("n_co").desc, col("a_part"), col("b_part"))
     }),
+    // Triangle census of the part co-occurrence graph (edges = part pairs
+    // sharing ≥ 2 orders): exact triangle count + global clustering
+    // coefficient via degree-ordered wedge enumeration — the O(√E)-
+    // outdegree bound is what keeps the wedge self-join feasible on a
+    // skewed 100 TB graph (see ClusterOps.triangleCount).
+    "graph_triangles" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+        .select(col("u"), col("v"))
+      graft.operators.ClusterOps.triangleCount(edges)
+    }),
     // Cheapest-supplier-per-part (TPC-H Q2 shape, adapted — no partsupp
     // table, so observed minimum sale cents per (part, supplier) stands in
     // for ps_supplycost): the correlated `= (SELECT min ...)` resolves as a
@@ -796,6 +813,40 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), d AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1
+        |), o AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN d du ON e.u = du.n JOIN d dv ON e.v = dv.n
+        |), w AS (
+        |  SELECT e1.dst AS a, e2.dst AS b
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w WHERE EXISTS (SELECT 1 FROM e
+        |                       WHERE e.u = least(w.a, w.b)
+        |                         AND e.v = greatest(w.a, w.b))
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d) AS n_wedges,
+        |       t.n_triangles,
+        |       round(3.0 * CAST(t.n_triangles AS DOUBLE)
+        |             / CAST((SELECT sum(deg * (deg - 1) // 2) FROM d) AS DOUBLE), 6)
+        |         AS clustering
+        |FROM t""".stripMargin,
     // written in the correlated form the engine's window-min decorrelates
     "q2_min_cost" ->
       """WITH cost AS (

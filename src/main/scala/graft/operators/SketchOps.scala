@@ -137,6 +137,80 @@ object SketchOps {
       .withColumn("est_overlap", round(col("est_a") + col("est_b") - col("est_union"), 6))
   }
 
+  val BloomBits = 4096
+  val BloomHashes = 3
+
+  /** Bloom-filter build + probe summary (Bloom 1970) — the membership
+    * structure a decontamination pass ships to every executor instead of
+    * the key set itself: `k` portable-hash bit positions per filter key,
+    * the filter state is the DISTINCT set-bit relation (≤ m rows,
+    * broadcastable regardless of how many keys stream through the build),
+    * and a probe key is flagged iff ALL of its (distinct) positions are
+    * set. No false negatives by construction; false positives are
+    * measured against the exact membership join. One output row:
+    * `(n_filter_keys, n_set_bits, n_probes, n_flagged, n_true_member,
+    * n_false_pos, fp_rate)`, `fp_rate` = FPs / non-members rounded to 6.
+    *
+    * Scale shape: the build is one map-side-combinable distinct over
+    * ≤ m·tasks partial states; the probe is a broadcast hash join against
+    * the ≤ m-row state — the full-size key set never shuffles (contrast
+    * [[graft.operators.DedupOps.decontaminate]], which broadcasts exact
+    * keys: the Bloom state is the constant-size alternative when the
+    * contamination list itself is too big to broadcast).
+    */
+  def bloomProbeSummary(
+      filterKeys: DataFrame,
+      probeKeys: DataFrame,
+      mBits: Int = BloomBits,
+      kHashes: Int = BloomHashes): DataFrame = {
+    def positions(k: Column): Column = array_distinct(array(
+      (0 until kHashes).map(i =>
+        pmod(PortableHash.hash60(concat(lit(s"bloom$i:"), k.cast("string"))),
+          lit(mBits.toLong))): _*))
+    // each of the three relations below feeds 2-3 consumers — persist via
+    // the session cache registry so the key scans don't re-evaluate per use
+    val fk = DedupOps.registerCache(
+      filterKeys.select(col("k").as("k")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val state = DedupOps.registerCache(
+      fk.select(explode(positions(col("k"))).as("bit"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val probes = DedupOps.registerCache(
+      probeKeys.select(col("k").as("k")).distinct()
+        .withColumn("bits", positions(col("k")))
+        .withColumn("n_need", size(col("bits")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val flagged = probes
+      .select(col("k"), col("n_need"), explode(col("bits")).as("bit"))
+      .join(broadcast(state), Seq("bit"))
+      .groupBy(col("k"), col("n_need"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_need"))
+      .select(col("k"))
+    val withTruth = probes.select(col("k"))
+      .join(fk.withColumn("in_filter", lit(1L)), Seq("k"), "left")
+      .join(flagged.withColumn("is_flagged", lit(1L)), Seq("k"), "left")
+      .select(
+        coalesce(col("in_filter"), lit(0L)).as("in_filter"),
+        coalesce(col("is_flagged"), lit(0L)).as("is_flagged"))
+    val nf = fk.agg(count(lit(1)).as("n_filter_keys"))
+    val nb = state.agg(count(lit(1)).as("n_set_bits"))
+    withTruth
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("is_flagged")).as("n_flagged"),
+        sum(col("in_filter")).as("n_true_member"),
+        sum(col("is_flagged") * (lit(1L) - col("in_filter"))).as("n_false_pos"))
+      .crossJoin(broadcast(nf))
+      .crossJoin(broadcast(nb))
+      .select(
+        col("n_filter_keys"), col("n_set_bits"), col("n_probes"), col("n_flagged"),
+        col("n_true_member"), col("n_false_pos"),
+        round(col("n_false_pos").cast("double") /
+          (col("n_probes") - col("n_true_member")).cast("double"), 6).as("fp_rate"))
+  }
+
   val CmsDepth = 4
   val CmsWidth = 1024
 

@@ -93,6 +93,28 @@ class ClusterSpec extends SparkSpec {
       assert(r.getLong(1) == r.getLong(4) + 1)
     }
   }
+  test("triangleCount goldens: K4, path, and K4-plus-pendant") {
+    // K4: 4 triangles, wedges = 4·C(3,2) = 12, clustering = 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val r1 = ClusterOps.triangleCount(k4).collect()(0)
+    assert((r1.getAs[Long]("n_nodes"), r1.getAs[Long]("n_edges"),
+      r1.getAs[Long]("n_wedges"), r1.getAs[Long]("n_triangles")) == ((4L, 6L, 12L, 4L)))
+    assert(r1.getAs[Double]("clustering") == 1.0)
+    DedupOps.releaseShingleCaches()
+    // path 1-2-3-4: 0 triangles, 2 wedges
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r2 = ClusterOps.triangleCount(path).collect()(0)
+    assert((r2.getAs[Long]("n_wedges"), r2.getAs[Long]("n_triangles")) == ((2L, 0L)))
+    DedupOps.releaseShingleCaches()
+    // K4 + pendant on node 4: still 4 triangles; wedges 12 + C(4,2)-C(3,2)=+3 +0 → 15
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val r3 = ClusterOps.triangleCount(k4p).collect()(0)
+    assert((r3.getAs[Long]("n_nodes"), r3.getAs[Long]("n_wedges"),
+      r3.getAs[Long]("n_triangles")) == ((5L, 15L, 4L)))
+    DedupOps.releaseShingleCaches()
+  }
+
   test("pagerank golden: linked pair holds teleport-steady rank, dangling node decays") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("a_id", "b_id")

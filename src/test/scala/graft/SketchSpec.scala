@@ -57,6 +57,23 @@ class SketchSpec extends SparkSpec {
     assert(eU == rebuilt, s"merged=$eU rebuilt=$rebuilt")
   }
 
+  test("bloomProbeSummary: zero false negatives, exact truth counts, rates bounded") {
+    import org.apache.spark.sql.functions._
+    val filterSet = (0 until 300).map(i => s"k$i").toDF("k")
+    val probeSet = (150 until 650).map(i => s"k$i").toDF("k") // 150 members
+    val r = SketchOps.bloomProbeSummary(filterSet, probeSet).collect()(0)
+    assert(r.getAs[Long]("n_filter_keys") == 300L)
+    assert(r.getAs[Long]("n_probes") == 500L)
+    assert(r.getAs[Long]("n_true_member") == 150L)
+    // no false negatives: every true member is flagged
+    assert(r.getAs[Long]("n_flagged") >= 150L)
+    assert(r.getAs[Long]("n_false_pos") == r.getAs[Long]("n_flagged") - 150L)
+    // 300 keys × 3 hashes in 4096 bits: set-bit count bounded by both
+    assert(r.getAs[Long]("n_set_bits") <= 900L && r.getAs[Long]("n_set_bits") <= 4096L)
+    val fp = r.getAs[Double]("fp_rate")
+    assert(fp >= 0.0 && fp < 0.2, s"fp_rate=$fp") // theory ≈ 0.8% at this load
+  }
+
   test("count-min: estimate never undercounts; tiny corpus estimates exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
