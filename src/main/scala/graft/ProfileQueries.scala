@@ -55,6 +55,40 @@ object ProfileQueries {
           col("cents") + when(pmod(col("o_orderkey"), lit(13)) === 0, 1L).otherwise(0L))
       DeltaOps.snapshotDiff(oldSnap, newSnap, "o_orderkey",
         Seq(col("cents").cast("string"), col("o_orderstatus")))
+    }),
+    // SCD Type-2 merge: the customer-priority dimension (latest pre-1997
+    // order priority per customer, valid from that order's epoch day)
+    // receives the 1997 change batch — closed/carried/inserted rows in
+    // one full-outer join + explode, summarized per action class with
+    // key and validity-span checksums.
+    "scd2_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Tables.orders(s, dir)
+      def latestIn(lo: String, hi: String) = {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        ord
+          .filter(col("o_orderdate") >= expr(s"timestamp'$lo'") &&
+            col("o_orderdate") < expr(s"timestamp'$hi'"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("o_custkey").as("k"),
+            col("o_orderpriority").as("attr"),
+            // NTZ → LTZ is identity under the UTC session; NTZ has no
+            // direct long cast
+            expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("ts"))
+      }
+      val dim = latestIn("1995-01-01 00:00:00", "1997-01-01 00:00:00")
+        .withColumnRenamed("ts", "valid_from")
+      val changes = latestIn("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+      DeltaOps.scd2Apply(dim, changes)
+        .groupBy(col("action"), col("is_current"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("k")).as("key_checksum"),
+          sum(coalesce(col("valid_to"), lit(0L)) - col("valid_from")).as("span_checksum"))
+        .orderBy(col("action"), col("is_current"))
     }))
 
   private def cosSql(a: String, b: String): String =
@@ -250,6 +284,47 @@ object ProfileQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
         |       CAST(sum(k) AS BIGINT) AS key_checksum
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_apply" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS attr,
+        |         epoch_us(o_orderdate) // 86400000000 AS d_from
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |  WHERE rn = 1
+        |), ch AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS attr,
+        |         epoch_us(o_orderdate) // 86400000000 AS ts
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |  WHERE rn = 1
+        |), m AS (
+        |  SELECT coalesce(d.k, c.k) AS k, d.attr AS d_attr, d.d_from,
+        |         c.attr AS c_attr, c.ts,
+        |         (c.attr IS NOT NULL AND d.attr IS NOT NULL
+        |          AND c.attr <> d.attr) AS chg
+        |  FROM dim d FULL OUTER JOIN ch c ON d.k = c.k
+        |), gen AS (
+        |  SELECT k, d_from AS valid_from,
+        |         CASE WHEN chg THEN ts END AS valid_to,
+        |         NOT chg AS is_current,
+        |         CASE WHEN chg THEN 'closed' ELSE 'carried' END AS action
+        |  FROM m WHERE d_attr IS NOT NULL
+        |  UNION ALL
+        |  SELECT k, ts AS valid_from, NULL AS valid_to,
+        |         TRUE AS is_current, 'inserted' AS action
+        |  FROM m WHERE c_attr IS NOT NULL AND (d_attr IS NULL OR chg)
+        |)
+        |SELECT action, is_current, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS key_checksum,
+        |       CAST(sum(coalesce(valid_to, 0) - valid_from) AS BIGINT)
+        |         AS span_checksum
+        |FROM gen GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "winsorized_stats" ->
       """WITH r AS (
         |  SELECT l_returnflag AS grp,

@@ -120,6 +120,26 @@ class DeltaSpec extends SparkSpec {
       "changed" -> (1L, 3L), //   key 3's digest moved
       "unchanged" -> (2L, 6L))) // keys 2 + 4
   }
+
+  test("scd2Apply golden: carried, no-op change, closed+inserted, new key") {
+    val dim = Seq((1L, "A", 10L), (2L, "B", 10L), (3L, "C", 10L))
+      .toDF("k", "attr", "valid_from")
+    val changes = Seq((2L, "B", 20L), (3L, "X", 20L), (4L, "Y", 20L))
+      .toDF("k", "attr", "ts")
+    val out = graft.operators.DeltaOps.scd2Apply(dim, changes).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4), r.getString(5)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, "A", 10L, -1L, true, "carried"),  // untouched key
+      (2L, "B", 10L, -1L, true, "carried"),  // change with same attr: no-op
+      (3L, "C", 10L, 20L, false, "closed"),  // changed: old generation closes
+      (3L, "X", 20L, -1L, true, "inserted"), //   ... and the new one opens
+      (4L, "Y", 20L, -1L, true, "inserted"))) // unseen key inserts
+    // invariant: exactly one current row per key
+    val cur = out.filter(_._5).groupBy(_._1).view.mapValues(_.size)
+    assert(cur.values.forall(_ == 1))
+  }
 }
 
 class TrainsetSpec extends SparkSpec {
