@@ -39,7 +39,12 @@ object DumpPlans {
     "dsir_weights" -> "DSIR: the 256-row hashed feature table (log-ratios) BROADCASTS into the token stream; corpus-sized shuffles are only the bucket count and per-doc sum, both map-side combinable.",
     "q7_volume" -> "Q7: both nation dims broadcast with the pair filter applied BEFORE the join; ship-date range pushed to the lineitem scan; exact cents² aggregation.",
     "q17_small_qty" -> "Q17 decorrelated: per-part averages as an aggregate joined back (AQE broadcasts the brand-pruned side); the 20%-of-avg compare is integer-exact inside the filter.",
-    "dedup_incremental" -> "Incremental ingest: base md5 fingerprint index probed by the batch (16-byte keys); near-dups are a FILTER on the memoized PPJoin pair relation — candidate pipeline not re-paid.")
+    "dedup_incremental" -> "Incremental ingest: base md5 fingerprint index probed by the batch (16-byte keys); near-dups are a FILTER on the memoized PPJoin pair relation — candidate pipeline not re-paid.",
+    "graph_triangles" -> "Degree-ordered triangle census: the wedge stage self-joins the ORIENTED edge relation (outdeg bounded O(√E) on any skew), wedges close via left_semi against the cached undirected edges; degree/edge-count aggregates come from the same cache.",
+    "q21_waiting" -> "Q21 double EXISTS/NOT EXISTS decorrelated: the distinct late-pair relation fills once (session cache) and feeds both its own per-order count and the final join; both EXISTS gates are left_semi hash joins.",
+    "bloom_probe" -> "Bloom build/probe: ≤ m-row set-bit state BROADCASTS into the probe-bit join; both key scans aggregate to distinct key relations once (cached) — the corpus-sized key set never shuffles twice.",
+    "scd2_apply" -> "SCD2 merge: ONE full-outer co-partitioned join on the key, then a ≤ 2-struct explode emits closed/carried/inserted generations — no second pass, no driver merge loop.",
+    "hll_overlap" -> "HLL merge: per-side registers from ONE tagged pass over a∪b (cached ≤ 512-row state feeds per-side AND union estimates); exact membership via one per-key flag aggregation, not three set ops.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession
