@@ -93,6 +93,18 @@ class ClusterSpec extends SparkSpec {
       assert(r.getLong(1) == r.getLong(4) + 1)
     }
   }
+  test("triangleCount edge: empty and single-edge graphs are defined") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val r0 = ClusterOps.triangleCount(empty).collect()(0)
+    assert(r0.getAs[Long]("n_nodes") == 0L && r0.getAs[Long]("n_triangles") == 0L)
+    DedupOps.releaseShingleCaches()
+    val one = Seq((1L, 2L)).toDF("u", "v")
+    val r1 = ClusterOps.triangleCount(one).collect()(0)
+    assert((r1.getAs[Long]("n_nodes"), r1.getAs[Long]("n_edges"),
+      r1.getAs[Long]("n_wedges"), r1.getAs[Long]("n_triangles")) == ((2L, 1L, 0L, 0L)))
+    DedupOps.releaseShingleCaches()
+  }
+
   test("triangleCount goldens: K4, path, and K4-plus-pendant") {
     // K4: 4 triangles, wedges = 4·C(3,2) = 12, clustering = 1
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")

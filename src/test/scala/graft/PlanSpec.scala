@@ -177,4 +177,38 @@ class PlanSpec extends SparkSpec {
     assert(plan("profile_columns").toLowerCase.contains("distinct"))
     assert(!plan("profile_approx").toLowerCase.contains("distinct"))
   }
+
+  test("graph_triangles: wedge join is an equi hash join — no cartesian, no BNLJ in the wedge stage") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), "wedge enumeration must not be a cross product")
+    // the only BNLJ nodes are the three 1-row summary cross joins
+    val bnlj = """(?m)^\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(bnlj <= 3, s"expected only the 1-row summary crosses, got $bnlj BNLJ nodes")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("bloom_probe: set-bit state broadcasts into the probe join") {
+    val p = plan("bloom_probe")
+    // the probe-bits ⋈ state join must build on the broadcast ≤ m-row state
+    assert(p.contains("BroadcastHashJoin"), "probe must hash-probe the broadcast state")
+    assert(!p.contains("CartesianProduct"))
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("q21_waiting: both EXISTS gates execute as left_semi joins") {
+    val p = plan("q21_waiting")
+    val semis = """(?i)leftsemi""".r.findAllIn(p).length
+    assert(semis >= 2, s"expected >= 2 semi joins (EXISTS + NOT-EXISTS gate), got $semis")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("scd2_apply: exactly one full-outer join, generations from explode not a second pass") {
+    val p = plan("scd2_apply")
+    val fullOuter = """(?i)fullouter""".r.findAllIn(p).length
+    assert(fullOuter >= 1, "the merge must be one full-outer key join")
+    assert(p.contains("Generate"), "generations must come from the explode, not a union of passes")
+    // two scans feed dim + changes; a union-of-actions rewrite would show more
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 parquet scans (dim + changes), got $scans")
+  }
 }

@@ -121,6 +121,19 @@ class DeltaSpec extends SparkSpec {
       "unchanged" -> (2L, 6L))) // keys 2 + 4
   }
 
+  test("scd2Apply edge: empty change batch carries everything; empty dim inserts everything") {
+    val dim = Seq((1L, "A", 10L), (2L, "B", 10L)).toDF("k", "attr", "valid_from")
+    val noChanges = Seq.empty[(Long, String, Long)].toDF("k", "attr", "ts")
+    val carried = graft.operators.DeltaOps.scd2Apply(dim, noChanges).collect()
+    assert(carried.length == 2 && carried.forall(r =>
+      r.getString(5) == "carried" && r.getBoolean(4)))
+    val emptyDim = Seq.empty[(Long, String, Long)].toDF("k", "attr", "valid_from")
+    val changes = Seq((7L, "Z", 20L)).toDF("k", "attr", "ts")
+    val inserted = graft.operators.DeltaOps.scd2Apply(emptyDim, changes).collect()
+    assert(inserted.length == 1 && inserted(0).getString(5) == "inserted" &&
+      inserted(0).getLong(2) == 20L)
+  }
+
   test("scd2Apply golden: carried, no-op change, closed+inserted, new key") {
     val dim = Seq((1L, "A", 10L), (2L, "B", 10L), (3L, "C", 10L))
       .toDF("k", "attr", "valid_from")

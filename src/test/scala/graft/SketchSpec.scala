@@ -57,6 +57,17 @@ class SketchSpec extends SparkSpec {
     assert(eU == rebuilt, s"merged=$eU rebuilt=$rebuilt")
   }
 
+  test("bloomProbeSummary edge: empty filter flags nothing; fp_rate defined at 0") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[String].toDF("k")
+    val probes = (0 until 50).map(i => s"p$i").toDF("k")
+    val r = SketchOps.bloomProbeSummary(empty, probes).collect()(0)
+    assert(r.getAs[Long]("n_set_bits") == 0L)
+    assert(r.getAs[Long]("n_flagged") == 0L)
+    assert(r.getAs[Long]("n_false_pos") == 0L)
+    assert(r.getAs[Double]("fp_rate") == 0.0)
+  }
+
   test("bloomProbeSummary: zero false negatives, exact truth counts, rates bounded") {
     import org.apache.spark.sql.functions._
     val filterSet = (0 until 300).map(i => s"k$i").toDF("k")
