@@ -158,15 +158,30 @@ object SketchOps {
     * keys: the Bloom state is the constant-size alternative when the
     * contamination list itself is too big to broadcast).
     */
+  /** The `k` distinct bit positions of one key. */
+  private def bloomPositions(k: Column, mBits: Int, kHashes: Int): Column =
+    array_distinct(array(
+      (0 until kHashes).map(i =>
+        pmod(PortableHash.hash60(concat(lit(s"bloom$i:"), k.cast("string"))),
+          lit(mBits.toLong))): _*))
+
+  /** The filter STATE: the distinct set-bit relation of `keys.k` — ≤ m
+    * rows no matter how many keys stream through. As a streaming
+    * aggregation this is the incremental Bloom build (bounded state,
+    * stream == batch exactly; StreamingSketchSpec).
+    */
+  def bloomBits(keys: DataFrame, mBits: Int = BloomBits, kHashes: Int = BloomHashes): DataFrame =
+    keys
+      .select(explode(bloomPositions(col("k"), mBits, kHashes)).as("bit"))
+      .groupBy(col("bit"))
+      .agg(count(lit(1)).as("n_keys_hit"))
+
   def bloomProbeSummary(
       filterKeys: DataFrame,
       probeKeys: DataFrame,
       mBits: Int = BloomBits,
       kHashes: Int = BloomHashes): DataFrame = {
-    def positions(k: Column): Column = array_distinct(array(
-      (0 until kHashes).map(i =>
-        pmod(PortableHash.hash60(concat(lit(s"bloom$i:"), k.cast("string"))),
-          lit(mBits.toLong))): _*))
+    def positions(k: Column): Column = bloomPositions(k, mBits, kHashes)
     // each of the three relations below feeds 2-3 consumers — persist via
     // the session cache registry so the key scans don't re-evaluate per use
     val fk = DedupOps.registerCache(

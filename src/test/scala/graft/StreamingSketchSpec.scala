@@ -87,4 +87,28 @@ class StreamingSketchSpec extends SparkSpec {
       assert(streamed == batch, "CMS count state is a streaming-safe aggregation")
     } finally query.stop()
   }
+
+  test("streaming Bloom set-bit state == batch state (bounded incremental build)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val streamState = SketchOps.bloomBits(input.toDF().toDF("k"))
+    val query = streamState.writeStream
+      .format("memory")
+      .queryName("stream_bloom")
+      .outputMode("complete")
+      .start()
+    val keys = (0 until 400).map(i => s"key${i % 137}")
+    try {
+      input.addData(keys.take(150))
+      query.processAllAvailable()
+      input.addData(keys.drop(150))
+      query.processAllAvailable()
+      val streamed = spark.table("stream_bloom")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SketchOps.bloomBits(keys.toDF("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, "Bloom bit state is a streaming-safe aggregation")
+      assert(streamed.size <= 4096, "state bounded by m")
+    } finally query.stop()
+  }
 }
