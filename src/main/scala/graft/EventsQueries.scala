@@ -287,6 +287,11 @@ object EventsQueries {
     // exact and estimated (streaming twin in StreamingSketchSpec).
     "hourly_users" -> ((s, dir) =>
       graft.operators.SketchOps.hourlyApproxDistinct(Tables.events(s, dir), col("user_id"))),
+    // Audience-growth curve: cumulative distinct users per day — the
+    // exact first-appearance running sum next to the sketch-algebra
+    // estimate (per-day HLL registers merged by a running per-bucket max).
+    "cumulative_users" -> ((s, dir) =>
+      graft.operators.SketchOps.cumulativeDistinct(Tables.events(s, dir), col("user_id"))),
     // Bloom filter over user-day keys: days a user purchased form the
     // filter; every active user-day probes it. Measured FP rate vs the
     // exact membership join, zero false negatives. (Plain user ids are
@@ -524,6 +529,53 @@ object EventsQueries {
          |             / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6)
          |         AS rel_err
          |FROM f""".stripMargin
+    },
+    "cumulative_users" -> {
+      val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS DATE) AS day, user_id, ($h) AS h FROM events
+         |), r AS (
+         |  SELECT day, h & 255 AS bucket,
+         |         max(CASE WHEN (h >> 8) = 0 THEN 53
+         |                  ELSE 53 - length(bin(h >> 8)) END) AS m_j
+         |  FROM e GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT d.day, b.bucket
+         |  FROM (SELECT DISTINCT day FROM r) d
+         |  CROSS JOIN (SELECT DISTINCT bucket FROM r) b
+         |), cum AS (
+         |  SELECT g.day, g.bucket,
+         |         max(r.m_j) OVER (PARTITION BY g.bucket ORDER BY g.day
+         |                          ROWS UNBOUNDED PRECEDING) AS m_j
+         |  FROM grid g LEFT JOIN r ON g.day = r.day AND g.bucket = r.bucket
+         |), z AS (
+         |  SELECT day, CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS z_present
+         |  FROM cum WHERE m_j IS NOT NULL GROUP BY 1
+         |), f AS (
+         |  SELECT day, (256 - n_buckets) AS v,
+         |         0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         |           / CAST(z_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53)
+         |                  AS DOUBLE) AS raw_e
+         |  FROM z
+         |), est AS (
+         |  SELECT day, round(CASE WHEN raw_e <= 640.0 AND v > 0
+         |                    THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+         |                    ELSE raw_e END, 6) AS n_est_cum
+         |  FROM f
+         |), fd AS (
+         |  SELECT day, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM (SELECT user_id, min(day) AS day FROM e GROUP BY 1)
+         |  GROUP BY 1
+         |), ex AS (
+         |  SELECT d.day,
+         |         CAST(sum(coalesce(fd.n_new, 0)) OVER (ORDER BY d.day
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_exact_cum
+         |  FROM (SELECT DISTINCT day FROM r) d LEFT JOIN fd ON d.day = fd.day
+         |)
+         |SELECT ex.day, ex.n_exact_cum, est.n_est_cum
+         |FROM ex JOIN est ON ex.day = est.day
+         |ORDER BY ex.day""".stripMargin
     },
     "bloom_probe" -> {
       val hs = (0 until 3).map(i =>

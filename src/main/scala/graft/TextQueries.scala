@@ -39,6 +39,8 @@ object TextQueries {
     "seq_len_hist" -> ((s, dir) => TextOps.seqLenHistogram(Tables.documents(s, dir))),
     // Unigram-LM negative log-likelihood per document (perplexity proxy).
     "doc_logprob" -> ((s, dir) => TextOps.unigramNll(Tables.documents(s, dir))),
+    // Bigram-LM NLL with add-one smoothing (order-sensitive perplexity).
+    "doc_bigram_nll" -> ((s, dir) => TextOps.bigramNll(Tables.documents(s, dir))),
     // Greedy context-window packing per (lang, hash shard).
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     // Overlapping 64/16 token chunking with per-chunk dedup fingerprints.
@@ -294,6 +296,38 @@ object TextQueries {
          |       CAST(sum(nt) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
     },
+    "doc_bigram_nll" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), v AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v_size FROM tk
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+        |                  list_transform(
+        |                    generate_series(1, len(string_split(text, ' ')) - 1),
+        |                    i -> string_split(text, ' ')[i] || ' '
+        |                         || string_split(text, ' ')[i + 1])
+        |                ELSE CAST([] AS VARCHAR[]) END) AS bg
+        |  FROM documents
+        |), bc AS (
+        |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1
+        |), hc AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM bg GROUP BY 1
+        |), s AS (
+        |  SELECT b.doc_id,
+        |         CAST(round(ln(hc.c1 + (SELECT v_size FROM v)) * 1e9) AS BIGINT)
+        |         - CAST(round(ln(bc.c12 + 1) * 1e9) AS BIGINT) AS nll_nano
+        |  FROM bg b
+        |  JOIN bc ON b.bg = bc.bg
+        |  JOIN hc ON string_split(b.bg, ' ')[1] = hc.w1
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(nll_nano) AS BIGINT) AS sum_nll_nano,
+        |       round(CAST(sum(nll_nano) AS DOUBLE) / 1e9
+        |             / CAST(count(*) AS DOUBLE), 6) AS avg_nll
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "seq_len_hist" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents

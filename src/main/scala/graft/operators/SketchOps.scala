@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -135,6 +136,51 @@ object SketchOps {
       .crossJoin(broadcast(estB))
       .crossJoin(broadcast(estU))
       .withColumn("est_overlap", round(col("est_a") + col("est_b") - col("est_union"), 6))
+  }
+
+  /** Cumulative distinct-`key` curve per day — audience growth — by
+    * sketch algebra: per-day HLL registers, then a running per-bucket
+    * max over the day axis (the window form of the HLL merge operator),
+    * finalized per day. At 100 TB this is the incremental shape: each
+    * day contributes its own 256-register state and the curve needs no
+    * re-scan of history — contrast the exact running distinct, which
+    * the query carries alongside via first-appearance counting (itself
+    * one aggregation + a running sum over the bounded day axis, NOT a
+    * per-day re-count).
+    *
+    * The register grid densifies over observed (day × bucket) so a
+    * bucket seen on day d but silent on day d+1 still carries into
+    * d+1's estimate (running max ignores the gap's nulls).
+    */
+  def cumulativeDistinct(df: DataFrame, key: Column): DataFrame = {
+    val withDay = df.withColumn("day", to_date(col("ts")))
+    val regs = DedupOps.registerCache(
+      hllRegisters(withDay, key, Seq(col("day")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val days = regs.select(col("day")).distinct()
+    val grid = days.crossJoin(broadcast(regs.select(col("bucket")).distinct()))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(regs, Seq("day", "bucket"), "left")
+      .withColumn("m_j", max(col("m_j")).over(w))
+      .filter(col("m_j").isNotNull)
+    val est = estimateFromRegisters(cum, Seq(col("day")))
+      .select(col("day"), col("n_est").as("n_est_cum"))
+    // exact cumulative distinct: count keys by FIRST day, running sum —
+    // the unpartitioned window runs over the bounded day axis only
+    val firstDay = withDay
+      .groupBy(key.as("k"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = days
+      .join(firstDay, Seq("day"), "left")
+      .withColumn("n_exact_cum", sum(coalesce(col("n_new"), lit(0L))).over(wd))
+      .select(col("day"), col("n_exact_cum"))
+    exact.join(est, Seq("day")).orderBy(col("day"))
   }
 
   val BloomBits = 4096

@@ -375,6 +375,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM negative log-likelihood per document with add-one
+    * smoothing — the sequence-aware upgrade of [[unigramNll]] (a doc of
+    * common words in an unusual ORDER now scores high): per-bigram
+    * `−ln P(w₂|w₁) = ln(c(w₁·) + V) − ln(c(w₁w₂) + 1)`, averaged over
+    * the doc's bigrams. History counts `c(w₁·)` aggregate over the same
+    * bigram relation (Σ_w₂ c₁₂), `V` = corpus distinct-token vocabulary.
+    *
+    * Determinism: both logs quantize to integer nano-units per distinct
+    * count (the docEntropy guard), so per-doc sums are exact integers.
+    * Scale: the exploded bigram relation fills once (session cache) and
+    * feeds the bigram counts, the history counts, and the scoring join —
+    * all keyed shuffles on token strings; V broadcasts as one row.
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val bgArr = when(
+      size(tk) >= 2,
+      transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bgs = DedupOps.registerCache(
+      docs
+        .select(col("doc_id"), explode(bgArr).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bgCnt = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val histCnt = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(tk).as("tok"))
+      .agg(count_distinct(col("tok")).as("v_size"))
+    bgs
+      .join(bgCnt, Seq("bg"))
+      .join(histCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(
+          round(log(col("c1") + col("v_size")) * lit(1e9)).cast("long") -
+            round(log(col("c12") + lit(1L)) * lit(1e9)).cast("long")).as("sum_nll_nano"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("sum_nll_nano"),
+        round(
+          col("sum_nll_nano").cast("double") / lit(1e9) / col("n_bigrams").cast("double"),
+          6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting per language: whitespace tokens, alphabetic regex
     * tokens, and a BPE-ish fixed-width subword count (`[a-z]{1,4}` chunks —
     * greedy left-to-right, identical semantics in Java regex and RE2).

@@ -57,6 +57,26 @@ class SketchSpec extends SparkSpec {
     assert(eU == rebuilt, s"merged=$eU rebuilt=$rebuilt")
   }
 
+  test("cumulativeDistinct: both curves monotone, exact endpoint = total distinct, est within 3σ") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // 900 events, 300 users, spread over 6 days; later days repeat old users
+    val rows = (0 until 900).map { i =>
+      (new Timestamp(base + (i % 6) * 86400000L), (i % 300).toLong)
+    }
+    val df = rows.toDF("ts", "user_id")
+    val out = SketchOps.cumulativeDistinct(df, col("user_id")).collect()
+    assert(out.length == 6)
+    val exact = out.map(_.getAs[Long]("n_exact_cum"))
+    val est = out.map(_.getAs[Double]("n_est_cum"))
+    assert(exact.sameElements(exact.sorted), "exact curve monotone")
+    assert(est.sameElements(est.sorted), "running register max ⇒ estimate monotone")
+    assert(exact.last == 300L)
+    assert(math.abs(est.last - 300.0) / 300.0 < 0.20, s"endpoint est ${est.last}")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
   test("bloomProbeSummary edge: empty filter flags nothing; fp_rate defined at 0") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[String].toDF("k")

@@ -63,6 +63,27 @@ class TextSpec extends SparkSpec {
     assert(fp.isEmpty)
   }
 
+  test("bigramNll golden: hand-computed add-one NLL; word order changes the score") {
+    // corpus: "a b a b" + "b a" → V=2, c("a b")=2, c("b a")=2, c1(a)=2, c1(b)=2
+    // every bigram: ln(c1+V) − ln(c12+1) = ln(4) − ln(3)
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextOps.bigramNll(docs).collect()
+    val want = BigDecimal(math.log(4.0) - math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // bigram counts
+    out.foreach(r => assert(math.abs(r.getDouble(3) - want) < 2e-6))
+    graft.operators.DedupOps.releaseShingleCaches()
+    // order sensitivity: same unigram bag, different order → different NLL
+    val ordered = Seq((1L, "x y x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    val shuffled = Seq((1L, "x x x y y y"), (2L, "x y")).toDF("doc_id", "text")
+    val a = TextOps.bigramNll(ordered).collect().head.getDouble(3)
+    graft.operators.DedupOps.releaseShingleCaches()
+    val b = TextOps.bigramNll(shuffled).collect().head.getDouble(3)
+    graft.operators.DedupOps.releaseShingleCaches()
+    assert(a != b, "bigram model must be order-sensitive (unigram NLL is not)")
+    assert(a < b, "the repeated in-domain transition must be cheaper")
+  }
+
   test("seqLenHistogram: bit-length buckets and exact pad accounting") {
     val docs = Seq(
       (1L, "a"),                                    // nt=1   → bucket 1, 1 seq, 511 pad
