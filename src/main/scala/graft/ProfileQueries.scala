@@ -56,6 +56,24 @@ object ProfileQueries {
       DeltaOps.snapshotDiff(oldSnap, newSnap, "o_orderkey",
         Seq(col("cents").cast("string"), col("o_orderstatus")))
     }),
+    // 2-D skyline: parts on the Pareto frontier of (price low, size low)
+    // — strict domination, duplicates kept, two windows over one sort.
+    "pareto_parts" -> ((s, dir) =>
+      ProfileOps.skyline2d(
+        Tables.part(s, dir).select(
+          col("p_partkey"), col("p_brand"),
+          (col("p_retailprice") * lit(100.0)).cast("bigint").as("x"),
+          col("p_size").cast("long").as("y")))
+        .select(col("p_partkey"), col("p_brand"), col("x").as("price_c"),
+          col("y").as("p_size"))
+        .orderBy(col("price_c"), col("p_size"), col("p_partkey"))),
+    // Equi-depth histogram of lineitem revenue over hundred-dollar cells
+    // (bounded domain) — rank arithmetic over cumulative cell counts.
+    "hist_equidepth" -> ((s, dir) =>
+      ProfileOps.equiDepthHistogram(
+        Tables.lineitem(s, dir).select(
+          // non-ANSI double→bigint cast truncates toward zero (= oracle trunc)
+          expr("cast(l_extendedprice as bigint) div 100").as("cell")))),
     // SCD Type-2 merge: the customer-priority dimension (latest pre-1997
     // order priority per customer, valid from that order's epoch day)
     // receives the 1997 change batch — closed/carried/inserted rows in
@@ -284,6 +302,43 @@ object ProfileQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
         |       CAST(sum(k) AS BIGINT) AS key_checksum
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pareto_parts" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |         CAST(trunc(p_retailprice * 100.0) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS p_size
+        |  FROM part
+        |), w AS (
+        |  SELECT *,
+        |         min(p_size) OVER (ORDER BY price_c
+        |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |         min(p_size) OVER (PARTITION BY price_c) AS m2
+        |  FROM p
+        |)
+        |SELECT p_partkey, p_brand, price_c, p_size
+        |FROM w
+        |WHERE (m1 IS NULL OR m1 > p_size) AND m2 = p_size
+        |ORDER BY price_c, p_size, p_partkey""".stripMargin,
+    "hist_equidepth" ->
+      """WITH cells AS (
+        |  SELECT CAST(trunc(l_extendedprice) AS BIGINT) // 100 AS cell
+        |  FROM lineitem
+        |), v AS (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM v
+        |), cb AS (
+        |  SELECT cell, c,
+        |         coalesce(CAST(sum(c) OVER (ORDER BY cell
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |           AS cum_before
+        |  FROM v
+        |)
+        |SELECT CAST((cum_before * 10) // t.n AS INT) AS bucket,
+        |       CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(min(cell) AS BIGINT) AS lo_cell,
+        |       CAST(max(cell) AS BIGINT) AS hi_cell
+        |FROM cb, t GROUP BY 1 ORDER BY 1""".stripMargin,
     "scd2_apply" ->
       """WITH dim AS (
         |  SELECT o_custkey AS k, o_orderpriority AS attr,

@@ -164,6 +164,58 @@ object ProfileOps {
     * broadcast-sized for any real group count. Rank selection uses pure
     * BIGINT arithmetic (`p·(n−1) DIV 100`).
     */
+  /** 2-D skyline (Pareto frontier, strict domination): rows minimizing
+    * `(x, y)` jointly — kept iff no other row has `x ≤, y ≤` with one
+    * strict. Two windows over the same sort: the running y-min over
+    * strictly-smaller x (RANGE frame excludes x-ties) catches cross-x
+    * domination, the per-x-partition min catches same-x domination;
+    * duplicates on both axes stay (neither dominates). Expects integer
+    * columns named `x`, `y` plus carry-through columns.
+    *
+    * Scale note: a global skyline inherently needs a global order on x —
+    * at 100 TB the standard shape is grid-partitioned local skylines
+    * (map-side, each cell prunes to its own frontier) merged by this
+    * exact operator over the ≪-corpus survivor set; the operator here is
+    * that merge step, applied to dimension-sized input directly.
+    */
+  def skyline2d(df: DataFrame): DataFrame = {
+    val cross = Window.orderBy(col("x")).rangeBetween(Window.unboundedPreceding, -1)
+    val same = Window.partitionBy(col("x"))
+    df.withColumn("m1", min(col("y")).over(cross))
+      .withColumn("m2", min(col("y")).over(same))
+      .filter((col("m1").isNull || col("m1") > col("y")) && col("m2") === col("y"))
+      .drop("m1", "m2")
+  }
+
+  /** Equi-depth histogram over a pre-aggregated value domain: the input
+    * quantizes to bounded cells (caller's `cell` column — e.g. hundred-
+    * dollar price cells: bounded by the VALUE RANGE, not the corpus),
+    * the cell-frequency relation aggregates first, and bucket boundaries
+    * come from integer rank arithmetic over the cumulative counts
+    * (`bucket = cum_before·k div N` — a whole heavy cell lands in one
+    * bucket, the type-1 convention). No corpus-sized sort: the one
+    * unpartitioned window runs over the ≤ |cells| aggregated relation —
+    * the same cardinality-reduction-before-windows rule as the deciles.
+    */
+  def equiDepthHistogram(cells: DataFrame, k: Int = 10): DataFrame = {
+    // the cell-frequency relation feeds the window chain AND the total —
+    // persist via the session registry so the corpus aggregates once
+    val v = DedupOps.registerCache(
+      cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = v.agg(sum(col("c")).as("n_total"))
+    val w = Window.orderBy(col("cell")).rowsBetween(Window.unboundedPreceding, -1)
+    v.withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"cast((cum_before * $k) div n_total as int)"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        min(col("cell")).as("lo_cell"),
+        max(col("cell")).as("hi_cell"))
+      .orderBy(col("bucket"))
+  }
+
   def winsorizedStats(
       df: DataFrame,
       groupCol: String,

@@ -53,6 +53,38 @@ class ProfileSpec extends SparkSpec {
   }
 }
 
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("skyline2d golden: strict domination, same-x domination, duplicates kept") {
+    val pts = Seq((1L, 5L, "a"), (2L, 3L, "b"), (2L, 4L, "c"), (3L, 3L, "d"),
+      (4L, 1L, "e"), (5L, 5L, "f"), (4L, 1L, "e2"))
+      .toDF("x", "y", "tag")
+    val got = ProfileOps.skyline2d(pts).collect().map(_.getString(2)).toSet
+    // (2,4) dominated by (2,3) same-x; (3,3) by (2,3) cross-x; (5,5) by (4,1);
+    // the (4,1) duplicate survives (neither dominates the other)
+    assert(got == Set("a", "b", "e", "e2"))
+  }
+
+  test("equiDepthHistogram: uniform cells split evenly; a heavy cell stays whole") {
+    // 100 cells × 2 rows → 10 buckets of 20 rows each
+    val uniform = (0 until 200).map(i => (i % 100).toLong).toDF("cell")
+    val u = ProfileOps.equiDepthHistogram(uniform).collect()
+    assert(u.length == 10 && u.forall(_.getLong(1) == 20L))
+    assert(u.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      (0 until 10).map(b => (b * 10L, b * 10L + 9L)))
+    graft.operators.DedupOps.releaseShingleCaches()
+    // one cell holding half the mass lands in ONE bucket (type-1: no split)
+    val skewed = (Seq.fill(100)(50L) ++ (0 until 100).map(_.toLong)).toDF("cell")
+    val s = ProfileOps.equiDepthHistogram(skewed).collect()
+    assert(s.map(_.getLong(1)).sum == 200L)
+    val heavy = s.filter(r => r.getLong(2) <= 50 && r.getLong(3) >= 50)
+    assert(heavy.length == 1 && heavy.head.getLong(1) >= 101L)
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+}
+
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
