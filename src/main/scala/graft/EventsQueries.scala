@@ -77,6 +77,35 @@ object EventsQueries {
     // (asserted equal in SessionSpec).
     "events_sessions" -> ((s, dir) =>
       graft.operators.SessionOps.sessionsBatch(Tables.events(s, dir), 1800000000L)),
+    // Path analysis: top session-opening event-type sequences (first 3
+    // events per 30-min session, same total order as sessionsBatch) —
+    // the "how do sessions start" report. The rn ≤ 3 prune keeps the
+    // path aggregation input at ≤ 3 rows per session; array_sort on
+    // (rn, type) structs makes the collected order deterministic under
+    // any partitioning.
+    "funnel_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > lit(1800000000L), 1)
+            .otherwise(0))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val w2 = Window.partitionBy(col("user_id"), col("sess_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      sess
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          expr("array_join(transform(array_sort(collect_list(struct(rn, event_type)))," +
+            " x -> x.event_type), '>')").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
     // Backward as-of join: each event enriched with the most recent prior
     // purchase value of the same user (AsOfOps — one shuffle, no
     // inequality join).
@@ -755,6 +784,28 @@ object EventsQueries {
         |FROM sel LEFT JOIN err
         |  ON err.ts_us >= sel.start_us AND err.ts_us <= sel.end_us
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "funnel_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), l AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+        |                   (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |                 > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM l
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+        |                               ORDER BY ts_us, event_id) AS rn
+        |  FROM s
+        |), p AS (
+        |  SELECT user_id, sess_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

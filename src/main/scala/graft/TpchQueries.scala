@@ -601,6 +601,34 @@ object TpchQueries {
             6).as("lift"))
         .orderBy(col("n_co").desc, col("a_part"), col("b_part"))
     }),
+    // RFM customer segmentation: recency (days since last order vs the
+    // corpus max day), frequency (order count), monetary (total cents),
+    // each quintiled with a custkey tiebreak for a total order; segment
+    // code = r·100 + f·10 + m. Windows run over the CUSTOMER aggregate
+    // (dimension-sized), never raw orders; quintile boundaries come from
+    // ntile, the one-pass rank form.
+    "rfm_segments" -> ((s, dir) => {
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(expr("cast(cast(o_orderdate as timestamp) as long) div 86400")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("monetary_c"))
+      val maxDay = perCust.agg(max(col("last_day")).as("max_day"))
+      val scored = perCust
+        .crossJoin(broadcast(maxDay))
+        .withColumn("recency_days", col("max_day") - col("last_day"))
+      val r = ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+      val f = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+      val m = ntile(5).over(Window.orderBy(col("monetary_c").desc, col("o_custkey")))
+      scored
+        .withColumn("segment", r * lit(100) + f * lit(10) + m)
+        .groupBy(col("segment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("monetary_c")).as("total_cents"))
+        .orderBy(col("segment"))
+    }),
     // Triangle census of the part co-occurrence graph (edges = part pairs
     // sharing ≥ 2 orders): exact triangle count + global clustering
     // coefficient via degree-ordered wedge enumeration — the O(√E)-
@@ -816,6 +844,28 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS monetary_c
+        |  FROM orders GROUP BY 1
+        |), sc AS (
+        |  SELECT *, (SELECT max(last_day) FROM pc) - last_day AS recency_days
+        |  FROM pc
+        |), t AS (
+        |  SELECT o_custkey, monetary_c,
+        |         ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+        |         ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |         ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m
+        |  FROM sc
+        |)
+        |SELECT (r * 100 + f * 10 + m) AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(monetary_c) AS BIGINT) AS total_cents
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_triangles" ->
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -121,6 +121,23 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("skyline2d: kept points undominated, dropped points dominated (random point sets)") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+    check(Prop.forAll(gen) { pts0 =>
+      val pts = pts0.zipWithIndex.map { case ((x, y), i) => (x, y, i.toLong) }
+      val kept = graft.operators.ProfileOps
+        .skyline2d(pts.toDF("x", "y", "id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def dominates(p: (Long, Long), q: (Long, Long)) =
+        p._1 <= q._1 && p._2 <= q._2 && (p._1 < q._1 || p._2 < q._2)
+      val all = pts.map(t => (t._1, t._2))
+      pts.forall { case t @ (x, y, _) =>
+        val dominated = all.exists(p => dominates(p, (x, y)))
+        if (kept.contains(t)) !dominated else dominated
+      }
+    }, n = 15)
+  }
+
   test("rebalanceClasses: every label lands on the max count for random multisets") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(0, 4)).map(_.take(60))
     check(Prop.forAll(gen) { labels: List[Int] =>
