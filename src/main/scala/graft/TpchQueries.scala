@@ -608,12 +608,16 @@ object TpchQueries {
     // (dimension-sized), never raw orders; quintile boundaries come from
     // ntile, the one-pass rank form.
     "rfm_segments" -> ((s, dir) => {
-      val perCust = Tables.orders(s, dir)
-        .groupBy(col("o_custkey"))
-        .agg(
-          max(expr("cast(cast(o_orderdate as timestamp) as long) div 86400")).as("last_day"),
-          count(lit(1)).as("freq"),
-          sum(cents(col("o_totalprice"))).as("monetary_c"))
+      // the customer aggregate feeds the max-day scalar AND the scoring —
+      // persist via the session registry or orders scans twice
+      val perCust = graft.operators.DedupOps.registerCache(
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(
+            max(expr("cast(cast(o_orderdate as timestamp) as long) div 86400")).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(cents(col("o_totalprice"))).as("monetary_c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val maxDay = perCust.agg(max(col("last_day")).as("max_day"))
       val scored = perCust
         .crossJoin(broadcast(maxDay))

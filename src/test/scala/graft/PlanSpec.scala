@@ -202,6 +202,20 @@ class PlanSpec extends SparkSpec {
     graft.operators.DedupOps.releaseShingleCaches()
   }
 
+  test("hist_equidepth: the bucket window consumes the cell AGGREGATE, not raw rows") {
+    val p = plan("hist_equidepth")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate") < windowIdx, "window must sit above the cell aggregation")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("rfm_segments: one orders scan (ReuseExchange dedupes the shared customer aggregate)") {
+    val p = plan("rfm_segments")
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"expected the customer aggregate to be computed from one scan, got $scans")
+  }
+
   test("scd2_apply: exactly one full-outer join, generations from explode not a second pass") {
     val p = plan("scd2_apply")
     val fullOuter = """(?i)fullouter""".r.findAllIn(p).length
