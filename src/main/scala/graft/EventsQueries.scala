@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -390,6 +390,112 @@ object EventsQueries {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("rev_c_filled"))
         .orderBy(col("minute"))
+    }),
+    // Two-sample Kolmogorov-Smirnov drift test between the A/B user
+    // split, on a BOUNDED 256-bin grid: at 100 TB the exact KS needs a
+    // global ordered ECDF over every distinct value (an unpartitioned
+    // window over the corpus — the §3.3 anti-pattern), so the engine
+    // quantizes to a fixed grid first (integer bin arithmetic, identical
+    // in both engines) and the ECDF window runs over ≤256 rows. The KS
+    // distance is then exact FOR THE GRID; grid resolution is the
+    // documented approximation knob, same trade as hist_linear's bins.
+    "drift_ks" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(
+          (col("value") * lit(100.0)).cast("bigint").as("c"),
+          when(pmod(col("user_id"), lit(2L)) === 0L, 1L).otherwise(0L).as("a"))
+      val st = e.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+      val binned = e.crossJoin(st)
+        .select(
+          // integer DIV — same literal arithmetic as the oracle's `//`;
+          // no float enters the bin assignment
+          expr("((c - minc) * 256) DIV (maxc - minc + 1)").as("bin"),
+          col("a"))
+      val g = binned
+        .groupBy(col("bin"))
+        .agg(sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"))
+      val cum = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val w = g.select(
+        sum(col("n_a")).over(cum).as("ca"),
+        sum(col("n_b")).over(cum).as("cb"),
+        sum(col("n_a")).over(all).as("ta"),
+        sum(col("n_b")).over(all).as("tb"))
+      val dbl = (c: Column) => c.cast("double")
+      w.agg(
+        max(col("ta")).as("n_a"),
+        max(col("tb")).as("n_b"),
+        round(max(abs(dbl(col("ca")) / dbl(col("ta")) - dbl(col("cb")) / dbl(col("tb")))), 6)
+          .as("ks_stat"))
+        .select(
+          col("n_a"), col("n_b"), col("ks_stat"),
+          round(lit(1.3581015) *
+            sqrt((dbl(col("n_a")) + dbl(col("n_b"))) / (dbl(col("n_a")) * dbl(col("n_b")))), 6)
+            .as("ks_crit"),
+          (col("ks_stat") > round(lit(1.3581015) *
+            sqrt((dbl(col("n_a")) + dbl(col("n_b"))) / (dbl(col("n_a")) * dbl(col("n_b")))), 6))
+            .as("drifted"))
+    }),
+    // Categorical drift: chi-square contributions of the event-type mix,
+    // early half vs late half of the time range (midpoint in integer
+    // micros — no float time math). All counts are exact integers from
+    // ONE map-side-combinable aggregation over a 5-key space; expected
+    // counts and contributions are per-row float expressions in oracle
+    // order. No windowed float total: each category's contribution is
+    // the drift readout (the scalar chi2 is their trivial sum).
+    "chi2_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("ts_us"), col("event_type"))
+      val st = e.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        .select(expr("(lo + hi) DIV 2").as("mid"))
+      val g = e.crossJoin(st)
+        .select(col("event_type"),
+          when(col("ts_us") <= col("mid"), 1L).otherwise(0L).as("early"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("early")).as("n_early"), sum(lit(1L) - col("early")).as("n_late"))
+      val all = Window.orderBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dbl = (c: Column) => c.cast("double")
+      val withTot = g.select(
+        col("event_type"), col("n_early"), col("n_late"),
+        sum(col("n_early")).over(all).as("te"),
+        sum(col("n_late")).over(all).as("tl"))
+      val rowTot = dbl(col("n_early")) + dbl(col("n_late"))
+      val n = dbl(col("te")) + dbl(col("tl"))
+      val expE = rowTot * dbl(col("te")) / n
+      val expL = rowTot * dbl(col("tl")) / n
+      withTot.select(
+        col("event_type"), col("n_early"), col("n_late"),
+        round(expE, 6).as("exp_early"),
+        round((dbl(col("n_early")) - expE) * (dbl(col("n_early")) - expE) / expE
+          + (dbl(col("n_late")) - expL) * (dbl(col("n_late")) - expL) / expL, 6)
+          .as("chi2_contrib"))
+        .orderBy(col("event_type"))
+    }),
+    // Last-touch marketing attribution: each purchase credits the most
+    // recent prior click/view of the SAME user (carried by an
+    // ignore-nulls last() over the per-user history — state bounded per
+    // user, the sessionization shape, no self-join). Revenue stays in
+    // exact cents; NaN purchases count as purchases with null revenue.
+    "attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+          when(col("value").isNotNull && !isnan(col("value")),
+            (col("value") * lit(100.0)).cast("bigint")).as("cents"))
+        .withColumn("chan",
+          last(when(col("event_type").isin("click", "view"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("chan"), lit("none")).as("channel"), col("cents"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_c"))
+        .orderBy(col("channel"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -876,5 +982,95 @@ object EventsQueries {
         |       last_value(rev_c IGNORE NULLS) OVER (
         |         ORDER BY minute
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_c_filled
-        |FROM j ORDER BY minute""".stripMargin)
+        |FROM j ORDER BY minute""".stripMargin,
+    "drift_ks" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(value * 100.0) AS BIGINT) AS c,
+        |         CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), st AS (
+        |  SELECT min(c) AS minc, max(c) AS maxc FROM e
+        |), b AS (
+        |  SELECT ((c - minc) * 256) // (maxc - minc + 1) AS bin, a
+        |  FROM e CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(sum(a) AS BIGINT) AS n_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS n_b
+        |  FROM b GROUP BY bin
+        |), w AS (
+        |  SELECT sum(n_a) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |         sum(n_b) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |         sum(n_a) OVER () AS ta,
+        |         sum(n_b) OVER () AS tb
+        |  FROM g
+        |), d AS (
+        |  SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+        |         round(max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |                       - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))), 6) AS ks_stat
+        |  FROM w
+        |)
+        |SELECT n_a, n_b, ks_stat,
+        |       round(1.3581015 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+        |         AS ks_crit,
+        |       ks_stat > round(1.3581015 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                                        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+        |         AS drifted
+        |FROM d""".stripMargin,
+    "chi2_drift" ->
+      """WITH st AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_early,
+        |         CAST(sum(CASE WHEN epoch_us(ts) <= mid THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_late
+        |  FROM events CROSS JOIN st GROUP BY event_type
+        |), t AS (
+        |  SELECT event_type, n_early, n_late,
+        |         sum(n_early) OVER () AS te, sum(n_late) OVER () AS tl
+        |  FROM g
+        |)
+        |SELECT event_type, n_early, n_late,
+        |       round((CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+        |             * CAST(te AS DOUBLE)
+        |             / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE)), 6) AS exp_early,
+        |       round((CAST(n_early AS DOUBLE)
+        |              - (CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+        |                * CAST(te AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE)))
+        |             * (CAST(n_early AS DOUBLE)
+        |                - (CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+        |                  * CAST(te AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE)))
+        |             / ((CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+        |                * CAST(te AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE)))
+        |             + (CAST(n_late AS DOUBLE)
+        |                - (CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+        |                  * CAST(tl AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE)))
+        |               * (CAST(n_late AS DOUBLE)
+        |                  - (CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+        |                    * CAST(tl AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE)))
+        |               / ((CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+        |                  * CAST(tl AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE))), 6)
+        |         AS chi2_contrib
+        |FROM t ORDER BY event_type""".stripMargin,
+    "attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |              THEN CAST(trunc(value * 100.0) AS BIGINT) END AS cents,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chan
+        |  FROM events
+        |)
+        |SELECT coalesce(chan, 'none') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS rev_c
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin)
 }
