@@ -107,7 +107,18 @@ object ProfileQueries {
           sum(col("k")).as("key_checksum"),
           sum(coalesce(col("valid_to"), lit(0L)) - col("valid_from")).as("span_checksum"))
         .orderBy(col("action"), col("is_current"))
-    }))
+    }),
+    // Pairwise Pearson correlations of the profiled lineitem columns from
+    // decimal-exact sufficient statistics (builtin corr() accumulates
+    // float co-moments whose low bits depend on merge order — not
+    // oracle-reproducible).
+    "feature_corr" -> ((s, dir) =>
+      ProfileOps.corrMatrix(Tables.lineitem(s, dir), ProfiledCols)),
+    // Compaction planning over documents-as-files: 4000-byte target bins
+    // per source via one exclusive-prefix-sum window (no driver loop).
+    "compaction_bins" -> ((s, dir) =>
+      LayoutOps.compactionBins(
+        Tables.documents(s, dir), "source", "doc_id", "n_chars", 4000L)))
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_dot_product($a, $b)
@@ -408,5 +419,53 @@ object ProfileQueries {
         |         AS n_clip_hi,
         |       round(CAST(sum(clamped) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |             / 100.0, 6) AS wins_mean
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "feature_corr" -> {
+      // mirror corrMatrix: sorted column order, cents quantization,
+      // exact integer sufficient stats (HUGEINT = the DECIMAL(38,0)
+      // twin), float only in the final per-pair expression
+      val cs = ProfiledCols.sorted // l_discount, l_extendedprice, l_quantity, l_tax
+      val v = cs.indices.map(i => s"v$i")
+      val melt = cs.zip(v).map { case (c, vi) =>
+        s"CAST(trunc($c * 100.0) AS BIGINT) AS $vi"
+      }.mkString(",\n        ")
+      val guard = cs.map(c => s"$c IS NOT NULL AND NOT isnan($c)").mkString("\n    AND ")
+      val sums =
+        v.map(vi => s"sum(CAST($vi AS HUGEINT)) AS s_$vi").mkString(",\n         ") +
+          ",\n         " +
+          (for { i <- v.indices; j <- i until v.size }
+            yield s"sum(CAST(${v(i)} AS HUGEINT) * ${v(j)}) AS p_${v(i)}_${v(j)}")
+            .mkString(",\n         ")
+      val branches = (for { i <- v.indices; j <- (i + 1) until v.size } yield {
+        val (a, b) = (v(i), v(j))
+        s"""SELECT '${cs(i)}' AS col_x, '${cs(j)}' AS col_y, CAST(n AS BIGINT) AS n,
+           |       round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE)
+           |             / sqrt(CAST(n * p_${a}_$a - s_$a * s_$a AS DOUBLE)
+           |                    * CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6) AS corr_r
+           |FROM g""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH b AS (
+         |  SELECT $melt
+         |  FROM lineitem
+         |  WHERE $guard
+         |), g AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |         $sums
+         |  FROM b
+         |)
+         |$branches
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+    "compaction_bins" ->
+      """WITH c AS (
+        |  SELECT source AS part, doc_id AS id, n_chars AS bytes,
+        |         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents
+        |)
+        |SELECT part, CAST(cum_before // 4000 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       min(id) AS min_id, max(id) AS max_id
+        |FROM c GROUP BY 1, 2 ORDER BY part, bin""".stripMargin)
 }

@@ -63,4 +63,43 @@ object LayoutOps {
         max(col("y")).as("y_max"))
       .orderBy(col("n_rows").desc, col("cell"))
       .limit(k)
+
+  /** Compaction planning: assign small files to target-size output bins,
+    * per table partition. The greedy first-fit packer is inherently
+    * sequential, but the running-total form is not: order files within a
+    * partition, take the EXCLUSIVE cumulative byte sum, and the bin id is
+    * `cum_before DIV target` — every file lands in the bin its prefix sum
+    * dictates, one window pass, no driver loop. Bins can overshoot the
+    * target by at most one file (the standard bin-by-offset relaxation of
+    * first-fit; identical output to what table-maintenance services
+    * schedule). The window partitions by the table partition key, so the
+    * plan parallelizes across partitions — the 100 TB shape, where
+    * compaction is per-partition by definition.
+    *
+    * Output: one row per (part, bin) with file count, total bytes, and
+    * the id range it covers — the work list a compaction executor runs.
+    */
+  def compactionBins(
+      files: DataFrame,
+      partCol: String,
+      idCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part"))
+      .orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .select(col(partCol).as("part"), col(idCol).as("id"), col(bytesCol).as("bytes"))
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $targetBytes"))
+      .groupBy(col("part"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("part"), col("bin"))
+  }
 }

@@ -257,4 +257,55 @@ object ProfileOps {
           .as("wins_mean"))
       .orderBy(col("grp"))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns, from ONE
+    * map-side-combinable aggregation of exact sufficient statistics.
+    *
+    * Spark's builtin `corr()` (and DuckDB's) accumulate FLOATING point
+    * co-moments, so the low bits depend on partition merge order — a
+    * nondeterminism this engine's oracle discipline forbids. Instead the
+    * values are quantized to integer cents and the six sums (n, Σx, Σx²,
+    * Σxy) run in DECIMAL(38,0): exact at any parallelism, still one
+    * shuffle-free partial-aggregate pass (the 100 TB plan is the same
+    * single scan — the state is k + k·(k+1)/2 decimals regardless of row
+    * count). The correlation itself is k(k-1)/2 scalar float expressions
+    * over the 1-row result, exploded to long form.
+    *
+    * NaN/null rows are dropped LISTWISE (any profiled column) so every
+    * pair sees the same n — the standard complete-case matrix.
+    * Output: (col_x, col_y, n, corr_r) for x < y in column-name order.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val names = cols.sorted
+    val complete = names
+      .map(c => col(c).isNotNull && !isnan(col(c)))
+      .reduce(_ && _)
+    val cents = names.map(c =>
+      (col(c) * lit(100.0)).cast("bigint").cast("decimal(38,0)").as(s"v_$c"))
+    val base = df.filter(complete).select(cents: _*)
+    val sums =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+        names.map(c => sum(col(s"v_$c")).as(s"s_$c")) ++
+        (for { i <- names.indices; j <- i until names.size } yield {
+          val (a, b) = (names(i), names(j))
+          sum((col(s"v_$a") * col(s"v_$b")).cast("decimal(38,0)")).as(s"s_${a}_$b")
+        })
+    val agg = base.agg(sums.head, sums.tail: _*)
+    val dbl = (c: Column) => c.cast("double")
+    val pairs = for { i <- names.indices; j <- (i + 1) until names.size } yield {
+      val (a, b) = (names(i), names(j))
+      val num = dbl(col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+      val dxx = dbl(col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
+      val dyy = dbl(col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))
+      struct(
+        lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").cast("bigint").as("n"),
+        round(num / sqrt(dxx * dyy), 6).as("corr_r"))
+    }
+    agg
+      .select(explode(array(pairs: _*)).as("pair"))
+      .select(col("pair.col_x"), col("pair.col_y"), col("pair.n"), col("pair.corr_r"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
 }
