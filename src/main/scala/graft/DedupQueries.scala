@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
 import graft.operators.{ClusterOps, DedupOps, SimilarityOps}
@@ -64,7 +65,26 @@ object DedupQueries {
     // base corpus as exact_dup / near_dup / new.
     "dedup_incremental" -> ((s, dir) =>
       DedupOps.incrementalStatus(Tables.documents(s, dir), batchMod = 5, n = 3,
-        minJaccard = 0.5)))
+        minJaccard = 0.5)),
+    // Degree distribution of the near-dup graph: how many documents have
+    // k near-duplicates (degree 0 = unique docs). Reads the
+    // session-memoized pair relation (no recompute next to the other
+    // dedup queries); degree is a per-node count, the histogram domain is
+    // bounded by max degree — two small aggregations, no new shuffle over
+    // the corpus.
+    "graph_degree_hist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.jaccardPairs(docs, n = 3, minJaccard = 0.5)
+      val nodes = pairs.select(col("a_id").as("node"))
+        .unionAll(pairs.select(col("b_id").as("node")))
+      docs.select(col("doc_id"))
+        .join(nodes, col("node") === col("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("node")).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }))
 
   /** Shared oracle CTE chain: documents → 3-gram shingles → portable
     * 60-bit shingle hashes (the engine hashes identically — see
@@ -370,5 +390,20 @@ object DedupQueries {
         |                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
         |  FROM e a, e b WHERE a.vec_id < b.vec_id
         |)
-        |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin)
+        |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "graph_degree_hist" ->
+      s"""WITH $jaccardPairCtes, pr AS (
+         |  SELECT a_id, b_id FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+         |), nd AS (
+         |  SELECT a_id AS node FROM pr
+         |  UNION ALL
+         |  SELECT b_id FROM pr
+         |), dg AS (
+         |  SELECT doc_id, CAST(count(node) AS BIGINT) AS degree
+         |  FROM documents LEFT JOIN nd ON node = doc_id
+         |  GROUP BY doc_id
+         |)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM dg GROUP BY degree ORDER BY degree""".stripMargin)
 }

@@ -45,6 +45,32 @@ object TextQueries {
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     // Overlapping 64/16 token chunking with per-chunk dedup fingerprints.
     "doc_chunks" -> ((s, dir) => TextOps.chunkDocs(Tables.documents(s, dir))),
+    // Heaps-law vocabulary growth over 3-gram shingles: new distinct
+    // shingles contributed per 50-document ingest bucket and the
+    // cumulative vocabulary curve (single TOKENS saturate in this
+    // corpus's 31-word vocabulary — trigrams are the unit that actually
+    // grows, and the unit dedup reasons about). Vocab-first shape: the
+    // corpus-sized work is one (shingle-hash → min doc_id) aggregation
+    // with map-side combine over the session-cached shingle relation
+    // (8-byte keys, shared with the dedup family); the cumulative window
+    // then runs over ingest BUCKETS (bounded by corpus/50), never over
+    // shingles.
+    "vocab_growth" -> ((s, dir) => {
+      val firstSeen = DedupOps.shingleRows(Tables.documents(s, dir), 3)
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      firstSeen
+        .select(expr("first_doc DIV 50").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("new_terms"))
+        .select(
+          col("bucket"), col("new_terms"),
+          sum(col("new_terms")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("vocab_cum"))
+        .orderBy(col("bucket"))
+    }),
     // Quality rollup over the (previously unused) source column. The
     // quality columns are computed INLINE with source in a single scan —
     // the round-2 shape (quality(docs) ⋈ docs on doc_id) re-read and
@@ -141,6 +167,29 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "cms_terms" -> cmsOracle,
+    "vocab_growth" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, ${graft.functions.PortableHash.hash60Sql("s")} AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+         |), f AS (
+         |  SELECT h, min(doc_id) AS first_doc FROM u GROUP BY h
+         |), g AS (
+         |  SELECT first_doc // 50 AS bucket, CAST(count(*) AS BIGINT) AS new_terms
+         |  FROM f GROUP BY 1
+         |)
+         |SELECT bucket, new_terms,
+         |       CAST(sum(new_terms) OVER (ORDER BY bucket
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+         |FROM g ORDER BY bucket""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars,

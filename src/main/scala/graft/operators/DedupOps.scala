@@ -151,7 +151,7 @@ object DedupOps {
     * so repeated calls share one entry; size is O(corpus tokens). Released
     * via [[releaseShingleCaches]].
     */
-  private def shingleRows(docs: DataFrame, n: Int): DataFrame = synchronized {
+  private[graft] def shingleRows(docs: DataFrame, n: Int): DataFrame = synchronized {
     // session-scoped: every dedup-family query over the same (docs, n)
     // reuses one cached corpus instead of refilling per query
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, n)
