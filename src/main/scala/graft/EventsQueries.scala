@@ -474,6 +474,25 @@ object EventsQueries {
           .as("chi2_contrib"))
         .orderBy(col("event_type"))
     }),
+    // Trailing-7-day rolling totals via a RANGE frame over epoch day —
+    // value-based framing, so calendar gaps shorten the window correctly
+    // (a ROWS frame would silently span them). The window runs on the
+    // per-DAY aggregate (bounded by days in range), never raw events.
+    "rolling_7d" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          expr("ts_us DIV 86400000000").as("day"),
+          when(col("value").isNotNull && !isnan(col("value")),
+            (col("value") * lit(100.0)).cast("bigint")).as("cents"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("rev_c"))
+        .select(
+          col("day"), col("n_events"), col("rev_c"),
+          sum(col("n_events")).over(
+            Window.orderBy(col("day")).rangeBetween(-6, 0)).as("n_7d"),
+          sum(col("rev_c")).over(
+            Window.orderBy(col("day")).rangeBetween(-6, 0)).as("rev_7d"))
+        .orderBy(col("day"))),
     // Last-touch marketing attribution: each purchase credits the most
     // recent prior click/view of the SAME user (carried by an
     // ignore-nulls last() over the per-user history — state bounded per
@@ -1057,6 +1076,23 @@ object EventsQueries {
         |                  * CAST(tl AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE))), 6)
         |         AS chi2_contrib
         |FROM t ORDER BY event_type""".stripMargin,
+    "rolling_7d" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |              THEN CAST(trunc(value * 100.0) AS BIGINT) END AS cents
+        |  FROM events
+        |), g AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(cents) AS BIGINT) AS rev_c
+        |  FROM d GROUP BY day
+        |)
+        |SELECT day, n_events, rev_c,
+        |       CAST(sum(n_events) OVER (ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+        |       CAST(sum(rev_c) OVER (ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d
+        |FROM g ORDER BY day""".stripMargin,
     "attribution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

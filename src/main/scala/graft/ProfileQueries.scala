@@ -118,7 +118,13 @@ object ProfileQueries {
     // per source via one exclusive-prefix-sum window (no driver loop).
     "compaction_bins" -> ((s, dir) =>
       LayoutOps.compactionBins(
-        Tables.documents(s, dir), "source", "doc_id", "n_chars", 4000L)))
+        Tables.documents(s, dir), "source", "doc_id", "n_chars", 4000L)),
+    // Per-returnflag OLS of extended price on discount — closed-form
+    // regression from the same decimal-exact sufficient stats as
+    // feature_corr, grouped.
+    "ols_discount" -> ((s, dir) =>
+      ProfileOps.olsByGroup(
+        Tables.lineitem(s, dir), "l_returnflag", "l_discount", "l_extendedprice")))
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_dot_product($a, $b)
@@ -456,6 +462,33 @@ object ProfileQueries {
          |$branches
          |ORDER BY col_x, col_y""".stripMargin
     },
+    "ols_discount" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(trunc(l_discount * 100.0) AS BIGINT) AS x,
+        |         CAST(trunc(l_extendedprice * 100.0) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
+        |    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        |), g AS (
+        |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY grp
+        |)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                / CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_c,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM g ORDER BY grp""".stripMargin,
     "compaction_bins" ->
       """WITH c AS (
         |  SELECT source AS part, doc_id AS id, n_chars AS bytes,

@@ -845,6 +845,34 @@ object TpchQueries {
           |       round(CAST(sum(above) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
           |         AS above_frac
           |FROM flagged GROUP BY segment ORDER BY segment""".stripMargin)
+    }),
+    // Referential-integrity audit: orphan counts for every FK edge of the
+    // star schema in one union of left joins (child key probed against
+    // the parent PK; parent side is distinct by construction). The data-
+    // quality gate an ingest pipeline runs before publishing a snapshot.
+    // Each edge is a single hash join + conditional count — broadcast for
+    // dimension parents, shuffle for the fact-to-fact edge; no row data
+    // beyond the keys moves.
+    "fk_orphans" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pk: String): DataFrame =
+        child.select(col(key).as("ck"))
+          .join(parent.select(col(pk).as("pk")), col("ck") === col("pk"), "left")
+          .agg(
+            lit(name).as("fk"),
+            count(lit(1)).as("n_child"),
+            sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(col("fk"), col("n_child"), col("n_orphans"))
+      val li = Tables.lineitem(s, dir)
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        .unionAll(edge("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy(col("fk"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1342,5 +1370,27 @@ object TpchQueries {
         |       CAST(sum(above) AS BIGINT) AS n_above,
         |       round(CAST(sum(above) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS above_frac
-        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fk_orphans" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |       CAST(count(*) AS BIGINT) AS n_child,
+        |       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_orphans
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY fk""".stripMargin)
 }

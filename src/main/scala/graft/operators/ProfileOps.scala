@@ -308,4 +308,44 @@ object ProfileOps {
       .select(col("pair.col_x"), col("pair.col_y"), col("pair.n"), col("pair.corr_r"))
       .orderBy(col("col_x"), col("col_y"))
   }
+
+  /** Per-group simple linear regression (OLS) of `yCol` on `xCol`, both
+    * quantized to integer cents, from the same decimal-exact sufficient
+    * statistics as [[corrMatrix]] — one grouped partial-aggregate pass,
+    * closed-form slope/intercept/R², float only in the per-group finish.
+    * The 100 TB plan is the grouped-aggregation plan: state is five
+    * decimals per group.
+    * Output: (grp, n, slope, intercept_c, r2); slope is cents-per-cent.
+    */
+  def olsByGroup(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(xCol).isNotNull && !isnan(col(xCol)) &&
+        col(yCol).isNotNull && !isnan(col(yCol)))
+      .select(
+        col(groupCol).as("grp"),
+        dec((col(xCol) * lit(100.0)).cast("bigint")).as("x"),
+        dec((col(yCol) * lit(100.0)).cast("bigint")).as("y"))
+    val agg = base
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val dbl = (c: Column) => c.cast("double")
+    val num = dbl(col("n") * col("sxy") - col("sx") * col("sy"))
+    val dxx = dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+    val dyy = dbl(col("n") * col("syy") - col("sy") * col("sy"))
+    val slope = num / dxx
+    agg.select(
+      col("grp"),
+      col("n").cast("bigint").as("n"),
+      round(slope, 6).as("slope"),
+      round((dbl(col("sy")) - slope * dbl(col("sx"))) / dbl(col("n")), 6).as("intercept_c"),
+      round(num * num / (dxx * dyy), 6).as("r2"))
+      .orderBy(col("grp"))
+  }
 }
