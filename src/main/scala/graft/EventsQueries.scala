@@ -474,6 +474,39 @@ object EventsQueries {
           .as("chi2_contrib"))
         .orderBy(col("event_type"))
     }),
+    // Debounce: drop events that land within 5 s of the user's previous
+    // event (client retry / double-fire cleanup). One lag over the
+    // per-user history — the streaming twin would be one `last ts` per
+    // user in state. Summarized per event type so the result is bounded.
+    "events_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("kept",
+          col("prev_us").isNull || (col("ts_us") - col("prev_us") > lit(5000000L)))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("event_type"))
+    }),
+    // Interarrival-time histogram: per-user gaps between consecutive
+    // events, bucketed by integer bit length of the gap in micros (the
+    // log2 latency-histogram shape, integer-exact via bin() string
+    // length — no float log). Bounded ≤ 64-row output.
+    "interarrival_hist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("d_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("d_us").isNotNull)
+        .select(length(bin(col("d_us"))).cast("int").as("bucket"), col("d_us"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          min(col("d_us")).as("min_gap_us"),
+          max(col("d_us")).as("max_gap_us"))
+        .orderBy(col("bucket"))
+    }),
     // Trailing-7-day rolling totals via a RANGE frame over epoch day —
     // value-based framing, so calendar gaps shorten the window correctly
     // (a ROWS frame would silently span them). The window runs on the
@@ -1076,6 +1109,28 @@ object EventsQueries {
         |                  * CAST(tl AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE))), 6)
         |         AS chi2_contrib
         |FROM t ORDER BY event_type""".stripMargin,
+    "events_debounce" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS d_us
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN d_us IS NULL OR d_us > 5000000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "interarrival_hist" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS d_us
+        |  FROM events
+        |)
+        |SELECT CAST(length(bin(d_us)) AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_gaps,
+        |       min(d_us) AS min_gap_us, max(d_us) AS max_gap_us
+        |FROM e WHERE d_us IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "rolling_7d" ->
       """WITH d AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

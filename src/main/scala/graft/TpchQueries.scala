@@ -873,6 +873,26 @@ object TpchQueries {
         .unionAll(edge("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
           Tables.customer(s, dir), "c_custkey"))
         .orderBy(col("fk"))
+    }),
+    // Join-key skew diagnostic: the top-10 heaviest l_orderkey values
+    // with their share of the table and their multiple of the mean key
+    // frequency (skew_x) — the pre-join profile that decides whether a
+    // shuffle join needs salting or AQE skew handling. One keyed count
+    // (map-side combinable), a broadcast 1-row stats join, and a global
+    // top-k that Catalyst runs as TakeOrderedAndProject — no full sort.
+    "skew_keys" -> ((s, dir) => {
+      val cnts = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = cnts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+      cnts.crossJoin(stats)
+        .select(
+          col("key"), col("cnt"),
+          round(col("cnt").cast("double") / col("total").cast("double"), 6).as("share"),
+          round(col("cnt").cast("double") * col("n_keys").cast("double")
+            / col("total").cast("double"), 6).as("skew_x"))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(10)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1392,5 +1412,19 @@ object TpchQueries {
         |       CAST(count(*) AS BIGINT),
         |       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-        |ORDER BY fk""".stripMargin)
+        |ORDER BY fk""".stripMargin,
+    "skew_keys" ->
+      """WITH c AS (
+        |  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM c
+        |)
+        |SELECT key, cnt,
+        |       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |       round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |             / CAST(total AS DOUBLE), 6) AS skew_x
+        |FROM c CROSS JOIN st
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin)
 }
