@@ -881,9 +881,13 @@ object TpchQueries {
     // (map-side combinable), a broadcast 1-row stats join, and a global
     // top-k that Catalyst runs as TakeOrderedAndProject — no full sort.
     "skew_keys" -> ((s, dir) => {
-      val cnts = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey").as("key"))
-        .agg(count(lit(1)).as("cnt"))
+      // the keyed count feeds BOTH the top-k and the 1-row stats — cache
+      // it or the fact scan + count shuffle run twice (plan-audited)
+      val cnts = graft.operators.DedupOps.registerCache(
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val stats = cnts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
       cnts.crossJoin(stats)
         .select(

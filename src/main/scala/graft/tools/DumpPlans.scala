@@ -44,7 +44,13 @@ object DumpPlans {
     "q21_waiting" -> "Q21 double EXISTS/NOT EXISTS decorrelated: the distinct late-pair relation fills once (session cache) and feeds both its own per-order count and the final join; both EXISTS gates are left_semi hash joins.",
     "bloom_probe" -> "Bloom build/probe: ≤ m-row set-bit state BROADCASTS into the probe-bit join; both key scans aggregate to distinct key relations once (cached) — the corpus-sized key set never shuffles twice.",
     "scd2_apply" -> "SCD2 merge: ONE full-outer co-partitioned join on the key, then a ≤ 2-struct explode emits closed/carried/inserted generations — no second pass, no driver merge loop.",
-    "hll_overlap" -> "HLL merge: per-side registers from ONE tagged pass over a∪b (cached ≤ 512-row state feeds per-side AND union estimates); exact membership via one per-key flag aggregation, not three set ops.")
+    "hll_overlap" -> "HLL merge: per-side registers from ONE tagged pass over a∪b (cached ≤ 512-row state feeds per-side AND union estimates); exact membership via one per-key flag aggregation, not three set ops.",
+    "feature_corr" -> "Correlation matrix: ONE partial/final aggregate over a 4-column pruned scan accumulates all 15 decimal sufficient stats; the six correlations are a projection + explode of the 1-row result — no per-pair passes, no float co-moments.",
+    "skew_keys" -> "Join-key skew profile: keyed count with map-side combine, 1-row stats BROADCAST back, global top-10 as TakeOrderedAndProject — no full sort of the key histogram.",
+    "attribution" -> "Last-touch attribution: ONE shuffle on user_id feeds the carry-forward window; the purchase filter and channel aggregation sit above it — no self-join of events to events.",
+    "compaction_bins" -> "Compaction planning: the exclusive-prefix-sum window and the (part, bin) aggregation share the per-partition sort order — one exchange keyed on the table partition, no driver packing loop.",
+    "drift_ks" -> "Two-sample KS: raw rows reduce to ≤ 256 grid bins BEFORE any window; the ECDF running sums and totals run on the bounded binned relation (the documented unpartitioned-window exemption).",
+    "rolling_7d" -> "RANGE-frame rolling totals: events aggregate to per-DAY rows first; the 6-preceding value frame runs over the bounded day relation, so calendar gaps shorten the window by value, not row count.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession
