@@ -239,4 +239,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming debounce == batch lag-window debounce (cross-batch suppression)") {
+    import graft.streaming.StreamingDebounce
+    import graft.streaming.StreamingDebounce.DEv
+    implicit val sqlCtx = spark.sqlContext
+    // bursts: users fire every 2 s, threshold 5 s — only burst openers
+    // survive; the batch split lands mid-burst so batch 2's first events
+    // must be suppressed against batch 1's state
+    val evs = (0 until 90).map { i =>
+      val burst = i / 9 // 9 events per burst, 2 s apart, bursts 60 s apart
+      DEv(i % 3L, i.toLong, burst * 60000000L + (i / 3 % 3) * 2000000L,
+        Seq("view", "click", "purchase")(i % 3))
+    }
+    val input = MemoryStream[DEv]
+    val q = StreamingDebounce
+      .debounceStateful(input.toDS(), gapUs = 5000000L)
+      .writeStream
+      .format("memory")
+      .queryName("debounce_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(evs.take(40))
+      q.processAllAvailable()
+      input.addData(evs.drop(40))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("debounce_out")
+        .select("event_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val batch = evs
+        .toDF()
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNull || col("ts_us") - col("prev_us") > 5000000L)
+        .select("event_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed.size < evs.size, "suppression actually happened")
+    } finally q.stop()
+  }
 }
