@@ -225,4 +225,59 @@ class PlanSpec extends SparkSpec {
     val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
     assert(scans == 2, s"expected 2 parquet scans (dim + changes), got $scans")
   }
+
+  test("feature_corr: one scan, one aggregate pass, all-column IsNotNull pushed") {
+    val p = plan("feature_corr")
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"all 15 sufficient stats must come from one scan, got $scans")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_extendedprice), " +
+      "IsNotNull(l_quantity), IsNotNull(l_tax)]"))
+    assert(p.contains("Generate"), "pairs come from the explode of the 1-row aggregate")
+  }
+
+  test("skew_keys: cached count relation fills once, top-k avoids a global sort") {
+    val p = plan("skew_keys")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must be heap top-k")
+    assert(p.contains("InMemoryRelation"), "the keyed count must be cached")
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1, s"the fact table must scan once into the cache, got $scans")
+  }
+
+  test("attribution: the carry-forward window sits on ONE user shuffle, no self-join") {
+    val p = plan("attribution")
+    assert(!p.contains("Join"), "attribution must not self-join events")
+    val windows = """(?m)^\(\d+\) Window""".r.findAllIn(p).length
+    assert(windows == 1, s"one carry-forward window expected, got $windows")
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"events must scan once, got $scans")
+  }
+
+  test("compaction_bins: window and bin aggregation share the partition exchange") {
+    val p = plan("compaction_bins")
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(windowIdx > 0 && aggIdx >= 0 && aggIdx < windowIdx, // agg ABOVE window in tree order
+      "the (part, bin) aggregation must consume the window output directly")
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1)
+  }
+
+  test("drift_ks: ECDF windows consume the binned aggregate, never raw events") {
+    val p = plan("drift_ks")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate") < windowIdx, "window must sit above the bin aggregation")
+  }
+
+  test("rolling_7d: the RANGE frame runs over the per-day aggregate") {
+    val p = plan("rolling_7d")
+    // root-first tree: Window is the ROOT here (no post-window aggregate),
+    // so the correct dataflow prints Window, then the day HashAggregate,
+    // then the scan — window ancestor of aggregate ancestor of scan
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    val scanIdx = p.indexOf("Scan parquet")
+    assert(windowIdx > 0 && windowIdx < aggIdx && aggIdx < scanIdx,
+      "window must consume the day aggregation, not raw events")
+  }
 }
