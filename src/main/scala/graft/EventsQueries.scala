@@ -474,6 +474,35 @@ object EventsQueries {
           .as("chi2_contrib"))
         .orderBy(col("event_type"))
     }),
+    // Time-weighted average value per event type (TWAP): each observation
+    // holds until the NEXT event of the same type, weight = the hold gap.
+    // Gaps are bounded to calendar days — the (type, day) window keys
+    // give types × days parallelism instead of one giant partition per
+    // type, and the per-day (numerator, denominator) pairs are
+    // ASSOCIATIVE, so the final per-type ratio is one small aggregation.
+    // Weighted sums run in DECIMAL(38,0): cents × micro gaps overflow
+    // BIGINT at corpus scale.
+    "events_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(
+          col("event_type"), col("ts_us"), col("event_id"),
+          expr("ts_us DIV 86400000000").as("day"),
+          (col("value") * lit(100.0)).cast("bigint").as("cents"))
+        .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("gap_us")).as("span_us"),
+          sum((col("cents") * col("gap_us")).cast("decimal(38,0)")).as("wsum"))
+        .select(
+          col("event_type"), col("n_intervals"), col("span_us"),
+          round(col("wsum").cast("double") / col("span_us").cast("double"), 6).as("twap_c"))
+        .orderBy(col("event_type"))
+    }),
     // Debounce: drop events that land within 5 s of the user's previous
     // event (client retry / double-fire cleanup). One lag over the
     // per-user history — the streaming twin would be one `last ts` per
@@ -1109,6 +1138,24 @@ object EventsQueries {
         |                  * CAST(tl AS DOUBLE) / (CAST(te AS DOUBLE) + CAST(tl AS DOUBLE))), 6)
         |         AS chi2_contrib
         |FROM t ORDER BY event_type""".stripMargin,
+    "events_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), g AS (
+        |  SELECT event_type, cents,
+        |         lead(ts_us) OVER (PARTITION BY event_type, day
+        |                           ORDER BY ts_us, event_id) - ts_us AS gap_us
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(gap_us) AS BIGINT) AS span_us,
+        |       round(CAST(sum(CAST(cents AS HUGEINT) * gap_us) AS DOUBLE)
+        |             / CAST(sum(gap_us) AS DOUBLE), 6) AS twap_c
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_debounce" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -125,6 +125,12 @@ object TextOps {
     * The k-gram hash is a plain base-257 polynomial over char codes —
     * k = 5 keeps it inside exact int64 (127·257⁴ · 5 < 2⁶³), so no modulus
     * is needed and the same arithmetic is expressible in the DuckDB oracle.
+    *
+    * WARNING — fixture-scale only: as a single nested column expression,
+    * the window-minima lambda re-evaluates the whole hash transform per
+    * slice (interpreted HOFs have no subexpression reuse) — O(len²·k)
+    * per row. Production path: [[winnowSummary]], which stages the hash
+    * array into its own bound column first.
     */
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
     require(k >= 2 && k <= 7, "base-257 polynomial must stay inside exact int64")
@@ -150,16 +156,53 @@ object TextOps {
   /** Per-doc winnowing summary (`doc_id, n_fp, min_fp, max_fp`) — the
     * verify-facing shape; the raw fingerprint sets feed near-dup joins the
     * same way shingles do.
+    *
+    * STAGED, not the one-shot [[winnowFingerprints]] column: HOF lambdas
+    * evaluate interpreted, and a lambda that references a nested
+    * expression re-evaluates it PER ELEMENT — in the one-shot form every
+    * `slice(hashes, p, w)` recomputed the entire k-gram hash transform,
+    * an O(len²·k) interpreted blow-up measured at ~1.2 s/doc (625 s for
+    * the sf0.01 corpus; the round-2/3 gates silently paid it — bench
+    * `count()` prunes the fingerprint column, so it never showed there).
+    * Projecting the hash array into its own column first binds it once
+    * per row; the window-minima lambda then slices a BOUND attribute.
+    * The hash column is referenced twice downstream (size bound + slice),
+    * which keeps CollapseProject from inlining it back into the lambda —
+    * same reasoning as the shingle persist barriers, without needing a
+    * cache here. Measured: 625 s → sub-second at sf0.01.
     */
-  def winnowSummary(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), winnowFingerprints(col("text")).as("fp"))
+  def winnowSummary(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 7, "base-257 polynomial must stay inside exact int64")
+    val base = 257L
+    def kgramHash(text: Column, i: Column): Column =
+      (0 until k)
+        .map { j =>
+          val pow = math.pow(base.toDouble, (k - 1 - j).toDouble).toLong
+          ascii(text.substr(i + lit(j + 1), lit(1))).cast("long") * lit(pow)
+        }
+        .reduce(_ + _)
+    val staged = docs.select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      transform(
+        sequence(lit(0), length(col("text")) - lit(k)),
+        i => kgramHash(col("text"), i)).as("hs"))
+    val mins = array_distinct(
+      transform(
+        sequence(lit(0), size(col("hs")) - lit(w)),
+        p => array_min(slice(col("hs"), p + lit(1), lit(w)))))
+    staged
+      .select(
+        col("doc_id"),
+        when(col("len") >= k + w - 1, mins)
+          .otherwise(array().cast("array<bigint>")).as("fp"))
       .select(
         col("doc_id"),
         size(col("fp")).as("n_fp"),
         array_min(col("fp")).as("min_fp"),
         array_max(col("fp")).as("max_fp"))
       .orderBy(col("doc_id"))
+  }
 
   /** Deterministic stratified train/val/test assignment — the standard
     * reproducible-split primitive for a training pipeline: bucket =

@@ -126,6 +126,33 @@ class AuditSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("events_twap: constant series has TWAP == the constant; weights are the gaps") {
+    val rows = EventsQueries.queries("events_twap")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getDouble(3) > 0.0, "cents TWAP positive on this fixture")
+    }
+    // exact replay on a constructed series: value 3.00 held 10 us, then
+    // 5.00 held 30 us within one day -> twap = (300*10 + 500*30)/40
+    val fix = Seq(
+      (1L, 0L, "x", 3.0), (2L, 10L, "x", 5.0), (3L, 40L, "x", 7.0))
+      .toDF("event_id", "ts_us", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), expr("ts_us DIV 86400000000"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val got = fix
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        (col("value") * lit(100.0)).cast("bigint").as("cents"))
+      .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg((sum(col("cents") * col("gap_us")).cast("double") /
+        sum(col("gap_us")).cast("double")).as("twap"))
+      .head().getDouble(1)
+    assert(got == (300.0 * 10 + 500.0 * 30) / 40.0)
+  }
+
   test("rolling_7d: equals a replayed trailing-7-day value window") {
     val got = EventsQueries.queries("rolling_7d")(spark, TestSpark.sf0001)
       .collect()
