@@ -21,7 +21,7 @@ object Bench {
     if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("0")) {
       val warmDir = "/root/testdata/sf0.001"
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count()
+        try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
         finally graft.operators.DedupOps.releaseShingleCaches()
       }
@@ -37,7 +37,14 @@ object Bench {
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // toRdd.count(), NOT df.count(): count() lets Catalyst prune the
+          // final projection, so projection-heavy queries time near zero
+          // (doc_winnow's recorded 0.118 s hid a 625 s interpreted blow-up
+          // the correctness gate actually paid). Forcing the physical
+          // plan's row output evaluates every column the query produces —
+          // what a consumer writing the result would pay — with no
+          // driver-side collect.
+          fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }

@@ -164,12 +164,12 @@ object TextOps {
     * an O(len²·k) interpreted blow-up measured at ~1.2 s/doc (625 s for
     * the sf0.01 corpus; the round-2/3 gates silently paid it — bench
     * `count()` prunes the fingerprint column, so it never showed there).
-    * Projecting the hash array into its own column first binds it once
-    * per row; the window-minima lambda then slices a BOUND attribute.
-    * The hash column is referenced twice downstream (size bound + slice),
-    * which keeps CollapseProject from inlining it back into the lambda —
-    * same reasoning as the shingle persist barriers, without needing a
-    * cache here. Measured: 625 s → sub-second at sf0.01.
+    * Projecting the hash array into its own column is not enough —
+    * CollapseProject inlines it straight back into the minima lambda —
+    * so the hash stage gets a PERSIST BARRIER (the substringPairs rule:
+    * every interpreted HOF stage gets its own barrier; transient cache,
+    * released per query by the harnesses). Measured: 625 s → sub-second
+    * at sf0.01; 17.3 s → ~0.5 s at sf0.1 under full-projection timing.
     */
   def winnowSummary(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 2 && k <= 7, "base-257 polynomial must stay inside exact int64")
@@ -181,12 +181,15 @@ object TextOps {
           ascii(text.substr(i + lit(j + 1), lit(1))).cast("long") * lit(pow)
         }
         .reduce(_ + _)
-    val staged = docs.select(
-      col("doc_id"),
-      length(col("text")).as("len"),
-      transform(
-        sequence(lit(0), length(col("text")) - lit(k)),
-        i => kgramHash(col("text"), i)).as("hs"))
+    val staged = graft.operators.DedupOps.registerCache(
+      docs
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len"),
+          transform(
+            sequence(lit(0), length(col("text")) - lit(k)),
+            i => kgramHash(col("text"), i)).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mins = array_distinct(
       transform(
         sequence(lit(0), size(col("hs")) - lit(w)),
