@@ -14,6 +14,7 @@ object GraftFunctions {
 
   val COSINE = "graft_cosine"
   val DOT = "graft_dot"
+  val WINNOW = "graft_winnow_fp"
 
   /** Idempotent per-session registration (called from SparkEntry.tune) —
     * skips names already present so repeated tune() calls (one per query
@@ -26,6 +27,17 @@ object GraftFunctions {
         registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     registerOnce(COSINE, exprs => CosineSimilarity(exprs(0), exprs(1)))
     registerOnce(DOT, exprs => DotProduct(exprs(0), exprs(1)))
+    registerOnce(WINNOW, {
+      case Seq(t) => WinnowFingerprintsExpr(t)
+      case Seq(t, k, w) => // literal-int k/w (plan-time constants)
+        WinnowFingerprintsExpr(
+          t,
+          k.eval().asInstanceOf[Number].intValue(),
+          w.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"$WINNOW takes (text) or (text, k, w); got ${other.size} args")
+    })
   }
 
   /** Cosine similarity over two `array<double>` columns (codegen'd). */
@@ -33,6 +45,12 @@ object GraftFunctions {
 
   /** Dot product over two `array<double>` columns (codegen'd). */
   def dot(a: Column, b: Column): Column = call_function(DOT, a, b)
+
+  /** Winnowing fingerprints (k=5, w=4) of a text column in one compiled
+    * pass (codegen'd). HOF twin: `TextOps.winnowFingerprints`.
+    */
+  def winnowFp(text: Column, k: Int = 5, w: Int = 4): Column =
+    call_function(WINNOW, text, lit(k), lit(w))
 
   /** Reference implementation with built-in higher-order functions —
     * interpreted, kept for cross-checking the native expression in tests

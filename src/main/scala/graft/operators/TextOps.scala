@@ -157,48 +157,25 @@ object TextOps {
     * verify-facing shape; the raw fingerprint sets feed near-dup joins the
     * same way shingles do.
     *
-    * STAGED, not the one-shot [[winnowFingerprints]] column: HOF lambdas
-    * evaluate interpreted, and a lambda that references a nested
-    * expression re-evaluates it PER ELEMENT — in the one-shot form every
-    * `slice(hashes, p, w)` recomputed the entire k-gram hash transform,
-    * an O(len²·k) interpreted blow-up measured at ~1.2 s/doc (625 s for
-    * the sf0.01 corpus; the round-2/3 gates silently paid it — bench
-    * `count()` prunes the fingerprint column, so it never showed there).
-    * Projecting the hash array into its own column is not enough —
-    * CollapseProject inlines it straight back into the minima lambda —
-    * so the hash stage gets a PERSIST BARRIER (the substringPairs rule:
-    * every interpreted HOF stage gets its own barrier; transient cache,
-    * released per query by the harnesses). Measured: 625 s → sub-second
-    * at sf0.01; 17.3 s → ~0.5 s at sf0.1 under full-projection timing.
+    * Runs on the NATIVE kernel ([[graft.functions.WinnowFingerprintsExpr]]):
+    * the whole pass — rolling hash, window minima, dedup — is one compiled
+    * O(len) loop inside whole-stage codegen. The HOF formulation this
+    * replaced needed a persist barrier between its hash and minima stages
+    * (interpreted lambdas re-evaluate nested expressions per element — the
+    * one-shot form was O(len²·k), 625 s at sf0.01; see
+    * [[winnowFingerprints]], kept as the spec-pinned cross-check), and even
+    * barriered, the interpreted hash fill cost ~10 s/sf0.1 re-paid on every
+    * cache release (tools/AnalyticsScaleStress). Native kernel: no barrier,
+    * no transient cache, measured ~0.3 s at sf0.1 full-projection.
     */
   def winnowSummary(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    require(k >= 2 && k <= 7, "base-257 polynomial must stay inside exact int64")
-    val base = 257L
-    def kgramHash(text: Column, i: Column): Column =
-      (0 until k)
-        .map { j =>
-          val pow = math.pow(base.toDouble, (k - 1 - j).toDouble).toLong
-          ascii(text.substr(i + lit(j + 1), lit(1))).cast("long") * lit(pow)
-        }
-        .reduce(_ + _)
-    val staged = graft.operators.DedupOps.registerCache(
-      docs
-        .select(
-          col("doc_id"),
-          length(col("text")).as("len"),
-          transform(
-            sequence(lit(0), length(col("text")) - lit(k)),
-            i => kgramHash(col("text"), i)).as("hs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val mins = array_distinct(
-      transform(
-        sequence(lit(0), size(col("hs")) - lit(w)),
-        p => array_min(slice(col("hs"), p + lit(1), lit(w)))))
-    staged
+    docs
       .select(
         col("doc_id"),
-        when(col("len") >= k + w - 1, mins)
-          .otherwise(array().cast("array<bigint>")).as("fp"))
+        // null text → empty set, matching the staged form's `when` guard
+        coalesce(
+          graft.functions.GraftFunctions.winnowFp(col("text"), k, w),
+          array().cast("array<bigint>")).as("fp"))
       .select(
         col("doc_id"),
         size(col("fp")).as("n_fp"),

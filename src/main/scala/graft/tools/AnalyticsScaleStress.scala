@@ -31,6 +31,7 @@ object AnalyticsScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
 
     def t(l: String)(df: DataFrame): Unit = {
       val t0 = System.nanoTime()

@@ -53,6 +53,32 @@ class TextSpec extends SparkSpec {
     assert(fp(4L).size == 1) // uniform text → single repeated k-gram hash
   }
 
+  test("winnowing: native kernel equals the HOF formulation (incl. edges)") {
+    import org.apache.spark.sql.functions._
+    // edge cases: exactly k+w-1=8 chars, one under, uniform text, repeated
+    // phrase (dedup path), multi-byte code points (surrogate-aware walk),
+    // plus the sf0.001 corpus for breadth
+    val edges = Seq(
+      (9001L, "abcdefgh"),
+      (9002L, "abcdefg"),
+      (9003L, "aaaaaaaaaaaa"),
+      (9004L, "ab ab ab ab ab ab"),
+      (9005L, "héllo wörld héllo wörld"),
+      (9006L, "日本語のテキストで確認する"),
+      (9007L, "mixed 日本語 and ascii text here"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionAll(edges)
+    val native = graft.functions.GraftFunctions.winnowFp(col("text"))
+    val hof = TextOps.winnowFingerprints(col("text"))
+    val diff = docs
+      .select(col("doc_id"), native.as("a"), hof.as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("winnowing: short docs fingerprint to empty") {
     import org.apache.spark.sql.functions._
     val fp = Seq((1L, "abcdefg"))
