@@ -123,6 +123,7 @@ object HistogramRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     val pixels = sys.env.getOrElse("SPARK_GRAFT_PIXELS", "100000").toLong
     val pushed = path.endsWith(".txt") &&
       !sys.env.get("SPARK_GRAFT_PUSHED").contains("0")

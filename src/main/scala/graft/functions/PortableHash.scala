@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** First 60 bits of md5 as a long (Spark side). */
-  def hash60(c: Column): Column = digest60(md5(c))
+  /** First 60 bits of md5 as a long (Spark side) — the fused native kernel
+    * ([[Hash60Expr]]); values identical to the declarative chain below.
+    */
+  def hash60(c: Column): Column =
+    call_function(GraftFunctions.HASH60, c.cast("string"))
 
   /** Second independent 60-bit chunk (hex chars 17..31) of the same digest. */
-  def hash60b(c: Column): Column = digest60b(md5(c))
+  def hash60b(c: Column): Column =
+    call_function(GraftFunctions.HASH60B, c.cast("string"))
 
-  /** Same two values from an already-computed 32-char hex digest column. */
+  /** Declarative twins over an already-computed 32-char hex digest column —
+    * also the spec cross-check for the native kernel (`PortableHashSpec`).
+    */
   def digest60(d: Column): Column =
     conv(substring(d, 1, 15), 16, 10).cast("long")
   def digest60b(d: Column): Column =

@@ -69,28 +69,43 @@ object ProfileOps {
       explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), nanAsNull(col(c).cast("double")).as("v"))): _*)).as("cv"))
       .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
-    val stats = melted
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_nonnull"),
-        min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
-    // the sketch hashes the integer-cents form, not the double's string:
+    // ONE scan: the plain stats ride the sketch's (col_name, bucket)
+    // partial aggregation as extra partial aggregates (sum/min/max all
+    // compose), then the ≤ 257-row-per-column register relation folds to
+    // the final profile. The previous shape consumed the melt twice —
+    // stats pass + register pass — re-paying the scan and the explode.
+    // The sketch hashes the integer-cents form, not the double's string:
     // BIGINT→VARCHAR is identical cross-engine, while Java and DuckDB
     // disagree on double formatting past 1e7 (scientific vs positional).
     // For 2-decimal money/quantity columns cents are value-faithful.
-    val est = SketchOps.estimateFromRegisters(
-      SketchOps.hllRegisters(
-        melted.filter(col("v").isNotNull),
-        (col("v") * lit(100.0)).cast("bigint"),
-        Seq(col("col_name"))),
-      Seq(col("col_name")))
-    stats
-      .join(est, Seq("col_name"))
+    // Null values land in a null bucket (null-propagating hash) whose
+    // m_j stays null, so z_present's sum skips it and n_buckets's
+    // count(bucket) never sees it — the sketch state is untouched.
+    val h = graft.functions.PortableHash.hash60(
+      (col("v") * lit(100.0)).cast("bigint").cast("string"))
+    melted
+      .select(
+        col("col_name"), col("v"),
+        SketchOps.bucketOf(h).as("bucket"), SketchOps.rankOf(h).as("rank"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows_p"),
+        count(col("v")).as("n_nonnull_p"),
+        min(col("v")).as("min_p"),
+        max(col("v")).as("max_p"),
+        max(col("rank")).as("m_j"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("n_rows_p")).as("n_rows"),
+        sum(col("n_nonnull_p")).as("n_nonnull"),
+        count(col("bucket")).as("n_buckets"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - m_j)")).as("z_present"),
+        min(col("min_p")).as("min_v"),
+        max(col("max_p")).as("max_v"))
       .select(
         col("col_name"), col("n_rows"), col("n_nonnull"),
-        col("n_est"), col("min_v"), col("max_v"))
+        round(SketchOps.hllEstimate(col("n_buckets"), col("z_present")), 6).as("n_est"),
+        col("min_v"), col("max_v"))
       .orderBy(col("col_name"))
   }
 

@@ -32,14 +32,34 @@ object SketchOps {
     */
   def hllRegisters(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame = {
     val h = PortableHash.hash60(key.cast("string"))
-    df.select(groupCols :+ h.as("h"): _*)
-      .withColumn("bucket", expr("h & 255"))
-      .withColumn("w", expr("shiftright(h, 8)"))
-      .withColumn(
-        "rank",
-        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+    df.select(groupCols ++ Seq(bucketOf(h).as("bucket"), rankOf(h).as("rank")): _*)
       .groupBy(groupCols :+ col("bucket"): _*)
       .agg(max(col("rank")).as("m_j"))
+  }
+
+  /** Register index / rank of a 60-bit hash column (null-propagating) —
+    * exposed so fused aggregations ([[ProfileOps.profileColumnsApprox]])
+    * can ride the sketch state on their own group-by without a second
+    * scan of the input.
+    */
+  def bucketOf(h: Column): Column = h.bitwiseAND(lit(255L))
+  def rankOf(h: Column): Column = {
+    val w = shiftright(h, 8)
+    when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
+  }
+
+  /** Finalize expression over per-group `(n_buckets, z_present)` register
+    * summaries (shared by [[estimateFromRegisters]] and fused callers).
+    */
+  def hllEstimate(nBuckets: Column, zPresent: Column): Column = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val empty = lit(Registers.toLong) - nBuckets
+    val zTotal = zPresent + empty * lit(1L << 53)
+    val rawE = alpha * lit(65536.0) * lit(9007199254740992.0) / zTotal.cast("double")
+    when(
+      rawE <= lit(640.0) && empty > 0,
+      lit(256.0) * log(lit(256.0) / empty.cast("double")))
+      .otherwise(rawE)
   }
 
   /** Finalize registers into an estimate per group: `(groupCols...,
@@ -51,15 +71,8 @@ object SketchOps {
       .agg(
         count(lit(1)).cast("long").as("n_buckets"),
         sum(expr("shiftleft(cast(1 as bigint), 53 - m_j)")).as("z_present"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-    val empty = lit(Registers.toLong) - col("n_buckets")
-    val zTotal = col("z_present") + empty * lit(1L << 53)
-    val rawE = alpha * lit(65536.0) * lit(9007199254740992.0) / zTotal.cast("double")
-    val est = when(
-      rawE <= lit(640.0) && empty > 0,
-      lit(256.0) * log(lit(256.0) / empty.cast("double")))
-      .otherwise(rawE)
-    z.select(groupCols :+ round(est, 6).as("n_est"): _*)
+    z.select(
+      groupCols :+ round(hllEstimate(col("n_buckets"), col("z_present")), 6).as("n_est"): _*)
   }
 
   /** One-row HLL summary of `key`'s distinct count next to the exact

@@ -62,6 +62,7 @@ object DumpPlans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
     val sb = new StringBuilder
     sb.append(
       """# PLANS — formatted physical plans of the flagship queries

@@ -20,6 +20,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // comma-separated names profile sequentially in one JVM; per-query
     // transient caches release between queries (the bench lifecycle),
     // session shingle corpora stay warm across the list

@@ -26,6 +26,7 @@ object ProfileScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
 
     def t(l: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -61,6 +62,14 @@ object ProfileScaleStress {
             "l_returnflag",
             "l_extendedprice")
           .count())
+      t("profile_approx  ")(
+        ProfileOps.profileColumnsApprox(
+          spark.read
+            .parquet("/root/testdata/sf0.1/lineitem.parquet")
+            .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+            .crossJoin(rep),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .queryExecution.toRdd.count())
       t("zorder_cells    ")(
         LayoutOps
           .zCells(

@@ -21,6 +21,7 @@ object RasterPushStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
 
     val list = java.nio.file.Files.createTempFile("push_tiles", ".txt")
     java.nio.file.Files.writeString(

@@ -23,6 +23,7 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
 
     val path = s"target/stress/values_x$factor.parquet"
     if (!new java.io.File(path).exists()) {

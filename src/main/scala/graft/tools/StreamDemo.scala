@@ -26,6 +26,7 @@ object StreamDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
 
     val spec = BinSpec.derive(0.0, 500.0, BinMethod.Linear)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema

@@ -7,8 +7,18 @@ import graft.functions.{GraftFunctions, PortableHash}
 class PortableHashSpec extends SparkSpec {
   import spark.implicits._
 
-  test("hash60: Spark conv-based expression == driver-side MessageDigest twin") {
-    val inputs = Seq("", "hello", "0:the quick fox", "a b c", "42", "p,63")
+  test("hash60: native kernel == declarative conv chain == MessageDigest twin") {
+    val inputs =
+      Seq("", "hello", "0:the quick fox", "a b c", "42", "p,63", "héllo 日本語")
+    val decl = inputs
+      .toDF("s")
+      .select(
+        col("s"),
+        PortableHash.digest60(md5(col("s"))),
+        PortableHash.digest60b(md5(col("s"))))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
     val got = inputs
       .toDF("s")
       .select(col("s"), PortableHash.hash60(col("s")), PortableHash.hash60b(col("s")))
@@ -16,6 +26,7 @@ class PortableHashSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     inputs.foreach { s =>
+      assert(got(s) == decl(s), s"native vs declarative($s)")
       assert(got(s)._1 == PortableHash.hash60Local(s), s"hash60($s)")
       val d = java.security.MessageDigest
         .getInstance("MD5")
