@@ -15,6 +15,9 @@ object GraftFunctions {
   val COSINE = "graft_cosine"
   val DOT = "graft_dot"
   val WINNOW = "graft_winnow_fp"
+  val HASH60 = "graft_hash60"
+  val HASH60B = "graft_hash60b"
+  val REPETITION = "graft_repetition"
 
   /** Idempotent per-session registration (called from SparkEntry.tune) —
     * skips names already present so repeated tune() calls (one per query
@@ -27,6 +30,9 @@ object GraftFunctions {
         registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     registerOnce(COSINE, exprs => CosineSimilarity(exprs(0), exprs(1)))
     registerOnce(DOT, exprs => DotProduct(exprs(0), exprs(1)))
+    registerOnce(HASH60, exprs => Hash60Expr(exprs(0)))
+    registerOnce(HASH60B, exprs => Hash60Expr(exprs(0), second = true))
+    registerOnce(REPETITION, exprs => RepetitionStatsExpr(exprs(0)))
     registerOnce(WINNOW, {
       case Seq(t) => WinnowFingerprintsExpr(t)
       case Seq(t, k, w) => // literal-int k/w (plan-time constants)
@@ -51,6 +57,11 @@ object GraftFunctions {
     */
   def winnowFp(text: Column, k: Int = 5, w: Int = 4): Column =
     call_function(WINNOW, text, lit(k), lit(w))
+
+  /** Per-doc repetition-stat struct `(n_tokens, n_bigrams, top_bigram_n,
+    * n_5grams, n_distinct_5)` in one pass (codegen'd).
+    */
+  def repetitionStats(text: Column): Column = call_function(REPETITION, text)
 
   /** Reference implementation with built-in higher-order functions —
     * interpreted, kept for cross-checking the native expression in tests

@@ -236,14 +236,46 @@ object TextOps {
     * Output `(doc_id, n_tokens, top_bigram_n, top_bigram_frac,
     * dup_5gram_frac)`; docs too short for an n-gram score 0.
     *
-    * Shapes: the 5-gram dup fraction is a pure per-row array expression
-    * (distinct count over the cached token array — no shuffle at all);
-    * the bigram mode needs a per-(doc, bigram) count, one explode +
-    * two keyed aggregations. Tokenization sits behind a persist barrier
-    * so the n-gram lambdas read the cached array instead of re-splitting
-    * the text per element (the Catalyst HOF-inlining trap).
+    * Runs on the NATIVE kernel ([[graft.functions.RepetitionStatsExpr]]):
+    * both signals come from one compiled pass over the text bytes — a
+    * narrow per-row map, no explode, no shuffle, no persist barrier. The
+    * declarative formulation this replaced (kept as the spec-pinned
+    * cross-check in [[repetitionSignalsDeclarative]]) shuffled one row
+    * per bigram OCCURRENCE through two keyed aggregations plus a join —
+    * ~2 exchange rows per corpus token that the kernel never emits — and
+    * needed a tokenize persist barrier against HOF lambda re-splitting.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
+    val r = graft.functions.GraftFunctions.repetitionStats(col("text"))
+    docs
+      .select(col("doc_id"), r.as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.top_bigram_n").as("top_bigram_n"),
+        round(
+          when(
+            col("r.n_bigrams") > 0,
+            col("r.top_bigram_n").cast("double") / col("r.n_bigrams").cast("double"))
+            .otherwise(lit(0.0)),
+          6).as("top_bigram_frac"),
+        round(
+          when(
+            col("r.n_5grams") > 0,
+            lit(1.0) -
+              col("r.n_distinct_5").cast("double") / col("r.n_5grams").cast("double"))
+            .otherwise(lit(0.0)),
+          6).as("dup_5gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declarative twin of [[repetitionSignals]] — HOF n-grams + explode +
+    * two keyed aggregations; the cross-engine-obvious formulation, kept
+    * for the native-kernel equivalence spec (`TextSpec`), not a query
+    * path (it shuffles per bigram occurrence and needs the tokenize
+    * persist barrier against the HOF-inlining trap).
+    */
+  def repetitionSignalsDeclarative(docs: DataFrame): DataFrame = {
     val tokenized = DedupOps.registerCache(
       docs
         .select(col("doc_id"), tokens(col("text")).as("tk"))

@@ -105,6 +105,7 @@ object AnalyticsScaleStress {
       t("compaction_bins  ")(
         LayoutOps.compactionBins(docs, "source", "doc_id", "n_chars", 4000L))
       t("winnow_summary   ")(TextOps.winnowSummary(docs))
+      t("doc_repetition   ")(TextOps.repetitionSignals(docs))
       graft.operators.DedupOps.releaseShingleCaches()
 
       factor *= 2

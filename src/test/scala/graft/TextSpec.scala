@@ -79,6 +79,29 @@ class TextSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("repetition: native kernel equals the declarative formulation (incl. edges)") {
+    import org.apache.spark.sql.functions._
+    // empty string (one empty token), single token, consecutive spaces
+    // (empty segments kept, like string_split), exactly-5-token boundary,
+    // fully repeated phrase, multi-byte tokens
+    val edges = Seq(
+      (9001L, ""),
+      (9002L, "one"),
+      (9003L, "a  b   c"),
+      (9004L, "v w x y z"),
+      (9005L, Seq.fill(12)("ab cd").mkString(" ")),
+      (9006L, "日本 語 の 日本 語 の テスト"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionAll(edges)
+    val native = TextOps.repetitionSignals(docs).collect()
+    val decl = TextOps.repetitionSignalsDeclarative(docs).collect()
+    graft.operators.DedupOps.releaseShingleCaches()
+    assert(native.length == decl.length)
+    native.zip(decl).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
   test("winnowing: short docs fingerprint to empty") {
     import org.apache.spark.sql.functions._
     val fp = Seq((1L, "abcdefg"))
