@@ -30,6 +30,26 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate") < windowIdx, "window must sit above the aggregation")
   }
 
+  test("doc_repetition: native kernel keeps the plan shuffle-free (sort exchange only)") {
+    val p = plan("doc_repetition")
+    // one narrow projection over the scan — no explode, no aggregation,
+    // no join; the only Exchange is the rangepartitioning for orderBy
+    assert(!p.contains("Generate"), "no explode in the kernel plan")
+    assert(!p.contains("HashAggregate"), "no aggregation in the kernel plan")
+    assert(!p.contains("Join"), "no join in the kernel plan")
+    // formatted mode prints each node twice (tree + detail); count the
+    // "(n) Exchange" detail headers = distinct exchange nodes
+    val exchanges = """(?m)^\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 1, s"sort exchange only, got $exchanges:\n$p")
+  }
+
+  test("doc_winnow: native kernel plan has no cache barrier and no HOF stages") {
+    val p = plan("doc_winnow")
+    assert(!p.contains("InMemoryTableScan"), "persist barrier gone with the kernel")
+    assert(p.contains("graft_winnow_fp"), "kernel expression present")
+    assert(!p.contains("transform("), "no interpreted HOF stage")
+  }
+
   test("hist_deciles: single raw scan in the decile plan (2 passes total incl. stats job)") {
     // the scalar total is an unbounded window over the binned relation, not
     // a cross join against a separate aggregate — the old shape evaluated
