@@ -19,19 +19,33 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-    * timestamp, so sessions set `spark.sql.legacy.parquet.nanosAsLong` and
-    * this loader exposes both the raw nanos (`ts_ns: long`) and a
-    * microsecond-truncated `ts: timestamp` (integer DIV — double division
-    * would lose precision above 2^53 ns).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * TIMESTAMP(MICROS) (read as TimestampType) across testdata generations.
+    * Branch on the footer schema and normalize to the columns every
+    * downstream query uses: integer `ts_us`/`ts_ns` plus a microsecond
+    * `ts: timestamp`. Integer arithmetic throughout — double division would
+    * lose precision above 2^53 ns.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      // micros: DuckDB (the oracle) truncates parquet nanos to TIMESTAMP(us),
-      // so cross-engine time arithmetic sticks to microseconds
-      .withColumn("ts_us", expr("ts_ns DIV 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_ns", col("ts").cast("long"))
+          // micros: DuckDB (the oracle) truncates parquet nanos to
+          // TIMESTAMP(us), so cross-engine arithmetic sticks to microseconds
+          .withColumn("ts_us", expr("ts_ns DIV 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        // TIMESTAMP_NTZ → TIMESTAMP is identity under the UTC session tz
+        // every entrypoint sets; unix_micros then yields exact integers
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
