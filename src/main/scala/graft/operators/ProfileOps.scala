@@ -31,13 +31,19 @@ object ProfileOps {
     * (linear blow-up of ncols ×, the unavoidable cost of a long-form
     * profile), then one grouped aggregation over `ncols` keys.
     *
-    * Scale note: the exact `count(DISTINCT v)` makes Catalyst plan a
-    * two-level aggregate (partial distinct on (column, v), then final) —
-    * the shuffle carries one row per distinct value per column, which for
-    * profiling continuous doubles at 100 TB approaches the data size. At
-    * that scale swap `countDistinct` for the portable HLL sketch
-    * ([[SketchOps]], `approx_users` pattern — still oracle-exact) or
-    * `approx_count_distinct`; the exact form is the oracle baseline.
+    * Scale note: the distinct count is a hand-written two-level aggregate —
+    * `groupBy(col_name, v)` with per-group counts, then a final fold by
+    * `col_name` — NOT `countDistinct` mixed into the plain aggregates.
+    * Mixed, Catalyst rewrites through an Expand that multiplies the melted
+    * relation again before the exchange (measured 2× on this query); the
+    * manual form's first level partial-aggregates map-side to one row per
+    * distinct (column, value) pair, and every plain stat (counts, min/max,
+    * cents sum) rides that same pass weighted by the group count. The
+    * shuffle still carries one row per distinct value per column — for
+    * profiling continuous doubles at 100 TB that approaches the data size,
+    * so [[profileColumnsApprox]] (HLL registers, ≤ 257 rows per column)
+    * remains the documented scale default; the exact form is the oracle
+    * baseline.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val melted = df.select(
@@ -45,14 +51,21 @@ object ProfileOps {
         struct(lit(c).as("col_name"), nanAsNull(col(c).cast("double")).as("v"))): _*)).as("cv"))
       .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
     melted
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("col_name"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_nonnull"),
-        countDistinct(col("v")).as("n_distinct"),
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_nonnull"),
+        // each surviving group holds one distinct value; count skips the
+        // null-value group — exactly count(DISTINCT v) semantics
+        count(col("v")).as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
-        sum((col("v") * lit(100.0)).cast("bigint")).as("sum_cents"))
+        // truncation-cast per distinct value × its multiplicity ==
+        // row-wise sum of the truncated cents (null v propagates to null
+        // and is skipped, matching the row-wise form)
+        sum(col("cnt") * (col("v") * lit(100.0)).cast("bigint")).as("sum_cents"))
       .orderBy(col("col_name"))
   }
 

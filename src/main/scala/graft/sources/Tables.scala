@@ -27,8 +27,16 @@ object Tables {
     * `ts: timestamp`. Integer arithmetic throughout — double division would
     * lose precision above 2^53 ns.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = load(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventsTs(load(spark, sfDir, "events"))
+
+  /** The generation branch, reusable by any loader of an events-shaped
+    * relation (tools and streaming readers included — a streaming DataFrame
+    * goes through the same column ops). Only the two types the generations
+    * have actually shipped are accepted; anything else fails LOUDLY here
+    * rather than silently casting to null timestamps downstream.
+    */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw
@@ -37,15 +45,19 @@ object Tables {
           // TIMESTAMP(us), so cross-engine arithmetic sticks to microseconds
           .withColumn("ts_us", expr("ts_ns DIV 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
         // TIMESTAMP_NTZ → TIMESTAMP is identity under the UTC session tz
         // every entrypoint sets; unix_micros then yields exact integers
         raw
           .withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_us", unix_micros(col("ts")))
           .withColumn("ts_ns", col("ts_us") * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet type $other " +
+            "(known generations: INT64 nanos-as-long, TIMESTAMP micros)")
     }
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -46,10 +46,11 @@ object AnalyticsScaleStress {
 
       // events replicated; user ids salted per copy → per-user windows
       // stay the same size while the user population scales
-      val ev = spark.read
-        .parquet("/root/testdata/sf0.1/events.parquet")
-        .withColumn("ts_ns", col("ts").cast("long"))
-        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      // generation-aware ts normalization (Tables.normalizeEventsTs): the
+      // raw cast("long") on a TIMESTAMP column yields SECONDS — ts_us was
+      // wrong by 1e6 on micros-generation data (ADVICE r6)
+      val ev = graft.sources.Tables
+        .normalizeEventsTs(spark.read.parquet("/root/testdata/sf0.1/events.parquet"))
         .crossJoin(rep)
         .select(
           (col("user_id") * lit(maxFactor.toLong + 1) + col("copy")).as("user_id"),

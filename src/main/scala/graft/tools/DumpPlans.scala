@@ -50,7 +50,9 @@ object DumpPlans {
     "attribution" -> "Last-touch attribution: ONE shuffle on user_id feeds the carry-forward window; the purchase filter and channel aggregation sit above it — no self-join of events to events.",
     "compaction_bins" -> "Compaction planning: the exclusive-prefix-sum window and the (part, bin) aggregation share the per-partition sort order — one exchange keyed on the table partition, no driver packing loop.",
     "drift_ks" -> "Two-sample KS: raw rows reduce to ≤ 256 grid bins BEFORE any window; the ECDF running sums and totals run on the bounded binned relation (the documented unpartitioned-window exemption).",
-    "rolling_7d" -> "RANGE-frame rolling totals: events aggregate to per-DAY rows first; the 6-preceding value frame runs over the bounded day relation, so calendar gaps shorten the window by value, not row count.")
+    "rolling_7d" -> "RANGE-frame rolling totals: events aggregate to per-DAY rows first; the 6-preceding value frame runs over the bounded day relation, so calendar gaps shorten the window by value, not row count.",
+    "profile_columns" -> "Exact per-column profile as a manual two-level aggregate — groupBy(col_name, v) then fold by col_name — so NO Expand node multiplies the melted relation (the countDistinct-mixed-with-plain-aggs rewrite did); every stat rides the distinct pass weighted by group count.",
+    "doc_lm_buckets" -> "ntile(3) semantics WITHOUT a corpus window: tercile boundary ranks located via a ≤ 4096-bin histogram (running sum over the BIN relation only), exact cut keys from ranking just the boundary bins, docs bucketed by broadcast cut-key comparison.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession

@@ -31,8 +31,12 @@ object StreamDemo {
     val spec = BinSpec.derive(0.0, 500.0, BinMethod.Linear)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
+    // generation-aware ts normalization shared with Tables.events — the
+    // nanos-as-long assumption broke silently when the testdata regenerated
+    // to TIMESTAMP(MICROS) (ADVICE r6); column ops apply to streaming
+    // DataFrames unchanged
     def withTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("CAST(ts AS LONG) DIV 1000")))
+      graft.sources.Tables.normalizeEventsTs(df)
 
     val stream = StreamingHistogram.windowedCounts(
       // glob form: FileStreamSource requires a directory basePath; the
