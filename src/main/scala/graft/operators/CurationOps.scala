@@ -528,7 +528,7 @@ object CurationOps {
     // own lineage re-runs the token explode + vocab join otherwise
     val scored = graft.operators.DedupOps.registerCache(
       TextOps
-        .unigramNll(docs)
+        .unigramNllCore(docs) // unordered core: no corpus sort in the cache
         .select(col("doc_id"), col("avg_nll"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nBins = 4096

@@ -402,7 +402,13 @@ object TextOps {
     * token-count aggregation, a vocab equi-join (zipf-small relation —
     * AQE broadcasts it), and a 1-row broadcast for the corpus total.
     */
-  def unigramNll(docs: DataFrame): DataFrame = {
+  def unigramNll(docs: DataFrame): DataFrame =
+    // presentation order for the user-facing query; internal consumers
+    // (lmBuckets) take the unordered core so a corpus-cardinality sort
+    // never lands inside their cached relations
+    unigramNllCore(docs).orderBy(col("doc_id"))
+
+  private[operators] def unigramNllCore(docs: DataFrame): DataFrame = {
     // persist barrier: the exploded token relation feeds BOTH the vocab
     // aggregation and the scoring join — unpersisted, the tokenize+explode
     // lineage (the expensive narrow stage) runs twice (same rule as
@@ -427,7 +433,6 @@ object TextOps {
           log(col("n_total")) -
             col("sum_lnq").cast("double") / lit(1e9) / col("n_tokens").cast("double"),
           6).as("avg_nll"))
-      .orderBy(col("doc_id"))
   }
 
   /** Bigram-LM negative log-likelihood per document with add-one
