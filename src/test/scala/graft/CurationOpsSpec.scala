@@ -191,6 +191,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(0)._3 <= rows(1)._3 && rows(1)._3 <= rows(2)._3, "NLL ordered by bucket")
   }
 
+  test("lm buckets: histogram cut keys reproduce ntile(3) exactly for every n mod 3") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // 48/49/50 docs → n ≡ 0/1/2 (mod 3): exercises all three ntile
+    // size-split cases the boundary-rank arithmetic must reproduce
+    for (n <- Seq(48, 49, 50)) {
+      val sub = docs.filter(col("doc_id") < n)
+      val got = CurationOps
+        .lmBuckets(sub)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      DedupOps.releaseShingleCaches()
+      val ref = graft.operators.TextOps
+        .unigramNll(sub)
+        .withColumn(
+          "bucket",
+          ntile(3).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("avg_nll"), col("doc_id"))))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(round(col("avg_nll") * lit(1e9)).cast("long")).as("sum_nll_nano"))
+        .select(
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail")
+            .as("bucket"),
+          col("n_docs"),
+          col("sum_nll_nano"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      DedupOps.releaseShingleCaches()
+      assert(got == ref, s"n=$n: histogram cutpoints diverge from ntile reference")
+    }
+  }
+
   test("fixture smoke: every curation query returns rows at sf0.001") {
     for ((name, fn) <- CurationQueries.queries) {
       val n = fn(spark, TestSpark.sf0001).count()

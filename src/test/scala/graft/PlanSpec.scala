@@ -300,4 +300,37 @@ class PlanSpec extends SparkSpec {
     assert(windowIdx > 0 && windowIdx < aggIdx && aggIdx < scanIdx,
       "window must consume the day aggregation, not raw events")
   }
+
+  test("profile_columns: manual two-level distinct — no Expand over the melt, one scan") {
+    val p = plan("profile_columns")
+    // countDistinct mixed with plain aggregates rewrites through an Expand
+    // that re-multiplies the ncols× melted relation before the exchange
+    // (measured 2× on this query) — the manual groupBy(col,v)+fold shape
+    // must keep the plan Expand-free
+    assert(!p.contains("Expand"), "no Expand node in the profile plan")
+    val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans")
+  }
+
+  test("doc_lm_buckets: no global ntile; rank window partitioned; cache holds no sort") {
+    val p = plan("doc_lm_buckets")
+    assert(!p.contains("ntile"), "global ntile window must not reappear")
+    // the only row_number window ranks boundary-bin rows, partitioned by
+    // the tercile target — never an unpartitioned corpus-cardinality rank
+    assert(
+      """windowspecdefinition\(target""".r.findFirstIn(p).isDefined,
+      "row_number window must be partitioned by target")
+    // the cached per-doc score relation must not freeze a corpus
+    // orderBy(doc_id) sort into its materialization (round-7 fix): no Sort
+    // node may appear inside the InMemoryRelation subtree
+    val imrIdx = p.indexOf("InMemoryRelation")
+    val planEnd = p.indexOf("== Initial Plan ==") match { case -1 => p.length; case i => i }
+    if (imrIdx >= 0) {
+      val cacheSection = p.substring(imrIdx, planEnd)
+      // InMemoryRelation sections list their child plan up to the next
+      // top-level node; a frozen sort prints as "Sort" directly within
+      val firstCache = cacheSection.split("InMemoryTableScan").head
+      assert(!firstCache.contains("+- Sort"), "cached score relation carries a frozen sort")
+    }
+  }
 }
