@@ -229,6 +229,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("lm buckets: all-identical corpus (hi == lo) splits 3/2/2 by doc_id alone") {
+    // every doc has the same avg_nll → the histogram degenerates to one
+    // bin and the cut keys are decided purely by the doc_id tie-break;
+    // ntile(3) over 7 rows must still split 3/2/2
+    val docs = (0L until 7L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    val rows = CurationOps
+      .lmBuckets(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    DedupOps.releaseShingleCaches()
+    assert(rows == Map("head" -> 3L, "middle" -> 2L, "tail" -> 2L), rows.toString)
+  }
+
+  test("lm buckets: single doc lands alone in head; two docs split head/middle") {
+    val one = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val got1 = CurationOps.lmBuckets(one).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    DedupOps.releaseShingleCaches()
+    assert(got1 == Map("head" -> 1L), got1.toString)
+    val two = Seq((0L, "a b c"), (1L, "a b d")).toDF("doc_id", "text")
+    val got2 = CurationOps.lmBuckets(two).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    DedupOps.releaseShingleCaches()
+    assert(got2 == Map("head" -> 1L, "middle" -> 1L), got2.toString)
+  }
+
   test("fixture smoke: every curation query returns rows at sf0.001") {
     for ((name, fn) <- CurationQueries.queries) {
       val n = fn(spark, TestSpark.sf0001).count()
