@@ -65,4 +65,21 @@ class FormatSpec extends SparkSpec {
     val b = graft.operators.TextOps.stats(jsonDocs).orderBy("doc_id").collect().toSeq
     assert(a == b, "operators are source-format agnostic")
   }
+
+  test("events ts normalization: both shipped generations accepted, anything else throws") {
+    import spark.implicits._
+    // nanos-as-long generation
+    val nanos = Seq((1L, 1704067200123456789L)).toDF("event_id", "ts")
+    val n = Tables.normalizeEventsTs(nanos).select("ts_ns", "ts_us").head()
+    assert(n.getLong(0) == 1704067200123456789L && n.getLong(1) == 1704067200123456L)
+    // micros-timestamp generation
+    val micros = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456")))
+      .toDF("event_id", "ts")
+    val m = Tables.normalizeEventsTs(micros).select("ts_us", "ts_ns").head()
+    assert(m.getLong(0) == 1704067200123456L && m.getLong(1) == 1704067200123456000L)
+    // an unexpected type must fail loudly at load, not yield null
+    // timestamps downstream (the silent-cast trap ADVICE r6 flagged)
+    val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
+    intercept[IllegalArgumentException](Tables.normalizeEventsTs(bad))
+  }
 }
