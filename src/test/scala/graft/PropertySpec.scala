@@ -147,4 +147,38 @@ class PropertySpec extends SparkSpec {
       out.forall(_.getLong(2) == t)
     }, n = 15)
   }
+
+  test("profileColumns: two-level distinct aggregate matches brute force incl. null/NaN") {
+    // guards the round-7 manual rewrite (groupBy(col,v)+fold replaced the
+    // Expand-planning countDistinct mix): n_rows counts everything,
+    // NaN counts as missing, cents sum truncates per VALUE times its
+    // multiplicity, distinct skips nulls
+    val cell: Gen[Option[Double]] = Gen.frequency(
+      6 -> Gen.chooseNum(-500.0, 500.0).map(Some(_)),
+      1 -> Gen.const(Some(Double.NaN)),
+      1 -> Gen.const(Option.empty[Double]),
+      2 -> Gen.chooseNum(-5, 5).map(i => Some(i.toDouble))) // forced collisions
+    val gen = Gen.nonEmptyListOf(Gen.zip(cell, cell))
+    check(Prop.forAll(gen) { rows: List[(Option[Double], Option[Double])] =>
+      val df = rows.toDF("a", "b")
+      val out = graft.operators.ProfileOps
+        .profileColumns(df, Seq("a", "b"))
+        .collect()
+        .map(r => r.getString(0) -> r)
+        .toMap
+      Seq("a" -> rows.map(_._1), "b" -> rows.map(_._2)).forall { case (name, vs) =>
+        val clean = vs.flatten.filterNot(_.isNaN) // NaN => missing (nanAsNull)
+        val r = out(name)
+        val centsOk =
+          if (clean.isEmpty) r.isNullAt(6)
+          else r.getLong(6) == clean.map(v => (v * 100.0).toLong).sum
+        r.getLong(1) == vs.size &&
+        r.getLong(2) == clean.size &&
+        r.getLong(3) == clean.distinct.size &&
+        (clean.nonEmpty || (r.isNullAt(4) && r.isNullAt(5))) &&
+        (clean.isEmpty || (r.getDouble(4) == clean.min && r.getDouble(5) == clean.max)) &&
+        centsOk
+      }
+    }, n = 25)
+  }
 }
