@@ -232,22 +232,39 @@ object TpchQueries {
         .orderBy(col("o_orderpriority"))
     }),
     // Rank-function breadth: percent_rank + ntile quartiles of customer
-    // account balance within each market segment. percent_rank is the
-    // rational (rank−1)/(n−1) of exact integers — deterministic at
-    // 6 decimals; ties broken by custkey.
+    // account balance within each market segment, ties broken by custkey.
+    // Only 5 segments exist, so the window form sorts customers/5 per task
+    // — dimension-scale at 100×. Instead RankOps.rowsAboveRank recovers the
+    // EXACT per-segment position (bin running total + a rank within the
+    // boundary bins only) for rows past the ntile(4) tile-3 boundary rank;
+    // percent_rank is then the rational (rank−1)/(n−1) of exact integers —
+    // with a unique (bal_c, custkey) key, rank() ≡ row_number ≡ gr_pos —
+    // deterministic at 6 decimals. An n=1 segment emits nothing (its cut
+    // rank is 1), so the n−1 denominator never hits zero.
     "customer_balance_pct" -> ((s, dir) => {
-      val w = Window
-        .partitionBy(col("c_mktsegment"))
-        .orderBy(col("bal_c"), col("c_custkey"))
-      Tables
-        .customer(s, dir)
-        .select(
-          col("c_custkey"),
-          col("c_mktsegment"),
-          cents(col("c_acctbal")).as("bal_c"))
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("quartile", ntile(4).over(w))
-        .filter(col("quartile") === 4) // top quartile per segment
+      import graft.operators.RankOps
+      val base = graft.operators.DedupOps.registerCache(
+        Tables
+          .customer(s, dir)
+          .select(
+            col("c_custkey"),
+            col("c_mktsegment"),
+            cents(col("c_acctbal")).as("bal_c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // ntile(4) tile 3 ends at rank 3q + min(3, n mod 4); rows above it
+      // are the top quartile (integer `div`/`%` — Column `/` is double);
+      // gr_n rides along from the operator's single stats pass
+      RankOps
+        .rowsAboveRank(
+          base,
+          Seq("c_mktsegment"),
+          Seq("bal_c", "c_custkey"),
+          expr("gr_n div 4") * 3 + least(lit(3L), expr("gr_n % 4")))
+        .withColumn(
+          "pct_rank",
+          round(
+            (col("gr_pos") - 1).cast("double") / (col("gr_n") - 1).cast("double"),
+            6))
         .select(col("c_mktsegment"), col("c_custkey"), col("bal_c"), col("pct_rank"))
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
@@ -604,9 +621,15 @@ object TpchQueries {
     // RFM customer segmentation: recency (days since last order vs the
     // corpus max day), frequency (order count), monetary (total cents),
     // each quintiled with a custkey tiebreak for a total order; segment
-    // code = r·100 + f·10 + m. Windows run over the CUSTOMER aggregate
-    // (dimension-sized), never raw orders; quintile boundaries come from
-    // ntile, the one-pass rank form.
+    // code = r·100 + f·10 + m. Semantics are ntile(5) per dimension, but
+    // the customer aggregate grows LINEARLY with the corpus — at 100 TB an
+    // unpartitioned ntile is a single-task sort of ~10⁹ rows, three times.
+    // Instead each dimension's quintile cut keys come from
+    // RankOps.ntileCuts (bounded bin histogram → boundary-rank cut keys;
+    // ntile-equivalence property-pinned in RankOpsSpec) and all three
+    // bucket assignments are broadcast comparisons onto ONE pass over the
+    // cached aggregate. DESC dimensions (frequency, monetary) negate the
+    // column; o_custkey tiebreak keeps every key strictly unique.
     "rfm_segments" -> ((s, dir) => {
       // the customer aggregate feeds the max-day scalar AND the scoring —
       // persist via the session registry or orders scans twice
@@ -622,11 +645,30 @@ object TpchQueries {
       val scored = perCust
         .crossJoin(broadcast(maxDay))
         .withColumn("recency_days", col("max_day") - col("last_day"))
-      val r = ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-      val f = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
-      val m = ntile(5).over(Window.orderBy(col("monetary_c").desc, col("o_custkey")))
+      import graft.operators.RankOps
+      // long form: one (dim, v, custkey) row per dimension per customer —
+      // ONE ntileCuts call (one stats pass, one bin histogram, one
+      // boundary-rank pass, grouped by dim) instead of three chained calls
+      // paying three sets of passes; DESC dims negate v
+      val longForm = scored.select(
+        col("o_custkey"),
+        explode(array(
+          struct(lit(1).as("dim"), col("recency_days").as("v")),
+          struct(lit(2).as("dim"), (-col("freq")).as("v")),
+          struct(lit(3).as("dim"), (-col("monetary_c")).as("v")))).as("t"))
+        .select(col("t.dim").as("dim"), col("t.v").as("v"), col("o_custkey"))
+      val cuts = RankOps.ntileCuts(longForm, Seq("dim"), Seq("v", "o_custkey"), 5)
+      // pivot the 3 cut rows to ONE broadcast row: c{dim}_{tile}
+      val dimAggs = for (d <- 1 to 3; j <- 1 to 4)
+        yield max(when(col("dim") === d, col(s"gr_c$j"))).as(s"c${d}_$j")
+      val cutsWide = broadcast(cuts.groupBy().agg(dimAggs.head, dimAggs.tail: _*))
+      def key(v: Column) = struct(v.as("v"), col("o_custkey"))
       scored
-        .withColumn("segment", r * lit(100) + f * lit(10) + m)
+        .crossJoin(cutsWide)
+        .withColumn("r", RankOps.ntileBucketExpr(key(col("recency_days")), 5, "c1_"))
+        .withColumn("f", RankOps.ntileBucketExpr(key(-col("freq")), 5, "c2_"))
+        .withColumn("m", RankOps.ntileBucketExpr(key(-col("monetary_c")), 5, "c3_"))
+        .withColumn("segment", col("r") * lit(100) + col("f") * lit(10) + col("m"))
         .groupBy(col("segment"))
         .agg(
           count(lit(1)).as("n_customers"),

@@ -510,17 +510,21 @@ object CurationOps {
     * Bucket semantics are exactly `ntile(3) OVER (ORDER BY avg_nll,
     * doc_id)` — the first `n mod 3` terciles one row larger, ties broken by
     * doc_id — but computed WITHOUT a corpus-cardinality window (the one
-    * SURVEY §3.3 invariant violation this module carried until round 7).
-    * The decile-histogram shape instead: (1) one aggregation for n and the
-    * NLL range; (2) a fixed-width bin histogram (≤ 4096 rows, bounded by a
-    * constant — never corpus cardinality); (3) a running-sum window over
-    * the BIN relation locates which bin holds each tercile boundary rank;
-    * (4) a rank window over ONLY the boundary-bin rows (expected n/4096
-    * rows per boundary; the degenerate all-one-value corpus collapses to a
-    * single bin and is the only case that ranks everything) extracts the
-    * exact (avg_nll, doc_id) cut keys; (5) every doc buckets by lexicographic
-    * comparison against the two broadcast cut keys. Same result, and the
-    * only global sort left is over ≤ 4096 histogram bins.
+    * SURVEY §3.3 invariant violation this module carried until round 7),
+    * via [[RankOps.ntileCuts]]: bounded bin histogram → boundary-rank
+    * location → exact cut keys from a rank window over boundary-bin rows
+    * only → broadcast cut-key comparison. Same result, and the only global
+    * sort left is over ≤ 4096 histogram bins. (The machinery was built
+    * here in round 7 and generalized into [[RankOps]] in round 8 — the
+    * ntile-twin equivalence is property-pinned in `RankOpsSpec` plus the
+    * 1×/4×/16× `tools/LmBucketsStress` harness.)
+    *
+    * PRECONDITION (RankOps bucket contract): `doc_id` is unique, so the
+    * (avg_nll, doc_id) key is strictly ordered and `key ≤ cut` admits
+    * exactly the tercile's rank count. Duplicate doc_ids would over-admit
+    * ties and silently skew bucket sizes — uniqueness is a documents-table
+    * invariant ([[TextOps.unigramNllCore]] aggregates by doc_id, so its
+    * output holds it by construction).
     */
   def lmBuckets(docs: DataFrame): DataFrame = {
     // persist barrier: the per-doc score relation feeds four passes below
@@ -531,74 +535,10 @@ object CurationOps {
         .unigramNllCore(docs) // unordered core: no corpus sort in the cache
         .select(col("doc_id"), col("avg_nll"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nBins = 4096
-    val stats = scored.agg(
-      count(lit(1)).as("n"),
-      min(col("avg_nll")).as("lo"),
-      max(col("avg_nll")).as("hi"))
-    // ntile(3) boundary ranks: q = n/3, first (n mod 3) buckets get +1 row
-    // → bucket 1 ends at rank r1 = q + (r≥1), bucket 2 at r2 = 2q + (r≥1) + (r≥2)
-    // `/` on Columns is DOUBLE division — the ntile rank arithmetic needs
-    // exact integers (a fractional rank silently matches no row)
-    val q3 = floor(col("n") / 3).cast("long")
-    val targets = stats.select(
-      explode(array(
-        struct(
-          lit(1).as("target"),
-          (q3 + when(col("n") % 3 >= 1, 1L).otherwise(0L)).as("trank")),
-        struct(
-          lit(2).as("target"),
-          (q3 * 2 + when(col("n") % 3 >= 1, 1L).otherwise(0L)
-            + when(col("n") % 3 >= 2, 1L).otherwise(0L)).as("trank")))).as("t"))
-      .select(col("t.target").as("target"), col("t.trank").as("trank"))
-    // fixed-width bin over the observed range; hi == lo (or a 1-value
-    // corpus) degenerates to bin 0
-    val binExpr =
-      when(col("hi") <= col("lo"), lit(0))
-        .otherwise(
-          least(
-            lit(nBins - 1L),
-            floor((col("avg_nll") - col("lo")) / (col("hi") - col("lo")) * nBins))
-            .cast("int"))
-    val binned = scored
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("avg_nll"), binExpr.as("bin"))
-    val cum = binned
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("cnt"))
-      // running sum over the ≤ nBins-row bin relation — bounded, not corpus
-      .withColumn(
-        "cum",
-        sum(col("cnt")).over(
-          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("cum_prev", col("cum") - col("cnt"))
-    val bounds = broadcast(
-      targets
-        .join(cum, col("trank") > col("cum_prev") && col("trank") <= col("cum"))
-        .select(col("target"), col("bin"), (col("trank") - col("cum_prev")).as("off")))
-    // rank ONLY the boundary-bin rows; the row at local rank `off` is the
-    // last row of that tercile → its (avg_nll, doc_id) is the cut key
-    val cutRows = binned
-      .join(bounds, Seq("bin"))
-      .withColumn(
-        "rk",
-        row_number().over(
-          Window.partitionBy(col("target")).orderBy(col("avg_nll"), col("doc_id"))))
-      .filter(col("rk") === col("off"))
-    val cuts = broadcast(
-      cutRows
-        .groupBy()
-        .agg(
-          max(when(col("target") === 1, struct(col("avg_nll"), col("doc_id")))).as("c1"),
-          max(when(col("target") === 2, struct(col("avg_nll"), col("doc_id")))).as("c2")))
-    // keys are strictly ordered (doc_id unique), so `key ≤ cut` admits
-    // exactly the tercile's rank count — bit-identical to the ntile result
-    val key = struct(col("avg_nll"), col("doc_id"))
-    val scoredB = binned
-      .crossJoin(cuts)
-      .withColumn(
-        "bucket",
-        when(key <= col("c1"), 1).when(key <= col("c2"), 2).otherwise(3))
+    val base = scored.withColumn("gr_g", lit(0))
+    val scoredB = base
+      .join(broadcast(RankOps.ntileCuts(base, Seq("gr_g"), Seq("avg_nll", "doc_id"), 3)), Seq("gr_g"))
+      .withColumn("bucket", RankOps.ntileBucketExpr(Seq("avg_nll", "doc_id"), 3))
     scoredB
       .groupBy(col("bucket"))
       .agg(

@@ -122,27 +122,28 @@ object ProfileOps {
       .orderBy(col("col_name"))
   }
 
-  /** Exact per-group quantiles by rank arithmetic — the distributed-sort
-    * formulation (one shuffle: a rank window partitioned by the group key),
-    * NOT the built-in `percentile` aggregate (which collects every value
-    * of a group into one aggregation buffer — an executor-memory bomb for
-    * a hot group at 100 TB). For each requested percentile p over n rows:
-    * pos = p·(n−1)/100, and the quantile linearly interpolates the values
-    * at ranks ⌊pos⌋+1 and ⌊pos⌋+2 (1-based). Only those ≤ 2·|ps| rows per
-    * group survive the rank filter — Spark prunes them map-side via
-    * WindowGroupLimit-style rank predicates on the sorted stream.
+  /** Exact per-group quantiles WITHOUT a group-scale sort — NOT the
+    * built-in `percentile` aggregate (which collects every value of a
+    * group into one aggregation buffer — an executor-memory bomb for a hot
+    * group at 100 TB), and since round 8 not the rank-window formulation
+    * either: with few, enormous groups (this query's shape — 5 event
+    * types) a window partitioned by the group key funnels ~20% of the
+    * corpus into each task's sort at 100×. Instead the values at the
+    * interpolation ranks come from [[RankOps.keysAtRanks]] (bounded bin
+    * histogram → boundary-rank location → a rank window over the target
+    * bins only, partitioned group × target — full map-side parallelism at
+    * any group size).
     *
-    * Values are quantized to integer cents before ranking so the
-    * interpolation arithmetic (the only float math) runs over exact
-    * integers — the oracle reproduces it bit-for-bit.
-    * Output: `(group, p, n, q)` long form, one row per group × percentile.
-    *
-    * Scale caveat: the rank window parallelizes ACROSS groups — with few,
-    * enormous groups each group is one task's sort. For that shape use the
-    * binned formulation instead (quantize → bounded bin counts → walk the
-    * cumulative histogram, exactly [[PercentileOps.deciles]]' plan): it
-    * trades the arbitrary-percentile interpolation for full map-side
-    * parallelism at any group size.
+    * For each requested percentile p over n rows: pos = p·(n−1)/100, and
+    * the quantile linearly interpolates the values at ranks ⌊pos⌋+1 and
+    * ⌊pos⌋+2 (1-based; the +2 rank is absent at the group max and
+    * coalesces to the +1 value). ⌊pos⌋ is the DOUBLE-division floor — the
+    * same arithmetic as the DuckDB oracle's `trunc(pos)`, kept double so
+    * both engines round identically. Values are quantized to integer cents
+    * before ranking so the interpolation (the only float math) runs over
+    * exact integers — the oracle reproduces it bit-for-bit; ties need no
+    * tiebreak because the VALUE at a sorted position is well-defined
+    * regardless of tie order. Output: `(group, p, n, q)` long form.
     */
   def groupQuantiles(
       df: DataFrame,
@@ -150,26 +151,32 @@ object ProfileOps {
       valueCol: String,
       ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
     val cents = (col(valueCol) * lit(100.0)).cast("bigint")
-    val ranked = df
-      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
-      .select(col(groupCol).as("grp"), cents.as("cents"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("cents"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
-    val pRows = explode(array(ps.map(p => lit(p)): _*)).as("p")
-    // one row per group × p, carrying the target position
-    val targets = ranked
-      .select(col("grp"), col("n")).distinct()
-      .select(col("grp"), col("n"), pRows)
-      .withColumn("pos", col("p").cast("double") * (col("n") - 1).cast("double") / lit(100.0))
-      .withColumn("k", col("pos").cast("bigint")) // floor: pos >= 0
-    val loSide = ranked.select(col("grp").as("g1"), col("rn").as("rn1"), col("cents").as("lo_c"))
-    val hiSide = ranked.select(col("grp").as("g2"), col("rn").as("rn2"), col("cents").as("hi_c"))
-    targets
-      .join(loSide, col("grp") === col("g1") && col("rn1") === col("k") + 1)
-      .join(hiSide, col("grp") === col("g2") && col("rn2") === col("k") + 2, "left")
+    // the filtered (group, cents) relation feeds the count, histogram, and
+    // boundary-rank passes — persist via the session registry
+    val base = DedupOps.registerCache(
+      df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+        .select(col(groupCol).as("grp"), cents.as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // two target ranks per percentile, tagged tid = 2p (lo) / 2p+1 (hi);
+    // rank expressions evaluate against the operator's single stats pass
+    val targets = ps.flatMap { p =>
+      val k = (lit(p).cast("double") * (col("gr_n") - 1).cast("double") / lit(100.0))
+        .cast("bigint") // floor: pos >= 0
+      Seq(p * 2 -> (k + 1L), p * 2 + 1 -> (k + 2L))
+    }
+    RankOps
+      .keysAtRanksBy(base, Seq("grp"), Seq("cents"), targets)
+      .groupBy(col("grp"), (col("gr_tid") / 2).cast("int").as("p"))
+      .agg(
+        max(col("gr_n")).as("gr_n"),
+        max(when(col("gr_tid") % 2 === 0, col("cents"))).as("lo_c"),
+        max(when(col("gr_tid") % 2 === 1, col("cents"))).as("hi_c"))
+      .withColumn(
+        "pos",
+        col("p").cast("double") * (col("gr_n") - 1).cast("double") / lit(100.0))
+      .withColumn("k", col("pos").cast("bigint"))
       .select(
-        col("grp"), col("p"), col("n"),
+        col("grp"), col("p"), col("gr_n").as("n"),
         round(
           (col("lo_c").cast("double") +
             (coalesce(col("hi_c"), col("lo_c")).cast("double") - col("lo_c").cast("double")) *
@@ -185,12 +192,15 @@ object ProfileOps {
     * the summary reports the thresholds, clip counts, and winsorized mean.
     * The robust-mean step of any metric pipeline with heavy-tailed values.
     *
-    * Scale shape: same distributed-sort rank window as [[groupQuantiles]]
-    * (including its few-groups caveat — switch to the binned cumulative
-    * histogram for few enormous groups), then the per-group threshold
-    * relation (2 values per group) joins back onto the ranked stream —
-    * broadcast-sized for any real group count. Rank selection uses pure
-    * BIGINT arithmetic (`p·(n−1) DIV 100`).
+    * Scale shape (round 8): the two threshold order statistics per group
+    * come from [[RankOps.keysAtRanks]] — bounded bin histogram, boundary
+    * ranks, a rank window over target-bin rows only — so no group-scale
+    * sort exists anywhere (the previous rank-window form sorted a third of
+    * the corpus per task with this query's 3-flag group column). The
+    * per-group threshold relation (2 values per group) then broadcast-joins
+    * back onto the unsorted base for the clamp aggregate. Rank selection
+    * uses pure BIGINT arithmetic (`p·(n−1) DIV 100`), mirroring the
+    * oracle's `//` integer division.
     */
   /** 2-D skyline (Pareto frontier, strict domination): rows minimizing
     * `(x, y)` jointly — kept iff no other row has `x ≤, y ≤` with one
@@ -251,20 +261,23 @@ object ProfileOps {
       pLo: Int = 5,
       pHi: Int = 95): DataFrame = {
     val cents = (col(valueCol) * lit(100.0)).cast("bigint")
-    val ranked = df
-      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
-      .select(col(groupCol).as("grp"), cents.as("cents"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("cents"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
-    val kLo = expr(s"$pLo * (n - 1) DIV 100") + 1
-    val kHi = expr(s"$pHi * (n - 1) DIV 100") + 1
-    val thresholds = ranked
+    val base = DedupOps.registerCache(
+      df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+        .select(col(groupCol).as("grp"), cents.as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val thresholds = RankOps
+      .keysAtRanksBy(
+        base,
+        Seq("grp"),
+        Seq("cents"),
+        Seq(
+          0 -> (expr(s"$pLo * (gr_n - 1) div 100") + 1L),
+          1 -> (expr(s"$pHi * (gr_n - 1) div 100") + 1L)))
       .groupBy(col("grp"))
       .agg(
-        max(when(col("rn") === kLo, col("cents"))).as("lo_c"),
-        max(when(col("rn") === kHi, col("cents"))).as("hi_c"))
-    ranked
+        max(when(col("gr_tid") === 0, col("cents"))).as("lo_c"),
+        max(when(col("gr_tid") === 1, col("cents"))).as("hi_c"))
+    base
       .join(broadcast(thresholds), Seq("grp"))
       .select(
         col("grp"), col("lo_c"), col("hi_c"),

@@ -29,7 +29,10 @@ object DumpPlans {
     "dedup_minhash" -> "Wide-signature LSH: one aggregation computes all 16 minima; banding is a projection (no collect_list re-aggregation); the bounded candidate relation broadcasts into the column-wise agreement estimate — no SortMergeJoin anywhere.",
     "q8_market_share" -> "Deepest join tree in the suite: Catalyst orders the 8 relations; nation/region broadcast explicitly (fixed-size), part/customer/supplier left to AQE; one grouped aggregate over exact cents² sums.",
     "zorder_cells" -> "Morton interleave as pure BIGINT shift/mask arithmetic inside one codegen projection over a two-column pruned scan; cell top-k via TakeOrderedAndProject.",
-    "group_quantiles" -> "Exact quantiles by rank arithmetic over a distributed sort: one window shuffle keyed by group, then joins pick ≤ 2 rows per group×p — the built-in collect-the-group percentile buffer never appears.",
+    "group_quantiles" -> "Exact quantiles without a group-scale sort: RankOps bin histogram locates each interpolation rank's bin, only boundary-bin rows get ranked (partitioned group × target) — neither the collect-the-group percentile buffer nor a per-group corpus sort appears.",
+    "winsorized_stats" -> "Clamp thresholds are two RankOps order statistics per group (bounded bin histogram + boundary-bin ranks); the clamp aggregate runs over the unsorted base joined with the broadcast thresholds.",
+    "rfm_segments" -> "Three ntile(5)-equivalent quintiles as broadcast cut-key comparisons from RankOps.ntileCuts — no unpartitioned window over the customer-cardinality aggregate.",
+    "customer_balance_pct" -> "Top quartile + percent_rank from exact bin-cumulative positions (RankOps.rowsAboveRank): rank windows only over boundary-and-above bins, partitioned segment × bin.",
     "minute_gapfill" -> "Calendar sequence join + IGNORE-NULLS carry-forward; the unpartitioned fill window consumes the bounded calendar relation, never raw events.",
     "snapshot_diff" -> "CDC diff: md5 row digests computed map-side; the one full-outer exchange moves (key, digest) pairs — payload columns never shuffle.",
     "dedup_survivors" -> "Survivor selection: cluster labels from the iterative propagation, then one rank window keyed by cluster (WindowGroupLimit-prunable) and the summary aggregate.",

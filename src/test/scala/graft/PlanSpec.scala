@@ -160,10 +160,46 @@ class PlanSpec extends SparkSpec {
     graft.operators.DedupOps.releaseShingleCaches()
   }
 
-  test("group_quantiles: rank filters prune map-side, group sort happens once") {
+  /** Round-8 invariant for the RankOps family: every rank window in the
+    * plan must be partitioned by the machinery's bounded keys (`gr_tid`
+    * target tag or `gr_bin` histogram bin) — never a bare group/corpus
+    * window whose per-task input scales with the relation.
+    */
+  private def assertRankWindowsBounded(p: String, q: String): Unit = {
+    val ws = """row_number\(\) windowspecdefinition\([^)]*""".r.findAllIn(p).toList
+    assert(ws.nonEmpty, s"$q: expected at least one RankOps rank window in the plan")
+    ws.foreach { w =>
+      assert(w.contains("gr_tid") || w.contains("gr_bin"),
+        s"$q: rank window not partitioned by a bounded RankOps key: $w")
+    }
+  }
+
+  test("group_quantiles: no group-scale rank window — RankOps bounded partitions only") {
     val p = plan("group_quantiles")
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
       "scan must prune to the group and value columns")
+    assertRankWindowsBounded(p, "group_quantiles")
+  }
+
+  test("winsorized_stats: thresholds from RankOps, no group-scale rank window") {
+    val p = plan("winsorized_stats")
+    assertRankWindowsBounded(p, "winsorized_stats")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("rfm_segments: no ntile; quintiles are broadcast cut-key comparisons") {
+    val p = plan("rfm_segments")
+    assert(!p.contains("ntile"), "unpartitioned ntile over the customer aggregate must not reappear")
+    assertRankWindowsBounded(p, "rfm_segments")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
+  test("customer_balance_pct: no ntile/percent_rank; positions from bounded bin ranks") {
+    val p = plan("customer_balance_pct")
+    assert(!p.contains("ntile") && !p.contains("percent_rank"),
+      "segment-partitioned rank functions must not reappear")
+    assertRankWindowsBounded(p, "customer_balance_pct")
+    graft.operators.DedupOps.releaseShingleCaches()
   }
 
   test("basket_pairs: top-k without global sort, marginals broadcast, pairs equi-join") {
@@ -317,9 +353,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ntile"), "global ntile window must not reappear")
     // the only row_number window ranks boundary-bin rows, partitioned by
     // the tercile target — never an unpartitioned corpus-cardinality rank
-    assert(
-      """windowspecdefinition\(target""".r.findFirstIn(p).isDefined,
-      "row_number window must be partitioned by target")
+    // (RankOps tags targets as gr_tid since the round-8 generalization;
+    // the constant gr_g group key is folded out of the partition spec)
+    assertRankWindowsBounded(p, "doc_lm_buckets")
     // the cached per-doc score relation must not freeze a corpus
     // orderBy(doc_id) sort into its materialization (round-7 fix): no Sort
     // node may appear inside the InMemoryRelation subtree

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.RankOps
+
+/** Property pins for the generalized cut-key rank machinery: every output
+  * must be BIT-IDENTICAL to the window-function twin (`ntile`,
+  * `row_number`) it replaces, across random corpora with heavy value ties,
+  * multiple groups, and tiny/degenerate group sizes — the contract that let
+  * `rfm_segments` / `customer_balance_pct` / `group_quantiles` /
+  * `winsorized_stats` drop their corpus-scale sorts without touching their
+  * DuckDB oracles. Tiny bin counts (nBins = 8) are used deliberately so
+  * boundary ranks routinely land mid-bin and many rows share a bin — the
+  * regime where off-by-one rank arithmetic would show.
+  */
+class RankOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // (group, value) corpora: few groups, values drawn from a small domain so
+  // ties are dense; ids made unique by index
+  private val corpusGen: Gen[List[(String, Long)]] =
+    Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-20L, 20L)
+    } yield (g, v))
+
+  private def toDf(rows: List[(String, Long)]) =
+    rows.zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("grp", "v", "id")
+
+  test("rankBuckets == ntile(k) over (v, id) per group, any k, dense ties") {
+    check(Prop.forAll(corpusGen, Gen.chooseNum(2, 7)) { (rows, k) =>
+      val df = toDf(rows)
+      val expected = df
+        .withColumn(
+          "b",
+          ntile(k).over(Window.partitionBy($"grp").orderBy($"v", $"id")))
+        .select($"grp", $"id", $"b")
+      val got = RankOps
+        .rankBuckets(df, Seq("grp"), Seq("v", "id"), k, "b", nBins = 8)
+        .select($"grp", $"id", $"b")
+      got.except(expected).isEmpty && expected.except(got).isEmpty
+    }, n = 25)
+  }
+
+  test("rankBuckets: single-valued group (one bin) and n < k still match ntile") {
+    val df = (List.fill(9)(("a", 5L)) ++ List(("b", 1L), ("b", 2L)))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("grp", "v", "id")
+    val expected = df
+      .withColumn("b", ntile(5).over(Window.partitionBy($"grp").orderBy($"v", $"id")))
+      .select($"grp", $"id", $"b")
+    val got = RankOps
+      .rankBuckets(df, Seq("grp"), Seq("v", "id"), 5, "b", nBins = 8)
+      .select($"grp", $"id", $"b")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("keysAtRanks returns the exact order statistic at every rank 1..n") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val df = toDf(rows)
+      // every rank of every group, tagged by its rank
+      val targets = df
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"))
+        .select($"grp", explode(sequence(lit(1L), $"n")).as("gr_trank"))
+        .withColumn("gr_tid", $"gr_trank".cast("int"))
+      val got = RankOps
+        .keysAtRanks(df, Seq("grp"), Seq("v"), targets, nBins = 8)
+        .select($"grp", $"gr_tid", $"v")
+        .as[(String, Int, Long)]
+        .collect()
+        .toSet
+      val expected = rows
+        .groupBy(_._1)
+        .flatMap { case (g, vs) =>
+          vs.map(_._2).sorted.zipWithIndex.map { case (v, i) => (g, i + 1, v) }
+        }
+        .toSet
+      got == expected
+    }, n = 25)
+  }
+
+  test("keysAtRanksBy: gr_n-based rank expressions, gr_n carried to output") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val df = toDf(rows)
+      val got = RankOps
+        .keysAtRanksBy(
+          df,
+          Seq("grp"),
+          Seq("v"),
+          Seq(0 -> lit(1L), 1 -> (expr("gr_n div 2") + 1L), 2 -> col("gr_n")),
+          nBins = 8)
+        .select($"grp", $"gr_tid", $"gr_n", $"v")
+        .as[(String, Int, Long, Long)]
+        .collect()
+        .toSet
+      val expected = rows
+        .groupBy(_._1)
+        .flatMap { case (g, vs) =>
+          val s = vs.map(_._2).sorted
+          val n = s.size.toLong
+          Seq((g, 0, n, s.head), (g, 1, n, s((n / 2).toInt)), (g, 2, n, s.last))
+        }
+        .toSet
+      got == expected
+    }, n = 25)
+  }
+
+  test("keysAtRanks: ranks beyond the group size yield no row") {
+    val df = List(("a", 1L), ("a", 2L)).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("grp", "v", "id")
+    val targets = Seq(("a", 1, 3L)).toDF("grp", "gr_tid", "gr_trank")
+    assert(RankOps.keysAtRanks(df, Seq("grp"), Seq("v"), targets, nBins = 8).isEmpty)
+  }
+
+  test("rowsAboveRank == rows with row_number > cut, with exact positions") {
+    check(Prop.forAll(corpusGen, Gen.chooseNum(0L, 10L)) { (rows, cut) =>
+      val df = toDf(rows)
+      val expected = df
+        .withColumn(
+          "gr_pos",
+          row_number().over(Window.partitionBy($"grp").orderBy($"v", $"id")).cast("long"))
+        .filter($"gr_pos" > cut)
+        .select($"grp", $"id", $"gr_pos")
+      val got = RankOps
+        .rowsAboveRank(df, Seq("grp"), Seq("v", "id"), lit(cut), nBins = 8)
+        .select($"grp", $"id", $"gr_pos")
+      got.except(expected).isEmpty && expected.except(got).isEmpty
+    }, n = 25)
+  }
+}
