@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default zone too: java.sql.Timestamp.valueOf in test
+  // fixtures parses in the JVM zone, not the Spark session zone — expected
+  // epochs only hold when both are UTC (host /etc/timezone must not leak)
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
