@@ -36,9 +36,18 @@ import org.apache.spark.sql.functions._
   * `key <= cut` admits exactly the target rank count — without uniqueness
   * the cut comparison over-admits ties (see the lmBuckets scaladoc note).
   *
-  * Degenerate case, documented trade: a group whose leading order column is
-  * single-valued collapses to one bin, and step 4 ranks that whole group in
-  * one task — the only shape that reintroduces the group-scale sort.
+  * Degenerate case (round 8): a group whose leading order column is
+  * single-valued would collapse to one bin and step 4 would rank that whole
+  * group in one task — the one shape that reintroduced the group-scale
+  * sort. When a NUMERIC tiebreak column follows the leading order column
+  * (every bucket-assignment call site: doc_id / custkey), such a group now
+  * falls back to binning on the tiebreak's range instead: within the group
+  * the leading value is constant, so order is decided by the tiebreak and
+  * tiebreak bins stay monotonic in the full lexicographic key. Only a group
+  * whose ENTIRE prefix (leading value and tiebreak both single-valued) is
+  * degenerate still ranks in one task — impossible under the unique-key
+  * precondition beyond n = 1. With a single or non-numeric-tiebreak
+  * orderCols the old documented trade stands.
   * Ordering semantics are ASCENDING over `orderCols`; express DESC by
   * negating the column (all call sites use bounded integer domains).
   *
@@ -63,44 +72,72 @@ object RankOps {
     */
   val DefaultBins = 4096
 
-  /** The one stats pass: per-group n plus the leading order column's
-    * range. Everything downstream derives from this single aggregate.
+  /** Whether the degenerate-group fallback applies: a second order column
+    * exists and is numeric, so its range can drive the bin arithmetic when
+    * the leading column is single-valued within a group.
     */
-  private def groupStats(base: DataFrame, grpCols: Seq[String], valueCol: String): DataFrame = {
+  private def tiebreakFallback(base: DataFrame, orderCols: Seq[String]): Boolean =
+    orderCols.size >= 2 &&
+      base.schema(orderCols(1)).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+  /** The one stats pass: per-group n plus the leading order column's range
+    * — and, when the tiebreak fallback applies, the tiebreak column's range
+    * too (still the same single aggregate). Everything downstream derives
+    * from this pass.
+    */
+  private[operators] def groupStats(
+      base: DataFrame,
+      grpCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
     require(grpCols.nonEmpty, "grpCols must be non-empty (use a lit constant for global ranks)")
-    base
-      .groupBy(grpCols.map(col): _*)
-      .agg(
+    val head = orderCols.head
+    val aggs =
+      Seq(
         count(lit(1)).as("gr_n"),
-        min(col(valueCol)).as("gr_lo"),
-        max(col(valueCol)).as("gr_hi"))
+        min(col(head)).as("gr_lo"),
+        max(col(head)).as("gr_hi")) ++
+        (if (tiebreakFallback(base, orderCols))
+           Seq(min(col(orderCols(1))).as("gr_lo2"), max(col(orderCols(1))).as("gr_hi2"))
+         else Seq.empty)
+    base.groupBy(grpCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** `base` ⋈ broadcast(stats) plus the `gr_bin` column (fixed-width bin of
-    * `valueCol` over the group's [min, max]; a hi <= lo group degenerates
-    * to bin 0). The double-cast formula is monotonic non-decreasing in the
-    * value — all that correctness needs: bin EDGES never decide anything,
-    * target ranks do. `gr_n` is kept on every row (constant per group).
+    * the leading order column over the group's [min, max]). The double-cast
+    * formula is monotonic non-decreasing in the value — all that
+    * correctness needs: bin EDGES never decide anything, target ranks do.
+    * A group whose leading column is single-valued (hi <= lo) bins on the
+    * numeric tiebreak's range instead when one exists (order within such a
+    * group IS the tiebreak order, so monotonicity in the lexicographic key
+    * holds), else degenerates to bin 0. `gr_n` is kept on every row
+    * (constant per group).
     */
-  private def binned(
+  private[operators] def binned(
       base: DataFrame,
       grpCols: Seq[String],
-      valueCol: String,
+      orderCols: Seq[String],
       st: DataFrame,
       nBins: Int): DataFrame = {
-    val bin =
-      when(col("gr_hi") <= col("gr_lo"), lit(0))
-        .otherwise(
-          least(
-            lit(nBins - 1L),
-            floor(
-              (col(valueCol).cast("double") - col("gr_lo").cast("double")) /
-                (col("gr_hi").cast("double") - col("gr_lo").cast("double")) * nBins))
-            .cast("int"))
+    def binOn(c: Column, lo: Column, hi: Column): Column =
+      least(
+        lit(nBins - 1L),
+        floor((c.cast("double") - lo.cast("double")) / (hi.cast("double") - lo.cast("double")) * nBins))
+        .cast("int")
+    val headBin = binOn(col(orderCols.head), col("gr_lo"), col("gr_hi"))
+    val (bin, statCols) =
+      if (tiebreakFallback(base, orderCols)) {
+        val tbBin =
+          when(col("gr_hi2") <= col("gr_lo2"), lit(0))
+            .otherwise(binOn(col(orderCols(1)), col("gr_lo2"), col("gr_hi2")))
+        (when(col("gr_hi") <= col("gr_lo"), tbBin).otherwise(headBin),
+          Seq("gr_lo", "gr_hi", "gr_lo2", "gr_hi2"))
+      } else
+        (when(col("gr_hi") <= col("gr_lo"), lit(0)).otherwise(headBin),
+          Seq("gr_lo", "gr_hi"))
     base
       .join(broadcast(st), grpCols)
       .withColumn("gr_bin", bin)
-      .drop("gr_lo", "gr_hi")
+      .drop(statCols: _*)
   }
 
   /** Per-(group, bin) counts with running totals: `gr_cnt`, `gr_cum`
@@ -131,7 +168,7 @@ object RankOps {
       st: DataFrame,
       targetsDf: DataFrame,
       nBins: Int): DataFrame = {
-    val b = binned(base, grpCols, orderCols.head, st, nBins)
+    val b = binned(base, grpCols, orderCols, st, nBins)
     val cum = cumBins(b, grpCols)
     val grpEq = grpCols.map(g => col(s"t.$g") === col(s"c.$g")).reduce(_ && _)
     val bounds = broadcast(
@@ -173,7 +210,7 @@ object RankOps {
       orderCols: Seq[String],
       targets: DataFrame,
       nBins: Int = DefaultBins): DataFrame =
-    keysCore(base, grpCols, orderCols, groupStats(base, grpCols, orderCols.head), targets, nBins)
+    keysCore(base, grpCols, orderCols, groupStats(base, grpCols, orderCols), targets, nBins)
 
   /** [[keysAtRanks]] with ranks as (tid, rank-expression) pairs evaluated
     * against the stats row — the expression may reference `gr_n` (the
@@ -187,7 +224,7 @@ object RankOps {
       orderCols: Seq[String],
       targets: Seq[(Int, Column)],
       nBins: Int = DefaultBins): DataFrame = {
-    val st = groupStats(base, grpCols, orderCols.head)
+    val st = groupStats(base, grpCols, orderCols)
     val targetsDf = st
       .select(
         grpCols.map(col) :+ explode(array(targets.map { case (tid, rk) =>
@@ -279,8 +316,8 @@ object RankOps {
       orderCols: Seq[String],
       cutRank: Column,
       nBins: Int = DefaultBins): DataFrame = {
-    val st = groupStats(base, grpCols, orderCols.head)
-    val b = binned(base, grpCols, orderCols.head, st, nBins)
+    val st = groupStats(base, grpCols, orderCols)
+    val b = binned(base, grpCols, orderCols, st, nBins)
     val cum = cumBins(b, grpCols)
     val cutDf = st.select(grpCols.map(col) ++ Seq(col("gr_n"), cutRank.cast("long").as("gr_cut")): _*)
     val grpEq = grpCols.map(g => col(s"c.$g") === col(s"t.$g")).reduce(_ && _)
