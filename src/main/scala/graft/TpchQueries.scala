@@ -631,7 +631,7 @@ object TpchQueries {
     // cached aggregate. DESC dimensions (frequency, monetary) negate the
     // column; o_custkey tiebreak keeps every key strictly unique.
     "rfm_segments" -> ((s, dir) => {
-      // the customer aggregate feeds the max-day scalar AND the scoring —
+      // the customer aggregate feeds the cut-key passes AND the scoring —
       // persist via the session registry or orders scans twice
       val perCust = graft.operators.DedupOps.registerCache(
         Tables.orders(s, dir)
@@ -641,10 +641,11 @@ object TpchQueries {
             count(lit(1)).as("freq"),
             sum(cents(col("o_totalprice"))).as("monetary_c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val maxDay = perCust.agg(max(col("last_day")).as("max_day"))
-      val scored = perCust
-        .crossJoin(broadcast(maxDay))
-        .withColumn("recency_days", col("max_day") - col("last_day"))
+      // recency_days = max_day − last_day is strictly decreasing in
+      // last_day and never reaches the output, so the recency quintile
+      // orders identically by (−last_day, custkey) — the max-day scalar
+      // pass + broadcast the oracle's formulation implies is elided
+      val scored = perCust.withColumn("recency_key", -col("last_day"))
       import graft.operators.RankOps
       // long form: one (dim, v, custkey) row per dimension per customer —
       // ONE ntileCuts call (one stats pass, one bin histogram, one
@@ -653,7 +654,7 @@ object TpchQueries {
       val longForm = scored.select(
         col("o_custkey"),
         explode(array(
-          struct(lit(1).as("dim"), col("recency_days").as("v")),
+          struct(lit(1).as("dim"), col("recency_key").as("v")),
           struct(lit(2).as("dim"), (-col("freq")).as("v")),
           struct(lit(3).as("dim"), (-col("monetary_c")).as("v")))).as("t"))
         .select(col("t.dim").as("dim"), col("t.v").as("v"), col("o_custkey"))
@@ -665,7 +666,7 @@ object TpchQueries {
       def key(v: Column) = struct(v.as("v"), col("o_custkey"))
       scored
         .crossJoin(cutsWide)
-        .withColumn("r", RankOps.ntileBucketExpr(key(col("recency_days")), 5, "c1_"))
+        .withColumn("r", RankOps.ntileBucketExpr(key(col("recency_key")), 5, "c1_"))
         .withColumn("f", RankOps.ntileBucketExpr(key(-col("freq")), 5, "c2_"))
         .withColumn("m", RankOps.ntileBucketExpr(key(-col("monetary_c")), 5, "c3_"))
         .withColumn("segment", col("r") * lit(100) + col("f") * lit(10) + col("m"))
