@@ -37,8 +37,10 @@ class RankOpsSpec extends SparkSpec {
       .map { case ((g, v), i) => (g, v, i.toLong) }
       .toDF("grp", "v", "id")
 
-  test("rankBuckets == ntile(k) over (v, id) per group, any k, dense ties") {
-    check(Prop.forAll(corpusGen, Gen.chooseNum(2, 7)) { (rows, k) =>
+  test("rankBuckets == ntile(k) over (v, id) per group, any k, dense ties, any nBins") {
+    // nBins down to 1 forces every row through the "boundary bin" path —
+    // the rank arithmetic must hold when binning gives no pruning at all
+    check(Prop.forAll(corpusGen, Gen.chooseNum(2, 7), Gen.oneOf(1, 2, 3, 8)) { (rows, k, nb) =>
       val df = toDf(rows)
       val expected = df
         .withColumn(
@@ -46,7 +48,7 @@ class RankOpsSpec extends SparkSpec {
           ntile(k).over(Window.partitionBy($"grp").orderBy($"v", $"id")))
         .select($"grp", $"id", $"b")
       val got = RankOps
-        .rankBuckets(df, Seq("grp"), Seq("v", "id"), k, "b", nBins = 8)
+        .rankBuckets(df, Seq("grp"), Seq("v", "id"), k, "b", nBins = nb)
         .select($"grp", $"id", $"b")
       got.except(expected).isEmpty && expected.except(got).isEmpty
     }, n = 25)
@@ -123,8 +125,8 @@ class RankOpsSpec extends SparkSpec {
     assert(RankOps.keysAtRanks(df, Seq("grp"), Seq("v"), targets, nBins = 8).isEmpty)
   }
 
-  test("rowsAboveRank == rows with row_number > cut, with exact positions") {
-    check(Prop.forAll(corpusGen, Gen.chooseNum(0L, 10L)) { (rows, cut) =>
+  test("rowsAboveRank == rows with row_number > cut, with exact positions, any nBins") {
+    check(Prop.forAll(corpusGen, Gen.chooseNum(0L, 10L), Gen.oneOf(1, 2, 3, 8)) { (rows, cut, nb) =>
       val df = toDf(rows)
       val expected = df
         .withColumn(
@@ -133,7 +135,7 @@ class RankOpsSpec extends SparkSpec {
         .filter($"gr_pos" > cut)
         .select($"grp", $"id", $"gr_pos")
       val got = RankOps
-        .rowsAboveRank(df, Seq("grp"), Seq("v", "id"), lit(cut), nBins = 8)
+        .rowsAboveRank(df, Seq("grp"), Seq("v", "id"), lit(cut), nBins = nb)
         .select($"grp", $"id", $"gr_pos")
       got.except(expected).isEmpty && expected.except(got).isEmpty
     }, n = 25)
