@@ -34,8 +34,10 @@ import graft.core.{BinMethod, BinSpec}
   */
 object RasterAggScans {
 
-  /** The shared stub pixel stream (identical to the raw reader's — same
-    * splitmix64 sequence, every 97th pixel NaN).
+  /** The shared STUB pixel stream (splitmix64 seeded by the URI, every
+    * 97th pixel NaN) — since round 8 used only for offline-unreachable
+    * network schemes; openable URIs real-decode via [[GeoTiff]] (see
+    * [[RasterDecode]]).
     */
   final class PixelStream(tileUri: String, val pixels: Long) {
     private var state: Long = {
@@ -71,7 +73,7 @@ final class RasterStatsReaderFactory(required: StructType) extends PartitionRead
   */
 final class RasterStatsPartitionReader(tileUri: String, pixels: Long, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val stream = new RasterAggScans.PixelStream(tileUri, pixels)
+  private val stream = RasterDecode.open(tileUri, pixels)
   private var done = false
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
@@ -87,6 +89,7 @@ final class RasterStatsPartitionReader(tileUri: String, pixels: Long, required: 
         n += 1
       }
     }
+    stream.close()
     done = true
     n > 0
   }
@@ -146,7 +149,7 @@ final class RasterHistPartitionReader(
   }
 
   private def fill(): Unit = {
-    val stream = new RasterAggScans.PixelStream(tileUri, pixels)
+    val stream = RasterDecode.open(tileUri, pixels)
     while (stream.next()) {
       val v = stream.value()
       if (!java.lang.Double.isNaN(v)) {
@@ -158,6 +161,7 @@ final class RasterHistPartitionReader(
         }
       }
     }
+    stream.close()
     filled = true
   }
 

@@ -17,11 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * nodata (filtered by F1 downstream, never here — scan semantics match the
   * reference, which reads raw pixels and strips NaN as a separate step).
   *
-  * The pixel DECODE is stubbed (GDAL/rasterio are unavailable offline): a
-  * deterministic per-tile PRNG generates the band, with every 97th pixel
-  * NaN. A real implementation replaces ONLY `RasterPartitionReader.decode`
-  * with a GeoTIFF reader over the opened URI — partition planning, schema,
-  * column pruning, and row production are production-shaped.
+  * Pixel DECODE (round 8): REAL for every URI the cluster can open —
+  * [[GeoTiff.PixelCursor]], a pure-JVM TIFF/BigTIFF band-1 decoder
+  * (strips/tiles, LZW/Deflate/PackBits, predictors 1-3, uint/int/float
+  * 8-64 bit, GDAL_NODATA→NaN) validated against the JDK ImageIO TIFF
+  * encoder in `GeoTiffSpec`. Only offline-unreachable network schemes
+  * (the reference's own `s3://gfw-data/...` fixtures) fall back to a
+  * deterministic per-tile PRNG stub with every 97th pixel NaN — dispatch
+  * is by scheme, never by open-failure ([[RasterDecode]]).
   *
   * Usage:
   * {{{
@@ -198,37 +201,16 @@ final class RasterPartitionReader(tileUri: String, pixels: Long, required: Struc
   private val row =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fieldIsUri.length)
 
-  // --- STUB DECODE ---------------------------------------------------
-  // Real implementation: open `tileUri` (S3A / GDAL vsis3), read band 1
-  // block-by-block, emit each pixel. Here: splitmix64 PRNG seeded by the
-  // URI hash; every 97th pixel is NaN nodata.
-  private var state: Long = {
-    var h = 1125899906842597L
-    tileUri.foreach(c => h = 31 * h + c)
-    h
-  }
-  private def nextPixel(i: Long): Double = {
-    state += 0x9e3779b97f4a7c15L
-    var z = state
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    if (i % 97 == 96) Double.NaN
-    else (z >>> 11).toDouble / (1L << 53).toDouble * 1000.0 // uniform [0, 1000)
-  }
-  // -------------------------------------------------------------------
+  // Real TIFF decode for openable URIs, deterministic stub for offline
+  // network schemes — see [[RasterDecode]]. Band-1 pixels stream one
+  // decompressed block at a time; NaN marks nodata (GDAL_NODATA mapped in
+  // the decoder), filtered downstream by F1, never here.
+  private val cursor = RasterDecode.open(tileUri, pixels)
 
-  private var i: Long = -1
-  private var current: Double = 0.0
-
-  override def next(): Boolean = {
-    i += 1
-    if (i >= pixels) return false
-    current = nextPixel(i)
-    true
-  }
+  override def next(): Boolean = cursor.next()
 
   override def get(): InternalRow = {
+    val current = cursor.value()
     var j = 0
     while (j < fieldIsUri.length) {
       row.update(j, if (fieldIsUri(j)) uriUtf8 else current)
@@ -237,5 +219,5 @@ final class RasterPartitionReader(tileUri: String, pixels: Long, required: Struc
     row
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = cursor.close()
 }
