@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §7.6): image/audio/video payloads are
   * opaque `binary` columns with typed metadata; decode/feature-extraction
-  * runs per-partition so a real implementation can batch into a native
-  * decoder.
+  * runs per-partition so a decoder can batch across records.
   *
-  * The decode step is STUBBED — media codecs are unavailable offline — with
-  * a deterministic byte-level featurizer. Everything around it (binary
-  * schema, metadata struct, partition-iterator batching, typed output
-  * schema) is the real production shape: swapping the stub for a JNI/FFI
-  * decoder changes one function body.
+  * Decode (round 8): REAL for image mimes the JVM decodes natively —
+  * `image/png`/`jpeg`/`gif`/`bmp` go through ImageIO and featurize from the
+  * decoded raster (per-band mean luminance; undecodable image payloads fail
+  * LOUDLY with the doc_id, never silently). Other mimes (audio/video —
+  * codecs unavailable offline; and the corpus's `text/plain` stand-ins)
+  * keep the deterministic byte-level featurizer, which is also what the
+  * DuckDB oracle reproduces. The partition-iterator batching, binary
+  * schema, and typed output are the production shape either way: adding an
+  * audio/video codec extends one mime dispatch.
   */
 object MultimodalOps {
 
@@ -34,12 +37,14 @@ object MultimodalOps {
       encode(col("text"), "UTF-8").as("payload"),
       lit("text/plain").as("mime"))
 
-  /** STUB decoder: deterministic features from raw bytes.
-    *
-    * Real path: `it.grouped(batchSize)` → hand each batch of payloads to a
-    * native decoder (libjpeg/ffmpeg/...) → emit per-record features. The
-    * mapPartitions shape (iterator in, iterator out, no per-row JVM↔native
-    * crossing) is what makes that efficient; it is preserved here.
+  private val ImageMimes = Set("image/png", "image/jpeg", "image/gif", "image/bmp")
+
+  /** Feature extraction with a per-mime decode dispatch: image mimes decode
+    * for REAL via ImageIO and featurize from the raster (dim horizontal
+    * bands, mean Rec.601 luminance per band — deterministic integer
+    * arithmetic); everything else featurizes the raw bytes. The
+    * mapPartitions shape (iterator in, iterator out, one decoder context
+    * per partition) is what a native audio/video codec would also batch at.
     */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
@@ -55,15 +60,40 @@ object MultimodalOps {
         md.reset()
         val hex = md.digest(bytes).map(b => f"$b%02x").mkString
         val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        // fake "embedding": mean byte value per contiguous chunk
-        val feat = Array.tabulate(dim) { d =>
-          val lo = d * bytes.length / dim
-          val hi = math.max(lo + 1, (d + 1) * bytes.length / dim)
-          var s = 0L
-          var j = lo
-          while (j < math.min(hi, bytes.length)) { s += (bytes(j) & 0xff); j += 1 }
-          s.toFloat / (hi - lo) / 255f
-        }
+        val feat =
+          if (ImageMimes.contains(r.mime)) {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"undecodable ${r.mime} payload for doc ${r.doc_id}")
+            val (w, hI) = (img.getWidth, img.getHeight)
+            Array.tabulate(dim) { d =>
+              val y0 = d * hI / dim
+              val y1 = math.min(math.max(y0 + 1, (d + 1) * hI / dim), hI)
+              var s = 0L
+              var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  s += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              s.toFloat / n / 255f
+            }
+          } else {
+            // non-image payload: mean byte value per contiguous chunk
+            Array.tabulate(dim) { d =>
+              val lo = d * bytes.length / dim
+              val hi = math.max(lo + 1, (d + 1) * bytes.length / dim)
+              var s = 0L
+              var j = lo
+              while (j < math.min(hi, bytes.length)) { s += (bytes(j) & 0xff); j += 1 }
+              s.toFloat / (hi - lo) / 255f
+            }
+          }
         MediaFeatures(r.doc_id, bytes.length, h, feat)
       }
     }

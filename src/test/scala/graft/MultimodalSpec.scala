@@ -40,4 +40,47 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(a == b)
   }
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image mimes decode for real: band luminance features from the raster") {
+    import MultimodalOps._
+    // top half black, bottom half white → dim=2 bands [0, 1]; solid
+    // mid-gray (128) → both bands 128/255
+    val records = Seq(
+      MediaRecord(1L, png(8, 8)((_, y) => if (y < 4) 0x000000 else 0xffffff), "image/png"),
+      MediaRecord(2L, png(8, 8)((_, _) => 0x808080), "image/png"))
+    val out = extractFeatures(spark.createDataset(records), dim = 2)
+      .collect().map(f => f.doc_id -> f.feat).toMap
+    assert(out(1L)(0) == 0f && out(1L)(1) == 1f)
+    assert(out(2L)(0) == 128f / 255f && out(2L)(1) == 128f / 255f)
+  }
+
+  test("undecodable image payload fails loudly with the doc_id") {
+    import MultimodalOps._
+    val bad = spark.createDataset(
+      Seq(MediaRecord(42L, Array[Byte](1, 2, 3), "image/png")))
+    val e = intercept[org.apache.spark.SparkException](
+      extractFeatures(bad, dim = 2).collect())
+    assert(e.getMessage.contains("42") ||
+      Option(e.getCause).exists(_.getMessage.contains("42")))
+  }
+
+  test("non-image mimes keep the oracle-reproducible byte featurizer") {
+    import MultimodalOps._
+    val payload = "hello media".getBytes("UTF-8")
+    val out = extractFeatures(
+      spark.createDataset(Seq(MediaRecord(7L, payload, "text/plain"))), dim = 2)
+      .head()
+    // mean byte value per half, as the DuckDB oracle computes it
+    val (a, b) = payload.splitAt(payload.length / 2)
+    assert(out.feat(0) == a.map(_ & 0xff).sum.toFloat / a.length / 255f)
+    assert(out.feat(1) == b.map(_ & 0xff).sum.toFloat / b.length / 255f)
+  }
 }
