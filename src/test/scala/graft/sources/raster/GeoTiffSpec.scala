@@ -446,6 +446,52 @@ class GeoTiffSpec extends graft.SparkSpec {
     assert(hist == expectedHist)
   }
 
+  test("full reference pipeline over a REAL tile list: 2-pass pushed == raw == in-memory") {
+    // three real GeoTIFFs of different shapes: two uint8 LZW from ImageIO,
+    // one float32 deflate predictor-3 with nodata from the builder
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiles")
+    dir.toFile.deleteOnExit()
+    val p1 = rnd(21, 40 * 30, 1, 250).map(_.toDouble)
+    val p2 = rnd(22, 64 * 20, 1, 250).map(_.toDouble)
+    val r3 = new scala.util.Random(23)
+    val p3 = Array.fill(35 * 18)(if (r3.nextInt(7) == 0) -1.0 else r3.nextInt(24000) / 100.0)
+    val uris = Seq(
+      ("a.tif", imageIoTiff(p1.map(_.toInt), 40, 30,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY, Some("LZW"))),
+      ("b.tif", imageIoTiff(p2.map(_.toInt), 64, 20,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY, Some("LZW"))),
+      ("c.tif", buildTiff(p3, 35, 18, 32, 3, comp = 8, predictor = 3,
+        tile = Some((16, 16)), nodata = Some("-1")))).map { case (name, bytes) =>
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, bytes)
+      "file://" + f.toAbsolutePath
+    }
+    val listFile = dir.resolve("tiles.txt")
+    java.nio.file.Files.write(
+      listFile, uris.mkString("\n").getBytes("UTF-8"))
+
+    import graft.{HistogramConfig, HistogramRunner}
+    val cfg = HistogramConfig(valueCol = "value")
+    // pass 1+2 pushed into the scan (stats/hist modes decode for real)
+    val pushed = HistogramRunner
+      .runPushed(spark, listFile.toString, 0L, cfg)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // raw values scan through the engine-side two-pass pipeline
+    val rawScan = spark.read.format("graft.sources.raster.RasterSource")
+      .option("tileListPath", listFile.toString).load()
+    val raw = HistogramRunner.run(rawScan, cfg)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // in-memory DataFrame of the known pixel values (nodata -1 -> NaN)
+    import spark.implicits._
+    val mem = (p1 ++ p2 ++ p3.map(v =>
+      if (v == -1.0) Double.NaN else v.toFloat.toDouble)).toSeq.toDF("value")
+    val expected = HistogramRunner.run(mem, cfg)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(pushed == expected)
+    assert(raw == expected)
+    assert(expected.values.sum == (p1.length + p2.length + p3.count(_ != -1.0)).toLong)
+  }
+
   test("s3:// URIs still stream the deterministic stub (offline fixtures)") {
     assert(RasterDecode.isStubUri("s3://gfw-data/tile.tif"))
     assert(!RasterDecode.isStubUri("file:///tmp/x.tif"))
