@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode/feature-extraction
   * runs per-partition so a decoder can batch across records.
   *
-  * Decode (round 8): REAL for image mimes the JVM decodes natively —
-  * `image/png`/`jpeg`/`gif`/`bmp` go through ImageIO and featurize from the
-  * decoded raster (per-band mean luminance; undecodable image payloads fail
-  * LOUDLY with the doc_id, never silently). Other mimes (audio/video —
-  * codecs unavailable offline; and the corpus's `text/plain` stand-ins)
-  * keep the deterministic byte-level featurizer, which is also what the
-  * DuckDB oracle reproduces. The partition-iterator batching, binary
-  * schema, and typed output are the production shape either way: adding an
-  * audio/video codec extends one mime dispatch.
+  * Decode (round 8): REAL for the formats the JVM decodes natively —
+  * `image/png`/`jpeg`/`gif`/`bmp` through ImageIO (per-band mean luminance
+  * of the decoded raster) and `audio/wav`/`aiff` PCM through
+  * javax.sound.sampled (per-band RMS energy of channel 0); undecodable
+  * claimed payloads fail LOUDLY with the doc_id, never silently. Mimes
+  * with no offline decoder (video, compressed audio) and the corpus's
+  * `text/plain` stand-ins keep the deterministic byte-level featurizer,
+  * which is also what the DuckDB oracle reproduces. The partition-iterator
+  * batching, binary schema, and typed output are the production shape
+  * either way: adding another codec extends one mime dispatch.
   */
 object MultimodalOps {
 
@@ -38,6 +39,41 @@ object MultimodalOps {
       lit("text/plain").as("mime"))
 
   private val ImageMimes = Set("image/png", "image/jpeg", "image/gif", "image/bmp")
+  private val AudioMimes = Set("audio/wav", "audio/x-wav", "audio/aiff", "audio/x-aiff")
+
+  /** Real PCM decode for JVM-native audio containers (WAV/AIFF via
+    * javax.sound.sampled): channel-0 samples as doubles in [-1, 1].
+    * Compressed codecs (mp3/ogg/flac) have no offline decoder — their
+    * mimes are not claimed, so they take the byte-featurizer path.
+    */
+  private def decodePcm(bytes: Array[Byte], docId: Long): Array[Double] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8),
+        s"unsupported audio encoding ${fmt.getEncoding}/${fmt.getSampleSizeInBits}bit for doc $docId")
+      val raw = in.readAllBytes()
+      val frame = fmt.getFrameSize
+      val n = raw.length / frame
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val o = i * frame // channel 0 leads each frame
+        out(i) =
+          if (fmt.getSampleSizeInBits == 16) {
+            val s =
+              if (fmt.isBigEndian) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+              else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+            s.toDouble / 32768.0
+          } else raw(o).toDouble / 128.0
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
 
   /** Feature extraction with a per-mime decode dispatch: image mimes decode
     * for REAL via ImageIO and featurize from the raster (dim horizontal
@@ -83,8 +119,20 @@ object MultimodalOps {
               }
               s.toFloat / n / 255f
             }
+          } else if (AudioMimes.contains(r.mime)) {
+            // real PCM decode: per-band RMS energy over dim time bands
+            val pcm = decodePcm(bytes, r.doc_id)
+            require(pcm.nonEmpty, s"empty audio stream for doc ${r.doc_id}")
+            Array.tabulate(dim) { d =>
+              val lo = d * pcm.length / dim
+              val hi = math.min(math.max(lo + 1, (d + 1) * pcm.length / dim), pcm.length)
+              var s = 0.0
+              var j = lo
+              while (j < hi) { s += pcm(j) * pcm(j); j += 1 }
+              math.sqrt(s / (hi - lo)).toFloat
+            }
           } else {
-            // non-image payload: mean byte value per contiguous chunk
+            // opaque payload: mean byte value per contiguous chunk
             Array.tabulate(dim) { d =>
               val lo = d * bytes.length / dim
               val hi = math.max(lo + 1, (d + 1) * bytes.length / dim)

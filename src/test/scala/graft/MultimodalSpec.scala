@@ -72,6 +72,47 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("42")))
   }
 
+  private def wav(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio/wav decodes real PCM: band RMS energy, silence vs half-scale square") {
+    import MultimodalOps._
+    // first half silence, second half a +/-16384 square wave: dim=2 RMS
+    // bands are exactly [0, 0.5]
+    val samples = Array.fill(400)(0.toShort) ++
+      Array.tabulate(400)(i => (if (i % 2 == 0) 16384 else -16384).toShort)
+    val out = extractFeatures(
+      spark.createDataset(Seq(MediaRecord(9L, wav(samples), "audio/wav"))), dim = 2)
+      .head()
+    assert(out.feat(0) == 0f)
+    assert(out.feat(1) == 0.5f)
+  }
+
+  test("undecodable audio payload fails loudly with the doc_id") {
+    import MultimodalOps._
+    val bad = spark.createDataset(
+      Seq(MediaRecord(43L, Array[Byte](9, 9, 9, 9), "audio/wav")))
+    val e = intercept[org.apache.spark.SparkException](
+      extractFeatures(bad, dim = 2).collect())
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(m =>
+        m.contains("43") || m.toLowerCase.contains("audio") || m.toLowerCase.contains("stream")) ||
+        mentions(t.getCause))
+    assert(mentions(e))
+  }
+
   test("non-image mimes keep the oracle-reproducible byte featurizer") {
     import MultimodalOps._
     val payload = "hello media".getBytes("UTF-8")
