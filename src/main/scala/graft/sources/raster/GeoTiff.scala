@@ -83,8 +83,13 @@ object GeoTiff {
       byteCounts: Array[Long],
       nodata: Option[Double])
 
-  /** Parse the header + first IFD into a normalized block layout. */
-  def readLayout(in: SeekableBytes): Layout = {
+  /** Parse the header + the `ifdIndex`-th image directory into a
+    * normalized block layout. Index 0 is the full-resolution image; in a
+    * cloud-optimized GeoTIFF indices 1.. are the overview pyramid
+    * (2×/4×/... downsamples) — the fast-approximate scan path: a
+    * histogram of overview n touches 4^-n of the pixels.
+    */
+  def readLayout(in: SeekableBytes, ifdIndex: Int = 0): Layout = {
     val hdr = new Array[Byte](16)
     in.readFully(0, hdr, 0, 16)
     val le = (hdr(0), hdr(1)) match {
@@ -117,15 +122,29 @@ object GeoTiff {
         true
       case m => throw new IllegalArgumentException(s"not a TIFF: magic $m")
     }
-    val ifdOff = if (big) u64(hdr, 8) else u32(hdr, 4)
+    // walk the IFD chain to the requested directory (each IFD ends with a
+    // pointer to the next; 0 terminates)
+    var ifdOff = if (big) u64(hdr, 8) else u32(hdr, 4)
+    val entrySize = if (big) 20 else 12
+    def entryCountAt(off: Long): Int = {
+      val cb = new Array[Byte](8)
+      if (big) { in.readFully(off, cb, 0, 8); u64(cb, 0).toInt }
+      else { in.readFully(off, cb, 0, 2); u16(cb, 0) }
+    }
+    var skip = ifdIndex
+    while (skip > 0) {
+      val n = entryCountAt(ifdOff)
+      val nextPos = ifdOff + (if (big) 8 else 2) + n.toLong * entrySize
+      val nb = new Array[Byte](8)
+      in.readFully(nextPos, nb, 0, if (big) 8 else 4)
+      val nextOff = if (big) u64(nb, 0) else u32(nb, 0)
+      require(nextOff != 0, s"TIFF has no IFD $ifdIndex (chain ends at ${ifdIndex - skip})")
+      ifdOff = nextOff
+      skip -= 1
+    }
 
     // entry: tag(2) type(2) count(4|8) value(4|8)
-    val entrySize = if (big) 20 else 12
-    val nEntries = {
-      val cb = new Array[Byte](8)
-      if (big) { in.readFully(ifdOff, cb, 0, 8); u64(cb, 0).toInt }
-      else { in.readFully(ifdOff, cb, 0, 2); u16(cb, 0) }
-    }
+    val nEntries = entryCountAt(ifdOff)
     val entriesOff = ifdOff + (if (big) 8 else 2)
     val entries = new Array[Byte](nEntries * entrySize)
     in.readFully(entriesOff, entries, 0, entries.length)
@@ -395,8 +414,8 @@ object GeoTiff {
   /** Streams band-1 samples of every block in order, tile padding clipped,
     * nodata mapped to NaN. One decompressed block lives at a time.
     */
-  final class PixelCursor(in: SeekableBytes) {
-    private val layout = readLayout(in)
+  final class PixelCursor(in: SeekableBytes, ifdIndex: Int = 0) {
+    private val layout = readLayout(in, ifdIndex)
     private val le = { // re-detect byte order for the sample views
       val h = new Array[Byte](2); in.readFully(0, h, 0, 2); h(0) == 'I'
     }

@@ -62,7 +62,7 @@ object RasterAggScans {
 final class RasterStatsReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RasterInputPartition]
-    new RasterStatsPartitionReader(p.tileUri, p.pixels, required)
+    new RasterStatsPartitionReader(p.tileUri, p.pixels, required, p.overview)
   }
 }
 
@@ -71,9 +71,13 @@ final class RasterStatsReaderFactory(required: StructType) extends PartitionRead
   * matching the reference's `None`-and-filter (main.py:139-140, 211-219)
   * and Spark's null-skipping agg semantics downstream.
   */
-final class RasterStatsPartitionReader(tileUri: String, pixels: Long, required: StructType)
+final class RasterStatsPartitionReader(
+    tileUri: String,
+    pixels: Long,
+    required: StructType,
+    overview: Int = 0)
     extends PartitionReader[InternalRow] {
-  private val stream = RasterDecode.open(tileUri, pixels)
+  private val stream = RasterDecode.open(tileUri, pixels, overview)
   private var done = false
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
@@ -120,7 +124,7 @@ final class RasterHistReaderFactory(
     legacyLogOffset100: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RasterInputPartition]
-    new RasterHistPartitionReader(p.tileUri, p.pixels, required, spec, legacyLogOffset100)
+    new RasterHistPartitionReader(p.tileUri, p.pixels, required, spec, legacyLogOffset100, p.overview)
   }
 }
 
@@ -133,7 +137,8 @@ final class RasterHistPartitionReader(
     pixels: Long,
     required: StructType,
     spec: BinSpec,
-    legacyLogOffset100: Boolean) extends PartitionReader[InternalRow] {
+    legacyLogOffset100: Boolean,
+    overview: Int = 0) extends PartitionReader[InternalRow] {
 
   private val uriUtf8 = UTF8String.fromString(tileUri)
   private val counts = new Array[Long](math.max(spec.bins, 0))
@@ -149,7 +154,7 @@ final class RasterHistPartitionReader(
   }
 
   private def fill(): Unit = {
-    val stream = RasterDecode.open(tileUri, pixels)
+    val stream = RasterDecode.open(tileUri, pixels, overview)
     while (stream.next()) {
       val v = stream.value()
       if (!java.lang.Double.isNaN(v)) {

@@ -30,12 +30,12 @@ object RasterDecode {
     catch { case _: java.net.URISyntaxException => None })
       .exists(s => StubSchemes.contains(s.toLowerCase))
 
-  def open(tileUri: String, stubPixels: Long): Cursor =
+  def open(tileUri: String, stubPixels: Long, overview: Int = 0): Cursor =
     if (isStubUri(tileUri)) stub(tileUri, stubPixels)
     else {
       val in = new GeoTiff.HadoopSeekable(tileUri)
       val cur =
-        try new GeoTiff.PixelCursor(in)
+        try new GeoTiff.PixelCursor(in, overview)
         catch { case e: Throwable => in.close(); throw e }
       new Cursor {
         def next(): Boolean = cur.next()

@@ -33,6 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("tileListPath", "s3://b/tiles.txt")     // one URI per line
   *     .option("pixelsPerTile", "40000")   // stub band size
   *     .option("mode", "values")           // values (default) | stats | hist
+  *     .option("overview", "1")            // COG pyramid IFD (default 0 = full)
   *     .load()
   * }}}
   *
@@ -160,8 +161,12 @@ final class RasterScan(
     with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    tiles().map(t => RasterInputPartition(t, pixelsPerTile): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    // overview n reads the n-th IFD of a cloud-optimized GeoTIFF — the
+    // 4^-n-pixel approximate scan path (stub URIs ignore it)
+    val overview = Option(properties.get("overview")).map(_.toInt).getOrElse(0)
+    tiles().map(t => RasterInputPartition(t, pixelsPerTile, overview): InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory = mode match {
     case "values" => new RasterReaderFactory(required)
     case "stats"  => new RasterStatsReaderFactory(required)
@@ -180,16 +185,21 @@ final class RasterScan(
   }
 }
 
-final case class RasterInputPartition(tileUri: String, pixels: Long) extends InputPartition
+final case class RasterInputPartition(tileUri: String, pixels: Long, overview: Int = 0)
+    extends InputPartition
 
 final class RasterReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RasterInputPartition]
-    new RasterPartitionReader(p.tileUri, p.pixels, required)
+    new RasterPartitionReader(p.tileUri, p.pixels, required, p.overview)
   }
 }
 
-final class RasterPartitionReader(tileUri: String, pixels: Long, required: StructType)
+final class RasterPartitionReader(
+    tileUri: String,
+    pixels: Long,
+    required: StructType,
+    overview: Int = 0)
     extends PartitionReader[InternalRow] {
 
   private val uriUtf8 = UTF8String.fromString(tileUri)
@@ -205,7 +215,7 @@ final class RasterPartitionReader(tileUri: String, pixels: Long, required: Struc
   // network schemes — see [[RasterDecode]]. Band-1 pixels stream one
   // decompressed block at a time; NaN marks nodata (GDAL_NODATA mapped in
   // the decoder), filtered downstream by F1, never here.
-  private val cursor = RasterDecode.open(tileUri, pixels)
+  private val cursor = RasterDecode.open(tileUri, pixels, overview)
 
   override def next(): Boolean = cursor.next()
 

@@ -492,6 +492,48 @@ class GeoTiffSpec extends graft.SparkSpec {
     assert(expected.values.sum == (p1.length + p2.length + p3.count(_ != -1.0)).toLong)
   }
 
+  test("overview IFDs: multi-page TIFF reads the n-th directory (COG pyramid path)") {
+    val full = rnd(31, 64 * 64, 0, 256)
+    val half = rnd(32, 32 * 32, 0, 256)
+    def gray(pix: Array[Int], w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setPixels(0, 0, w, h, pix)
+      img
+    }
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(new javax.imageio.IIOImage(gray(full, 64, 64), null, null), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(gray(half, 32, 32), null, null), null)
+    writer.endWriteSequence()
+    ios.flush(); writer.dispose()
+    val bytes = bos.toByteArray
+
+    // direct cursor per IFD
+    def all(idx: Int) = {
+      val cur = new GeoTiff.PixelCursor(new GeoTiff.ByteArraySeekable(bytes), idx)
+      val b = Vector.newBuilder[Double]
+      while (cur.next()) b += cur.value()
+      b.result()
+    }
+    assert(all(0) == full.map(_.toDouble).toVector)
+    assert(all(1) == half.map(_.toDouble).toVector)
+    assertThrows[IllegalArgumentException](all(2))
+
+    // through the DSv2 option
+    val tif = java.io.File.createTempFile("graft-cog", ".tif")
+    tif.deleteOnExit()
+    java.nio.file.Files.write(tif.toPath, bytes)
+    val ov = spark.read.format("graft.sources.raster.RasterSource")
+      .option("tiles", "file://" + tif.getAbsolutePath)
+      .option("overview", "1").load()
+      .select(org.apache.spark.sql.functions.col("value"))
+      .collect().map(_.getDouble(0)).toVector
+    assert(ov == half.map(_.toDouble).toVector)
+  }
+
   test("s3:// URIs still stream the deterministic stub (offline fixtures)") {
     assert(RasterDecode.isStubUri("s3://gfw-data/tile.tif"))
     assert(!RasterDecode.isStubUri("file:///tmp/x.tif"))
