@@ -92,8 +92,10 @@ class GeoTiffSpec extends graft.SparkSpec {
     out.toByteArray
   }
 
-  /** Byte-level TIFF builder (spp = 1): classic/BigTIFF, LE/BE, strips or
-    * tiles, compression none/deflate, predictor 1/2/3, any sample type.
+  /** Byte-level TIFF builder: classic/BigTIFF, LE/BE, strips or tiles,
+    * compression none/deflate, predictor 1/2/3, any sample type, chunky or
+    * planar multi-sample (`pix` holds band 0; `laneGen` synthesizes lanes
+    * 1..spp-1 from the band-0 value — the decoder must ignore them).
     */
   private def buildTiff(
       pix: Array[Double],
@@ -107,7 +109,10 @@ class GeoTiffSpec extends graft.SparkSpec {
       predictor: Int = 1,
       rowsPerStrip: Int = 0, // 0 → one strip of h rows
       tile: Option[(Int, Int)] = None,
-      nodata: Option[String] = None): Array[Byte] = {
+      nodata: Option[String] = None,
+      spp: Int = 1,
+      planar: Int = 1,
+      laneGen: (Double, Int) => Double = (v, lane) => v + lane): Array[Byte] = {
     val bytesPer = bits / 8
     val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
 
@@ -117,12 +122,15 @@ class GeoTiffSpec extends graft.SparkSpec {
       case (_, 8)  => bb.put(v.toLong.toByte)
       case (_, 16) => bb.putShort(v.toLong.toShort)
       case (_, 32) => bb.putInt(v.toLong.toInt)
-      case (_, 64) => bb.putLong(v.toLong)
-      case x       => fail(s"unsupported builder shape $x")
+      case (_, 64) => // two's-complement wrap so 2^63.. unsigned values encode
+        bb.putLong(new java.math.BigDecimal(v).toBigInteger.longValue)
+      case x => fail(s"unsupported builder shape $x")
     }
 
-    // rows → one block's bytes, predictor applied
-    def encodeBlock(rows: Array[Array[Double]], cols: Int): Array[Byte] = {
+    // rows of SAMPLES (already interleaved for chunky) → block bytes,
+    // predictor applied with the given lane stride
+    def encodeBlock(rows: Array[Array[Double]], lanes: Int): Array[Byte] = {
+      val cols = rows.head.length
       val bb = ByteBuffer.allocate(rows.length * cols * bytesPer).order(order)
       if (predictor == 3) {
         // serialize each row to BIG-endian value bytes, split into
@@ -142,7 +150,8 @@ class GeoTiffSpec extends graft.SparkSpec {
         for (row <- rows) {
           val vals =
             if (predictor == 2)
-              row.indices.map(x => if (x == 0) row(0) else diffMod(row(x), row(x - 1))).toArray
+              row.indices.map(x =>
+                if (x < lanes) row(x) else diffMod(row(x), row(x - lanes))).toArray
             else row
           vals.foreach(v => putSample(bb, v))
         }
@@ -162,25 +171,31 @@ class GeoTiffSpec extends graft.SparkSpec {
       case Some((tw, th)) => (tw, th, true)
       case None           => (w, if (rowsPerStrip > 0) rowsPerStrip else h, false)
     }
-    val blocks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    if (tiled) {
-      for {
-        ty <- 0 until (h + blockH - 1) / blockH
-        tx <- 0 until (w + blockW - 1) / blockW
-      } {
-        val rows = Array.tabulate(blockH) { ry =>
-          Array.tabulate(blockW) { rx =>
-            val (y, x) = (ty * blockH + ry, tx * blockW + rx)
-            if (y < h && x < w) pix(y * w + x) else 0.0 // edge padding
-          }
-        }
-        blocks += encodeBlock(rows, blockW)
+    def sampleAt(y: Int, x: Int, lane: Int): Double =
+      if (y < h && x < w) { // edge padding = 0
+        if (lane == 0) pix(y * w + x) else laneGen(pix(y * w + x), lane)
+      } else 0.0
+    // one plane's (or the chunky-interleaved) sample row for a block
+    def blockRows(x0: Int, y0: Int, rows: Int, plane: Int): Array[Array[Double]] =
+      Array.tabulate(rows) { ry =>
+        if (planar == 2) Array.tabulate(blockW)(rx => sampleAt(y0 + ry, x0 + rx, plane))
+        else Array.tabulate(blockW * spp)(i => sampleAt(y0 + ry, x0 + i / spp, i % spp))
       }
-    } else {
-      for (sy <- 0 until (h + blockH - 1) / blockH) {
-        val rows = (sy * blockH until math.min((sy + 1) * blockH, h))
-          .map(y => Array.tabulate(w)(x => pix(y * w + x))).toArray
-        blocks += encodeBlock(rows, w)
+    val chunkyLanes = if (planar == 2) 1 else spp
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // planar=2: the full block grid of plane 0 first, then plane 1, ...
+    for (plane <- 0 until (if (planar == 2) spp else 1)) {
+      if (tiled) {
+        for {
+          ty <- 0 until (h + blockH - 1) / blockH
+          tx <- 0 until (w + blockW - 1) / blockW
+        } blocks += encodeBlock(
+          blockRows(tx * blockW, ty * blockH, blockH, plane), chunkyLanes)
+      } else {
+        for (sy <- 0 until (h + blockH - 1) / blockH) {
+          val rows = math.min(blockH, h - sy * blockH)
+          blocks += encodeBlock(blockRows(0, sy * blockH, rows, plane), chunkyLanes)
+        }
       }
     }
 
@@ -216,10 +231,17 @@ class GeoTiffSpec extends graft.SparkSpec {
       if (offsets.length * offTypeW > inlineMax) Some(externLongs(offsets.toSeq, offTypeW)) else None
     val countsPos =
       if (counts.length * offTypeW > inlineMax) Some(externLongs(counts.toSeq, offTypeW)) else None
-    val nodataBytes = nodata.map(s => (s + " ").getBytes("US-ASCII"))
+    val nodataBytes = nodata.map(s => (s + "\u0000").getBytes("US-ASCII"))
     val nodataPos = nodataBytes.flatMap { b =>
       if (b.length > inlineMax) { val o = out.size().toLong; out.write(b); Some(o) } else None
     }
+    // BitsPerSample: SHORT[spp] — external when it outgrows the inline slot
+    val bpsPos: Option[Long] =
+      if (spp * 2 > inlineMax) {
+        val o = out.size().toLong
+        (0 until spp).foreach(_ => wr16(bits))
+        Some(o)
+      } else None
     // IFD
     val ifdOffset = out.size().toLong
     final case class E(tag: Int, typ: Int, count: Long, writeValue: () => Unit)
@@ -239,13 +261,21 @@ class GeoTiffSpec extends graft.SparkSpec {
           (used until inlineMax by (if (big) 8 else 4)).foreach(_ => if (big) wr64(0) else wr32(0))
           if (!big && used < 4 && vs.isEmpty) wr32(0)
       })
+    val bpsE = E(258, 3, spp.toLong, () =>
+      bpsPos match {
+        case Some(p) => if (big) wr64(p) else wr32(p)
+        case None =>
+          (0 until spp).foreach(_ => wr16(bits))
+          (spp * 2 until inlineMax by 2).foreach(_ => wr16(0))
+      })
     val entries = scala.collection.mutable.ArrayBuffer[E](
       scalarE(256, if (big) 16 else 4, w.toLong),
       scalarE(257, if (big) 16 else 4, h.toLong),
-      scalarE(258, 3, bits.toLong),
+      bpsE,
       scalarE(259, 3, comp.toLong),
       scalarE(262, 3, 1L), // BlackIsZero
-      scalarE(277, 3, 1L),
+      scalarE(277, 3, spp.toLong),
+      scalarE(284, 3, planar.toLong),
       scalarE(317, 3, predictor.toLong),
       scalarE(339, 3, fmt.toLong))
     if (tiled) {
@@ -389,6 +419,38 @@ class GeoTiffSpec extends graft.SparkSpec {
     val f = Array(1.5, Double.NaN, 3.0, Double.NaN)
     val got = decode(buildTiff(f, 2, 2, 32, 3, nodata = Some("nan")))
     assert(got(0) == 1.5 && got(1).isNaN && got(2) == 3.0 && got(3).isNaN)
+  }
+
+  test("planar (PlanarConfiguration=2) float32: band 1 = plane 0 only") {
+    val r = new scala.util.Random(12)
+    val pix = Array.fill(30 * 22)(r.nextInt(50000) / 100.0)
+    // lanes 1,2 are v+1000/v+2000 — reading them would be detectable
+    val got = decode(buildTiff(pix, 30, 22, 32, 3, comp = 8, rowsPerStrip = 5,
+      spp = 3, planar = 2, laneGen = (v, l) => v + l * 1000.0))
+    assert(got == pix.map(_.toFloat.toDouble).toVector)
+  }
+
+  test("planar tiled with edge padding: plane-0 block grid leads the offsets") {
+    val r = new scala.util.Random(13)
+    val pix = Array.fill(20 * 14)(r.nextInt(256).toDouble)
+    val got = decode(buildTiff(pix, 20, 14, 8, 1, tile = Some((8, 8)),
+      spp = 2, planar = 2))
+    assert(got == tileOrder(pix, 20, 14, 8, 8))
+  }
+
+  test("chunky spp=3 int16 predictor-2: lane-strided differencing, sample 0 extracted") {
+    val r = new scala.util.Random(14)
+    val pix = Array.fill(26 * 11)((r.nextInt(65536) - 32768).toDouble)
+    val got = decode(buildTiff(pix, 26, 11, 16, 2, comp = 8, predictor = 2,
+      spp = 3, laneGen = (v, l) => ((v.toLong + l * 7) % 32768).toDouble))
+    assert(got == pix.toVector)
+  }
+
+  test("uint64 samples above 2^63 convert unsigned to double") {
+    val big = math.pow(2, 63) // exactly representable; wraps to Long.MinValue
+    val pix = Array(0.0, 1.0, big, big + 2048.0)
+    val got = decode(buildTiff(pix, 2, 2, 64, 1))
+    assert(got == Vector(0.0, 1.0, big, big + 2048.0))
   }
 
   test("malformed inputs fail loudly, never fall back") {
