@@ -48,14 +48,23 @@ object GeoTiff {
   }
 
   /** Hadoop-filesystem source: any scheme the cluster knows (file://,
-    * hdfs://, s3a:// where reachable). Opened lazily per partition on the
-    * executor with the default Hadoop configuration.
+    * hdfs://, s3a:// where reachable). Opened per partition on the
+    * executor; the default Hadoop configuration is overlaid with the
+    * session's `spark.hadoop.*` entries (via the executor-side SparkEnv)
+    * so filesystem credentials/endpoints configured on the session reach
+    * the scan — a bare `new Configuration()` would drop them on a real
+    * cluster.
     */
   final class HadoopSeekable(uri: String) extends SeekableBytes {
     private val path = new org.apache.hadoop.fs.Path(uri)
-    private val in = path
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .open(path)
+    private val conf = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      Option(org.apache.spark.SparkEnv.get).foreach {
+        _.conf.getAllWithPrefix("spark.hadoop.").foreach { case (k, v) => c.set(k, v) }
+      }
+      c
+    }
+    private val in = path.getFileSystem(conf).open(path)
     def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit =
       in.readFully(pos, dst, off, len)
     override def close(): Unit = in.close()
