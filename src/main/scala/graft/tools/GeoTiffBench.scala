@@ -54,5 +54,40 @@ object GeoTiffBench {
     time("uint8 LZW tiled      ", imageIo("LZW", tiled = true))
     time("uint8 Deflate strips ", imageIo("ZLib", tiled = false))
     time("uint8 PackBits strips", imageIo("PackBits", tiled = false))
+
+    // end-to-end: the reference's two-pass pipeline over a REAL tile list
+    // through the DSv2 pushed scan (stats + hist modes decode in-reader),
+    // partition-per-tile across local[32]
+    val nTiles = 32
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-tiles")
+    dir.toFile.deleteOnExit()
+    val tileBytes = imageIo("LZW", tiled = true)
+    val uris = (0 until nTiles).map { i =>
+      val f = dir.resolve(f"tile_$i%02d.tif")
+      java.nio.file.Files.write(f, tileBytes)
+      "file://" + f.toAbsolutePath
+    }
+    val listFile = dir.resolve("tiles.txt")
+    java.nio.file.Files.write(listFile, uris.mkString("\n").getBytes("UTF-8"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = graft.HistogramConfig(valueCol = "value")
+    var best = Double.MaxValue
+    for (rep <- 0 until 3) {
+      val t0 = System.nanoTime()
+      val n = graft.HistogramRunner
+        .runPushed(spark, listFile.toString, 0L, cfg)
+        .count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (rep > 0) best = math.min(best, dt)
+      if (rep == 0) println(s"  pipeline bins: $n")
+    }
+    val totalPx = nTiles.toLong * w * h
+    println(f"2-pass pushed pipeline, $nTiles real LZW tiles: ${totalPx * 2 / best / 1e6}%.0f Mpx/s aggregate (both passes), $best%.2f s wall")
+    spark.stop()
   }
 }
