@@ -289,14 +289,20 @@ object GeoTiff {
     */
   def lzwDecode(src: Array[Byte], dstLen: Int): Array[Byte] = {
     val dst = new Array[Byte](dstLen)
-    val prefix = new Array[Int](4096)
-    val suffix = new Array[Byte](4096)
-    val length = new Array[Int](4096)
-    val first = new Array[Int](4096)
+    // Contiguous-copy decode: consecutive emissions are back-to-back in
+    // dst, so the entry built after emitting `old` then `code` — old's
+    // string plus the first char of code's — is exactly the already-written
+    // region [start(old), start(old) + len(old) + 1). Entries are therefore
+    // (pos, len) slices of dst and emission is one forward arraycopy, not a
+    // reversed prefix-chain walk — parity on incompressible data (entries
+    // stay ~1 byte), increasingly ahead the longer the matches on real
+    // (smooth) raster bands.
+    val pos = new Array[Int](4096)
+    val len = new Array[Int](4096)
     var next = 258
     var bits = 9
     // MSB-first bit reader over a byte accumulator (the per-bit loop was
-    // the decode hot spot: 38 → >100 Mpx/s single-core on LZW tiles)
+    // an earlier hot spot: 38 → 67 Mpx/s single-core)
     var acc = 0L
     var accBits = 0
     var srcPos = 0
@@ -311,41 +317,47 @@ object GeoTiff {
       accBits -= bits
       ((acc >>> accBits) & ((1L << bits) - 1)).toInt
     }
-    def lenOf(c: Int): Int = if (c < 256) 1 else length(c)
-    def firstOf(c: Int): Int = if (c < 256) c else first(c)
 
     var out = 0
-    def emit(code: Int): Unit = {
-      var c = code
-      val n = lenOf(c)
-      require(out + n <= dstLen, "LZW output overruns the block")
-      var p = out + n
-      while (c >= 256) { p -= 1; dst(p) = suffix(c); c = prefix(c) }
-      p -= 1; dst(p) = c.toByte
-      out += n
-    }
-
+    var prevStart = -1 // where the previous emission (old's string) starts
     var old = -1
     var code = read()
     while (code != 257 && out < dstLen) {
-      if (code == 256) { next = 258; bits = 9; old = -1 }
+      if (code == 256) { next = 258; bits = 9; old = -1; prevStart = -1 }
       else if (old < 0) {
         require(code < 256, s"LZW: first code after clear must be literal, got $code")
-        emit(code)
+        require(out < dstLen, "LZW output overruns the block")
+        prevStart = out
+        dst(out) = code.toByte
+        out += 1
         old = code
       } else {
         require(code <= next && next < 4096, s"LZW: code $code out of range (next=$next)")
-        if (code == next) { // KwKwK: entry defined by its own emission
-          prefix(next) = old; suffix(next) = firstOf(old).toByte
-          length(next) = lenOf(old) + 1; first(next) = firstOf(old)
-          next += 1
-          emit(code)
+        val oldLen = if (old < 256) 1 else len(old)
+        val start = out
+        if (code == next) {
+          // KwKwK: emit old's string + its first char; source region ends
+          // exactly at `out`, so the copy does not overlap its destination
+          require(out + oldLen + 1 <= dstLen, "LZW output overruns the block")
+          System.arraycopy(dst, prevStart, dst, out, oldLen)
+          dst(out + oldLen) = dst(prevStart)
+          out += oldLen + 1
+        } else if (code < 256) {
+          require(out < dstLen, "LZW output overruns the block")
+          dst(out) = code.toByte
+          out += 1
         } else {
-          emit(code)
-          prefix(next) = old; suffix(next) = firstOf(code).toByte
-          length(next) = lenOf(old) + 1; first(next) = firstOf(old)
-          next += 1
+          val n = len(code)
+          require(out + n <= dstLen, "LZW output overruns the block")
+          System.arraycopy(dst, pos(code), dst, out, n)
+          out += n
         }
+        // the new entry = old.str + first char of this emission — the
+        // contiguous region starting at old's emission
+        pos(next) = prevStart
+        len(next) = oldLen + 1
+        next += 1
+        prevStart = start
         old = code
       }
       if (old >= 0 && next == (1 << bits) - 1 && bits < 12) bits += 1
