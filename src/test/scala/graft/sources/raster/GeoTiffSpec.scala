@@ -453,6 +453,44 @@ class GeoTiffSpec extends graft.SparkSpec {
     assert(got == Vector(0.0, 1.0, big, big + 2048.0))
   }
 
+  test("property: decode inverts the builder across the configuration matrix") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val cfgGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      le <- Gen.oneOf(true, false)
+      big <- Gen.oneOf(true, false)
+      comp <- Gen.oneOf(1, 8)
+      bits <- Gen.oneOf(8, 16, 32)
+      fmt <- Gen.oneOf(1, 2)
+      pred <- Gen.oneOf(1, 2)
+      layout <- Gen.oneOf(0, 1, 2) // one strip | short strips | tiles
+      spp <- Gen.oneOf(1, 3)
+      planar <- if (spp == 1) Gen.const(1) else Gen.oneOf(1, 2)
+    } yield (w, h, le, big, comp, bits, fmt, pred, layout, spp, planar)
+    val prop = Prop.forAll(cfgGen, Gen.long) {
+      case ((w, h, le, big, comp, bits, fmt, pred, layout, spp, planar), seed) =>
+        val r = new scala.util.Random(seed)
+        val lim = if (fmt == 1) (1L << math.min(bits, 48)) else (1L << (bits - 1))
+        val pix = Array.fill(w * h)(
+          (if (fmt == 1) math.abs(r.nextLong() % lim)
+           else r.nextLong() % lim).toDouble)
+        val tile = if (layout == 2) Some((8, 8)) else None
+        val rps = if (layout == 1) math.max(1, h / 3) else 0
+        val got = decode(buildTiff(pix, w, h, bits, fmt, le = le, big = big,
+          comp = comp, predictor = pred, rowsPerStrip = rps, tile = tile,
+          spp = spp, planar = planar,
+          laneGen = (v, l) => (v.toLong ^ (l * 12345L)).toDouble % lim))
+        val expected = tile match {
+          case Some((tw, th)) => tileOrder(pix, w, h, tw, th)
+          case None           => pix.toVector
+        }
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("malformed inputs fail loudly, never fall back") {
     assertThrows[IllegalArgumentException](decode("not a tiff at all".getBytes))
     // JPEG-in-TIFF (compression 7) is out of scope and must be refused
