@@ -110,7 +110,17 @@ object TextQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("lang"))
-    }))
+    }),
+    // Top adjacent-bigram collocations by PMI (min-count 5, top 20).
+    "pmi_bigrams" -> ((s, dir) => TextOps.pmiBigrams(Tables.documents(s, dir))),
+    // Per-language Zipf fit (ln freq ~ ln rank) — ranks via the scalable
+    // cut-key machinery, never a vocabulary-scale window sort.
+    "zipf_slope" -> ((s, dir) => TextOps.zipfSlope(Tables.documents(s, dir))),
+    // Per-source type-token ratio + hapax share.
+    "source_ttr" -> ((s, dir) => TextOps.sourceLexicalDiversity(Tables.documents(s, dir))),
+    // Deterministic md5-order training shuffle — reviewable first-100 head.
+    "train_shuffle" -> ((s, dir) =>
+      graft.operators.TrainsetOps.trainingOrder(Tables.documents(s, dir))))
 
   private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -475,5 +485,87 @@ object TextQueries {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM sc WHERE quality_score >= 2
-         |GROUP BY lang ORDER BY lang""".stripMargin)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM t WHERE len(tk) >= 2
+        |), pc AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |         CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM bg GROUP BY 1, 2
+        |), uc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1
+        |), tp AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS tp FROM pc
+        |), tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uc)
+        |SELECT pc.w1, pc.w2, pc.n_pair,
+        |       round(ln((CAST(pc.n_pair AS DOUBLE) / tp.tp)
+        |                / (CAST(u1.c AS DOUBLE) / tt.t)
+        |                / (CAST(u2.c AS DOUBLE) / tt.t)), 6) AS pmi
+        |FROM pc
+        |CROSS JOIN tp CROSS JOIN tt
+        |JOIN uc u1 ON u1.w = pc.w1
+        |JOIN uc u2 ON u2.w = pc.w2
+        |WHERE pc.n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tc AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, c,
+        |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+        |  FROM tc
+        |), q AS (
+        |  SELECT lang,
+        |         CAST(round(ln(rk) * 1000000000.0) AS BIGINT) AS x,
+        |         CAST(round(ln(c) * 1000000000.0) AS BIGINT) AS y
+        |  FROM r
+        |), g AS (
+        |  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT lang, CAST(n AS BIGINT) AS n_terms,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                / CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000000.0, 6)
+        |         AS intercept,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM g ORDER BY lang""".stripMargin,
+    "source_ttr" ->
+      """WITH tc AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |       round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    "train_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents ORDER BY shuffle_key, doc_id LIMIT 100
+        |)
+        |SELECT doc_id, shuffle_key,
+        |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS ord
+        |FROM h""".stripMargin)
 }

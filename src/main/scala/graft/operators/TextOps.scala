@@ -450,12 +450,7 @@ object TextOps {
     */
   def bigramNll(docs: DataFrame): DataFrame = {
     val tk = tokens(col("text"))
-    val bgArr = when(
-      size(tk) >= 2,
-      transform(
-        sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bgArr = adjacentBigrams(tk)
     val bgs = DedupOps.registerCache(
       docs
         .select(col("doc_id"), explode(bgArr).as("bg"))
@@ -539,4 +534,149 @@ object TextOps {
         sum(col("alpha")).as("alpha_tokens"),
         sum(col("bpe")).as("bpe_tokens"))
       .orderBy(col("lang"))
+
+  /** Adjacent-token bigrams of a token array as "w1 w2" strings (empty
+    * array below 2 tokens) — shared by [[bigramNll]] and [[pmiBigrams]].
+    */
+  private[operators] def adjacentBigrams(tk: Column): Column =
+    when(
+      size(tk) >= 2,
+      transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Top-k adjacent-bigram collocations by pointwise mutual information —
+    * the classic `PMI(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2)))` over corpus
+    * unigram/bigram frequencies, thresholded at `minCount` occurrences (the
+    * standard guard against PMI's low-count bias toward hapax pairs).
+    *
+    * Scale shape: two map-side-combined count aggregations (bigrams,
+    * unigrams — both vocabulary-bounded, never corpus-cardinality after
+    * the combine), the count filter BEFORE the marginal joins (prunes the
+    * pair relation first), two equi-joins on token strings (AQE
+    * broadcasts the vocab side when small), 1-row totals broadcast, and a
+    * TakeOrderedAndProject top-k — no global sort. Determinism: rows
+    * order by the ROUNDED pmi (ties broken by the pair itself), so the
+    * top-k set can't flip on a last-ulp `ln` difference across engines.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val tk = tokens(col("text"))
+    val pc = docs
+      .select(explode(adjacentBigrams(tk)).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val uc = docs
+      .select(explode(tk).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tp = pc.agg(sum(col("n_pair")).cast("double").as("tp"))
+    val tt = uc.agg(sum(col("c")).cast("double").as("t"))
+    pc.filter(col("n_pair") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tp))
+      .crossJoin(broadcast(tt))
+      // identical division sequence in the DuckDB oracle — the ratio is
+      // built stepwise so both engines evaluate the same IEEE ops
+      .select(
+        col("w1"),
+        col("w2"),
+        col("n_pair"),
+        round(
+          log(
+            (col("n_pair").cast("double") / col("tp")) /
+              (col("c1").cast("double") / col("t")) /
+              (col("c2").cast("double") / col("t"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-language Zipf fit: OLS of `ln(term frequency)` on `ln(rank)` over
+    * the frequency-ranked vocabulary (slope ≈ −1 is Zipf's law; the
+    * deviation is a corpus-health signal — synthetic or heavily-templated
+    * text flattens the head, boilerplate steepens it).
+    *
+    * Rank without a vocabulary-scale window sort: the vocabulary grows with
+    * the corpus (Heaps' law), so `row_number() OVER (PARTITION BY lang)`
+    * is exactly the few-partition dimension-scale sort this engine's
+    * rank queries forbid — [[RankOps.rowsAboveRank]] with cut 0 recovers
+    * the exact 1-based rank from bounded per-bin windows instead
+    * (leading order column `-count`, term string as the unique tiebreak).
+    *
+    * Determinism: both logs quantize to integer nano-units per term and
+    * the five sufficient sums run in DECIMAL(38,0) (the
+    * [[ProfileOps.olsByGroup]] discipline) — exact at any parallelism;
+    * float only in the per-language closed-form finish. Output slope/r2
+    * are unit-free (the nano scale cancels); the intercept divides the
+    * scale back out.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("negc", -col("c"))
+    val ranked = RankOps.rowsAboveRank(tc, Seq("lang"), Seq("negc", "tok"), lit(0L))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = ranked
+      .select(
+        col("lang"),
+        dec(round(log(col("gr_pos")) * lit(1e9)).cast("long")).as("x"),
+        dec(round(log(col("c")) * lit(1e9)).cast("long")).as("y"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val dbl = (c: Column) => c.cast("double")
+    val num = dbl(col("n") * col("sxy") - col("sx") * col("sy"))
+    val dxx = dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+    val dyy = dbl(col("n") * col("syy") - col("sy") * col("sy"))
+    val slope = num / dxx
+    agg.select(
+      col("lang"),
+      col("n").cast("bigint").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((dbl(col("sy")) - slope * dbl(col("sx"))) / dbl(col("n")) / lit(1e9), 6)
+        .as("intercept"),
+      round(num * num / (dxx * dyy), 6).as("r2"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-source lexical diversity: type-token ratio (distinct terms /
+    * total tokens) and hapax share (terms occurring once / distinct
+    * terms) — the corpus-mixing health check a pretraining pipeline runs
+    * per source before weighting (a template-heavy source shows low TTR;
+    * OCR noise or ID-bearing text shows a high hapax share).
+    *
+    * Scale shape: one (source, term) count aggregation with map-side
+    * combine (vocabulary-bounded output), one per-source rollup —
+    * integer-exact until the two final rounded divisions.
+    */
+  def sourceLexicalDiversity(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_terms"),
+        col("n_hapax"),
+        round(col("n_terms").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_terms").cast("double"), 6)
+          .as("hapax_share"))
+      .orderBy(col("source"))
 }

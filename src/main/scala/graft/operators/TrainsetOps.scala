@@ -18,6 +18,31 @@ import graft.functions.GraftFunctions
   */
 object TrainsetOps {
 
+  /** Deterministic training-order shuffle: every document's position in
+    * the global training stream is its rank under `md5(doc_id)` — the
+    * standard seed-free corpus shuffle (hash order is uniform,
+    * reproducible across runs/engines, and independent of ingest order),
+    * with `doc_id` itself as the collision tiebreak.
+    *
+    * At scale the full shuffled ORDER is never materialized as one sorted
+    * relation — a training pipeline range-partitions by `shuffle_key` and
+    * sorts within partitions (Spark's distributed sort), or buckets by a
+    * key prefix for shard files. This operator returns the reviewable
+    * head: the first `sample` positions via TakeOrderedAndProject (no
+    * global sort); the one unpartitioned `row_number` window runs AFTER
+    * the limit, over ≤ `sample` rows — bounded by a literal, not by the
+    * corpus.
+    */
+  def trainingOrder(docs: DataFrame, sample: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .limit(sample)
+      .withColumn("ord", row_number().over(w))
+  }
+
   /** Oversample every label to exactly the majority-class count using
     * largest-remainder integer arithmetic: the 0-based rank `i` of a row
     * inside its label (of `c` rows, target `t`) replicates

@@ -181,6 +181,30 @@ class PlanSpec extends SparkSpec {
     assertRankWindowsBounded(p, "group_quantiles")
   }
 
+  test("zipf_slope: vocabulary ranks from RankOps — no vocab-scale window sort") {
+    val p = plan("zipf_slope")
+    assertRankWindowsBounded(p, "zipf_slope")
+  }
+
+  test("pmi_bigrams: heap top-k, count filter before the marginal joins") {
+    val p = plan("pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 collocations must avoid a global sort")
+    assert(!p.contains("CartesianProduct"), "marginal/total joins must not fan out")
+    // the n_pair >= 5 filter must prune the pair relation BEFORE its first
+    // join (marginals attach to the filtered relation only)
+    val filterIdx = p.indexOf("(n_pair")
+    assert(filterIdx >= 0, "count threshold filter missing from the plan")
+  }
+
+  test("train_shuffle: md5-order head via TakeOrdered; the ord window sits on the head") {
+    val p = plan("train_shuffle")
+    val topk = p.indexOf("TakeOrderedAndProject")
+    val win = p.indexOf("Window")
+    assert(topk >= 0, "the shuffled head must be heap top-k, not a global sort")
+    assert(win >= 0 && p.indexOf("TakeOrderedAndProject", win) >= 0,
+      "the row_number window must consume the bounded top-k result")
+  }
+
   test("winsorized_stats: thresholds from RankOps, no group-scale rank window") {
     val p = plan("winsorized_stats")
     assertRankWindowsBounded(p, "winsorized_stats")

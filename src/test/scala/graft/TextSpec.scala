@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.TextOps
+import graft.operators.{TextOps, TrainsetOps}
 import graft.sources.Tables
+import org.apache.spark.sql.functions._
 
 class TextSpec extends SparkSpec {
   import spark.implicits._
@@ -156,5 +157,88 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(2) == 3) // ws tokens
     assert(r.getLong(3) == 3) // [a-z]+: abc, de, fghij
     assert(r.getLong(4) == 4) // [a-z]{1,4}: abc, de, fghi, j
+  }
+
+  test("pmiBigrams golden: exclusive pair beats promiscuous pair; minCount prunes") {
+    // corpus: "x y" ×5 (x also pairs with many partners), "z z" ×5
+    // (z pairs only with z), "x a1..a4" once each (below minCount).
+    val docs = Seq(
+      (1L, Seq.fill(5)("x y").mkString(" ")), // pairs: (x,y)×5, (y,x)×4
+      (2L, Seq.fill(6)("z").mkString(" ")), // (z,z)×5
+      (3L, "x a1 x a2 x a3 x a4")) // (x,a_i)/(a_i,x) ×1 each
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiBigrams(docs, minCount = 5L, topK = 20).collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y"), ("z", "z"))) // ×4 and ×1 pairs pruned
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // hand-check against the operator's exact division sequence:
+    // pairs total Tp = 9+5+7 = 21; unigrams x:9, y:5, z:6, a_i:1 → T = 24
+    def pmi(cp: Long, c1: Long, c2: Long): Double = {
+      val v = math.log(cp / 21.0 / (c1 / 24.0) / (c2 / 24.0))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(byPair(("x", "y")) == pmi(5, 9, 5))
+    assert(byPair(("z", "z")) == pmi(5, 6, 6))
+    // z-z is the more exclusive collocation → strictly higher PMI, first row
+    assert(byPair(("z", "z")) > byPair(("x", "y")))
+    assert((out.head.getString(0), out.head.getString(1)) == ("z", "z"))
+  }
+
+  test("zipfSlope equals the window-ranked OLS twin; near -1 on a Zipf corpus") {
+    import org.apache.spark.sql.expressions.Window
+    // frequencies ~ 24/rank over 8 terms (true Zipf), one language
+    val words = (1 to 8).flatMap(r => Seq.fill(24 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.zipfSlope(docs).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getLong(1) == 8)
+    // twin: explicit window rank + the same nano-quantized closed form
+    val tc = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+      .select("c", "rk").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val xs = tc.map { case (_, rk) => math.round(math.log(rk) * 1e9) }
+    val ys = tc.map { case (c, _) => math.round(math.log(c) * 1e9) }
+    val n = BigInt(xs.length)
+    val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val expected =
+      BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(2) == expected)
+    assert(math.abs(row.getDouble(2) + 1.0) < 0.1) // Zipf corpus → slope ≈ −1
+    assert(row.getDouble(4) > 0.98) // near-perfect log-log fit
+  }
+
+  test("sourceLexicalDiversity golden: ttr and hapax share") {
+    val docs = Seq(
+      (1L, "a a a a b", "s1"), // s1: 5 tokens, 2 terms, 1 hapax (b)
+      (2L, "c d e", "s2"), // s2 over both docs: 6 tokens, 5 terms
+      (3L, "c f g", "s2")) // hapaxes: d e f g → 4
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceLexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("s1") == ((5L, 2L, 1L, 0.4, 0.5)))
+    assert(out("s2") == ((6L, 5L, 4L, 0.833333, 0.8)))
+  }
+
+  test("trainingOrder: md5-ordered head, dense ord, stable across runs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = TrainsetOps.trainingOrder(docs, sample = 50).collect()
+    assert(out.length == 50)
+    assert(out.map(_.getInt(2)).sorted.toSeq == (1 to 50))
+    val sorted = out.sortBy(_.getInt(2))
+    val keys = sorted.map(_.getString(1))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b }) // hash order
+    // the head is the global minimum of the hash order, not an arbitrary 50
+    val minKey = docs.select(min(md5(col("doc_id").cast("string")))).head().getString(0)
+    assert(keys.head == minKey)
+    val again = TrainsetOps.trainingOrder(docs, sample = 50).collect().sortBy(_.getInt(2))
+    assert(sorted.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 }
