@@ -181,4 +181,94 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 25)
   }
+
+  test("pmiBigrams matches brute force (values, ordering, minCount) on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val gen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(gen) { docs: List[String] =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.TextOps
+        .pmiBigrams(df, minCount = 2L, topK = 10)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toList
+      val toks = docs.map(_.split(" ").toList)
+      val pairCnt = toks.flatMap(ts => ts.zip(ts.tail)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val uniCnt = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tp = pairCnt.values.sum.toDouble
+      val t = uniCnt.values.sum.toDouble
+      val want = pairCnt.toList
+        .filter(_._2 >= 2L)
+        .map { case ((w1, w2), cp) =>
+          val v = math.log(cp / tp / (uniCnt(w1) / t) / (uniCnt(w2) / t))
+          (w1, w2, cp, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }
+        .take(10)
+      got == want
+    }, n = 12)
+  }
+
+  test("trainingOrder head equals the global md5-order head for random id sets") {
+    val md = () => java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md().digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 5000L))).map(_.distinct)
+    check(Prop.forAll(gen) { ids: List[Long] =>
+      val df = ids.map(id => (id, s"t$id")).toDF("doc_id", "text")
+      val got = graft.operators.TrainsetOps
+        .trainingOrder(df, sample = 20)
+        .collect()
+        .sortBy(_.getInt(2))
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toList
+      val want = ids
+        .map(id => (id, md5hex(id.toString)))
+        .sortBy { case (id, h) => (h, id) }
+        .take(20)
+      got == want
+    }, n = 12)
+  }
+
+  test("zipfSlope equals the explicit window-rank OLS twin on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    val word = Gen.oneOf((1 to 9).map(i => s"w$i"))
+    val doc = Gen.chooseNum(3, 25).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val langDoc = Gen.zip(Gen.oneOf("en", "de"), doc)
+    val gen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, langDoc))
+    check(Prop.forAll(gen) { docs: List[(String, String)] =>
+      val df = docs.zipWithIndex
+        .map { case ((l, t), i) => (i.toLong, t, l) }
+        .toDF("doc_id", "text", "lang")
+      val got = graft.operators.TextOps
+        .zipfSlope(df)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val tc = df
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+        .select("lang", "c", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      tc.groupBy(_._1).forall { case (lang, rows) =>
+        val xs = rows.map { case (_, _, rk) => math.round(math.log(rk) * 1e9) }
+        val ys = rows.map { case (_, c, _) => math.round(math.log(c) * 1e9) }
+        val n = BigInt(xs.length)
+        val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+        val sxx = xs.map(x => BigInt(x) * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+        val dxx = (n * sxx - sx * sx).toDouble
+        val (gn, gs) = got(lang)
+        if (dxx == 0.0) gn == rows.length.toLong // degenerate: slope NaN both ways
+        else {
+          val slope = (n * sxy - sx * sy).toDouble / dxx
+          gn == rows.length.toLong &&
+          gs == BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+    }, n = 8)
+  }
 }
