@@ -94,7 +94,11 @@ object SimilarityQueries {
           col("n_hits"),
           round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
             .as("recall"))
-    }))
+    }),
+    // k-NN label-agreement audit: per-label neighborhood purity over the
+    // probe slice; suspect = probes whose neighbor majority disagrees.
+    "label_noise" -> ((s, dir) =>
+      SimilarityOps.labelNoise(Tables.embeddings(s, dir), k = 10, probeEvery = 50)))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -113,6 +117,33 @@ object SimilarityQueries {
          |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "label_noise" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0
+         |), p AS (
+         |  SELECT q_id, e.vec_id AS c_id, ${cosSql("q_emb", "e.emb")} AS cos
+         |  FROM q, e WHERE e.vec_id <> q.q_id
+         |), r AS (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         |  FROM p
+         |), pp AS (
+         |  SELECT r.q_id, e1.label AS q_label,
+         |         CAST(sum(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM r
+         |  JOIN embeddings e1 ON e1.vec_id = r.q_id
+         |  JOIN embeddings e2 ON e2.vec_id = r.c_id
+         |  WHERE r.rank <= 10
+         |  GROUP BY 1, 2
+         |)
+         |SELECT q_label AS label,
+         |       CAST(count(*) AS BIGINT) AS n_probes,
+         |       round(CAST(sum(m) AS DOUBLE) / CAST(count(*) * 10 AS DOUBLE), 6)
+         |         AS mean_agree,
+         |       CAST(count(*) FILTER (WHERE m * 2 < 10) AS BIGINT) AS n_suspect
+         |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin,
     "knn_cosine" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

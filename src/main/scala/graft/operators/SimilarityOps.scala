@@ -242,6 +242,46 @@ object SimilarityOps {
     * where LSH recall is high; an exact-at-0.4 sweep is a corpus-audit
     * query, sized in blocks accordingly.
     */
+  /** k-NN label-agreement audit (mislabel / label-noise detection, the
+    * confident-learning-style neighborhood check): for each probe vector,
+    * how many of its k nearest cosine neighbors share its label; rolled up
+    * per label as `(label, n_probes, mean_agree, n_suspect)` where a probe
+    * is suspect when fewer than half its neighbors agree (`2m < k`). A
+    * label whose mean agreement sits far below the others is either noisy
+    * or genuinely overlapping a neighbor class — the audit a pipeline runs
+    * before trusting `label` for supervised filtering.
+    *
+    * Probes are the deterministic `vec_id % probeEvery` slice (the knn
+    * family's convention): an audit needs an unbiased sample, not all n —
+    * at corpus scale the probe count, not n², is the knob. Neighbors come
+    * from [[knnBruteForce]] (exact — the audit shouldn't inherit ANN
+    * recall error); the label joins attach to the k·probes relation, not
+    * the corpus. All sums are integer; the one ratio divides exact counts.
+    */
+  def labelNoise(embeddings: DataFrame, k: Int = 10, probeEvery: Int = 50): DataFrame = {
+    val e = corpus(embeddings)
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val knn = knnBruteForce(e.filter(col("vec_id") % probeEvery === 0), e, k)
+    knn
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), Seq("q_id"))
+      .join(labels.select(col("vec_id").as("c_id"), col("label").as("c_label")), Seq("c_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L)).as("m"))
+      .groupBy(col("q_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("m")).as("sum_m"),
+        sum(when(col("m") * 2 < k, 1L).otherwise(0L)).as("n_suspect"))
+      .select(
+        col("label"),
+        col("n_probes"),
+        round(
+          col("sum_m").cast("double") / (col("n_probes") * lit(k.toLong)).cast("double"),
+          6).as("mean_agree"),
+        col("n_suspect"))
+      .orderBy(col("label"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, minCos: Double, blocks: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -170,4 +170,23 @@ class SimilaritySpec extends SparkSpec {
     assert(approx(0L) == 1.0 && approx(100L) == 50.0)
     assert(approx(50L) >= 20.0 && approx(50L) <= 30.0)
   }
+
+  test("labelNoise golden: mislabeled point flagged suspect, clean clusters agree") {
+    // two orthogonal clusters; id 5 sits in cluster B but carries label 0
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0f, 1f), 1),
+      (5L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.SimilarityOps
+      .labelNoise(rows, k = 2, probeEvery = 1)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // label 0 probes {0,1,2,5}: m = 2,2,2,0 → mean 6/8, one suspect (id 5)
+    assert(out(0) == ((4L, 0.75, 1L)))
+    // label 1 probes {3,4}: each has neighbors {the other B point, id 5} →
+    // m = 1, 2m == k is NOT a minority → no suspects
+    assert(out(1) == ((2L, 0.5, 0L)))
+  }
 }
