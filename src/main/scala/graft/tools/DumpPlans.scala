@@ -55,7 +55,11 @@ object DumpPlans {
     "drift_ks" -> "Two-sample KS: raw rows reduce to ≤ 256 grid bins BEFORE any window; the ECDF running sums and totals run on the bounded binned relation (the documented unpartitioned-window exemption).",
     "rolling_7d" -> "RANGE-frame rolling totals: events aggregate to per-DAY rows first; the 6-preceding value frame runs over the bounded day relation, so calendar gaps shorten the window by value, not row count.",
     "profile_columns" -> "Exact per-column profile as a manual two-level aggregate — groupBy(col_name, v) then fold by col_name — so NO Expand node multiplies the melted relation (the countDistinct-mixed-with-plain-aggs rewrite did); every stat rides the distinct pass weighted by group count.",
-    "doc_lm_buckets" -> "ntile(3) semantics WITHOUT a corpus window: tercile boundary ranks located via a ≤ 4096-bin histogram (running sum over the BIN relation only), exact cut keys from ranking just the boundary bins, docs bucketed by broadcast cut-key comparison.")
+    "doc_lm_buckets" -> "ntile(3) semantics WITHOUT a corpus window: tercile boundary ranks located via a ≤ 4096-bin histogram (running sum over the BIN relation only), exact cut keys from ranking just the boundary bins, docs bucketed by broadcast cut-key comparison.",
+    "pmi_bigrams" -> "PMI collocations: two map-side-combined count aggregations (bigrams + unigrams, both vocabulary-bounded), the min-count filter BEFORE the marginal joins, 1-row totals broadcast, top-20 as TakeOrderedAndProject.",
+    "zipf_slope" -> "Zipf fit: vocabulary ranks via RankOps.rowsAboveRank (bin histogram + per-bin rank windows — no vocab-scale sort); the OLS sufficient stats are one DECIMAL(38,0) grouped aggregate over nano-quantized logs.",
+    "train_shuffle" -> "Deterministic md5 training order: the reviewable head is TakeOrderedAndProject (heap top-k, no global sort); the ord row_number window consumes only the ≤ sample-row result.",
+    "label_noise" -> "k-NN label audit: exact neighbors from the broadcast probe slice, label joins attach to the k·probes relation (never the corpus), two integer aggregations — per-probe agreement then per-label rollup.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession
