@@ -32,6 +32,9 @@ object ProfileQueries {
     // Z-order (Morton) cell occupancy over (l_partkey, l_suppkey).
     "zorder_cells" -> ((s, dir) =>
       LayoutOps.zCells(Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
+    // Zone-map skipping audit: natural vs shipdate-sorted 512-row files
+    // planned against a 1997 ship-day range predicate.
+    "zone_skipping" -> ((s, dir) => LayoutOps.zoneSkipping(Tables.lineitem(s, dir))),
     // Oversample every label to the majority count, exactly.
     "rebalance_classes" -> ((s, dir) =>
       TrainsetOps.rebalanceClasses(Tables.embeddings(s, dir))),
@@ -237,6 +240,39 @@ object ProfileQueries {
         |JOIN r lo ON lo.grp = tk.grp AND lo.rn = tk.k + 1
         |LEFT JOIN r hi ON hi.grp = tk.grp AND hi.rn = tk.k + 2
         |ORDER BY 1, 2""".stripMargin,
+    "zone_skipping" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT) AS ship_day,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem
+        |), nat AS (
+        |  SELECT ship_day,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS pos
+        |  FROM b
+        |), srt AS (
+        |  SELECT ship_day,
+        |         row_number() OVER (ORDER BY ship_day, l_orderkey, l_linenumber) AS pos
+        |  FROM b
+        |), u AS (
+        |  SELECT 'natural' AS layout, ship_day, pos FROM nat
+        |  UNION ALL
+        |  SELECT 'shipdate' AS layout, ship_day, pos FROM srt
+        |), z AS (
+        |  SELECT layout, (pos - 1) // 512 AS f,
+        |         min(ship_day) AS zmin, max(ship_day) AS zmax,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1, 2
+        |)
+        |SELECT layout,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(CASE WHEN zmax >= 9862 AND zmin <= 10226 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_scanned,
+        |       CAST(sum(CASE WHEN zmax >= 9862 AND zmin <= 10226 THEN n ELSE 0 END)
+        |            AS BIGINT) AS rows_scanned,
+        |       round(1.0 - CAST(sum(CASE WHEN zmax >= 9862 AND zmin <= 10226 THEN n ELSE 0 END)
+        |                        AS DOUBLE)
+        |                   / CAST(sum(n) AS DOUBLE), 6) AS skip_ratio
+        |FROM z GROUP BY layout ORDER BY layout""".stripMargin,
     "zorder_cells" ->
       s"""WITH $zorderStages, z AS (
          |  SELECT xk, yk, (x | (y << 1)) >> 10 AS cell FROM b4

@@ -102,4 +102,67 @@ object LayoutOps {
         max(col("id")).as("max_id"))
       .orderBy(col("part"), col("bin"))
   }
+
+  /** Zone-map data-skipping audit: quantifies what a sort layout buys for
+    * a given range predicate BEFORE paying for the rewrite. Rows are
+    * assigned to simulated `fileRows`-row files under two layouts —
+    * `natural` ((l_orderkey, l_linenumber) ingest order) and `shipdate`
+    * (sorted by ship day) — each file gets a zone map (min/max ship day,
+    * the stats a Parquet footer carries), and a `[loDay, hiDay]` filter is
+    * planned against the zone maps: a file is scanned iff its range
+    * overlaps the predicate. Output per layout: file/scan counts and the
+    * fraction of rows a zone-map-aware scan skips — the `shipdate` row
+    * shows the layout win, the `natural` row the status quo.
+    *
+    * Scale shape: file positions come from [[RankOps.rowsAboveRank]] with
+    * cut 0 (exact global ordinals from bounded per-bin rank windows — the
+    * same machinery a real layout REWRITE would use to range-partition),
+    * zone maps are one map-side-combinable aggregation over (layout,
+    * file), and the plan itself reduces to a 2-row summary. All integer
+    * until the final rounded ratio.
+    */
+  def zoneSkipping(
+      lineitem: DataFrame,
+      fileRows: Int = 512,
+      loDay: Int = 9862,
+      hiDay: Int = 10226): DataFrame = {
+    require(fileRows > 0, "fileRows must be positive")
+    val base = lineitem.select(
+      datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+        .as("ship_day"),
+      col("l_orderkey"),
+      col("l_linenumber"))
+    def files(layout: String, orderCols: Seq[String]) =
+      RankOps
+        .rowsAboveRank(
+          base.withColumn("layout", lit(layout)),
+          Seq("layout"),
+          orderCols,
+          lit(0L))
+        .withColumn("f", expr(s"(gr_pos - 1) div $fileRows"))
+    val zones = files("natural", Seq("l_orderkey", "l_linenumber"))
+      .unionByName(files("shipdate", Seq("ship_day", "l_orderkey", "l_linenumber")))
+      .groupBy(col("layout"), col("f"))
+      .agg(
+        min(col("ship_day")).as("zmin"),
+        max(col("ship_day")).as("zmax"),
+        count(lit(1)).as("n"))
+    val hit = col("zmax") >= loDay && col("zmin") <= hiDay
+    zones
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n")).as("n_rows"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_scanned"),
+        sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+      .select(
+        col("layout"),
+        col("n_files"),
+        col("n_scanned"),
+        col("rows_scanned"),
+        round(
+          lit(1.0) - col("rows_scanned").cast("double") / col("n_rows").cast("double"),
+          6).as("skip_ratio"))
+      .orderBy(col("layout"))
+  }
 }

@@ -74,6 +74,24 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("zoneSkipping golden: sorted layout halves the scan, natural skips nothing") {
+    // 20 rows, 5-row files; ship days alternate 100/200 so every natural
+    // file spans both days while the sorted layout separates them cleanly
+    val rows = (1 to 20).map { i =>
+      val day = if (i % 2 == 1) 100 else 200
+      (i.toLong, 1, new java.sql.Date(day * 86400000L))
+    }
+    val df = rows.toDF("l_orderkey", "l_linenumber", "l_shipdate")
+    val out = LayoutOps
+      .zoneSkipping(df, fileRows = 5, loDay = 100, hiDay = 100)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("natural") == ((4L, 4L, 20L, 0.0)))
+    assert(out("shipdate") == ((4L, 2L, 10L, 0.5)))
+  }
+
   // --- drift + attribution + rolling over events ---------------------
 
   test("drift_ks: statistic bounded in [0,1] and counts partition the corpus") {
