@@ -336,6 +336,15 @@ object EventsQueries {
         userDay(ev),
         mBits = 16384)
     }),
+    // AMS/CMS inner-product join-size estimate: the user_id SELF-join
+    // cardinality (the pair-generation explosion a planner must see
+    // coming on skewed keys) from two fixed 4×1024 sketches, next to the
+    // exact keyed-count product.
+    "join_size_est" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.SketchOps.joinSizeEstimate(
+        ev, col("user_id"), ev, col("user_id"))
+    }),
     // Sketch MERGE + inclusion–exclusion: viewer/purchaser audience
     // overlap from HLL register unions, next to exact membership counts.
     "hll_overlap" -> ((s, dir) => {
@@ -708,6 +717,28 @@ object EventsQueries {
         |             / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conv_1_2,
         |       round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
         |             / CAST((SELECT count(*) FROM s2) AS DOUBLE), 6) AS conv_2_3""".stripMargin,
+    "join_size_est" -> {
+      val h = graft.functions.PortableHash
+        .hash60Sql("'cms' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+      s"""WITH rows AS (
+         |  SELECT unnest(generate_series(0, 3)) AS r
+         |), st AS (
+         |  SELECT r AS row, ($h) % 1024 AS bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM events, rows GROUP BY 1, 2
+         |), d AS (
+         |  SELECT row, sum(CAST(c AS HUGEINT) * c) AS dot FROM st GROUP BY row
+         |), est AS (
+         |  SELECT CASE WHEN count(*) < 4 THEN 0 ELSE min(dot) END AS n_est FROM d
+         |), ex AS (
+         |  SELECT sum(CAST(c AS HUGEINT) * c) AS n_exact
+         |  FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+         |)
+         |SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |       CAST(est.n_est AS BIGINT) AS n_est,
+         |       round(CAST(est.n_est - ex.n_exact AS DOUBLE)
+         |             / CAST(ex.n_exact AS DOUBLE), 6) AS rel_over
+         |FROM ex CROSS JOIN est""".stripMargin
+    },
     "approx_users" -> {
       val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
       s"""WITH h AS (

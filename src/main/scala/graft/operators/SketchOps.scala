@@ -351,4 +351,55 @@ object SketchOps {
         (col("n_cms") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
       .orderBy(col("term"))
   }
+
+  /** Sketch-based equi-join cardinality estimate — the AMS/CMS inner
+    * product (Alon–Matias–Szegedy; Cormode & Muthukrishnan 2005 §4.2):
+    * `|A ⋈ B| = Σ_k cA(k)·cB(k)` is estimated per depth row by the dot
+    * product of the two sides' CMS counter rows, taking the min over
+    * rows (each row's dot is an overestimate — hash collisions only add).
+    * This is the optimizer statistic a planner wants BEFORE running a
+    * potentially explosive join (self-joins on skewed keys especially):
+    * both sketches build in one map-side-combinable pass per side over
+    * fixed depth×width state, the estimate is a ≤ 4096-row join — no
+    * key-level relation is ever formed.
+    *
+    * Output (1 row): `n_exact` (for the audit — the keyed-count product
+    * aggregation a real planner would NOT run), `n_est`, and the rounded
+    * relative overestimate. All sums run in DECIMAL(38,0): per-key counts
+    * can reach 10¹²-scale at 100 TB, so count products overflow BIGINT.
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sa = cmsState(a, aKey)
+    val sb = cmsState(b, bKey).withColumnRenamed("c", "cb")
+    // a depth row ABSENT from the joined dot relation has no shared
+    // buckets at all — its dot is 0, which is the tightest (and exact)
+    // estimate, so any missing row forces the min to 0
+    val est = sa
+      .join(sb, Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(dec(col("c")) * col("cb")).as("dot"))
+      .agg(count(lit(1)).as("nrows"), min(col("dot")).as("mindot"))
+      .select(
+        when(col("nrows") < CmsDepth, lit(0).cast("decimal(38,0)"))
+          .otherwise(col("mindot"))
+          .as("n_est"))
+    val exact = a
+      .select(aKey.as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("ca"))
+      .join(
+        b.select(bKey.as("k")).groupBy(col("k")).agg(count(lit(1)).as("cb")),
+        Seq("k"))
+      .agg(coalesce(sum(dec(col("ca")) * col("cb")), lit(0).cast("decimal(38,0)"))
+        .as("n_exact"))
+    exact
+      .crossJoin(broadcast(est))
+      .select(
+        col("n_exact").cast("bigint").as("n_exact"),
+        col("n_est").cast("bigint").as("n_est"),
+        round(
+          (col("n_est") - col("n_exact")).cast("double") / col("n_exact").cast("double"),
+          6).as("rel_over"))
+  }
 }

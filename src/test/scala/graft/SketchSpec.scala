@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions.col
 
 import graft.operators.SketchOps
+import graft.sources.Tables
 
 class SketchSpec extends SparkSpec {
   import spark.implicits._
@@ -125,5 +126,24 @@ class SketchSpec extends SparkSpec {
     assert(out("beta") == ((7L, 7L, 0L)))
     assert(out("gamma") == ((1L, 1L, 0L)))
     assert(out("absent")._1 == 0L)
+  }
+
+  test("joinSizeEstimate: one-sided, exact on tiny key sets, self-join audit sane") {
+    // A: key a ×5, b ×2; B: a ×3, c ×4 → |A ⋈ B| = 5·3 = 15; few keys over
+    // 4×1024 buckets → collision-free in every depth row → estimate exact
+    val a = (Seq.fill(5)("a") ++ Seq.fill(2)("b")).toDF("k")
+    val b = (Seq.fill(3)("a") ++ Seq.fill(4)("c")).toDF("k")
+    val r = SketchOps.joinSizeEstimate(a, col("k"), b, col("k")).head()
+    assert(r.getLong(0) == 15L && r.getLong(1) == 15L && r.getDouble(2) == 0.0)
+    // disjoint keys: exact 0, estimate may only over-count; rel_over NaN
+    val d = SketchOps
+      .joinSizeEstimate(a, col("k"), Seq("z", "z").toDF("k"), col("k"))
+      .head()
+    assert(d.getLong(0) == 0L && d.getLong(1) >= 0L)
+    // real self-join: never undercounts (min-of-rows is one-sided)
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val s = SketchOps.joinSizeEstimate(ev, col("user_id"), ev, col("user_id")).head()
+    assert(s.getLong(1) >= s.getLong(0))
+    assert(s.getLong(0) > 0L)
   }
 }
