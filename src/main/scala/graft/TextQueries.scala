@@ -120,7 +120,10 @@ object TextQueries {
     "source_ttr" -> ((s, dir) => TextOps.sourceLexicalDiversity(Tables.documents(s, dir))),
     // Deterministic md5-order training shuffle — reviewable first-100 head.
     "train_shuffle" -> ((s, dir) =>
-      graft.operators.TrainsetOps.trainingOrder(Tables.documents(s, dir))))
+      graft.operators.TrainsetOps.trainingOrder(Tables.documents(s, dir))),
+    // Eval-hygiene audit: 8-gram contamination across the pipeline's own
+    // train/val/test split boundaries (decontamination semantics).
+    "split_leakage" -> ((s, dir) => TextOps.splitLeakage(Tables.documents(s, dir))))
 
   private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -567,5 +570,71 @@ object TextQueries {
         |)
         |SELECT doc_id, shuffle_key,
         |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS ord
-        |FROM h""".stripMargin)
+        |FROM h""".stripMargin,
+    "split_leakage" -> {
+      val bucket =
+        s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 8
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 7),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+         |                          || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+         |                          || ' ' || tk[i+7]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, ${graft.functions.PortableHash.hash60Sql("s")} AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+         |), tg AS (
+         |  SELECT doc_id, h,
+         |         CASE WHEN $bucket < 80 THEN 'train'
+         |              WHEN $bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM u
+         |), pg AS (
+         |  SELECT h,
+         |         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         |         max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+         |         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+         |  FROM tg GROUP BY h
+         |), sg AS (
+         |  SELECT sum(in_train * in_val) AS sf_tv,
+         |         sum(in_train * in_test) AS sf_tt,
+         |         sum(in_val * in_test) AS sf_vt
+         |  FROM pg
+         |), df AS (
+         |  SELECT tg.doc_id, tg.split,
+         |         max(pg.in_train) AS any_train, max(pg.in_val) AS any_val
+         |  FROM tg JOIN pg USING (h) GROUP BY 1, 2
+         |), lk AS (
+         |  SELECT
+         |    sum(CASE WHEN split = 'val' AND any_train = 1 THEN 1 ELSE 0 END) AS ld_tv,
+         |    sum(CASE WHEN split = 'test' AND any_train = 1 THEN 1 ELSE 0 END) AS ld_tt,
+         |    sum(CASE WHEN split = 'test' AND any_val = 1 THEN 1 ELSE 0 END) AS ld_vt
+         |  FROM df
+         |), tt AS (
+         |  SELECT sum(CASE WHEN $bucket < 80 THEN 0
+         |                  WHEN $bucket < 90 THEN 1 ELSE 0 END) AS tot_val,
+         |         sum(CASE WHEN $bucket < 90 THEN 0 ELSE 1 END) AS tot_test
+         |  FROM documents
+         |)
+         |SELECT pair, n_shared_grams, n_leaked, n_eval,
+         |       round(CAST(n_leaked AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS leak_ratio
+         |FROM (
+         |  SELECT 'train->val' AS pair, CAST(sf_tv AS BIGINT) AS n_shared_grams,
+         |         CAST(ld_tv AS BIGINT) AS n_leaked, CAST(tot_val AS BIGINT) AS n_eval
+         |  FROM sg CROSS JOIN lk CROSS JOIN tt
+         |  UNION ALL
+         |  SELECT 'train->test', CAST(sf_tt AS BIGINT), CAST(ld_tt AS BIGINT),
+         |         CAST(tot_test AS BIGINT)
+         |  FROM sg CROSS JOIN lk CROSS JOIN tt
+         |  UNION ALL
+         |  SELECT 'val->test', CAST(sf_vt AS BIGINT), CAST(ld_vt AS BIGINT),
+         |         CAST(tot_test AS BIGINT)
+         |  FROM sg CROSS JOIN lk CROSS JOIN tt
+         |) ORDER BY pair""".stripMargin
+    })
 }

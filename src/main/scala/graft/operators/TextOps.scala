@@ -192,17 +192,22 @@ object TextOps {
     * sizes, and re-partitioning — adding documents never reshuffles
     * existing ones. Narrow per-row transform; no shuffle.
     */
-  def datasetSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+  /** The split a doc_id lands in — a pure hash of the id, so consumers
+    * that already carry doc_id (e.g. the cached shingle relation) can
+    * compute it map-side instead of joining [[datasetSplit]] back on.
+    */
+  def splitExpr(docId: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct + valPct <= 100, "train + val must leave room for test")
     val bucket = pmod(
-      graft.functions.PortableHash.hash60(concat(lit("split:"), col("doc_id").cast("string"))),
+      graft.functions.PortableHash.hash60(concat(lit("split:"), docId.cast("string"))),
       lit(100L))
-    docs.withColumn(
-      "split",
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test"))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
+
+  def datasetSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.withColumn("split", splitExpr(col("doc_id"), trainPct, valPct))
 
   /** Split summary per (lang, split): doc + token counts. */
   def splitSummary(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
@@ -211,6 +216,79 @@ object TextOps {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
       .orderBy(col("lang"), col("split"))
+
+  /** Train/val/test leakage audit — decontamination semantics ACROSS the
+    * pipeline's own splits: an eval doc is leaked when it shares at least
+    * one word `n`-gram with a doc of the reference split (the PaLM/GPT-3
+    * n-gram contamination rule; hash splits assign per doc_id, so
+    * near-copies land across boundaries and quietly inflate held-out
+    * metrics). One row per directed pair (train→val, train→test,
+    * val→test): distinct shared n-grams, leaked eval-doc count, the eval
+    * split's total docs, and the leak fraction.
+    *
+    * Scale shape: rides the session-cached dedup shingle relation (8-byte
+    * gram hashes — text never shuffles); the split is a map-side hash of
+    * doc_id ([[splitExpr]]), never a join back to the corpus. One
+    * gram-keyed aggregation reduces to per-gram split flags, one join
+    * back on the gram hash + a doc-keyed aggregation flags leaked docs,
+    * and the pair summary is three 1-row aggregates exploded to 3 rows.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      n: Int = 8,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val tagged = DedupOps
+      .shingleRows(docs, n)
+      .withColumn("split", splitExpr(col("doc_id"), trainPct, valPct))
+    val perGram = tagged
+      .groupBy(col("h"))
+      .agg(
+        max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+        max(when(col("split") === "val", 1).otherwise(0)).as("in_val"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+    val shared = perGram.agg(
+      sum((col("in_train") * col("in_val")).cast("long")).as("sf_tv"),
+      sum((col("in_train") * col("in_test")).cast("long")).as("sf_tt"),
+      sum((col("in_val") * col("in_test")).cast("long")).as("sf_vt"))
+    val leaks = tagged
+      .join(perGram, Seq("h"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(max(col("in_train")).as("any_train"), max(col("in_val")).as("any_val"))
+      .agg(
+        sum(when(col("split") === "val" && col("any_train") === 1, 1L).otherwise(0L))
+          .as("ld_tv"),
+        sum(when(col("split") === "test" && col("any_train") === 1, 1L).otherwise(0L))
+          .as("ld_tt"),
+        sum(when(col("split") === "test" && col("any_val") === 1, 1L).otherwise(0L))
+          .as("ld_vt"))
+    val totals = docs
+      .select(splitExpr(col("doc_id"), trainPct, valPct).as("split"))
+      .agg(
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("tot_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("tot_test"))
+    def pairRow(tag: String, sf: String, ld: String, tot: String): Column =
+      struct(
+        lit(tag).as("pair"),
+        col(sf).as("n_shared_grams"),
+        col(ld).as("n_leaked"),
+        col(tot).as("n_eval"))
+    shared
+      .crossJoin(broadcast(leaks))
+      .crossJoin(broadcast(totals))
+      .select(explode(array(
+        pairRow("train->val", "sf_tv", "ld_tv", "tot_val"),
+        pairRow("train->test", "sf_tt", "ld_tt", "tot_test"),
+        pairRow("val->test", "sf_vt", "ld_vt", "tot_test"))).as("p"))
+      .select(
+        col("p.pair").as("pair"),
+        col("p.n_shared_grams").as("n_shared_grams"),
+        col("p.n_leaked").as("n_leaked"),
+        col("p.n_eval").as("n_eval"),
+        round(col("p.n_leaked").cast("double") / col("p.n_eval").cast("double"), 6)
+          .as("leak_ratio"))
+      .orderBy(col("pair"))
+  }
 
   /** Top-k tokens per language by frequency (corpus heavy-hitters):
     * group-by count with map-side partials, then a per-language rank

@@ -227,6 +227,37 @@ class TextSpec extends SparkSpec {
     assert(out("s2") == ((6L, 5L, 4L, 0.833333, 0.8)))
   }
 
+  test("splitLeakage equals a collected replay of split × 8-gram overlap") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = TextOps.splitLeakage(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val splitOf = TextOps.datasetSplit(docs).select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grams = graft.operators.DedupOps.shingleRows(docs, 8)
+      .select(col("doc_id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.operators.DedupOps.releaseShingleCaches()
+    val byGram = grams.groupBy(_._2).view
+      .mapValues(_.map(p => splitOf(p._1)).toSet).toMap
+    val byDoc = grams.groupBy(_._1).view
+      .mapValues(_.map(p => byGram(p._2)).toSet.flatten).toMap
+    def expect(a: String, b: String) = {
+      val shared = byGram.values.count(s => s.contains(a) && s.contains(b)).toLong
+      val evalDocs = splitOf.collect { case (id, s) if s == b => id }
+      val leaked = evalDocs.count(id => byDoc.getOrElse(id, Set.empty).contains(a)).toLong
+      val total = evalDocs.size.toLong
+      val ratio = BigDecimal(leaked.toDouble / total.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (shared, leaked, total, ratio)
+    }
+    assert(got("train->val") == expect("train", "val"))
+    assert(got("train->test") == expect("train", "test"))
+    assert(got("val->test") == expect("val", "test"))
+    // cross-doc 8-gram overlap exists in this corpus → the audit sees it
+    assert(got.values.map(_._2).sum > 0L, "expected nonzero cross-split 8-gram leakage")
+  }
+
   test("trainingOrder: md5-ordered head, dense ord, stable across runs") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val out = TrainsetOps.trainingOrder(docs, sample = 50).collect()
