@@ -231,6 +231,53 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("zoneSkipping matches a brute-force replay on random day sequences") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      days <- Gen.listOfN(n, Gen.chooseNum(50, 80))
+      fileRows <- Gen.oneOf(3, 5, 16)
+      lo <- Gen.chooseNum(50, 80)
+      span <- Gen.chooseNum(0, 15)
+    } yield (days, fileRows, lo, lo + span)
+    check(Prop.forAll(gen) { case (days: List[Int], fileRows: Int, lo: Int, hi: Int) =>
+      val rows = days.zipWithIndex.map { case (d, i) =>
+        (i.toLong + 1, 1, new java.sql.Date(d * 86400000L))
+      }
+      val got = graft.operators.LayoutOps
+        .zoneSkipping(rows.toDF("l_orderkey", "l_linenumber", "l_shipdate"), fileRows, lo, hi)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      def replay(sorted: List[Int]) = {
+        val files = sorted.grouped(fileRows).toList
+        val scanned = files.filter(f => f.max >= lo && f.min <= hi)
+        val ratio = BigDecimal(1.0 - scanned.map(_.size).sum.toDouble / sorted.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (files.size.toLong, scanned.size.toLong, scanned.map(_.size).sum.toLong, ratio)
+      }
+      // natural = orderkey order = input order; sorted = by (day, orderkey)
+      got("natural") == replay(days) &&
+      got("shipdate") == replay(days.zipWithIndex.sortBy { case (d, i) => (d, i) }.map(_._1))
+    }, n = 12)
+  }
+
+  test("joinSizeEstimate is one-sided and exact without collisions (random multisets)") {
+    // ≤ 6 distinct keys over 4×1024 buckets: P(some pair collides in all
+    // 4 depth rows) ~ (15/1024)^4 ≈ 5e-8 — the min over rows recovers the
+    // exact inner product
+    val key = Gen.chooseNum(0, 5).map(i => s"k$i")
+    val side = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, key))
+    check(Prop.forAll(side, side) { (xs: List[String], ys: List[String]) =>
+      val r = graft.operators.SketchOps
+        .joinSizeEstimate(xs.toDF("k"), col("k"), ys.toDF("k"), col("k"))
+        .head()
+      val ca = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = ys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = ca.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+      r.getLong(0) == exact && r.getLong(1) == exact
+    }, n = 12)
+  }
+
   test("zipfSlope equals the explicit window-rank OLS twin on random corpora") {
     import org.apache.spark.sql.expressions.Window
     val word = Gen.oneOf((1 to 9).map(i => s"w$i"))
