@@ -59,7 +59,10 @@ object DumpPlans {
     "pmi_bigrams" -> "PMI collocations: two map-side-combined count aggregations (bigrams + unigrams, both vocabulary-bounded), the min-count filter BEFORE the marginal joins, 1-row totals broadcast, top-20 as TakeOrderedAndProject.",
     "zipf_slope" -> "Zipf fit: vocabulary ranks via RankOps.rowsAboveRank (bin histogram + per-bin rank windows — no vocab-scale sort); the OLS sufficient stats are one DECIMAL(38,0) grouped aggregate over nano-quantized logs.",
     "train_shuffle" -> "Deterministic md5 training order: the reviewable head is TakeOrderedAndProject (heap top-k, no global sort); the ord row_number window consumes only the ≤ sample-row result.",
-    "label_noise" -> "k-NN label audit: exact neighbors from the broadcast probe slice, label joins attach to the k·probes relation (never the corpus), two integer aggregations — per-probe agreement then per-label rollup.")
+    "label_noise" -> "k-NN label audit: exact neighbors from the broadcast probe slice, label joins attach to the k·probes relation (never the corpus), two integer aggregations — per-probe agreement then per-label rollup.",
+    "zone_skipping" -> "Zone-map audit: file ordinals for BOTH layouts from RankOps (bounded bin windows — the same machinery a layout rewrite's range partitioner uses), per-file min/max aggregation, 2-row plan summary.",
+    "join_size_est" -> "AMS join-size estimate: two fixed 4×1024 CMS states (one map-side-combinable pass each), the estimate is a ≤4096-row join + min-over-depth — no key-level relation, the planner statistic costs two scans.",
+    "split_leakage" -> "Cross-split 8-gram contamination: session-cached shingle relation, split as a map-side hash of doc_id (never a corpus join), gram-flag aggregation + one hash join back, 3-row pair summary.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession

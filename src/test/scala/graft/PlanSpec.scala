@@ -196,6 +196,27 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx >= 0, "count threshold filter missing from the plan")
   }
 
+  test("zone_skipping: file ordinals from RankOps — no layout-scale window sort") {
+    val p = plan("zone_skipping")
+    assertRankWindowsBounded(p, "zone_skipping")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp_ntz>"),
+      "scan must prune to the three layout columns")
+  }
+
+  test("join_size_est: fixed-size sketch states join, corpus never forms a key relation twice") {
+    val p = plan("join_size_est")
+    assert(!p.contains("CartesianProduct"), "1-row combination must broadcast, not fan out")
+  }
+
+  test("split_leakage: rides the cached shingle relation, split is map-side") {
+    val p = plan("split_leakage")
+    assert(p.contains("InMemoryTableScan"), "must reuse the session shingle cache")
+    // the split assignment is an expression over doc_id, not a join back to
+    // the documents table: exactly one parquet scan (the shingle fill's)
+    // appears OUTSIDE the cached subtree — the totals pass over doc_id only
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
   test("train_shuffle: md5-order head via TakeOrdered; the ord window sits on the head") {
     val p = plan("train_shuffle")
     val topk = p.indexOf("TakeOrderedAndProject")
