@@ -98,7 +98,11 @@ object SimilarityQueries {
     // k-NN label-agreement audit: per-label neighborhood purity over the
     // probe slice; suspect = probes whose neighbor majority disagrees.
     "label_noise" -> ((s, dir) =>
-      SimilarityOps.labelNoise(Tables.embeddings(s, dir), k = 10, probeEvery = 50)))
+      SimilarityOps.labelNoise(Tables.embeddings(s, dir), k = 10, probeEvery = 50)),
+    // Distance view of mislabel detection: top-3 farthest members from
+    // their own label's exact integer-micro centroid.
+    "label_outliers" -> ((s, dir) =>
+      graft.operators.KMeansOps.labelOutliers(Tables.embeddings(s, dir), topK = 3)))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -117,6 +121,36 @@ object SimilarityQueries {
          |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "label_outliers" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+         |), l AS (
+         |  SELECT w.vec_id, w.vi, w.vv, e.label
+         |  FROM w JOIN embeddings e USING (vec_id)
+         |), m AS (
+         |  SELECT label, g.i AS pos,
+         |         CAST(CAST(trunc(sum(vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+         |  FROM l CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  GROUP BY 1, 2
+         |), c AS (
+         |  SELECT label, list(comp ORDER BY pos) AS ci FROM m GROUP BY 1
+         |), d AS (
+         |  SELECT l.label, l.vec_id,
+         |         CAST(l.vv + list_dot_product(c.ci, c.ci)
+         |              - 2 * list_dot_product(l.vi, c.ci) AS BIGINT) AS dist
+         |  FROM l JOIN c USING (label)
+         |), r AS (
+         |  SELECT label, vec_id, dist,
+         |         CAST(row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id)
+         |              AS INT) AS rk
+         |  FROM d
+         |)
+         |SELECT label, rk, vec_id, dist FROM r WHERE rk <= 3
+         |ORDER BY label, rk""".stripMargin,
     "label_noise" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -173,4 +173,47 @@ object KMeansOps {
           .as("pruned_dist"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Per-label centroid-distance outliers — the distance view of mislabel
+    * detection (complements [[SimilarityOps.labelNoise]]'s k-NN view):
+    * each label's centroid in exact integer micro-space (the same
+    * truncated-mean arithmetic as [[update]]), each member's squared
+    * distance to its OWN label's centroid, and the `topK` farthest
+    * members per label — the vectors to re-inspect first.
+    *
+    * Scale shape: one posexplode aggregation for the centroids (k·dim
+    * rows — label-bounded), centroids broadcast back, distances in one
+    * codegen projection via the dot kernel, and the per-label top-k is a
+    * `row_number <= k` filter — Spark rewrites it to WindowGroupLimit,
+    * so every map task pre-prunes to k rows per label before the window
+    * exchange (the stratified_sample pattern, never a per-label sort of
+    * the corpus landing in one task).
+    */
+  def labelOutliers(embeddings: DataFrame, topK: Int = 3): DataFrame = {
+    val vl = quantize(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cents = vl
+      .select(col("label"), posexplode(col("vi")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
+      .groupBy(col("label"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("comp")))),
+          s => s.getField("comp")).as("ci"))
+    val c = broadcast(cents.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    vl.join(c, Seq("label"))
+      .select(
+        col("label"),
+        col("vec_id"),
+        (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
+          .cast("long").as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("label"), col("rk"), col("vec_id"), col("dist"))
+      .orderBy(col("label"), col("rk"))
+  }
 }

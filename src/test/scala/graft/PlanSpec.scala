@@ -217,6 +217,14 @@ class PlanSpec extends SparkSpec {
     graft.operators.DedupOps.releaseShingleCaches()
   }
 
+  test("label_outliers: per-label top-k prunes via WindowGroupLimit, centroids broadcast") {
+    val p = plan("label_outliers")
+    assert(p.contains("WindowGroupLimit"), "rank<=k must pre-prune per map task")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "label-centroid relation must broadcast")
+    graft.operators.DedupOps.releaseShingleCaches()
+  }
+
   test("train_shuffle: md5-order head via TakeOrdered; the ord window sits on the head") {
     val p = plan("train_shuffle")
     val topk = p.indexOf("TakeOrderedAndProject")

@@ -189,4 +189,20 @@ class SimilaritySpec extends SparkSpec {
     // m = 1, 2m == k is NOT a minority → no suspects
     assert(out(1) == ((2L, 0.5, 0L)))
   }
+
+  test("labelOutliers golden: planted far point ranks first in its label") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0f), 0), (2L, Array(1.1f, 0f), 0),
+      (3L, Array(0.9f, 0f), 0), (4L, Array(5.0f, 0f), 0), // planted outlier
+      (5L, Array(0f, 1.0f), 1), (6L, Array(0f, 1.2f), 1),
+      (7L, Array(0f, -3.0f), 1)) // planted outlier
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.KMeansOps.labelOutliers(rows, topK = 1).collect()
+    graft.operators.DedupOps.releaseShingleCaches()
+    assert(out.map(r => r.getInt(0) -> r.getLong(2)).toMap == Map(0 -> 4L, 1 -> 7L))
+    assert(out.forall(_.getInt(1) == 1))
+    // distances are exact micro² integers: label-0 centroid x = 2_000_000,
+    // the outlier sits 3_000_000 away → dist exactly 9e12
+    assert(out.find(_.getInt(0) == 0).get.getLong(3) == 9000000000000L)
+  }
 }
