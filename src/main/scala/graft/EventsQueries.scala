@@ -336,6 +336,12 @@ object EventsQueries {
         userDay(ev),
         mBits = 16384)
     }),
+    // Pairwise audience-overlap matrix across ALL event types from one
+    // HLL register pass — union estimates are state-only per-bucket
+    // maxes, the corpus is read once for 10 pairwise overlaps.
+    "audience_matrix" -> ((s, dir) =>
+      graft.operators.SketchOps.overlapMatrix(
+        Tables.events(s, dir), col("event_type"), col("user_id"))),
     // AMS/CMS inner-product join-size estimate: the user_id SELF-join
     // cardinality (the pair-generation explosion a planner must see
     // coming on skewed keys) from two fixed 4×1024 sketches, next to the
@@ -717,6 +723,62 @@ object EventsQueries {
         |             / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conv_1_2,
         |       round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
         |             / CAST((SELECT count(*) FROM s2) AS DOUBLE), 6) AS conv_2_3""".stripMargin,
+    "audience_matrix" -> {
+      val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
+      val finalize =
+        """round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+          |                 / CAST(zp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+          |                 <= 640.0 AND (256 - nb) > 0
+          |            THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+          |            ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+          |                 / CAST(zp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+          |            END, 6)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT event_type AS cat, ($h) AS h, user_id FROM events
+         |), r AS (
+         |  SELECT cat, h & 255 AS bucket,
+         |         max(CASE WHEN (h >> 8) = 0 THEN 53
+         |                  ELSE 53 - length(bin(h >> 8)) END) AS m_j
+         |  FROM t GROUP BY 1, 2
+         |), cats AS (
+         |  SELECT DISTINCT cat FROM r
+         |), pr AS (
+         |  SELECT a.cat AS cat_a, b.cat AS cat_b
+         |  FROM cats a JOIN cats b ON a.cat < b.cat
+         |), zc AS (
+         |  SELECT cat, CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS zp
+         |  FROM r GROUP BY 1
+         |), ec AS (
+         |  SELECT cat, $finalize AS n_est FROM zc
+         |), pu AS (
+         |  SELECT pr.cat_a, pr.cat_b, r.bucket, max(r.m_j) AS m_j
+         |  FROM pr JOIN r ON r.cat = pr.cat_a OR r.cat = pr.cat_b
+         |  GROUP BY 1, 2, 3
+         |), zu AS (
+         |  SELECT cat_a, cat_b, CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS zp
+         |  FROM pu GROUP BY 1, 2
+         |), eu AS (
+         |  SELECT cat_a, cat_b, $finalize AS est_union FROM zu
+         |), d AS (
+         |  SELECT DISTINCT cat, user_id FROM t
+         |), ex AS (
+         |  SELECT x.cat AS cat_a, y.cat AS cat_b, CAST(count(*) AS BIGINT) AS n_exact_both
+         |  FROM d x JOIN d y ON x.user_id = y.user_id AND x.cat < y.cat
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pr.cat_a, pr.cat_b,
+         |       coalesce(ex.n_exact_both, 0) AS n_exact_both,
+         |       ea.n_est AS est_a, eb.n_est AS est_b, eu.est_union,
+         |       round(ea.n_est + eb.n_est - eu.est_union, 6) AS est_overlap
+         |FROM pr
+         |LEFT JOIN ex ON ex.cat_a = pr.cat_a AND ex.cat_b = pr.cat_b
+         |JOIN ec ea ON ea.cat = pr.cat_a
+         |JOIN ec eb ON eb.cat = pr.cat_b
+         |JOIN eu ON eu.cat_a = pr.cat_a AND eu.cat_b = pr.cat_b
+         |ORDER BY pr.cat_a, pr.cat_b""".stripMargin
+    },
     "join_size_est" -> {
       val h = graft.functions.PortableHash
         .hash60Sql("'cms' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")

@@ -151,6 +151,60 @@ object SketchOps {
       .withColumn("est_overlap", round(col("est_a") + col("est_b") - col("est_union"), 6))
   }
 
+  /** Pairwise audience-overlap MATRIX across categories from one register
+    * pass — [[overlapEstimate]] generalized to every category pair via
+    * sketch algebra: the per-category HLL registers aggregate once
+    * (|cats|·256 rows of mergeable state), and each pair's union estimate
+    * is a per-bucket max over that state — the corpus is NEVER re-read
+    * per pair, which is the whole point of mergeable sketches at 100 TB
+    * (k categories → k·(k−1)/2 overlaps from one scan plus state-only
+    * arithmetic). Exact intersections ride one distinct (cat, key)
+    * relation self-joined on the key (per-key fan-out bounded by |cats|).
+    * Output per pair (cat_a < cat_b): exact overlap, per-side and union
+    * estimates, inclusion–exclusion overlap estimate.
+    */
+  def overlapMatrix(df: DataFrame, cat: Column, key: Column): DataFrame = {
+    val base = df.select(cat.as("cat"), key.as("k"))
+    val regs = DedupOps.registerCache(
+      hllRegisters(base, col("k"), Seq(col("cat")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val perCat = estimateFromRegisters(regs, Seq(col("cat")))
+    val cats = regs.select(col("cat")).distinct()
+    val pairs = broadcast(
+      cats.select(col("cat").as("cat_a"))
+        .crossJoin(cats.select(col("cat").as("cat_b")))
+        .filter(col("cat_a") < col("cat_b")))
+    val pairRegs = regs
+      .join(pairs, col("cat") === col("cat_a") || col("cat") === col("cat_b"))
+      .groupBy(col("cat_a"), col("cat_b"), col("bucket"))
+      .agg(max(col("m_j")).as("m_j"))
+    val estU = estimateFromRegisters(pairRegs, Seq(col("cat_a"), col("cat_b")))
+      .withColumnRenamed("n_est", "est_union")
+    val d = base.distinct()
+    val exactBoth = d.as("x")
+      .join(d.as("y"), col("x.k") === col("y.k") && col("x.cat") < col("y.cat"))
+      .groupBy(col("x.cat").as("cat_a"), col("y.cat").as("cat_b"))
+      .agg(count(lit(1)).as("n_exact_both"))
+    pairs
+      .join(exactBoth, Seq("cat_a", "cat_b"), "left")
+      .join(
+        broadcast(perCat.select(col("cat").as("cat_a"), col("n_est").as("est_a"))),
+        Seq("cat_a"))
+      .join(
+        broadcast(perCat.select(col("cat").as("cat_b"), col("n_est").as("est_b"))),
+        Seq("cat_b"))
+      .join(broadcast(estU), Seq("cat_a", "cat_b"))
+      .select(
+        col("cat_a"),
+        col("cat_b"),
+        coalesce(col("n_exact_both"), lit(0L)).as("n_exact_both"),
+        col("est_a"),
+        col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6).as("est_overlap"))
+      .orderBy(col("cat_a"), col("cat_b"))
+  }
+
   /** Cumulative distinct-`key` curve per day — audience growth — by
     * sketch algebra: per-day HLL registers, then a running per-bucket
     * max over the day axis (the window form of the HLL merge operator),

@@ -128,6 +128,28 @@ class SketchSpec extends SparkSpec {
     assert(out("absent")._1 == 0L)
   }
 
+  test("overlapMatrix rows equal overlapEstimate run pair-by-pair") {
+    val rows =
+      (0 to 9).map(i => ("A", s"u$i")) ++
+        (5 to 14).map(i => ("B", s"u$i")) ++
+        (0 to 4).map(i => ("C", s"u$i")) ++
+        (0 to 4).map(i => ("C", s"u$i")) // duplicates must not change anything
+    val df = rows.toDF("cat", "k")
+    val got = SketchOps.overlapMatrix(df, col("cat"), col("k")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    graft.operators.DedupOps.releaseShingleCaches()
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    got.keys.foreach { case (a, b) =>
+      val pair = SketchOps.overlapEstimate(
+        df.filter(col("cat") === a), df.filter(col("cat") === b), col("k")).head()
+      graft.operators.DedupOps.releaseShingleCaches()
+      assert(got((a, b)) == ((pair.getLong(2), pair.getDouble(5), pair.getDouble(6))),
+        s"pair ($a,$b) disagrees with overlapEstimate")
+    }
+    assert(got(("A", "B"))._1 == 5L && got(("A", "C"))._1 == 5L && got(("B", "C"))._1 == 0L)
+  }
+
   test("joinSizeEstimate: one-sided, exact on tiny key sets, self-join audit sane") {
     // A: key a ×5, b ×2; B: a ×3, c ×4 → |A ⋈ B| = 5·3 = 15; few keys over
     // 4×1024 buckets → collision-free in every depth row → estimate exact
