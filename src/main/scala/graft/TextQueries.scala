@@ -123,7 +123,9 @@ object TextQueries {
       graft.operators.TrainsetOps.trainingOrder(Tables.documents(s, dir))),
     // Eval-hygiene audit: 8-gram contamination across the pipeline's own
     // train/val/test split boundaries (decontamination semantics).
-    "split_leakage" -> ((s, dir) => TextOps.splitLeakage(Tables.documents(s, dir))))
+    "split_leakage" -> ((s, dir) => TextOps.splitLeakage(Tables.documents(s, dir))),
+    // Per-doc top-3 TF-IDF keywords (integer nano-log scores).
+    "doc_keywords" -> ((s, dir) => TextOps.docKeywords(Tables.documents(s, dir))))
 
   private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -571,6 +573,29 @@ object TextQueries {
         |SELECT doc_id, shuffle_key,
         |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS ord
         |FROM h""".stripMargin,
+    "doc_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+        |), s AS (
+        |  SELECT tf.doc_id, tf.w,
+        |         tf.tf * CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000000000.0)
+        |                      AS BIGINT) AS nano
+        |  FROM tf JOIN df USING (w) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, w, nano,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY nano DESC, w)
+        |              AS INT) AS rk
+        |  FROM s
+        |)
+        |SELECT doc_id, rk, w AS term,
+        |       round(CAST(nano AS DOUBLE) / 1000000000.0, 6) AS tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "split_leakage" -> {
       val bucket =
         s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"

@@ -728,6 +728,47 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Per-document keyword extraction: top-`k` terms by TF-IDF
+    * (`tf(d,w) · ln(N / df(w))` — raw counts, no length normalization:
+    * the classic form). The score is computed as an exact integer —
+    * `tf × nano(ln(N/df))` — so ranking and output are bit-reproducible
+    * across engines (the [[unigramNll]] nano-log discipline); ties break
+    * on the term string.
+    *
+    * Scale shape: one (doc, term) count aggregation (map-side combined),
+    * document frequencies as a vocabulary-bounded rollup of that relation
+    * joined back on the term (AQE broadcasts the df side when small), the
+    * corpus size as a 1-row broadcast, and the per-doc top-k as a
+    * `row_number <= k` filter — WindowGroupLimit prunes to k rows per doc
+    * map-side, and the window partitions by doc_id (millions of tiny
+    * partitions, never a single-task sort).
+    */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("nano").desc, col("w"))
+    tf.join(df, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("w"),
+        (col("tf") *
+          round(log(col("nd").cast("double") / col("df")) * lit(1e9)).cast("long"))
+          .as("nano"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(
+        col("doc_id"),
+        col("rk"),
+        col("w").as("term"),
+        round(col("nano").cast("double") / lit(1e9), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Per-source lexical diversity: type-token ratio (distinct terms /
     * total tokens) and hapax share (terms occurring once / distinct
     * terms) — the corpus-mixing health check a pretraining pipeline runs

@@ -217,6 +217,11 @@ class PlanSpec extends SparkSpec {
     graft.operators.DedupOps.releaseShingleCaches()
   }
 
+  test("doc_keywords: per-doc top-k prunes via WindowGroupLimit") {
+    val p = plan("doc_keywords")
+    assert(p.contains("WindowGroupLimit"), "rank<=k must pre-prune per map task")
+  }
+
   test("label_outliers: per-label top-k prunes via WindowGroupLimit, centroids broadcast") {
     val p = plan("label_outliers")
     assert(p.contains("WindowGroupLimit"), "rank<=k must pre-prune per map task")

@@ -258,6 +258,25 @@ class TextSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0L, "expected nonzero cross-split 8-gram leakage")
   }
 
+  test("docKeywords golden: hand-computed TF-IDF ranks and values") {
+    val docs = Seq(
+      (1L, "apple apple banana the"),
+      (2L, "banana cherry the"),
+      (3L, "the the the"))
+      .toDF("doc_id", "text")
+    val out = TextOps.docKeywords(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    // df: apple 1, banana 2, cherry 1, the 3 (idf 0) over N=3
+    assert(out((1L, 1)) == (("apple", 2.197225))) // 2·nano(ln 3)
+    assert(out((1L, 2)) == (("banana", 0.405465))) // nano(ln 1.5)
+    assert(out((1L, 3)) == (("the", 0.0)))
+    assert(out((2L, 1)) == (("cherry", 1.098612)))
+    assert(out((2L, 2)) == (("banana", 0.405465)))
+    assert(out((3L, 1)) == (("the", 0.0)))
+    assert(!out.contains((3L, 2))) // single-term doc yields one keyword
+  }
+
   test("trainingOrder: md5-ordered head, dense ord, stable across runs") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val out = TrainsetOps.trainingOrder(docs, sample = 50).collect()
