@@ -48,6 +48,9 @@ object DedupQueries {
     // benchmark corpus).
     "decontaminate" -> ((s, dir) =>
       DedupOps.decontaminate(Tables.documents(s, dir), n = 8, evalMod = 50)),
+    // Memorization-risk dial: fraction of each doc's 8-grams unique to it.
+    "ngram_novelty" -> ((s, dir) =>
+      DedupOps.ngramNovelty(Tables.documents(s, dir), n = 8)),
     // Substring-level near-dups: winnowing-fingerprint containment ≥ 0.8
     // (catches copy-with-additions that token Jaccard under-scores).
     "dedup_substring" -> ((s, dir) =>
@@ -238,6 +241,36 @@ object DedupQueries {
          |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_nano
          |FROM i3 ORDER BY rank_nano DESC, doc_id LIMIT 20""".stripMargin
     },
+    "ngram_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 8
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 7),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+         |                          || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+         |                          || ' ' || tk[i+7]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, ${graft.functions.PortableHash.hash60Sql("s")} AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+         |), f AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM u GROUP BY 1
+         |), p AS (
+         |  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM u JOIN f USING (h) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(p.n_grams, 0) AS n_grams,
+         |       coalesce(p.n_unique, 0) AS n_unique,
+         |       CASE WHEN coalesce(p.n_grams, 0) > 0
+         |            THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6)
+         |            END AS novelty
+         |FROM documents d LEFT JOIN p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

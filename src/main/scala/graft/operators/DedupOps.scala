@@ -330,6 +330,40 @@ object DedupOps {
     * of the corpus at all. If the held-out side ever grows to corpus
     * scale, drop the hint and the same plan runs as a shuffled join.
     */
+  /** Per-document n-gram novelty: the fraction of a doc's distinct word
+    * `n`-grams that occur in NO other document — the memorization-risk /
+    * boilerplate dial (novelty ≈ 1 → fully original text; low novelty →
+    * the doc is assembled from corpus-common spans and dedup/span removal
+    * will eat it). Output `(doc_id, n_grams, n_unique, novelty)`;
+    * gram-less docs (< n tokens) report 0 grams and a NULL ratio.
+    *
+    * Scale shape: rides the session-cached shingle relation (8-byte
+    * hashes, distinct per doc); one gram-keyed document-frequency
+    * aggregation joined back on the hash; one doc-keyed rollup.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = sh
+      .join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(
+          coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   def decontaminate(docs: DataFrame, n: Int = 8, evalMod: Int = 50): DataFrame = {
     val sh = shingleRows(docs, n)
     val isEval = pmod(col("doc_id"), lit(evalMod.toLong)) === 0

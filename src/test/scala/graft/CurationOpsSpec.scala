@@ -24,6 +24,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
   }
 
+  test("ngramNovelty golden: shared prefix halves novelty; short docs report null") {
+    val eight = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$eight i"), // grams [a..h] (shared), [b..i] (unique) → 0.5
+      (2L, s"$eight x"), // grams [a..h] (shared), [b..x] (unique) → 0.5
+      (3L, "p q r s t u v w"), // one unique gram → 1.0
+      (4L, "z z")) // < 8 tokens → no grams
+      .toDF("doc_id", "text")
+    val out = DedupOps.ngramNovelty(docs, n = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    DedupOps.releaseShingleCaches()
+    assert(out(1L) == ((2L, 1L, Some(0.5))))
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((1L, 1L, Some(1.0))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
   test("patternScan golden: PII fixtures counted per source, corpus-free patterns zero") {
     val docs = Seq(
       (1L, "contact bob@example.com or eve@test.org today", "s1"),
