@@ -102,7 +102,11 @@ object SimilarityQueries {
     // Distance view of mislabel detection: top-3 farthest members from
     // their own label's exact integer-micro centroid.
     "label_outliers" -> ((s, dir) =>
-      graft.operators.KMeansOps.labelOutliers(Tables.embeddings(s, dir), topK = 3)))
+      graft.operators.KMeansOps.labelOutliers(Tables.embeddings(s, dir), topK = 3)),
+    // ANN planning: bucket occupancy + avg candidate-list size for
+    // 2/4/6-plane LSH configs from one projection pass.
+    "lsh_tuning" -> ((s, dir) =>
+      SimilarityOps.lshTuning(Tables.embeddings(s, dir), dim = Dim, planeCounts = Seq(2, 4, 6))))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -121,6 +125,28 @@ object SimilarityQueries {
          |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lsh_tuning" -> {
+      val bit = (p: Int) =>
+        s"CASE WHEN round(list_dot_product(emb, ${planeSqlLiteral(p)}), 6) > 0 " +
+          s"THEN ${1L << p} ELSE 0 END"
+      val bmax = (0 until 6).map(bit).mkString("(", " + ", ")")
+      s"""WITH e AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), b AS (
+         |  SELECT $bmax AS bmax FROM e
+         |), u AS (
+         |  SELECT p.planes, b.bmax & ((CAST(1 AS BIGINT) << p.planes) - 1) AS bucket
+         |  FROM b CROSS JOIN (SELECT unnest([2, 4, 6]) AS planes) p
+         |), c AS (
+         |  SELECT planes, bucket, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2
+         |)
+         |SELECT planes,
+         |       CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |       CAST(max(c) AS BIGINT) AS max_bucket,
+         |       round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+         |             / CAST(sum(c) AS DOUBLE), 6) AS avg_candidates
+         |FROM c GROUP BY planes ORDER BY planes""".stripMargin
+    },
     "label_outliers" ->
       s"""WITH v AS (
          |  SELECT vec_id,

@@ -81,6 +81,52 @@ object SimilarityOps {
     bits.reduce(_ + _)
   }
 
+  /** LSH configuration advisor: bucket-occupancy statistics for several
+    * plane counts from ONE projection pass — the planning query run
+    * before committing to an ANN config. Because plane `p`'s bit is
+    * always `2^p`, the bucket id under `p` planes is the max-plane bucket
+    * masked to its low `p` bits, so every candidate configuration derives
+    * from one `maxPlanes`-projection scan (the corpus is never
+    * re-projected per config). Per plane count: buckets used, the largest
+    * bucket (the skew/hot-bucket bound), and the average candidate-list
+    * size a query meets (`Σc²/n` — including itself), which is exactly
+    * the per-query work `knnLsh` would do at that setting.
+    *
+    * Σc² runs in DECIMAL(38,0): at 10¹⁰ vectors a near-degenerate bucket
+    * makes c² overflow BIGINT.
+    */
+  def lshTuning(
+      embeddings: DataFrame,
+      dim: Int,
+      planeCounts: Seq[Int]): DataFrame = {
+    require(planeCounts.nonEmpty, "need at least one plane count")
+    val maxP = planeCounts.max
+    val b = corpus(embeddings).select(lshBucket(col("emb"), maxP, dim).as("bmax"))
+    val exploded = b.select(explode(array(planeCounts.sorted.map { p =>
+      struct(
+        lit(p).as("planes"),
+        col("bmax").bitwiseAND(lit((1L << p) - 1)).as("bucket"))
+    }: _*)).as("x"))
+      .select(col("x.planes").as("planes"), col("x.bucket").as("bucket"))
+    exploded
+      .groupBy(col("planes"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("planes"))
+      .agg(
+        count(lit(1)).as("n_buckets_used"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c")).as("n_vecs"),
+        sum((col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)"))
+          .as("sum_sq"))
+      .select(
+        col("planes"),
+        col("n_buckets_used"),
+        col("max_bucket"),
+        round(col("sum_sq").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("avg_candidates"))
+      .orderBy(col("planes"))
+  }
+
   /** LSH-bucketed ANN: exact cosine within same-bucket candidates only.
     * Same output shape as [[knnBruteForce]]; recall < 1 by construction
     * (tested against the brute-force oracle in SimilaritySpec; the exact

@@ -190,6 +190,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == ((2L, 0.5, 0L)))
   }
 
+  test("lshTuning: masked-bucket stats equal a direct per-config computation") {
+    val dim = 2
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.lshTuning(rows, dim, Seq(2, 4)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(2, 4).foreach { p =>
+      val c = SimilarityOps.corpus(rows)
+        .select(SimilarityOps.lshBucket(col("emb"), p, dim).as("b"))
+        .groupBy("b").count().collect().map(_.getLong(1))
+      val avg = BigDecimal(c.map(x => x * x).sum.toDouble / c.sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(p) == ((c.length.toLong, c.max, avg)), s"p=$p disagrees with direct run")
+    }
+    // more planes can only split buckets: occupancy up, candidate lists down
+    assert(got(4)._1 >= got(2)._1 && got(4)._3 <= got(2)._3)
+  }
+
   test("labelOutliers golden: planted far point ranks first in its label") {
     val rows = Seq(
       (1L, Array(1.0f, 0f), 0), (2L, Array(1.1f, 0f), 0),
