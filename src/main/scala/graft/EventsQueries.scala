@@ -308,6 +308,42 @@ object EventsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("prev_type"), col("event_type"))
     }),
+    // Per-state predictability of the behavior Markov chain: Shannon
+    // entropy (nats) of each state's next-event distribution + the modal
+    // next event. Transition counts reuse the one-per-user lag-window
+    // shuffle; the entropy sums are nano-log integers over the ≤ |types|²
+    // transition relation — exact at any parallelism, float only in the
+    // final division.
+    "transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val tc = Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tc.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+      tc.join(broadcast(tot), Seq("prev_type"))
+        .groupBy(col("prev_type"))
+        .agg(
+          max(col("tot")).as("n_out"),
+          count(lit(1)).as("n_next_types"),
+          sum(
+            col("n") *
+              round(log(col("tot").cast("double") / col("n")) * lit(1e9)).cast("long"))
+            .as("ent_nano"),
+          min(struct(-col("n"), col("event_type"))).as("m"))
+        .select(
+          col("prev_type"),
+          col("n_out"),
+          col("n_next_types"),
+          round(
+            col("ent_nano").cast("double") / col("n_out").cast("double") / lit(1e9),
+            6).as("entropy_nats"),
+          col("m.event_type").as("top_next"))
+        .orderBy(col("prev_type"))
+    }),
     // Portable-HLL distinct-user estimate next to the exact count
     // (SketchOps: integer-exact register sum, cross-engine bit-exact).
     "approx_users" -> ((s, dir) =>
@@ -685,6 +721,37 @@ object EventsQueries {
         |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
+    "transition_entropy" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events
+        |), tc AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM tc GROUP BY 1
+        |), j AS (
+        |  SELECT tc.prev_type, tc.event_type, tc.n, tt.tot,
+        |         tc.n * CAST(round(ln(CAST(tt.tot AS DOUBLE) / tc.n) * 1000000000.0)
+        |                     AS BIGINT) AS nano
+        |  FROM tc JOIN tt USING (prev_type)
+        |), top AS (
+        |  SELECT prev_type, event_type AS top_next FROM (
+        |    SELECT prev_type, event_type,
+        |           row_number() OVER (PARTITION BY prev_type
+        |                              ORDER BY n DESC, event_type) AS rn
+        |    FROM tc) WHERE rn = 1
+        |)
+        |SELECT j.prev_type,
+        |       CAST(max(j.tot) AS BIGINT) AS n_out,
+        |       CAST(count(*) AS BIGINT) AS n_next_types,
+        |       round(CAST(sum(j.nano) AS DOUBLE) / CAST(max(j.tot) AS DOUBLE)
+        |             / 1000000000.0, 6) AS entropy_nats,
+        |       max(top.top_next) AS top_next
+        |FROM j JOIN top USING (prev_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

@@ -113,4 +113,27 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getDouble(6) == mean.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("transition_entropy equals a replay over the transition counts") {
+    val got = SparkEntry.queries("transition_entropy")(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    val tc = SparkEntry.queries("events_transitions")(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = tc.groupBy(_._1).map { case (prev, rows) =>
+      val tot = rows.map(_._3).sum
+      val nano = rows.map { case (_, _, n) =>
+        n * math.round(math.log(tot.toDouble / n) * 1e9)
+      }.sum
+      val ent = BigDecimal(nano.toDouble / tot.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val top = rows.minBy { case (_, next, n) => (-n, next) }._2
+      prev -> ((tot, rows.size.toLong, ent, top))
+    }
+    assert(got == want)
+    // entropy of a k-way distribution is bounded by ln k
+    got.foreach { case (_, (_, k, e, _)) =>
+      assert(e >= 0.0 && e <= math.log(k.toDouble) + 1e-6)
+    }
+  }
 }
