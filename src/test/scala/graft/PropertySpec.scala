@@ -278,6 +278,83 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("docKeywords matches a brute-force TF-IDF replay on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val doc = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val gen = Gen.chooseNum(2, 7).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(gen) { docs: List[String] =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.TextOps.docKeywords(df, k = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toList
+      val tf = docs.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").groupBy(identity).map { case (w, g) => (i.toLong, w, g.length.toLong) }
+      }
+      val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nd = docs.size.toDouble
+      val want = tf
+        .map { case (d, w, c) =>
+          (d, w, c * math.round(math.log(nd / dfreq(w)) * 1e9))
+        }
+        .groupBy(_._1).toList
+        .flatMap { case (d, rows) =>
+          rows.sortBy { case (_, w, nano) => (-nano, w) }.take(2).zipWithIndex.map {
+            case ((_, w, nano), i) =>
+              val v = BigDecimal(nano.toDouble / 1e9)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (d, i + 1, w, v)
+          }
+        }
+        .sortBy { case (d, rk, _, _) => (d, rk) }
+      got == want
+    }, n = 12)
+  }
+
+  test("labelNoise matches a brute-force kNN replay on random labeled points") {
+    // zero vectors excluded: their cosine is null on both sides, and the
+    // operator ranks null-cos rows last while a replay would drop them —
+    // a modeling choice this property doesn't exercise
+    val pt = Gen.zip(Gen.chooseNum(-5, 5), Gen.chooseNum(-5, 5), Gen.chooseNum(0, 2))
+    val gen = Gen.chooseNum(4, 14)
+      .flatMap(n => Gen.listOfN(n, pt))
+      .map(_.distinct.filter(p => p._1 != 0 || p._2 != 0))
+      .suchThat(_.size >= 2)
+    check(Prop.forAll(gen) { pts: List[(Int, Int, Int)] =>
+      val k = 3
+      val rows = pts.zipWithIndex.map { case ((x, y, l), i) =>
+        (i.toLong, Array(x.toFloat, y.toFloat), l)
+      }
+      val df = rows.toDF("vec_id", "embedding", "label")
+      val got = graft.operators.SimilarityOps.labelNoise(df, k = k, probeEvery = 1)
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      // replay: cosine rounded to 6dp (the operator's pre-rank rounding),
+      // rank by (cos desc, id), agreement over the top-k
+      def cos(a: Array[Float], b: Array[Float]): java.lang.Double = {
+        val dot = a.zip(b).map { case (p, q) => p.toDouble * q }.sum
+        val na = math.sqrt(a.map(p => p.toDouble * p).sum)
+        val nb = math.sqrt(b.map(p => p.toDouble * p).sum)
+        if (na == 0 || nb == 0) null
+        else BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val perProbe = rows.map { case (qid, qv, ql) =>
+        val neigh = rows
+          .filter(_._1 != qid)
+          .flatMap { case (cid, cv, cl) => Option(cos(qv, cv)).map(c => (cid, cl, c.toDouble)) }
+          .sortBy { case (cid, _, c) => (-c, cid) }
+          .take(k)
+        (ql, neigh.count(_._2 == ql).toLong)
+      }
+      val want = perProbe.groupBy(_._1).map { case (l, g) =>
+        val n = g.size.toLong
+        val m = g.map(_._2).sum
+        val mean = BigDecimal(m.toDouble / (n * k).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        l -> ((n, mean, g.count(_._2 * 2 < k).toLong))
+      }
+      got == want
+    }, n = 10)
+  }
+
   test("zipfSlope equals the explicit window-rank OLS twin on random corpora") {
     import org.apache.spark.sql.expressions.Window
     val word = Gen.oneOf((1 to 9).map(i => s"w$i"))
