@@ -647,34 +647,30 @@ object TpchQueries {
       // pass + broadcast the oracle's formulation implies is elided
       val scored = perCust.withColumn("recency_key", -col("last_day"))
       import graft.operators.RankOps
-      // long form: one (dim, v, custkey) row per dimension per customer —
-      // ONE ntileCuts call (one stats pass, one bin histogram, one
-      // boundary-rank pass, grouped by dim) instead of three chained calls
-      // paying three sets of passes; DESC dims negate v
-      val longForm = scored.select(
-        col("o_custkey"),
-        explode(array(
-          struct(lit(1).as("dim"), col("recency_key").as("v")),
-          struct(lit(2).as("dim"), (-col("freq")).as("v")),
-          struct(lit(3).as("dim"), (-col("monetary_c")).as("v")))).as("t"))
-        .select(col("t.dim").as("dim"), col("t.v").as("v"), col("o_custkey"))
-      val cuts = RankOps.ntileCuts(longForm, Seq("dim"), Seq("v", "o_custkey"), 5)
-      // pivot the 3 cut rows to ONE broadcast row: c{dim}_{tile}
-      val dimAggs = for (d <- 1 to 3; j <- 1 to 4)
-        yield max(when(col("dim") === d, col(s"gr_c$j"))).as(s"c${d}_$j")
-      val cutsWide = broadcast(cuts.groupBy().agg(dimAggs.head, dimAggs.tail: _*))
-      def key(v: Column) = struct(v.as("v"), col("o_custkey"))
+      // round 9: all three dims' quintile cut keys from ONE fused two-pass
+      // histogram pipeline (driver-read stats row, one triple-dense-
+      // histogram scan, one bounded boundary-bin rank pass whose ≤ 12-row
+      // result is read driver-side) — no exploded 3n long form, and the
+      // scoring plan below is a single scan → literal-comparison project →
+      // aggregate: no join, broadcast, or window at all. DESC dims negate v
+      val cuts = RankOps.multiNtileCuts(
+        scored,
+        Seq(1 -> col("recency_key"), 2 -> (-col("freq")), 3 -> (-col("monetary_c"))),
+        "o_custkey",
+        5)
       scored
-        .crossJoin(cutsWide)
-        .withColumn("r", RankOps.ntileBucketExpr(key(col("recency_key")), 5, "c1_"))
-        .withColumn("f", RankOps.ntileBucketExpr(key(-col("freq")), 5, "c2_"))
-        .withColumn("m", RankOps.ntileBucketExpr(key(-col("monetary_c")), 5, "c3_"))
+        .withColumn("r", RankOps.ntileBucketExprLit(col("recency_key"), col("o_custkey"), cuts(1), 5))
+        .withColumn("f", RankOps.ntileBucketExprLit(-col("freq"), col("o_custkey"), cuts(2), 5))
+        .withColumn("m", RankOps.ntileBucketExprLit(-col("monetary_c"), col("o_custkey"), cuts(3), 5))
         .withColumn("segment", col("r") * lit(100) + col("f") * lit(10) + col("m"))
         .groupBy(col("segment"))
         .agg(
           count(lit(1)).as("n_customers"),
           sum(col("monetary_c")).as("total_cents"))
-        .orderBy(col("segment"))
+        // ≤ 5³ segment rows at ANY scale: a single-partition local sort
+        // replaces the global orderBy's range-sampling pass
+        .repartition(1)
+        .sortWithinPartitions(col("segment"))
     }),
     // Triangle census of the part co-occurrence graph (edges = part pairs
     // sharing ≥ 2 orders): exact triangle count + global clustering

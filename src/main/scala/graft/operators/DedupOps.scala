@@ -96,6 +96,14 @@ object DedupOps {
     .empty[(org.apache.spark.sql.SparkSession,
             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]
   private val sessionBacking = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // session-scoped DERIVED VALUES (not relations): bounded driver-side
+  // results keyed by (session, canonicalized source plan, op tag) — e.g.
+  // RankOps' ntile cut keys (≤ dims×(k−1) scalars). Same lifecycle as the
+  // session relations: reps of one bench sweep reuse them, and the same
+  // staleness trade applies (same files + same plan ⇒ same value).
+  private val sessionValues = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Any]
 
   /** Unpersist every TRANSIENT cache registered since the last release.
     * Blocking: async unpersist lets dead cache blocks pile up across a
@@ -121,7 +129,20 @@ object DedupOps {
     sessionBacking.clear()
     sessionShingleCaches.clear()
     sessionRelations.clear()
+    sessionValues.clear()
   }
+
+  /** Memoize a bounded driver-side value derived from `source` (session
+    * lifecycle — evicted by [[releaseAllCaches]]).
+    */
+  private[graft] def sessionValue[T](source: DataFrame, tag: String)(compute: => T): T =
+    synchronized {
+      sessionValues
+        .getOrElseUpdate(
+          (source.sparkSession, source.queryExecution.analyzed.canonicalized, tag),
+          compute)
+        .asInstanceOf[T]
+    }
 
   /** Register an externally-persisted relation for the same release
     * lifecycle (used by ClusterOps for its final label generation and by

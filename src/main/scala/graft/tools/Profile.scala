@@ -21,6 +21,17 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    if (sys.env.get("PROFILE_JOBS").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = Option(starts.remove(j.jobId)).getOrElse(System.nanoTime())
+          println(f"JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      })
+    }
     // comma-separated names profile sequentially in one JVM; per-query
     // transient caches release between queries (the bench lifecycle),
     // session shingle corpora stay warm across the list
@@ -29,7 +40,9 @@ object Profile {
       // warm-up round then 2 timed rounds
       for (i <- 0 until 3) {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // toRdd.count(), as Bench times it: forces the physical plan's full
+        // row output instead of letting count() prune the projection
+        val n = fn(spark, sfDir).queryExecution.toRdd.count()
         println(f"RUN$i $q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       if (sys.env.get("PROFILE_EXPLAIN").contains("1"))

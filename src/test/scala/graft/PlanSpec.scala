@@ -174,11 +174,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("group_quantiles: no group-scale rank window — RankOps bounded partitions only") {
+  /** Round-9 invariant for RankOps' bounded-group literal path: the rank
+    * machinery runs in the operator's OWN bounded passes (rank window over
+    * boundary bins only — ntile-equivalence property-pinned in
+    * RankOpsSpec), so the consumer's final plan must carry NO rank window
+    * or ntile at all.
+    */
+  private def assertNoRankMachinery(p: String, q: String): Unit = {
+    assert(!p.contains("ntile"), s"$q: ntile must not reappear")
+    assert(!p.contains("row_number() windowspecdefinition"),
+      s"$q: the literal cut path must leave no rank window in the consumer plan")
+  }
+
+  test("group_quantiles: cut keys are a LocalRelation — no rank machinery in the plan") {
     val p = plan("group_quantiles")
-    assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
-      "scan must prune to the group and value columns")
-    assertRankWindowsBounded(p, "group_quantiles")
+    assertNoRankMachinery(p, "group_quantiles")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      "quantile keys must arrive as a bounded LocalRelation")
   }
 
   test("zipf_slope: vocabulary ranks from RankOps — no vocab-scale window sort") {
@@ -239,16 +251,21 @@ class PlanSpec extends SparkSpec {
       "the row_number window must consume the bounded top-k result")
   }
 
-  test("winsorized_stats: thresholds from RankOps, no group-scale rank window") {
+  test("winsorized_stats: thresholds from RankOps' literal path, no rank machinery") {
     val p = plan("winsorized_stats")
-    assertRankWindowsBounded(p, "winsorized_stats")
+    assertNoRankMachinery(p, "winsorized_stats")
     graft.operators.DedupOps.releaseShingleCaches()
   }
 
-  test("rfm_segments: no ntile; quintiles are broadcast cut-key comparisons") {
+  test("rfm_segments: no ntile, no window, no join — literal cut-key comparisons only") {
+    // round 9: the quintile cut keys are derived in multiNtileCuts' own
+    // bounded passes (rank window covered by RankOpsSpec) and reach this
+    // plan as LITERALS — the scoring plan must be a pure scan → project →
+    // aggregate, with no rank window, join, or exchange-feeding ntile left
     val p = plan("rfm_segments")
     assert(!p.contains("ntile"), "unpartitioned ntile over the customer aggregate must not reappear")
-    assertRankWindowsBounded(p, "rfm_segments")
+    assert(!p.toLowerCase.contains("window"), "scoring plan must carry no window at all")
+    assert(!p.contains("Join"), "scoring plan must carry no join (cuts are literals)")
     graft.operators.DedupOps.releaseShingleCaches()
   }
 
@@ -406,14 +423,12 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 parquet scan, got $scans")
   }
 
-  test("doc_lm_buckets: no global ntile; rank window partitioned; cache holds no sort") {
+  test("doc_lm_buckets: no global ntile; literal cut path; cache holds no sort") {
     val p = plan("doc_lm_buckets")
-    assert(!p.contains("ntile"), "global ntile window must not reappear")
-    // the only row_number window ranks boundary-bin rows, partitioned by
-    // the tercile target — never an unpartitioned corpus-cardinality rank
-    // (RankOps tags targets as gr_tid since the round-8 generalization;
-    // the constant gr_g group key is folded out of the partition spec)
-    assertRankWindowsBounded(p, "doc_lm_buckets")
+    // the tercile boundary ranking runs inside keysAtRanksBy's bounded
+    // eager passes (RankOpsSpec property pins); the consumer plan carries
+    // only the LocalRelation cut keys
+    assertNoRankMachinery(p, "doc_lm_buckets")
     // the cached per-doc score relation must not freeze a corpus
     // orderBy(doc_id) sort into its materialization (round-7 fix): no Sort
     // node may appear inside the InMemoryRelation subtree

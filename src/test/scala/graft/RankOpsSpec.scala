@@ -125,6 +125,51 @@ class RankOpsSpec extends SparkSpec {
     assert(RankOps.keysAtRanks(df, Seq("grp"), Seq("v"), targets, nBins = 8).isEmpty)
   }
 
+  test("multiNtileCuts + bucket expr == ntile(k) per dim, dense ties, any k/nBins") {
+    // two independent orderings of one relation; w drawn from a tiny domain
+    // so single-valued-dim groups (the tiebreak-fallback path) occur
+    val gen2: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        v <- Gen.chooseNum(-20L, 20L)
+        w <- Gen.chooseNum(0L, 2L)
+      } yield (v, w))
+    check(Prop.forAll(gen2, Gen.chooseNum(2, 7), Gen.oneOf(1, 2, 8)) { (rows, k, nb) =>
+      val df = rows.zipWithIndex
+        .map { case ((v, w), i) => (v, w, i.toLong) }
+        .toDF("v", "w", "id")
+      val expected = df
+        .withColumn("b1", ntile(k).over(Window.orderBy($"v", $"id")))
+        .withColumn("b2", ntile(k).over(Window.orderBy($"w", $"id")))
+        .select($"id", $"b1", $"b2")
+      val cuts = RankOps.multiNtileCuts(df, Seq(1 -> $"v", 2 -> $"w"), "id", k, nBins = nb)
+      val got = df
+        .withColumn("b1", RankOps.ntileBucketExprLit($"v", $"id", cuts(1), k))
+        .withColumn("b2", RankOps.ntileBucketExprLit($"w", $"id", cuts(2), k))
+        .select($"id", $"b1", $"b2")
+      got.except(expected).isEmpty && expected.except(got).isEmpty
+    }, n = 20)
+  }
+
+  test("multiNtileCuts: all-tied dim falls back to the tiebreak's range, still == ntile") {
+    // every v identical — the degenerate shape must spread via id bins
+    val df = (0 until 40).map(i => (7L, i.toLong)).toDF("v", "id")
+    val expected = df
+      .withColumn("b", ntile(5).over(Window.orderBy($"v", $"id")))
+      .select($"id", $"b")
+    val cuts = RankOps.multiNtileCuts(df, Seq(1 -> $"v"), "id", 5, nBins = 8)
+    val got = df
+      .withColumn("b", RankOps.ntileBucketExprLit($"v", $"id", cuts(1), 5))
+      .select($"id", $"b")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("multiNtileCuts: empty base yields no cut keys, bucket expr falls to k") {
+    val df = spark.emptyDataset[(Long, Long)].toDF("v", "id")
+    val cuts = RankOps.multiNtileCuts(df, Seq(1 -> $"v"), "id", 4)
+    assert(cuts(1).forall(_.isEmpty))
+    assert(df.withColumn("b", RankOps.ntileBucketExprLit($"v", $"id", cuts(1), 4)).isEmpty)
+  }
+
   test("rowsAboveRank == rows with row_number > cut, with exact positions, any nBins") {
     check(Prop.forAll(corpusGen, Gen.chooseNum(0L, 10L), Gen.oneOf(1, 2, 3, 8)) { (rows, cut, nb) =>
       val df = toDf(rows)
