@@ -864,8 +864,10 @@ object EventsQueries {
          |)
          |SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
          |       CAST(est.n_est AS BIGINT) AS n_est,
-         |       round(CAST(est.n_est - ex.n_exact AS DOUBLE)
-         |             / CAST(ex.n_exact AS DOUBLE), 6) AS rel_over
+         |       CASE WHEN ex.n_exact > 0 THEN
+         |         round(CAST(est.n_est - ex.n_exact AS DOUBLE)
+         |               / CAST(ex.n_exact AS DOUBLE), 6)
+         |       END AS rel_over
          |FROM ex CROSS JOIN est""".stripMargin
     },
     "approx_users" -> {

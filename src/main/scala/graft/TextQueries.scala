@@ -572,7 +572,7 @@ object TextQueries {
         |)
         |SELECT doc_id, shuffle_key,
         |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS ord
-        |FROM h""".stripMargin,
+        |FROM h ORDER BY ord""".stripMargin,
     "doc_keywords" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -647,7 +647,9 @@ object TextQueries {
          |  FROM documents
          |)
          |SELECT pair, n_shared_grams, n_leaked, n_eval,
-         |       round(CAST(n_leaked AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS leak_ratio
+         |       CASE WHEN n_eval > 0 THEN
+         |         round(CAST(n_leaked AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+         |       END AS leak_ratio
          |FROM (
          |  SELECT 'train->val' AS pair, CAST(sf_tv AS BIGINT) AS n_shared_grams,
          |         CAST(ld_tv AS BIGINT) AS n_leaked, CAST(tot_val AS BIGINT) AS n_eval

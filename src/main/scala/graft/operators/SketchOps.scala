@@ -452,8 +452,12 @@ object SketchOps {
       .select(
         col("n_exact").cast("bigint").as("n_exact"),
         col("n_est").cast("bigint").as("n_est"),
-        round(
-          (col("n_est") - col("n_exact")).cast("double") / col("n_exact").cast("double"),
-          6).as("rel_over"))
+        // NULL (not NaN/Inf) when the exact join is empty — cross-engine
+        // agreement must not hang on DuckDB's ieee_floating_point_ops mode
+        when(
+          col("n_exact") > 0,
+          round(
+            (col("n_est") - col("n_exact")).cast("double") / col("n_exact").cast("double"),
+            6)).as("rel_over"))
   }
 }

@@ -285,7 +285,11 @@ object TextOps {
         col("p.n_shared_grams").as("n_shared_grams"),
         col("p.n_leaked").as("n_leaked"),
         col("p.n_eval").as("n_eval"),
-        round(col("p.n_leaked").cast("double") / col("p.n_eval").cast("double"), 6)
+        // NULL rather than NaN/Inf for an empty eval split (the
+        // joinSizeEstimate guard, mirrored in the oracle's CASE)
+        when(
+          col("p.n_eval") > 0,
+          round(col("p.n_leaked").cast("double") / col("p.n_eval").cast("double"), 6))
           .as("leak_ratio"))
       .orderBy(col("pair"))
   }
@@ -629,34 +633,47 @@ object TextOps {
     * unigram/bigram frequencies, thresholded at `minCount` occurrences (the
     * standard guard against PMI's low-count bias toward hapax pairs).
     *
-    * Scale shape: two map-side-combined count aggregations (bigrams,
-    * unigrams — both vocabulary-bounded, never corpus-cardinality after
-    * the combine), the count filter BEFORE the marginal joins (prunes the
-    * pair relation first), two equi-joins on token strings (AQE
-    * broadcasts the vocab side when small), 1-row totals broadcast, and a
+    * Scale shape (round 9 — ONE corpus scan): unigrams and bigrams explode
+    * from a single tokenize pass as tagged `(kind, key)` rows into one
+    * map-side-combined count aggregation (vocabulary-bounded after the
+    * combine), persisted via the session registry — the previous
+    * formulation re-tokenized the corpus for the unigram relation, the
+    * bigram relation, and both totals (5 scans; this query was the
+    * slowest on the board at 2.98 s). Both totals come from one pass over
+    * the cached counts, the count filter runs BEFORE the marginal joins
+    * (prunes the pair relation first), two equi-joins on token strings
+    * (AQE broadcasts the vocab side when small), and a
     * TakeOrderedAndProject top-k — no global sort. Determinism: rows
     * order by the ROUNDED pmi (ties broken by the pair itself), so the
     * top-k set can't flip on a last-ulp `ln` difference across engines.
     */
   def pmiBigrams(docs: DataFrame, minCount: Long = 5L, topK: Int = 20): DataFrame = {
     val tk = tokens(col("text"))
-    val pc = docs
-      .select(explode(adjacentBigrams(tk)).as("bg"))
-      .groupBy(col("bg"))
-      .agg(count(lit(1)).as("n_pair"))
+    val counted = DedupOps.registerCache(
+      docs
+        .select(tk.as("tk"))
+        .select(explode(concat(
+          transform(col("tk"), w => struct(lit(1).as("kind"), w.as("key"))),
+          transform(adjacentBigrams(col("tk")), b => struct(lit(2).as("kind"), b.as("key")))))
+          .as("e"))
+        .select(col("e.kind").as("kind"), col("e.key").as("key"))
+        .groupBy(col("kind"), col("key"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val uc = counted.filter(col("kind") === 1).select(col("key").as("w"), col("c"))
+    val pc = counted
+      .filter(col("kind") === 2)
+      .select(col("key").as("bg"), col("c").as("n_pair"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-    val uc = docs
-      .select(explode(tk).as("w"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
-    val tp = pc.agg(sum(col("n_pair")).cast("double").as("tp"))
-    val tt = uc.agg(sum(col("c")).cast("double").as("t"))
+    // both corpus totals from ONE pass over the cached counts
+    val tot = counted.groupBy().agg(
+      sum(when(col("kind") === 2, col("c"))).cast("double").as("tp"),
+      sum(when(col("kind") === 1, col("c"))).cast("double").as("t"))
     pc.filter(col("n_pair") >= minCount)
       .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(tp))
-      .crossJoin(broadcast(tt))
+      .crossJoin(broadcast(tot))
       // identical division sequence in the DuckDB oracle — the ratio is
       // built stepwise so both engines evaluate the same IEEE ops
       .select(

@@ -41,6 +41,10 @@ object TrainsetOps {
       .orderBy(col("shuffle_key"), col("doc_id"))
       .limit(sample)
       .withColumn("ord", row_number().over(w))
+      // pin output row order explicitly: the verify hash is row-order
+      // sensitive, and nothing guarantees the head's order survives the
+      // window projection in either engine
+      .orderBy(col("ord"))
   }
 
   /** Oversample every label to exactly the majority-class count using

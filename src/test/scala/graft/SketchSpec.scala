@@ -157,11 +157,12 @@ class SketchSpec extends SparkSpec {
     val b = (Seq.fill(3)("a") ++ Seq.fill(4)("c")).toDF("k")
     val r = SketchOps.joinSizeEstimate(a, col("k"), b, col("k")).head()
     assert(r.getLong(0) == 15L && r.getLong(1) == 15L && r.getDouble(2) == 0.0)
-    // disjoint keys: exact 0, estimate may only over-count; rel_over NaN
+    // disjoint keys: exact 0, estimate may only over-count; rel_over is
+    // NULL (guarded division — never NaN/Inf into the oracle compare)
     val d = SketchOps
       .joinSizeEstimate(a, col("k"), Seq("z", "z").toDF("k"), col("k"))
       .head()
-    assert(d.getLong(0) == 0L && d.getLong(1) >= 0L)
+    assert(d.getLong(0) == 0L && d.getLong(1) >= 0L && d.isNullAt(2))
     // real self-join: never undercounts (min-of-rows is one-sided)
     val ev = Tables.events(spark, TestSpark.sf0001)
     val s = SketchOps.joinSizeEstimate(ev, col("user_id"), ev, col("user_id")).head()
