@@ -643,4 +643,116 @@ class GeoTiffSpec extends graft.SparkSpec {
     while (c.next()) n += 1
     assert(n == 10)
   }
+
+  // ---- adversarial ScalaCheck properties (round 9) --------------------
+
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private def check(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** A random spec-valid TIFF with its expected decode: random geometry
+    * (incl. 1×1, single-row strips, edge-padding tiles), sample type,
+    * endianness, classic/BigTIFF, deflate/none, predictor, and — for
+    * floats — a GDAL_NODATA value that may cover EVERY pixel.
+    */
+  private val tiffGen: Gen[(Array[Byte], Vector[Double])] = for {
+    w <- Gen.chooseNum(1, 40)
+    h <- Gen.chooseNum(1, 40)
+    tf <- Gen.oneOf((1, 8), (1, 16), (1, 32), (2, 8), (2, 16), (2, 32), (3, 32), (3, 64))
+    (fmt, bits) = tf
+    le <- Gen.oneOf(true, false)
+    big <- Gen.oneOf(true, false)
+    comp <- Gen.oneOf(1, 8)
+    pred <- if (comp != 8) Gen.const(1)
+            else if (fmt == 3) Gen.oneOf(1, 3)
+            else Gen.oneOf(1, 2)
+    layout <- Gen.oneOf(
+      Gen.chooseNum(0, h + 2).map(Left(_)), // strips (0 → one strip; 1 → single-row)
+      Gen.oneOf(16, 32).flatMap(tw => Gen.oneOf(16, 32).map(th => Right((tw, th)))))
+    allNodata <- Gen.oneOf(Seq.fill(9)(false) :+ true)
+    seed <- Gen.chooseNum(0L, Long.MaxValue)
+  } yield {
+    val r = new scala.util.Random(seed)
+    val nodata = if (fmt == 3) Some("-9999") else None
+    def sample(): Double = (fmt, bits) match {
+      case _ if allNodata && fmt == 3 => -9999.0
+      case (3, _) => if (r.nextInt(8) == 0) -9999.0 else r.nextInt(100000) / 100.0
+      case (1, b) => (r.nextLong() & ((1L << b) - 1)).toDouble
+      case (2, 8) => (r.nextInt(256) - 128).toDouble
+      case (2, 16) => (r.nextInt(65536) - 32768).toDouble
+      case (2, 32) => r.nextInt().toDouble
+      case x => fail(s"unreachable $x")
+    }
+    val pix = Array.fill(w * h)(sample())
+    val bytes = layout match {
+      case Left(rps) =>
+        buildTiff(pix, w, h, bits, fmt, le = le, big = big, comp = comp,
+          predictor = pred, rowsPerStrip = rps, nodata = nodata)
+      case Right((tw, th)) =>
+        buildTiff(pix, w, h, bits, fmt, le = le, big = big, comp = comp,
+          predictor = pred, tile = Some((tw, th)), nodata = nodata)
+    }
+    val mapped = pix.map { v =>
+      val vv = if (fmt == 3 && v == -9999.0) Double.NaN else v
+      if (fmt == 3 && bits == 32 && !vv.isNaN) vv.toFloat.toDouble else vv
+    }
+    val expected = layout match {
+      case Left(_) => mapped.toVector
+      case Right((tw, th)) => tileOrder(mapped, w, h, tw, th)
+    }
+    (bytes, expected)
+  }
+
+  private def nanEq(a: Vector[Double], b: Vector[Double]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x == y || (x.isNaN && y.isNaN)
+    }
+
+  // forAllNoShrink throughout: default shrinkers would mutate the
+  // (bytes, expected) pair's components independently, producing
+  // nonsense "counterexamples" and minutes of shrink-time decode churn
+  test("property: random geometry/layout/type TIFFs round-trip bit-exactly") {
+    check(Prop.forAllNoShrink(tiffGen) { case (bytes, expected) =>
+      nanEq(decode(bytes), expected)
+    }, n = 60)
+  }
+
+  test("property: truncated TIFFs fail loudly — never a silent short or wrong read") {
+    // the RasterDecode contract: a local file that fails to parse must
+    // fail loudly. Cutting the file at ANY point may only (a) throw, or
+    // (b) — when the cut removes only slack — still decode to exactly the
+    // full pixel stream. A shorter or different stream is the one
+    // forbidden outcome.
+    check(Prop.forAllNoShrink(tiffGen, Gen.chooseNum(1, 10000)) { case ((bytes, expected), cutSeed) =>
+      val cut = 1 + cutSeed % (bytes.length - 1)
+      val truncated = bytes.take(cut)
+      val got = try Some(decode(truncated))
+      catch { case _: Throwable => None }
+      val ok = got.forall(v => nanEq(v, expected))
+      if (!ok) println(s"TRUNC-FAIL len=${bytes.length} cut=$cut " +
+        s"got=${got.map(_.length)} exp=${expected.length} b64=" +
+        java.util.Base64.getEncoder.encodeToString(bytes))
+      ok
+    }, n = 80)
+  }
+
+  test("property: a corrupted byte-order mark or magic is always rejected") {
+    // only bytes 0-3 are structurally load-bearing in every TIFF flavor
+    // (order mark + magic); later header bytes may BE pixel data, whose
+    // corruption legitimately changes the decoded stream. Any change to
+    // the magic must throw — never parse as something else.
+    check(Prop.forAllNoShrink(tiffGen, Gen.chooseNum(0, 3), Gen.chooseNum(0, 255)) {
+      case ((bytes, _), pos, nb) =>
+        if (bytes(pos) == nb.toByte) true // no corruption — skip
+        else {
+          val corrupt = bytes.clone()
+          corrupt(pos) = nb.toByte
+          try { decode(corrupt); false }
+          catch { case _: Throwable => true }
+        }
+    }, n = 60)
+  }
 }
