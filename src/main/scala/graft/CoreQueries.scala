@@ -126,7 +126,20 @@ object CoreQueries {
     // (A5/A6/W1/W2/J1/O1/P5).
     "hist_deciles" -> ((s, dir) =>
       PercentileOps.deciles(
-        HistogramOps.computeHistogram(Tables.lineitem(s, dir), "l_quantity", BinMethod.Linear)))
+        HistogramOps.computeHistogram(Tables.lineitem(s, dir), "l_quantity", BinMethod.Linear))),
+    // Round 9: the streaming cut-key twin's read path run in batch — the
+    // decile boundary bins and their value intervals read off the
+    // incremental bin-count STATE (streaming/StreamingQuantiles; the same
+    // state a live stream maintains, equivalence spec-pinned in
+    // StreamingQuantilesSpec). Every exact batch cut provably lies inside
+    // its row's [err_lo, err_hi].
+    "hist_cut_bounds" -> ((s, dir) => {
+      val values = HistogramOps.validValues(Tables.lineitem(s, dir), "l_quantity")
+      val (mn, mx) = HistogramOps.minMax(values)
+      val spec = BinSpec.derive(mn, mx, BinMethod.Linear)
+      graft.streaming.StreamingQuantiles.cutsFromState(
+        graft.streaming.StreamingQuantiles.binCounts(values, spec), spec, 10)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +177,34 @@ object CoreQueries {
           |       min(value) AS min_value,
           |       max(value) AS max_value,
           |       CAST(sum(cnt) AS BIGINT) AS cnt
-          |FROM t GROUP BY pct ORDER BY min(value)""".stripMargin)
+          |FROM t GROUP BY pct ORDER BY min(value)""".stripMargin),
+    "hist_cut_bounds" ->
+      """WITH v AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |), mm AS (
+        |  SELECT CAST(trunc(coalesce(min(value), 0) * 100) AS INT) - 10 AS lo,
+        |         CAST(trunc(coalesce(max(value), 0) * 100) AS INT) + 10 AS hi
+        |  FROM v
+        |), counted AS (
+        |  SELECT CASE WHEN c.code = m.hi THEN m.hi - 1 ELSE c.code END AS bin,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT CAST(trunc(value * 100) AS INT) AS code FROM v) c, mm m
+        |  WHERE c.code BETWEEN m.lo AND m.hi GROUP BY 1
+        |), cum AS (
+        |  SELECT bin, cnt,
+        |         sum(cnt) OVER (ORDER BY bin) AS cum,
+        |         sum(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+        |  FROM counted
+        |), n AS (SELECT sum(cnt) AS n FROM counted),
+        |   t AS (SELECT j, (n // 10) * j + least(j, n % 10) AS t
+        |         FROM (SELECT unnest(generate_series(1, 9)) AS j), n)
+        |SELECT CAST(t.j AS INT) AS j,
+        |       CAST(t.t AS BIGINT) AS boundary_rank,
+        |       CAST(c.bin AS INT) AS bin,
+        |       CAST(c.bin AS DOUBLE) / 100.0 AS err_lo,
+        |       CAST(c.bin + 1 AS DOUBLE) / 100.0 AS err_hi
+        |FROM t JOIN cum c ON t.t > c.cum_prev AND t.t <= c.cum
+        |ORDER BY j""".stripMargin
   )
 }
