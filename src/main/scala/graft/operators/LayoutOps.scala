@@ -127,11 +127,16 @@ object LayoutOps {
       loDay: Int = 9862,
       hiDay: Int = 10226): DataFrame = {
     require(fileRows > 0, "fileRows must be positive")
-    val base = lineitem.select(
-      datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
-        .as("ship_day"),
-      col("l_orderkey"),
-      col("l_linenumber"))
+    // one 3-column projection feeds both layouts' stats, histogram, and
+    // ordinal passes — persist via the session registry so the parquet
+    // scan happens once, not per branch per pass
+    val base = DedupOps.registerCache(
+      lineitem.select(
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .as("ship_day"),
+        col("l_orderkey"),
+        col("l_linenumber"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def files(layout: String, orderCols: Seq[String]) =
       RankOps
         .rowsAboveRank(

@@ -42,6 +42,20 @@ class CacheLifecycleSpec extends SparkSpec {
     DedupOps.releaseAllCaches()
   }
 
+  test("sessionValue memo: computes once, survives transient release, evicts on full release") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("a", "b")
+    var calls = 0
+    def get(): Int = DedupOps.sessionValue(df, "lifecycle-test") { calls += 1; calls }
+    assert(get() == 1 && get() == 1, "second call must return the memoized value")
+    DedupOps.releaseShingleCaches() // transient release must NOT evict
+    assert(get() == 1)
+    // a different tag or a different source plan is a different entry
+    assert(DedupOps.sessionValue(df, "lifecycle-test-2") { 42 } == 42)
+    assert(DedupOps.sessionValue(df.filter(col("a") > 0), "lifecycle-test") { 43 } == 43)
+    DedupOps.releaseAllCaches() // full release evicts
+    assert(get() == 2, "full release must force recompute")
+  }
+
   test("minhashLsh rejects a partial trailing band (silent recall loss)") {
     val ex = intercept[IllegalArgumentException] {
       DedupOps.minhashLsh(docs, n = 3, numPerm = 16, rowsPerBand = 5, minEst = 0.5)
