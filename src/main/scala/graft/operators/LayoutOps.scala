@@ -64,6 +64,24 @@ object LayoutOps {
       .orderBy(col("n_rows").desc, col("cell"))
       .limit(k)
 
+  /** The Z-order REWRITE shape: range-partition by the interleaved key and
+    * sort within partitions, so each written file covers one contiguous
+    * Z-range — tight parquet footer min/max in BOTH dimensions. This is
+    * the physical plan a real layout service executes after
+    * [[zoneSkipping]]/[[zCells]] says the rewrite pays;
+    * LayoutRewriteSpec proves the effect with Spark's own scan metrics
+    * (row groups pruned for a 2-D box filter the natural layout cannot
+    * skip). `repartitionByRange` samples the z-key — one extra pass, the
+    * standard price of any sort-based rewrite.
+    */
+  def zOrderLayout(df: DataFrame, xCol: String, yCol: String, nFiles: Int): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.withColumn("gr_z", zValue(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("gr_z"))
+      .sortWithinPartitions(col("gr_z"))
+      .drop("gr_z")
+  }
+
   /** Compaction planning: assign small files to target-size output bins,
     * per table partition. The greedy first-fit packer is inherently
     * sequential, but the running-total form is not: order files within a
