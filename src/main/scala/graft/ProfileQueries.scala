@@ -29,6 +29,20 @@ object ProfileQueries {
     // Exact rank-interpolated quartiles (+p90) of event value per type.
     "group_quantiles" -> ((s, dir) =>
       ProfileOps.groupQuantiles(Tables.events(s, dir), "event_type", "value")),
+    // Per-group quartile boundary bins off the STREAMING quantile state
+    // (streaming/StreamingQuantiles, grouped form) run in batch — each
+    // row's [err_lo, err_hi] interval contains the exact group cut; the
+    // state is what a live stream maintains incrementally.
+    "group_cut_bounds" -> ((s, dir) => {
+      val df = Tables.events(s, dir)
+        .select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val (mn, mx) = graft.operators.HistogramOps.minMax(df.select(col("value")))
+      val spec = graft.core.BinSpec.derive(mn, mx, graft.core.BinMethod.Linear)
+      graft.streaming.StreamingQuantiles.cutsFromStateBy(
+        graft.streaming.StreamingQuantiles.binCountsBy(df, spec, Seq("event_type")),
+        spec, 4, Seq("event_type"))
+    }),
     // Z-order (Morton) cell occupancy over (l_partkey, l_suppkey).
     "zorder_cells" -> ((s, dir) =>
       LayoutOps.zCells(Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
@@ -239,6 +253,40 @@ object ProfileQueries {
         |FROM tk
         |JOIN r lo ON lo.grp = tk.grp AND lo.rn = tk.k + 1
         |LEFT JOIN r hi ON hi.grp = tk.grp AND hi.rn = tk.k + 2
+        |ORDER BY 1, 2""".stripMargin,
+    "group_cut_bounds" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        |), mm AS (
+        |  SELECT CAST(trunc(coalesce(min(value), 0) * 100) AS INT) - 10 AS lo,
+        |         CAST(trunc(coalesce(max(value), 0) * 100) AS INT) + 10 AS hi
+        |  FROM v
+        |), counted AS (
+        |  SELECT event_type,
+        |         CASE WHEN c.code = m.hi THEN m.hi - 1 ELSE c.code END AS bin,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT event_type, CAST(trunc(value * 100) AS INT) AS code FROM v) c, mm m
+        |  WHERE c.code BETWEEN m.lo AND m.hi GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bin, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) - cnt AS cum_prev
+        |  FROM counted
+        |), g AS (
+        |  SELECT event_type, sum(cnt) AS n FROM counted GROUP BY 1
+        |), t AS (
+        |  SELECT event_type, j, (n // 4) * j + least(j, n % 4) AS t
+        |  FROM g, (SELECT unnest(generate_series(1, 3)) AS j)
+        |)
+        |SELECT c.event_type,
+        |       CAST(t.j AS INT) AS j,
+        |       CAST(t.t AS BIGINT) AS boundary_rank,
+        |       CAST(c.bin AS INT) AS bin,
+        |       CAST(c.bin AS DOUBLE) / 100.0 AS err_lo,
+        |       CAST(c.bin + 1 AS DOUBLE) / 100.0 AS err_hi
+        |FROM t JOIN cum c ON t.event_type = c.event_type
+        |                 AND t.t > c.cum_prev AND t.t <= c.cum
         |ORDER BY 1, 2""".stripMargin,
     "zone_skipping" ->
       """WITH b AS (

@@ -35,17 +35,23 @@ import graft.operators.HistogramOps
   */
 object StreamingQuantiles {
 
-  /** The incremental state: per-bin counts. The same expression tree runs
-    * batch or streaming (update/complete mode aggregate).
+  /** The incremental state: per-(group, bin) counts. The same expression
+    * tree runs batch or streaming (update/complete mode aggregate). State
+    * is ≤ `spec.bins` rows PER GROUP — bounded per key, the shape the
+    * state store needs.
     */
-  def binCounts(values: DataFrame, spec: BinSpec): DataFrame =
+  def binCountsBy(values: DataFrame, spec: BinSpec, grpCols: Seq[String]): DataFrame =
     values
       .filter(col("value").isNotNull && !isnan(col("value")))
-      .select(HistogramOps.quantize(col("value"), spec).as("code"))
+      .select(grpCols.map(col) :+ HistogramOps.quantize(col("value"), spec).as("code"): _*)
       .filter(HistogramOps.inRange(col("code"), spec.lo, spec.hi))
-      .select(HistogramOps.clampToLastBin(col("code"), spec.hi).as("bin"))
-      .groupBy(col("bin"))
+      .select(grpCols.map(col) :+ HistogramOps.clampToLastBin(col("code"), spec.hi).as("bin"): _*)
+      .groupBy((grpCols :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+
+  /** Ungrouped [[binCountsBy]]. */
+  def binCounts(values: DataFrame, spec: BinSpec): DataFrame =
+    binCountsBy(values, spec, Seq.empty)
 
   /** ntile(k) cuts read from a bin-count state relation `(bin, cnt)`:
     * one row per boundary j ∈ [1, k) with the boundary rank, the bin
@@ -54,30 +60,46 @@ object StreamingQuantiles {
     * deterministic streaming cut value. The window runs over the ≤ bins
     * aggregated state, never over data.
     */
-  def cutsFromState(state: DataFrame, spec: BinSpec, k: Int): DataFrame = {
+  def cutsFromState(state: DataFrame, spec: BinSpec, k: Int): DataFrame =
+    cutsFromStateBy(state, spec, k, Seq.empty)
+
+  /** Per-group [[cutsFromState]]: both windows (running total, group
+    * total) run over the ≤ bins-per-group aggregated state, never over
+    * data — the family's cardinality-reduction-before-window rule.
+    */
+  def cutsFromStateBy(
+      state: DataFrame,
+      spec: BinSpec,
+      k: Int,
+      grpCols: Seq[String]): DataFrame = {
     require(k >= 2, "cutsFromState needs k >= 2")
-    val cum = state
-      .withColumn(
-        "cum",
-        sum(col("cnt")).over(
-          Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+    val wOrd = Window
+      .partitionBy(grpCols.map(col): _*)
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window
+      .partitionBy(grpCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    state
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
       .withColumn("cum_prev", col("cum") - col("cnt"))
-      .crossJoin(broadcast(state.agg(sum(col("cnt")).as("n"))))
-    cum
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .select(
-        col("bin"), col("cum"), col("cum_prev"), col("n"),
-        explode(array((1 until k).map { j =>
-          struct(
-            lit(j).as("j"),
-            (expr(s"n div $k") * j + least(lit(j.toLong), expr(s"n % $k"))).as("t"))
-        }: _*)).as("tj"))
+        grpCols.map(col) ++ Seq(
+          col("bin"), col("cum"), col("cum_prev"), col("n"),
+          explode(array((1 until k).map { j =>
+            struct(
+              lit(j).as("j"),
+              (expr(s"n div $k") * j + least(lit(j.toLong), expr(s"n % $k"))).as("t"))
+          }: _*)).as("tj")): _*)
       .filter(col("tj.t") > col("cum_prev") && col("tj.t") <= col("cum"))
       .select(
-        col("tj.j").as("j"),
-        col("tj.t").as("boundary_rank"),
-        col("bin"),
-        HistogramOps.binEdge(col("bin"), spec).as("err_lo"),
-        HistogramOps.binEdge(col("bin") + 1, spec).as("err_hi"))
-      .orderBy(col("j"))
+        grpCols.map(col) ++ Seq(
+          col("tj.j").as("j"),
+          col("tj.t").as("boundary_rank"),
+          col("bin"),
+          HistogramOps.binEdge(col("bin"), spec).as("err_lo"),
+          HistogramOps.binEdge(col("bin") + 1, spec).as("err_hi")): _*)
+      .orderBy((grpCols :+ "j").map(col): _*)
   }
 }

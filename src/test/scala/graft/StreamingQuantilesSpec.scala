@@ -58,6 +58,30 @@ class StreamingQuantilesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("grouped state across micro-batches == grouped batch state; per-group cuts agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(4)
+    val all = Seq.fill(600)((if (r.nextBoolean()) "a" else "b", r.nextInt(990) / 100.0))
+    val input = MemoryStream[(String, Double)]
+    val stream = StreamingQuantiles.binCountsBy(
+      input.toDF().toDF("grp", "value"), spec, Seq("grp"))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("sq_grp_state")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(all.take(200)); query.processAllAvailable()
+      input.addData(all.drop(200)); query.processAllAvailable()
+      val streamState = spark.table("sq_grp_state")
+      val batchState = StreamingQuantiles.binCountsBy(all.toDF("grp", "value"), spec, Seq("grp"))
+      assert(streamState.except(batchState).isEmpty && batchState.except(streamState).isEmpty)
+      val sc = StreamingQuantiles.cutsFromStateBy(streamState, spec, 4, Seq("grp")).collect()
+      val bc = StreamingQuantiles.cutsFromStateBy(batchState, spec, 4, Seq("grp")).collect()
+      assert(sc.toSeq == bc.toSeq && sc.length == 6, "3 cuts per group, identical from either state")
+    } finally query.stop()
+  }
+
   test("streaming cut intervals bracket the exact batch ntile cuts, any k") {
     for (k <- Seq(2, 3, 5, 10); seed <- Seq(2, 3)) {
       val vals = sample(seed, 500 + seed * 37)
