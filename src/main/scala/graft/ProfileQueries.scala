@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DeltaOps, LayoutOps, ProfileOps, TrainsetOps}
+import graft.operators.{DeltaOps, EvalOps, LayoutOps, ProfileOps, TrainsetOps}
 import graft.sources.Tables
 
 /** Dataset-profiling, data-layout, and training-set-construction queries
@@ -141,7 +141,42 @@ object ProfileQueries {
     // feature_corr, grouped.
     "ols_discount" -> ((s, dir) =>
       ProfileOps.olsByGroup(
-        Tables.lineitem(s, dir), "l_returnflag", "l_discount", "l_extendedprice")))
+        Tables.lineitem(s, dir), "l_returnflag", "l_discount", "l_extendedprice")),
+    // Ranking power of a score column: binned Mann-Whitney AUC of the
+    // first embedding component against the low-label half (the grid
+    // replaces the global-rank window — see EvalOps.binnedAuc).
+    "score_auc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .filter(element_at(col("embedding"), 1).isNotNull)
+      EvalOps.binnedAuc(e,
+        (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
+        when(col("label") <= 4, 1L).otherwise(0L))
+    }),
+    // Reliability table + ECE contributions of a deterministic length-based
+    // quality probability against the lang='en' outcome.
+    "score_calibration" -> ((s, dir) =>
+      EvalOps.calibrationTable(Tables.documents(s, dir),
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(200.0)) * lit(1000000.0)).cast("bigint"),
+        when(col("lang") === "en", 1L).otherwise(0L))),
+    // PSI drift of the order-total distribution, early half vs late half
+    // of the order-date range (midpoint in integer micros).
+    "drift_psi" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val st = o.agg(
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("lo"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("hi"))
+        .select(expr("(lo + hi) DIV 2").as("mid"))
+      val e = o.crossJoin(st).select(
+        (col("o_totalprice") * lit(100.0)).cast("bigint").as("cents"),
+        when(unix_micros(col("o_orderdate").cast("timestamp")) <= col("mid"), 1L).otherwise(0L).as("early"))
+      EvalOps.psiContributions(e, col("cents"), col("early"))
+    }),
+    // Benford first-digit conformance of extended prices (integer digit
+    // extraction — no floor(log10) float hazard).
+    "benford_audit" -> ((s, dir) =>
+      EvalOps.benfordAudit(
+        Tables.lineitem(s, dir), (col("l_extendedprice") * lit(100.0)).cast("bigint"))))
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_dot_product($a, $b)
@@ -584,5 +619,111 @@ object ProfileQueries {
         |       CAST(count(*) AS BIGINT) AS n_files,
         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
         |       min(id) AS min_id, max(id) AS max_id
-        |FROM c GROUP BY 1, 2 ORDER BY part, bin""".stripMargin)
+        |FROM c GROUP BY 1, 2 ORDER BY part, bin""".stripMargin,
+    "score_auc" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(embedding[1] AS DOUBLE) * 100000.0) AS BIGINT) AS c,
+        |         CASE WHEN label <= 4 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM embeddings WHERE embedding[1] IS NOT NULL
+        |), st AS (
+        |  SELECT min(c) AS minc, max(c) AS maxc FROM e
+        |), b AS (
+        |  SELECT ((c - minc) * 256) // (maxc - minc + 1) AS bin, y
+        |  FROM e CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM b GROUP BY bin
+        |), w AS (
+        |  SELECT n_pos, n_neg,
+        |         sum(n_neg) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg AS neg_below
+        |  FROM g
+        |), a AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |         sum(CAST(n_pos AS HUGEINT)
+        |             * CAST(2 * neg_below + n_neg AS HUGEINT)) AS u2
+        |  FROM w
+        |)
+        |SELECT n_pos, n_neg,
+        |       round(CAST(u2 AS DOUBLE)
+        |             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |FROM a""".stripMargin,
+    "score_calibration" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(n_chars AS DOUBLE)
+        |                    / (CAST(n_chars AS DOUBLE) + 200.0) * 1000000.0) AS BIGINT)
+        |           AS pm,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), g AS (
+        |  SELECT least(pm // 100000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(pm) AS BIGINT) AS sum_pm
+        |  FROM e GROUP BY 1
+        |), t AS (
+        |  SELECT bin, n, n_pos, sum_pm, sum(n) OVER () AS n_total FROM g
+        |)
+        |SELECT bin, n, n_pos,
+        |       round(CAST(sum_pm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS conf,
+        |       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+        |       round(CAST(abs(n_pos * 1000000 - sum_pm) AS DOUBLE)
+        |             / (1000000.0 * CAST(n_total AS DOUBLE)), 6) AS ece_contrib
+        |FROM t ORDER BY bin""".stripMargin,
+    "drift_psi" ->
+      """WITH stm AS (
+        |  SELECT (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) // 2 AS mid
+        |  FROM orders
+        |), e AS (
+        |  SELECT CAST(trunc(o_totalprice * 100.0) AS BIGINT) AS c,
+        |         CASE WHEN epoch_us(o_orderdate) <= mid THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a
+        |  FROM orders CROSS JOIN stm
+        |), st AS (
+        |  SELECT min(c) AS minc, max(c) AS maxc FROM e
+        |), b AS (
+        |  SELECT ((c - minc) * 16) // (maxc - minc + 1) AS bin, a
+        |  FROM e CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(sum(a) AS BIGINT) AS n_early,
+        |         CAST(sum(1 - a) AS BIGINT) AS n_late
+        |  FROM b GROUP BY bin
+        |), t AS (
+        |  SELECT bin, n_early, n_late,
+        |         sum(n_early) OVER () AS te, sum(n_late) OVER () AS tl
+        |  FROM g
+        |)
+        |SELECT bin, n_early, n_late,
+        |       round(((CAST(n_late AS DOUBLE) + 0.5) / (CAST(tl AS DOUBLE) + 8.0)
+        |              - (CAST(n_early AS DOUBLE) + 0.5) / (CAST(te AS DOUBLE) + 8.0))
+        |             * ln(((CAST(n_late AS DOUBLE) + 0.5) / (CAST(tl AS DOUBLE) + 8.0))
+        |                  / ((CAST(n_early AS DOUBLE) + 0.5)
+        |                     / (CAST(te AS DOUBLE) + 8.0))), 6) AS psi_contrib
+        |FROM t ORDER BY bin""".stripMargin,
+    "benford_audit" ->
+      """WITH e AS (
+        |  SELECT c FROM (
+        |    SELECT CAST(trunc(l_extendedprice * 100.0) AS BIGINT) AS c FROM lineitem
+        |  ) WHERE c > 0
+        |), g AS (
+        |  SELECT c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1
+        |), t AS (
+        |  SELECT digit, n, sum(n) OVER () AS nt FROM g
+        |)
+        |SELECT digit, n,
+        |       round(CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+        |         AS exp_n,
+        |       round((CAST(n AS DOUBLE)
+        |              - CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |             * (CAST(n AS DOUBLE)
+        |                - CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |             / (CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+        |         AS chi2_contrib
+        |FROM t ORDER BY digit""".stripMargin)
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model/data-evaluation audits: the metrics a training-data pipeline
+  * computes to judge a quality-score model or detect distribution shift —
+  * ranking power (AUC), probability calibration (reliability table + ECE),
+  * population stability (PSI), and first-digit conformance (Benford).
+  *
+  * Every operator is one scan plus a bounded final reduction:
+  *  - continuous values are quantized to integer keys up front
+  *    (`cast` truncation, mirrored by `trunc()` in the DuckDB oracles);
+  *  - unbounded-cardinality keys are gridded to a FIXED bin count via a
+  *    1-row min/max stats relation (broadcast cross join), so every
+  *    ORDER BY window in the final step runs over ≤ `bins` rows — the
+  *    same bounded-window discipline as `drift_ks`/RankOps;
+  *  - cross-row float accumulation never happens: sums run over exact
+  *    BIGINT (or DECIMAL(38,0) where products can pass 2^63), and each
+  *    exposed double is a single per-row arithmetic chain over those
+  *    integers, rounded to 6 decimals — bit-reproducible cross-engine.
+  *
+  * Reference scope note: the reference pipeline (main.py) stops at
+  * histogram/decile summaries; these audits are the adjacent consumers of
+  * exactly that binned machinery (AUC/ECE/PSI are all computations ON a
+  * histogram), which is why they share its bin-grid idiom.
+  */
+object EvalOps {
+
+  /** Binned Mann-Whitney AUC of an integer-quantized score against a
+    * binary label, on a fixed `bins`-cell grid.
+    *
+    * The exact Mann-Whitney statistic needs a global rank of every score
+    * — at 100 TB that is an unpartitioned window over the corpus (the
+    * §3.3 anti-pattern). Like `drift_ks`, the engine grids scores first:
+    * one min/max stats pass, then per-bin positive/negative counts, then
+    * the pair count U = Σ_b pos_b · (negBelow_b + neg_b / 2) — ties
+    * within a bin count 1/2, so the result IS the exact AUC of the
+    * grid-quantized score (grid resolution is the documented knob). The
+    * ECDF window runs over ≤ `bins` rows; pair products run in
+    * DECIMAL(38,0) because pos × neg overflows BIGINT near 10^10 rows.
+    *
+    * `scoreQ` must already be an integral quantization of the score (the
+    * caller picks the `trunc(score · 10^k)` resolution); `posFlag` must
+    * be 1L / 0L. Output: one row `(n_pos, n_neg, auc)`.
+    */
+  def binnedAuc(df: DataFrame, scoreQ: Column, posFlag: Column,
+                bins: Int = 256): DataFrame = {
+    val e = df.select(scoreQ.cast("bigint").as("c"), posFlag.cast("bigint").as("y"))
+    val st = e.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    val g = e.crossJoin(st)
+      .select(expr(s"((c - minc) * $bins) DIV (maxc - minc + 1)").as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dbl = (c: Column) => c.cast("double")
+    g.select(
+      col("n_pos"), col("n_neg"),
+      (sum(col("n_neg")).over(cum) - col("n_neg")).as("neg_below"))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        // 2U in one integer sum: pos·(2·negBelow + neg) — exact, no halves
+        sum(col("n_pos").cast("decimal(38,0)") *
+          (lit(2L) * col("neg_below") + col("n_neg")).cast("decimal(38,0)"))
+          .as("u2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        round(dbl(col("u2")) / (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg"))), 6)
+          .as("auc"))
+  }
+
+  /** Reliability table + expected-calibration-error contributions for a
+    * micro-quantized probability column against a binary outcome.
+    *
+    * `probMicro` is the predicted probability in integer MICROS
+    * (0 … 1,000,000 — the caller quantizes, so the bin edge arithmetic is
+    * integer-exact in both engines); `posFlag` is 1L / 0L. One grouped
+    * aggregation over ≤ `bins` keys; the table total rides a window over
+    * those same ≤ `bins` rows. The ECE numerator
+    * |Σy · 10^6 − Σpm| stays integer until the final division — no float
+    * sum ever crosses rows. Output per populated bin, ordered:
+    * `(bin, n, n_pos, conf, acc, ece_contrib)`; ECE itself is the trivial
+    * sum of the contributions (same readout convention as `chi2_drift`).
+    */
+  def calibrationTable(df: DataFrame, probMicro: Column, posFlag: Column,
+                       bins: Int = 10): DataFrame = {
+    val e = df.select(probMicro.cast("bigint").as("pm"), posFlag.cast("bigint").as("y"))
+    val width = 1000000L / bins
+    val g = e
+      .select(least(expr(s"pm DIV $width"), lit((bins - 1).toLong)).as("bin"),
+        col("pm"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"), sum(col("pm")).as("sum_pm"))
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    g.select(col("bin"), col("n"), col("n_pos"), col("sum_pm"),
+      sum(col("n")).over(all).as("n_total"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        round(dbl(col("sum_pm")) / (dbl(col("n")) * lit(1000000.0)), 6).as("conf"),
+        round(dbl(col("n_pos")) / dbl(col("n")), 6).as("acc"),
+        // |Σy·10^6 − Σpm| is exact BIGINT; one division at the end
+        round(dbl(abs(col("n_pos") * lit(1000000L) - col("sum_pm"))) /
+          (lit(1000000.0) * dbl(col("n_total"))), 6).as("ece_contrib"))
+      .orderBy(col("bin"))
+  }
+
+  /** Population-stability-index contributions between two halves of a
+    * population, on a fixed `bins`-cell grid over an integer-quantized
+    * value.
+    *
+    * `valueQ` is the quantized measurement (e.g. price cents); `earlyFlag`
+    * is 1L for the expected/reference half, 0L for the actual half. One
+    * min/max stats pass grids the value; one grouped aggregation yields
+    * per-bin (n_early, n_late); totals ride a ≤ `bins`-row window. Shares
+    * are Laplace-smoothed by +1/2 per bin (so an empty bin contributes a
+    * finite term instead of ±∞ — the standard PSI guard), and each
+    * contribution (p_late − p_early)·ln(p_late / p_early) is one per-row
+    * double chain over exact integers, rounded to 6 decimals. The scalar
+    * PSI is the trivial sum of the rows (chi2_drift's readout convention).
+    * Output per bin, ordered: `(bin, n_early, n_late, psi_contrib)`.
+    */
+  def psiContributions(df: DataFrame, valueQ: Column, earlyFlag: Column,
+                       bins: Int = 16): DataFrame = {
+    val e = df.select(valueQ.cast("bigint").as("c"), earlyFlag.cast("bigint").as("a"))
+    val st = e.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    val g = e.crossJoin(st)
+      .select(expr(s"((c - minc) * $bins) DIV (maxc - minc + 1)").as("bin"), col("a"))
+      .groupBy(col("bin"))
+      .agg(sum(col("a")).as("n_early"), sum(lit(1L) - col("a")).as("n_late"))
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    val withTot = g.select(col("bin"), col("n_early"), col("n_late"),
+      sum(col("n_early")).over(all).as("te"), sum(col("n_late")).over(all).as("tl"))
+    val pe = (dbl(col("n_early")) + lit(0.5)) / (dbl(col("te")) + lit(bins * 0.5))
+    val pl = (dbl(col("n_late")) + lit(0.5)) / (dbl(col("tl")) + lit(bins * 0.5))
+    withTot.select(
+      col("bin"), col("n_early"), col("n_late"),
+      round((pl - pe) * log(pl / pe), 6).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+
+  /** Benford first-significant-digit audit of a positive integer-quantized
+    * amount column: observed digit counts vs the Benford expectation
+    * N · log10(1 + 1/d), with per-digit chi-square contributions.
+    *
+    * The first digit is extracted with INTEGER arithmetic —
+    * `c DIV 10^(len(c)−1)` via the decimal string length — never
+    * `floor(log10(c))`, whose float rounding can misclassify values at
+    * power-of-ten boundaries differently per engine. One grouped
+    * aggregation over ≤ 9 keys; the total rides a ≤ 9-row window. Output
+    * per observed digit, ordered: `(digit, n, exp_n, chi2_contrib)`; the
+    * scalar chi-square is the trivial sum.
+    */
+  def benfordAudit(df: DataFrame, amountQ: Column): DataFrame = {
+    val e = df.select(amountQ.cast("bigint").as("c")).filter(col("c") > 0L)
+    val g = e
+      .select(expr("c DIV CAST(pow(10, length(CAST(c AS STRING)) - 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.orderBy(col("digit"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    val expShare = log10(lit(1.0) + lit(1.0) / dbl(col("digit")))
+    g.select(col("digit"), col("n"), sum(col("n")).over(all).as("nt"))
+      .select(
+        col("digit"), col("n"),
+        round(dbl(col("nt")) * expShare, 6).as("exp_n"),
+        round((dbl(col("n")) - dbl(col("nt")) * expShare) *
+          (dbl(col("n")) - dbl(col("nt")) * expShare) /
+          (dbl(col("nt")) * expShare), 6).as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EvalOps
+
+/** Brute-force replays of the EvalOps audits: every operator is re-derived
+  * in plain Scala on the SAME quantized/gridded inputs and compared within
+  * the operator's own 6-decimal rounding (|got − brute| ≤ 1e-6 — `got` is
+  * round(brute, 6), so the gap can't exceed half an ulp of the grid).
+  */
+class EvalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val Bins = 256
+
+  /** The operator's grid: (c − min)·bins DIV (max − min + 1), floor toward
+    * −∞ is irrelevant because the numerator is ≥ 0 by construction.
+    */
+  private def grid(cs: Seq[Long], bins: Int): Seq[Long] = {
+    val mn = cs.min; val mx = cs.max
+    cs.map(c => (c - mn) * bins / (mx - mn + 1))
+  }
+
+  test("binnedAuc == brute-force pair counting on the gridded scores") {
+    val row = for {
+      c <- Gen.chooseNum(-5000L, 5000L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (c, y)
+    val gen = Gen.nonEmptyListOf(row)
+      .suchThat(l => l.exists(_._2 == 1L) && l.exists(_._2 == 0L))
+    check(Prop.forAllNoShrink(gen) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("c", "y")
+      val got = EvalOps.binnedAuc(df, col("c"), col("y"), Bins).head()
+      val bins = grid(rows.map(_._1), Bins)
+      val binned = bins.zip(rows.map(_._2))
+      val pos = binned.filter(_._2 == 1L).map(_._1)
+      val neg = binned.filter(_._2 == 0L).map(_._1)
+      val u = (for (p <- pos; n <- neg) yield {
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+      }).sum
+      val brute = u / (pos.size.toDouble * neg.size.toDouble)
+      got.getLong(0) == pos.size && got.getLong(1) == neg.size &&
+      math.abs(got.getDouble(2) - brute) <= 1e-6
+    }, n = 25)
+  }
+
+  test("binnedAuc: all-tied scores give exactly 0.5") {
+    val df = Seq((7L, 1L), (7L, 0L), (7L, 1L), (7L, 0L)).toDF("c", "y")
+    val r = EvalOps.binnedAuc(df, col("c"), col("y")).head()
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("calibrationTable == brute-force reliability table + ECE") {
+    val row = for {
+      pm <- Gen.chooseNum(0L, 1000000L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (pm, y)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("pm", "y")
+      val got = EvalOps.calibrationTable(df, col("pm"), col("y")).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      val n = rows.size.toDouble
+      val byBin = rows.groupBy { case (pm, _) => math.min(pm / 100000L, 9L) }
+      byBin.forall { case (bin, rs) =>
+        val (cnt, npos, sumpm) = (rs.size.toLong, rs.map(_._2).sum, rs.map(_._1).sum)
+        val (gn, gp, conf, acc, ece) = got(bin)
+        gn == cnt && gp == npos &&
+        math.abs(conf - sumpm.toDouble / (cnt * 1000000.0)) <= 1e-6 &&
+        math.abs(acc - npos.toDouble / cnt) <= 1e-6 &&
+        math.abs(ece - math.abs(npos * 1000000L - sumpm).toDouble / (1000000.0 * n)) <= 1e-6
+      } && got.keySet == byBin.keySet
+    }, n = 25)
+  }
+
+  test("psiContributions == brute-force smoothed PSI terms") {
+    val row = for {
+      c <- Gen.chooseNum(-10000L, 10000L)
+      a <- Gen.oneOf(0L, 1L)
+    } yield (c, a)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Long, Long)] =>
+      val bins = 16
+      val df = rows.toDF("c", "a")
+      val got = EvalOps.psiContributions(df, col("c"), col("a"), bins).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val binned = grid(rows.map(_._1), bins).zip(rows.map(_._2))
+      val te = rows.count(_._2 == 1L).toDouble
+      val tl = rows.size - te
+      val byBin = binned.groupBy(_._1)
+      byBin.forall { case (bin, rs) =>
+        val ne = rs.count(_._2 == 1L); val nl = rs.size - ne
+        val pe = (ne + 0.5) / (te + bins * 0.5)
+        val pl = (nl + 0.5) / (tl + bins * 0.5)
+        val brute = (pl - pe) * math.log(pl / pe)
+        val (ge, gl, gc) = got(bin)
+        ge == ne && gl == nl && math.abs(gc - brute) <= 1e-6
+      } && got.keySet == byBin.keySet
+    }, n = 25)
+  }
+
+  test("benfordAudit == string first digit + chi-square vs log10(1 + 1/d)") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-100L, 2000000L))
+      .suchThat(_.exists(_ > 0L))
+    check(Prop.forAllNoShrink(gen) { cs: List[Long] =>
+      val df = cs.toDF("c")
+      val got = EvalOps.benfordAudit(df, col("c")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val kept = cs.filter(_ > 0L)
+      val byDigit = kept.groupBy(c => c.toString.head.asDigit.toLong)
+      val nt = kept.size.toDouble
+      byDigit.forall { case (d, rs) =>
+        val expN = nt * math.log10(1.0 + 1.0 / d)
+        val chi = (rs.size - expN) * (rs.size - expN) / expN
+        val (gn, ge, gc) = got(d)
+        gn == rs.size && math.abs(ge - expN) <= 1e-6 && math.abs(gc - chi) <= 1e-6
+      } && got.keySet == byDigit.keySet
+    }, n = 25)
+  }
+}
