@@ -176,7 +176,20 @@ object ProfileQueries {
     // extraction — no floor(log10) float hazard).
     "benford_audit" -> ((s, dir) =>
       EvalOps.benfordAudit(
-        Tables.lineitem(s, dir), (col("l_extendedprice") * lit(100.0)).cast("bigint"))))
+        Tables.lineitem(s, dir), (col("l_extendedprice") * lit(100.0)).cast("bigint"))),
+    // Per-source ranking power: grouped binned AUC of document length
+    // against the lang='en' outcome (per-group grid, NULL where a source
+    // lacks a class).
+    "auc_by_source" -> ((s, dir) =>
+      EvalOps.binnedAucBy(Tables.documents(s, dir), "source",
+        col("n_chars"), when(col("lang") === "en", 1L).otherwise(0L))),
+    // Cumulative-gains / lift table over the calibration probability's
+    // decile bins, accumulated best-bin-first.
+    "lift_curve" -> ((s, dir) =>
+      EvalOps.liftCurve(Tables.documents(s, dir),
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(200.0)) * lit(1000000.0)).cast("bigint"),
+        when(col("lang") === "en", 1L).otherwise(0L))))
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_dot_product($a, $b)
@@ -725,5 +738,69 @@ object ProfileQueries {
         |                - CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
         |             / (CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |         AS chi2_contrib
-        |FROM t ORDER BY digit""".stripMargin)
+        |FROM t ORDER BY digit""".stripMargin,
+    "auc_by_source" ->
+      """WITH e AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS c,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), st AS (
+        |  SELECT source AS g, min(c) AS minc, max(c) AS maxc FROM e GROUP BY 1
+        |), b AS (
+        |  SELECT e.source AS g, ((c - minc) * 256) // (maxc - minc + 1) AS bin, y
+        |  FROM e JOIN st ON e.source = st.g
+        |), g2 AS (
+        |  SELECT g, bin, CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM b GROUP BY 1, 2
+        |), w AS (
+        |  SELECT g, n_pos, n_neg,
+        |         sum(n_neg) OVER (PARTITION BY g ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg AS neg_below
+        |  FROM g2
+        |), a AS (
+        |  SELECT g AS source, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |         sum(CAST(n_pos AS HUGEINT)
+        |             * CAST(2 * neg_below + n_neg AS HUGEINT)) AS u2
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT source, n_pos, n_neg,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0
+        |            THEN round(CAST(u2 AS DOUBLE)
+        |                       / (2.0 * CAST(n_pos AS DOUBLE)
+        |                          * CAST(n_neg AS DOUBLE)), 6)
+        |       END AS auc
+        |FROM a ORDER BY source""".stripMargin,
+    "lift_curve" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(n_chars AS DOUBLE)
+        |                    / (CAST(n_chars AS DOUBLE) + 200.0) * 1000000.0) AS BIGINT)
+        |           AS pm,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), g AS (
+        |  SELECT least(pm // 100000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM e GROUP BY 1
+        |), t AS (
+        |  SELECT bin, n, n_pos,
+        |         CAST(sum(n) OVER (ORDER BY bin DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |         CAST(sum(n_pos) OVER (ORDER BY bin DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |         sum(n) OVER () AS nt, sum(n_pos) OVER () AS pt
+        |  FROM g
+        |)
+        |SELECT bin, n, n_pos, cum_n, cum_pos,
+        |       CASE WHEN pt > 0
+        |            THEN round(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+        |       END AS capture,
+        |       CASE WHEN pt > 0
+        |            THEN round(CAST(cum_pos AS DOUBLE) * CAST(nt AS DOUBLE)
+        |                       / (CAST(cum_n AS DOUBLE) * CAST(pt AS DOUBLE)), 6)
+        |       END AS lift
+        |FROM t ORDER BY bin DESC""".stripMargin)
 }

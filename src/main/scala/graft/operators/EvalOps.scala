@@ -72,6 +72,83 @@ object EvalOps {
           .as("auc"))
   }
 
+  /** Grouped form of [[binnedAuc]]: one AUC row per group, each on its own
+    * `bins`-cell grid (per-group min/max from ONE grouped stats pass,
+    * joined back on the group key — AQE broadcasts it when the group
+    * relation is small). The ECDF window is PARTITIONED BY group and
+    * ordered over ≤ `bins` rows per group — groups × bins parallelism,
+    * never a global sort. Groups missing a class get a NULL auc (the
+    * statistic is undefined, not 0) — the oracle mirrors the CASE.
+    * Output per group, ordered: `(group, n_pos, n_neg, auc)`.
+    */
+  def binnedAucBy(df: DataFrame, groupCol: String, scoreQ: Column, posFlag: Column,
+                  bins: Int = 256): DataFrame = {
+    val e = df.select(col(groupCol).as("g"), scoreQ.cast("bigint").as("c"),
+      posFlag.cast("bigint").as("y"))
+    val st = e.groupBy(col("g")).agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    val binned = e.join(st, "g")
+      .select(col("g"), expr(s"((c - minc) * $bins) DIV (maxc - minc + 1)").as("bin"),
+        col("y"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dbl = (c: Column) => c.cast("double")
+    binned
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        (sum(col("n_neg")).over(cum) - col("n_neg")).as("neg_below"))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos").cast("decimal(38,0)") *
+          (lit(2L) * col("neg_below") + col("n_neg")).cast("decimal(38,0)"))
+          .as("u2"))
+      .select(
+        col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(dbl(col("u2")) / (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg"))), 6))
+          .as("auc"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Cumulative-gains / lift table over probability deciles: bins are the
+    * same integer-micros cells as [[calibrationTable]], accumulated from
+    * the HIGHEST-confidence bin down — `capture` is the share of all
+    * positives recovered at or above the bin, `lift` the positive-rate
+    * ratio vs the base rate. One grouped aggregation over ≤ `bins` keys;
+    * cumulative + total windows ride the ≤ `bins`-row relation; lift is
+    * a ratio of exact integer counts, one division chain per row.
+    * Output per populated bin, highest first:
+    * `(bin, n, n_pos, cum_n, cum_pos, capture, lift)`.
+    */
+  def liftCurve(df: DataFrame, probMicro: Column, posFlag: Column,
+                bins: Int = 10): DataFrame = {
+    val e = df.select(probMicro.cast("bigint").as("pm"), posFlag.cast("bigint").as("y"))
+    val width = 1000000L / bins
+    val g = e
+      .select(least(expr(s"pm DIV $width"), lit((bins - 1).toLong)).as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    g.select(col("bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(desc).as("cum_n"),
+      sum(col("n_pos")).over(desc).as("cum_pos"),
+      sum(col("n")).over(all).as("nt"),
+      sum(col("n_pos")).over(all).as("pt"))
+      .select(
+        col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        when(col("pt") > 0L, round(dbl(col("cum_pos")) / dbl(col("pt")), 6)).as("capture"),
+        when(col("pt") > 0L,
+          round(dbl(col("cum_pos")) * dbl(col("nt")) / (dbl(col("cum_n")) * dbl(col("pt"))), 6))
+          .as("lift"))
+      .orderBy(col("bin").desc)
+  }
+
   /** Reliability table + expected-calibration-error contributions for a
     * micro-quantized probability column against a binary outcome.
     *

@@ -82,6 +82,64 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 25)
   }
 
+  test("binnedAucBy == per-group brute force; single-class groups get NULL") {
+    val row = for {
+      g <- Gen.oneOf("a", "b", "c")
+      c <- Gen.chooseNum(-5000L, 5000L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (g, c, y)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(String, Long, Long)] =>
+      val df = rows.toDF("g", "c", "y")
+      val got = EvalOps.binnedAucBy(df, "g", col("c"), col("y"), Bins).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toMap
+      val byG = rows.groupBy(_._1)
+      byG.forall { case (gk, rs) =>
+        val bins = grid(rs.map(_._2), Bins).zip(rs.map(_._3))
+        val pos = bins.filter(_._2 == 1L).map(_._1)
+        val neg = bins.filter(_._2 == 0L).map(_._1)
+        val (gp, gn, ga) = got(gk)
+        val countsOk = gp == pos.size && gn == neg.size
+        if (pos.isEmpty || neg.isEmpty) countsOk && ga.isEmpty
+        else {
+          val u = (for (p <- pos; n <- neg) yield {
+            if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+          }).sum
+          countsOk && ga.exists(a =>
+            math.abs(a - u / (pos.size.toDouble * neg.size.toDouble)) <= 1e-6)
+        }
+      } && got.keySet == byG.keySet
+    }, n = 25)
+  }
+
+  test("liftCurve == brute-force cumulative gains, best bin first") {
+    val row = for {
+      pm <- Gen.chooseNum(0L, 1000000L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (pm, y)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("pm", "y")
+      val got = EvalOps.liftCurve(df, col("pm"), col("y")).collect()
+      val byBin = rows.groupBy { case (pm, _) => math.min(pm / 100000L, 9L) }
+      val ordered = byBin.toSeq.sortBy(-_._1)
+      val nt = rows.size.toDouble
+      val pt = rows.map(_._2).sum.toDouble
+      var cumN = 0L; var cumP = 0L
+      val descOrderOk = got.map(_.getLong(0)).toSeq == ordered.map(_._1)
+      descOrderOk && got.zip(ordered).forall { case (r, (bin, rs)) =>
+        cumN += rs.size; cumP += rs.map(_._2).sum
+        val baseOk = r.getLong(0) == bin && r.getLong(1) == rs.size &&
+          r.getLong(2) == rs.map(_._2).sum &&
+          r.getLong(3) == cumN && r.getLong(4) == cumP
+        if (pt == 0) baseOk && r.isNullAt(5) && r.isNullAt(6)
+        else baseOk &&
+          math.abs(r.getDouble(5) - cumP / pt) <= 1e-6 &&
+          math.abs(r.getDouble(6) - cumP * nt / (cumN * pt)) <= 1e-6
+      }
+    }, n = 25)
+  }
+
   test("psiContributions == brute-force smoothed PSI terms") {
     val row = for {
       c <- Gen.chooseNum(-10000L, 10000L)
