@@ -442,4 +442,40 @@ class PlanSpec extends SparkSpec {
       assert(!firstCache.contains("+- Sort"), "cached score relation carries a frozen sort")
     }
   }
+
+  test("score_auc: ECDF window consumes the binned aggregate, never raw vectors") {
+    val p = plan("score_auc")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate") < windowIdx, "window must sit above the bin aggregation")
+    assert(!p.contains("CartesianProduct"), "stats relation must broadcast, not cartesian")
+  }
+
+  test("auc_by_source: per-group ECDF window sits above the (group, bin) aggregate") {
+    val p = plan("auc_by_source")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate") < windowIdx, "window must sit above the bin aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("drift_psi / lift_curve / score_calibration: windows ride bounded aggregates") {
+    for (q <- Seq("drift_psi", "lift_curve", "score_calibration")) {
+      val p = plan(q)
+      val windowIdx = p.indexOf("Window")
+      assert(windowIdx > 0, s"$q: expected a window over the binned relation")
+      // root-first print order: the bin aggregation must appear BELOW the
+      // window (the window's input is the ≤ bins-row aggregate, not rows)
+      assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+        s"$q: window must consume the bin aggregation")
+    }
+  }
+
+  test("benford_audit: scan prunes to the price column; digit window over ≤9 rows") {
+    val p = plan("benford_audit")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      "digit extraction must prune the scan to one column")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0 && p.indexOf("HashAggregate", windowIdx) > windowIdx)
+  }
 }
