@@ -145,26 +145,36 @@ object LayoutOps {
       loDay: Int = 9862,
       hiDay: Int = 10226): DataFrame = {
     require(fileRows > 0, "fileRows must be positive")
-    // one 3-column projection feeds both layouts' stats, histogram, and
-    // ordinal passes — persist via the session registry so the parquet
-    // scan happens once, not per branch per pass
-    val base = DedupOps.registerCache(
-      lineitem.select(
-        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
-          .as("ship_day"),
-        col("l_orderkey"),
-        col("l_linenumber"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def files(layout: String, orderCols: Seq[String]) =
-      RankOps
-        .rowsAboveRank(
-          base.withColumn("layout", lit(layout)),
-          Seq("layout"),
-          orderCols,
-          lit(0L))
-        .withColumn("f", expr(s"(gr_pos - 1) div $fileRows"))
-    val zones = files("natural", Seq("l_orderkey", "l_linenumber"))
-      .unionByName(files("shipdate", Seq("ship_day", "l_orderkey", "l_linenumber")))
+    // one pruned 3-column projection feeds both layouts' stats, histogram,
+    // and ordinal passes; the column-pruned scan is cheap enough that
+    // re-reading beats paying a cache materialization job every run
+    val base = lineitem.select(
+      datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+        .as("ship_day"),
+      col("l_orderkey"),
+      col("l_linenumber"))
+    // both layouts are tagged and unioned BEFORE ranking, so ONE
+    // generalized rowsAboveRank pass (grouped by layout, ordered by the
+    // per-layout sort keys) produces both ordinal sets — one set of
+    // memoized driver passes and one rank plan instead of two (round-9
+    // constant shave; ordinals are unchanged, the keys encode each
+    // layout's sort order exactly)
+    val tagged = base
+      .select(
+        lit("natural").as("layout"),
+        col("l_orderkey").cast("long").as("k1"),
+        col("l_linenumber").cast("long").as("k2"),
+        lit(0L).as("k3"),
+        col("ship_day"))
+      .unionByName(base.select(
+        lit("shipdate").as("layout"),
+        col("ship_day").cast("long").as("k1"),
+        col("l_orderkey").cast("long").as("k2"),
+        col("l_linenumber").cast("long").as("k3"),
+        col("ship_day")))
+    val zones = RankOps
+      .rowsAboveRank(tagged, Seq("layout"), Seq("k1", "k2", "k3"), lit(0L))
+      .withColumn("f", expr(s"(gr_pos - 1) div $fileRows"))
       .groupBy(col("layout"), col("f"))
       .agg(
         min(col("ship_day")).as("zmin"),
