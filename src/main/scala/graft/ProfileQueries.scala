@@ -189,7 +189,15 @@ object ProfileQueries {
       EvalOps.liftCurve(Tables.documents(s, dir),
         (col("n_chars").cast("double") /
           (col("n_chars").cast("double") + lit(200.0)) * lit(1000000.0)).cast("bigint"),
-        when(col("lang") === "en", 1L).otherwise(0L))))
+        when(col("lang") === "en", 1L).otherwise(0L))),
+    // Revenue-concentration audit: binned Gini of per-customer lifetime
+    // spend (exact Gini of the 256-cell binned distribution).
+    "spend_gini" -> ((s, dir) =>
+      EvalOps.binnedGini(
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum((col("o_totalprice") * lit(100.0)).cast("bigint")).as("cents")),
+        col("cents"))))
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_dot_product($a, $b)
@@ -802,5 +810,37 @@ object ProfileQueries {
         |            THEN round(CAST(cum_pos AS DOUBLE) * CAST(nt AS DOUBLE)
         |                       / (CAST(cum_n AS DOUBLE) * CAST(pt AS DOUBLE)), 6)
         |       END AS lift
-        |FROM t ORDER BY bin DESC""".stripMargin)
+        |FROM t ORDER BY bin DESC""".stripMargin,
+    "spend_gini" ->
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(trunc(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY o_custkey
+        |), e AS (
+        |  SELECT c FROM s WHERE c >= 0
+        |), st AS (
+        |  SELECT min(c) AS minc, max(c) AS maxc FROM e
+        |), b AS (
+        |  SELECT ((c - minc) * 256) // (maxc - minc + 1) AS bin, c
+        |  FROM e CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS cnt, min(c) AS rep
+        |  FROM b GROUP BY bin
+        |), w AS (
+        |  SELECT cnt, rep,
+        |         sum(cnt) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below
+        |  FROM g
+        |), a AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |         sum(CAST(rep AS HUGEINT) * CAST(cnt AS HUGEINT)) AS t,
+        |         sum(CAST(rep AS HUGEINT) * CAST(cnt AS HUGEINT)
+        |             * CAST(2 * below + cnt AS HUGEINT)) AS term
+        |  FROM w
+        |)
+        |SELECT n, CAST(t AS BIGINT) AS total_amount,
+        |       CASE WHEN t > 0
+        |            THEN round(CAST(term AS DOUBLE)
+        |                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) - 1.0, 6)
+        |       END AS gini
+        |FROM a""".stripMargin)
 }

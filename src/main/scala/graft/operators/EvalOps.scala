@@ -186,6 +186,51 @@ object EvalOps {
       .orderBy(col("bin"))
   }
 
+  /** Binned Gini coefficient of a non-negative integer-quantized amount:
+    * the inequality gauge (is 1% of the corpus 99% of the tokens? is one
+    * customer all the revenue?) a pipeline checks before weighting or
+    * capping.
+    *
+    * The exact Gini needs the full sorted cumulative sum — a global-rank
+    * window (the §3.3 anti-pattern). Like [[binnedAuc]], the engine grids
+    * the values (one min/max stats pass, `bins` cells) and computes the
+    * EXACT Gini of the binned distribution, where every row in a bin
+    * takes the bin's representative value — the bin's minimum actual
+    * amount, an exact integer from the same grouped aggregation (no
+    * float edges). With per-bin count c_b, representative x_b, running
+    * count below C_b, and totals n / T = Σ c_b·x_b:
+    * G = Σ x_b·c_b·(2·C_b + c_b − n) / (n·T) — one ≤ `bins`-row window,
+    * all products in DECIMAL(38,0). Output: one row
+    * `(n, total_amount, gini)` (NULL gini when T = 0).
+    */
+  def binnedGini(df: DataFrame, amountQ: Column, bins: Int = 256): DataFrame = {
+    val e = df.select(amountQ.cast("bigint").as("c")).filter(col("c") >= 0L)
+    val st = e.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    val g = e.crossJoin(st)
+      .select(expr(s"((c - minc) * $bins) DIV (maxc - minc + 1)").as("bin"), col("c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col("c")).as("rep"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dbl = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // Σ x_b·c_b·(2·C_b + c_b − n) = Σ x_b·c_b·(2·C_b + c_b) − n·T, so the
+    // per-bin term never needs the global n — one aggregation suffices
+    g.select(col("cnt"), col("rep"),
+      (sum(col("cnt")).over(cum) - col("cnt")).as("below"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(dec(col("rep")) * dec(col("cnt"))).as("t"),
+        sum(dec(col("rep")) * dec(col("cnt")) *
+          (lit(2L) * dec(col("below")) + dec(col("cnt")))).as("term"))
+      .select(
+        col("n"),
+        col("t").cast("bigint").as("total_amount"),
+        when(col("t") > 0L,
+          round(dbl(col("term")) / (dbl(col("n")) * dbl(col("t"))) - lit(1.0), 6))
+          .as("gini"))
+  }
+
   /** Population-stability-index contributions between two halves of a
     * population, on a fixed `bins`-cell grid over an integer-quantized
     * value.

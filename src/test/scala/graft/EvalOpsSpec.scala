@@ -165,6 +165,36 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 25)
   }
 
+  test("binnedGini == exact Gini of the bin-representative multiset") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-50L, 100000L))
+      .suchThat(_.exists(_ >= 0L))
+    check(Prop.forAllNoShrink(gen) { cs: List[Long] =>
+      val df = cs.toDF("c")
+      val r = graft.operators.EvalOps.binnedGini(df, col("c"), Bins).head()
+      val kept = cs.filter(_ >= 0L)
+      val mn = kept.min; val mx = kept.max
+      val rep = kept.groupBy(c => (c - mn) * Bins / (mx - mn + 1))
+        .map { case (b, vs) => b -> vs.min }
+      val xs = kept.map(c => rep((c - mn) * Bins / (mx - mn + 1))).sorted
+      val n = xs.size; val t = xs.sum
+      val numOk = r.getLong(0) == n && r.getLong(1) == t
+      if (t == 0L) numOk && r.isNullAt(2)
+      else {
+        val brute = xs.zipWithIndex
+          .map { case (x, i) => (2.0 * (i + 1) - n - 1) * x }.sum / (n.toDouble * t)
+        numOk && math.abs(r.getDouble(2) - brute) <= 1e-6
+      }
+    }, n = 25)
+  }
+
+  test("binnedGini: perfect equality gives 0, single-owner corpus near 1") {
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("c")
+    assert(graft.operators.EvalOps.binnedGini(eq, col("c")).head().getDouble(2) == 0.0)
+    val one = (Seq.fill(99)(0L) :+ 1000000L).toDF("c")
+    val g = graft.operators.EvalOps.binnedGini(one, col("c")).head().getDouble(2)
+    assert(g > 0.98, s"one owner of everything must be near-1 Gini, got $g")
+  }
+
   test("benfordAudit == string first digit + chi-square vs log10(1 + 1/d)") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(-100L, 2000000L))
       .suchThat(_.exists(_ > 0L))

@@ -471,6 +471,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("spend_gini: Lorenz window rides the bin aggregate above the customer rollup") {
+    val p = plan("spend_gini")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+      "window must consume the bin aggregation, not customer rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("benford_audit: scan prunes to the price column; digit window over ≤9 rows") {
     val p = plan("benford_audit")
     assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
