@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.{BinMethod, BinSpec}
+import graft.streaming.{StreamingAuc, StreamingDrift}
+
+/** The streaming drift readouts against brute-force replays of the same
+  * state rows, plus the micro-batch == batch state reuse (the state is
+  * literally StreamingAuc's — one incremental aggregation feeds AUC, PSI,
+  * and KS monitors).
+  */
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = BinSpec(0, 1000, 0.0, BinMethod.Linear)
+
+  private def sample(seed: Int, n: Int): Seq[(Double, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val y = if (r.nextBoolean()) 1L else 0L
+      (math.min(9.9, r.nextInt(800) / 100.0 + y * r.nextInt(150) / 100.0), y)
+    }
+  }
+
+  /** (bin -> (nRef, nCur)) replay of the state relation. */
+  private def stateMap(rows: Seq[(Double, Long)]): Map[Long, (Long, Long)] =
+    rows
+      .map { case (v, y) => (math.floor(v * 100).toLong, y) }
+      .filter { case (c, _) => c >= 0 && c <= 1000 }
+      .groupBy(_._1)
+      .map { case (bin, rs) =>
+        bin -> (rs.count(_._2 == 1L).toLong, rs.count(_._2 == 0L).toLong)
+      }
+
+  test("psiFromState == brute replay; readout identical from stream or batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = sample(21, 800)
+    val input = MemoryStream[(Double, Long)]
+    val query = StreamingDrift
+      .classBinCounts(input.toDF().toDF("value", "y"), spec)
+      .writeStream.format("memory").queryName("sdrift_state").outputMode("complete").start()
+    try {
+      input.addData(all.take(400)); query.processAllAvailable()
+      input.addData(all.drop(400)); query.processAllAvailable()
+      val streamState = spark.table("sdrift_state")
+      val batchState = StreamingDrift.classBinCounts(all.toDF("value", "y"), spec)
+      val sp = StreamingDrift.psiFromState(streamState).collect()
+      val bp = StreamingDrift.psiFromState(batchState).collect()
+      assert(sp.toSeq == bp.toSeq, "PSI readout is a pure function of the state")
+
+      val m = stateMap(all)
+      val nb = m.size
+      val tr = m.values.map(_._1).sum.toDouble
+      val tc = m.values.map(_._2).sum.toDouble
+      assert(sp.length == nb)
+      sp.foreach { r =>
+        val (nr, nc) = m(r.getAs[Number](0).longValue())
+        assert(r.getLong(1) == nr && r.getLong(2) == nc)
+        val pr = (nr + 0.5) / (tr + nb * 0.5)
+        val pc = (nc + 0.5) / (tc + nb * 0.5)
+        assert(math.abs(r.getDouble(3) - (pc - pr) * math.log(pc / pr)) <= 1e-6)
+      }
+    } finally query.stop()
+  }
+
+  test("ksFromState == brute replay of the gridded ECDF gap") {
+    val all = sample(22, 700)
+    val state = StreamingAuc.classBinCounts(all.toDF("value", "y"), spec)
+    val r = StreamingDrift.ksFromState(state).head()
+    val m = stateMap(all)
+    val bins = m.keys.toSeq.sorted
+    val tr = m.values.map(_._1).sum.toDouble
+    val tc = m.values.map(_._2).sum.toDouble
+    var cr = 0L; var cc = 0L
+    val gaps = bins.map { b =>
+      val (nr, nc) = m(b); cr += nr; cc += nc
+      math.abs(cr / tr - cc / tc)
+    }
+    assert(r.getLong(0) == tr.toLong && r.getLong(1) == tc.toLong)
+    assert(math.abs(r.getDouble(2) - gaps.max) <= 1e-6)
+    val crit = 1.3581015 * math.sqrt((tr + tc) / (tr * tc))
+    assert(math.abs(r.getDouble(3) - crit) <= 1e-6)
+    assert(r.getBoolean(4) == (r.getDouble(2) > r.getDouble(3)))
+  }
+
+  test("single-population state yields NULL KS") {
+    val df = Seq((1.0, 1L), (2.0, 1L)).toDF("value", "y")
+    val r = StreamingDrift.ksFromState(StreamingAuc.classBinCounts(df, spec)).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+}
