@@ -62,7 +62,11 @@ object DumpPlans {
     "label_noise" -> "k-NN label audit: exact neighbors from the broadcast probe slice, label joins attach to the k·probes relation (never the corpus), two integer aggregations — per-probe agreement then per-label rollup.",
     "zone_skipping" -> "Zone-map audit: file ordinals for BOTH layouts from RankOps (bounded bin windows — the same machinery a layout rewrite's range partitioner uses), per-file min/max aggregation, 2-row plan summary.",
     "join_size_est" -> "AMS join-size estimate: two fixed 4×1024 CMS states (one map-side-combinable pass each), the estimate is a ≤4096-row join + min-over-depth — no key-level relation, the planner statistic costs two scans.",
-    "split_leakage" -> "Cross-split 8-gram contamination: session-cached shingle relation, split as a map-side hash of doc_id (never a corpus join), gram-flag aggregation + one hash join back, 3-row pair summary.")
+    "split_leakage" -> "Cross-split 8-gram contamination: session-cached shingle relation, split as a map-side hash of doc_id (never a corpus join), gram-flag aggregation + one hash join back, 3-row pair summary.",
+    "score_auc" -> "Binned Mann-Whitney AUC: one min/max stats broadcast grids the scores, per-bin class counts from ONE map-side-combinable aggregation, the ECDF window and the DECIMAL pair-count fold both consume the ≤ 256-row binned relation — the global rank the exact statistic needs never happens.",
+    "spend_gini" -> "Concentration audit: per-customer rollup, stats-broadcast grid, per-bin (count, min-representative) aggregation; the Lorenz running-count window and the DECIMAL term fold ride the ≤ 256-row bin relation — no sorted-cumulative-sum over customers.",
+    "drift_psi" -> "PSI drift: date-midpoint and value-range stats broadcast (two 1-row relations), one (bin × early) count aggregation, smoothed contributions as per-row double chains over the 16-row binned relation.",
+    "benford_audit" -> "Benford audit: first digit via integer string-length arithmetic inside the scan projection (column-pruned to the price), a 9-key aggregation, expectation and chi-square contributions per row over the 9-row digit relation.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession
