@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,13 +12,16 @@ import graft.core.BinSpec
   * PSI and the gridded two-sample KS — read off the mergeable state at
   * any time, no history replay.
   *
-  * Both readouts are pure functions of the ≤ 2·bins-row state (the same
-  * relation the AUC reads), so one incremental aggregation feeds all
-  * three monitors. Batch twins: `drift_psi` (EvalOps.psiContributions)
-  * and `drift_ks` — the state-side formulas are the same integer
-  * arithmetic on per-bin counts; the only difference is the fixed
-  * quantization domain every streaming state pays
-  * ([[StreamingHistogram]]'s trade).
+  * Both readouts are pure functions of the ≤ 2·bins-row-per-group state
+  * (the same relation the AUC reads), so one incremental aggregation
+  * feeds all three monitors. The grouped forms (`psiFromStateBy` /
+  * `ksFromStateBy`) monitor MANY features/segments at once — every
+  * window is partitioned by the group key and ordered over ≤ bins rows
+  * per group, the family's groups × bins parallelism. Batch twins:
+  * `drift_psi` (EvalOps.psiContributions) and `drift_ks` — the
+  * state-side formulas are the same integer arithmetic on per-bin
+  * counts; the only difference is the fixed quantization domain every
+  * streaming state pays ([[StreamingHistogram]]'s trade).
   */
 object StreamingDrift {
 
@@ -28,68 +31,83 @@ object StreamingDrift {
   def classBinCounts(values: DataFrame, spec: BinSpec): DataFrame =
     StreamingAuc.classBinCounts(values, spec)
 
-  /** PSI readout from a `(y, bin, cnt)` state: per-bin Laplace-smoothed
-    * (+1/2, over the OCCUPIED bins) contributions
-    * (p_cur − p_ref)·ln(p_cur / p_ref), ordered by bin — the scalar PSI
-    * is the trivial sum. One ≤ bins-row pivot + two bounded windows.
-    * Output: `(bin, n_ref, n_cur, psi_contrib)`.
+  /** Grouped state: per-(group…, y, bin) counts — one monitored
+    * distribution per group key (feature, segment, source…). `values`
+    * needs the group columns plus `value` and the 0/1 `y` flag.
     */
-  def psiFromState(state: DataFrame): DataFrame = {
-    val perBin = state
-      .groupBy(col("bin"))
+  def classBinCountsBy(values: DataFrame, spec: BinSpec, grpCols: Seq[String]): DataFrame =
+    StreamingQuantiles.binCountsBy(values, spec, grpCols :+ "y")
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  private def perBinCounts(state: DataFrame, grpCols: Seq[String]): DataFrame =
+    state
+      .groupBy((grpCols :+ "bin").map(col): _*)
       .agg(
         sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("n_ref"),
         sum(when(col("y") === 1, 0L).otherwise(col("cnt"))).as("n_cur"))
-    val all = Window.orderBy(col("bin"))
+
+  /** PSI readout from a `(…group, y, bin, cnt)` state: per-bin
+    * Laplace-smoothed (+1/2, over the group's OCCUPIED bins)
+    * contributions (p_cur − p_ref)·ln(p_cur / p_ref), ordered — the
+    * scalar PSI per group is the trivial sum of its rows. One
+    * ≤ bins-row-per-group pivot + one partitioned bounded window.
+    * Output: `(…group, bin, n_ref, n_cur, psi_contrib)`.
+    */
+  def psiFromStateBy(state: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val all = Window.partitionBy(grpCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val withTot = perBin.select(col("bin"), col("n_ref"), col("n_cur"),
-      sum(col("n_ref")).over(all).as("tr"),
-      sum(col("n_cur")).over(all).as("tc"),
-      count(lit(1)).over(all).as("nb"))
+    val withTot = perBinCounts(state, grpCols)
+      .select((grpCols :+ "bin" :+ "n_ref" :+ "n_cur").map(col) ++ Seq(
+        sum(col("n_ref")).over(all).as("tr"),
+        sum(col("n_cur")).over(all).as("tc"),
+        count(lit(1)).over(all).as("nb")): _*)
     val pr = (dbl(col("n_ref")) + lit(0.5)) / (dbl(col("tr")) + dbl(col("nb")) * lit(0.5))
     val pc = (dbl(col("n_cur")) + lit(0.5)) / (dbl(col("tc")) + dbl(col("nb")) * lit(0.5))
-    withTot.select(
-      col("bin"), col("n_ref"), col("n_cur"),
-      round((pc - pr) * log(pc / pr), 6).as("psi_contrib"))
-      .orderBy(col("bin"))
+    withTot
+      .select((grpCols :+ "bin" :+ "n_ref" :+ "n_cur").map(col) :+
+        round((pc - pr) * log(pc / pr), 6).as("psi_contrib"): _*)
+      .orderBy((grpCols :+ "bin").map(col): _*)
   }
 
-  /** Gridded two-sample KS readout from a `(y, bin, cnt)` state: the max
-    * ECDF gap over the occupied bins (exact FOR THE GRID, like
-    * `drift_ks`), with the standard α=0.05 critical value. One-row
-    * output: `(n_ref, n_cur, ks_stat, ks_crit, drifted)`; NULLs when a
-    * population is empty.
+  /** Ungrouped [[psiFromStateBy]]. */
+  def psiFromState(state: DataFrame): DataFrame = psiFromStateBy(state, Seq.empty)
+
+  /** Gridded two-sample KS readout from a `(…group, y, bin, cnt)` state:
+    * the max ECDF gap over the group's occupied bins (exact FOR THE
+    * GRID, like `drift_ks`), with the standard α=0.05 critical value.
+    * One row per group: `(…group, n_ref, n_cur, ks_stat, ks_crit,
+    * drifted)`; NULL stats where a population is empty.
     */
-  def ksFromState(state: DataFrame): DataFrame = {
-    val perBin = state
-      .groupBy(col("bin"))
-      .agg(
-        sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("n_ref"),
-        sum(when(col("y") === 1, 0L).otherwise(col("cnt"))).as("n_cur"))
-    val cum = Window.orderBy(col("bin"))
+  def ksFromStateBy(state: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val cum = Window.partitionBy(grpCols.map(col): _*).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("bin"))
+    val all = Window.partitionBy(grpCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
     val crit = round(lit(1.3581015) *
       sqrt((dbl(col("n_ref")) + dbl(col("n_cur"))) /
         (dbl(col("n_ref")) * dbl(col("n_cur")))), 6)
-    perBin
-      .select(
+    val folded = perBinCounts(state, grpCols)
+      .select(grpCols.map(col) ++ Seq(
         sum(col("n_ref")).over(cum).as("cr"),
         sum(col("n_cur")).over(cum).as("cc"),
         sum(col("n_ref")).over(all).as("tr"),
-        sum(col("n_cur")).over(all).as("tc"))
+        sum(col("n_cur")).over(all).as("tc")): _*)
+      .groupBy(grpCols.map(col): _*)
       .agg(
         max(col("tr")).as("n_ref"),
         max(col("tc")).as("n_cur"),
         when(max(col("tr")) > 0L && max(col("tc")) > 0L,
           round(max(abs(dbl(col("cr")) / dbl(col("tr")) -
             dbl(col("cc")) / dbl(col("tc")))), 6)).as("ks_stat"))
-      .select(
+    val out = folded
+      .select(grpCols.map(col) ++ Seq(
         col("n_ref"), col("n_cur"), col("ks_stat"),
         when(col("ks_stat").isNotNull, crit).as("ks_crit"),
-        when(col("ks_stat").isNotNull, col("ks_stat") > crit).as("drifted"))
+        when(col("ks_stat").isNotNull, col("ks_stat") > crit).as("drifted")): _*)
+    if (grpCols.isEmpty) out else out.orderBy(grpCols.map(col): _*)
   }
+
+  /** Ungrouped [[ksFromStateBy]]. */
+  def ksFromState(state: DataFrame): DataFrame = ksFromStateBy(state, Seq.empty)
 }

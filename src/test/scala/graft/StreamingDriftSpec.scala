@@ -85,6 +85,27 @@ class StreamingDriftSpec extends SparkSpec {
     assert(r.getBoolean(4) == (r.getDouble(2) > r.getDouble(3)))
   }
 
+  test("grouped readouts == per-group ungrouped readouts on each slice") {
+    val r = new scala.util.Random(23)
+    val all = Seq.fill(900)((if (r.nextBoolean()) "f1" else "f2",
+      math.min(9.9, r.nextInt(900) / 100.0), if (r.nextBoolean()) 1L else 0L))
+    val df = all.toDF("feat", "value", "y")
+    val state = StreamingDrift.classBinCountsBy(df, spec, Seq("feat"))
+    val psiBy = StreamingDrift.psiFromStateBy(state, Seq("feat")).collect()
+      .groupBy(_.getString(0))
+    val ksBy = StreamingDrift.ksFromStateBy(state, Seq("feat")).collect()
+      .map(r0 => r0.getString(0) -> r0.toSeq.drop(1)).toMap
+    for (f <- Seq("f1", "f2")) {
+      val slice = all.filter(_._1 == f).map(t => (t._2, t._3)).toDF("value", "y")
+      val sliceState = StreamingDrift.classBinCounts(slice, spec)
+      val psi = StreamingDrift.psiFromState(sliceState).collect()
+      assert(psiBy(f).map(_.toSeq.drop(1)).toSeq == psi.map(_.toSeq).toSeq,
+        s"grouped PSI for $f must equal the ungrouped readout of its slice")
+      val ks = StreamingDrift.ksFromState(sliceState).head()
+      assert(ksBy(f) == ks.toSeq, s"grouped KS for $f must equal its slice readout")
+    }
+  }
+
   test("single-population state yields NULL KS") {
     val df = Seq((1.0, 1L), (2.0, 1L)).toDF("value", "y")
     val r = StreamingDrift.ksFromState(StreamingAuc.classBinCounts(df, spec)).head()
