@@ -197,7 +197,21 @@ object ProfileQueries {
         Tables.orders(s, dir)
           .groupBy(col("o_custkey"))
           .agg(sum((col("o_totalprice") * lit(100.0)).cast("bigint")).as("cents")),
-        col("cents"))))
+        col("cents"))),
+    // Per-feature PSI: the event-value distribution early vs late (global
+    // time midpoint), one 16-bin breakdown PER EVENT TYPE — the grouped
+    // drift-monitor shape.
+    "psi_by_type" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val st = e.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        .select(expr("(lo + hi) DIV 2").as("mid"))
+      val tagged = e.crossJoin(st).select(
+        col("event_type"),
+        (col("value") * lit(100.0)).cast("bigint").as("cents"),
+        when(col("ts_us") <= col("mid"), 1L).otherwise(0L).as("early"))
+      EvalOps.psiContributionsBy(tagged, "event_type", col("cents"), col("early"))
+    }))
 
   private def cosSql(a: String, b: String): String =
     s"""round(list_dot_product($a, $b)
@@ -842,5 +856,38 @@ object ProfileQueries {
         |            THEN round(CAST(term AS DOUBLE)
         |                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) - 1.0, 6)
         |       END AS gini
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+    "psi_by_type" ->
+      """WITH f AS (
+        |  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |), stm AS (
+        |  SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM f
+        |), e AS (
+        |  SELECT event_type AS g, CAST(trunc(value * 100.0) AS BIGINT) AS c,
+        |         CASE WHEN ts_us <= mid THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a
+        |  FROM f CROSS JOIN stm
+        |), st AS (
+        |  SELECT g, min(c) AS minc, max(c) AS maxc FROM e GROUP BY 1
+        |), b AS (
+        |  SELECT e.g, ((c - minc) * 16) // (maxc - minc + 1) AS bin, a
+        |  FROM e JOIN st ON e.g = st.g
+        |), gg AS (
+        |  SELECT g, bin, CAST(sum(a) AS BIGINT) AS n_early,
+        |         CAST(sum(1 - a) AS BIGINT) AS n_late
+        |  FROM b GROUP BY 1, 2
+        |), t AS (
+        |  SELECT g, bin, n_early, n_late,
+        |         sum(n_early) OVER (PARTITION BY g) AS te,
+        |         sum(n_late) OVER (PARTITION BY g) AS tl
+        |  FROM gg
+        |)
+        |SELECT g AS event_type, bin, n_early, n_late,
+        |       round(((CAST(n_late AS DOUBLE) + 0.5) / (CAST(tl AS DOUBLE) + 8.0)
+        |              - (CAST(n_early AS DOUBLE) + 0.5) / (CAST(te AS DOUBLE) + 8.0))
+        |             * ln(((CAST(n_late AS DOUBLE) + 0.5) / (CAST(tl AS DOUBLE) + 8.0))
+        |                  / ((CAST(n_early AS DOUBLE) + 0.5)
+        |                     / (CAST(te AS DOUBLE) + 8.0))), 6) AS psi_contrib
+        |FROM t ORDER BY event_type, bin""".stripMargin)
 }

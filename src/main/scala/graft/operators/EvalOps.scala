@@ -267,6 +267,38 @@ object EvalOps {
       .orderBy(col("bin"))
   }
 
+  /** Grouped form of [[psiContributions]]: one PSI breakdown per group,
+    * each on its own `bins`-cell grid (per-group min/max from one grouped
+    * stats pass joined back on the group key, like [[binnedAucBy]]). The
+    * totals window is PARTITIONED BY group over ≤ `bins` rows per group —
+    * groups × bins parallelism, the per-feature drift-monitor shape.
+    * Smoothing matches the ungrouped form (+1/2 per CONFIGURED bin).
+    * Output per (group, bin), ordered:
+    * `(group, bin, n_early, n_late, psi_contrib)`.
+    */
+  def psiContributionsBy(df: DataFrame, groupCol: String, valueQ: Column,
+                         earlyFlag: Column, bins: Int = 16): DataFrame = {
+    val e = df.select(col(groupCol).as("g"), valueQ.cast("bigint").as("c"),
+      earlyFlag.cast("bigint").as("a"))
+    val st = e.groupBy(col("g")).agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    val g = e.join(st, "g")
+      .select(col("g"), expr(s"((c - minc) * $bins) DIV (maxc - minc + 1)").as("bin"),
+        col("a"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(col("a")).as("n_early"), sum(lit(1L) - col("a")).as("n_late"))
+    val all = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    val withTot = g.select(col("g"), col("bin"), col("n_early"), col("n_late"),
+      sum(col("n_early")).over(all).as("te"), sum(col("n_late")).over(all).as("tl"))
+    val pe = (dbl(col("n_early")) + lit(0.5)) / (dbl(col("te")) + lit(bins * 0.5))
+    val pl = (dbl(col("n_late")) + lit(0.5)) / (dbl(col("tl")) + lit(bins * 0.5))
+    withTot.select(
+      col("g").as(groupCol), col("bin"), col("n_early"), col("n_late"),
+      round((pl - pe) * log(pl / pe), 6).as("psi_contrib"))
+      .orderBy(col(groupCol), col("bin"))
+  }
+
   /** Benford first-significant-digit audit of a positive integer-quantized
     * amount column: observed digit counts vs the Benford expectation
     * N · log10(1 + 1/d), with per-digit chi-square contributions.

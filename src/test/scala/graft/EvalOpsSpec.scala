@@ -165,6 +165,25 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 25)
   }
 
+  test("psiContributionsBy == per-group ungrouped psiContributions on each slice") {
+    val row = for {
+      g <- Gen.oneOf("a", "b")
+      c <- Gen.chooseNum(-8000L, 8000L)
+      a <- Gen.oneOf(0L, 1L)
+    } yield (g, c, a)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(String, Long, Long)] =>
+      val df = rows.toDF("g", "c", "a")
+      val got = graft.operators.EvalOps.psiContributionsBy(df, "g", col("c"), col("a"))
+        .collect().groupBy(_.getString(0))
+      rows.map(_._1).distinct.forall { gk =>
+        val slice = rows.filter(_._1 == gk).map(t => (t._2, t._3)).toDF("c", "a")
+        val ungrouped = graft.operators.EvalOps.psiContributions(slice, col("c"), col("a"))
+          .collect().map(_.toSeq)
+        got(gk).map(_.toSeq.drop(1)).toSeq == ungrouped.toSeq
+      }
+    }, n = 20)
+  }
+
   test("binnedGini == exact Gini of the bin-representative multiset") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(-50L, 100000L))
       .suchThat(_.exists(_ >= 0L))

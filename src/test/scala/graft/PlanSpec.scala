@@ -480,6 +480,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("psi_by_type: per-type totals window rides the (type, bin) aggregate") {
+    val p = plan("psi_by_type")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+      "window must consume the bin aggregation, not raw events")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("benford_audit: scan prunes to the price column; digit window over ≤9 rows") {
     val p = plan("benford_audit")
     assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
