@@ -152,6 +152,16 @@ object ProfileQueries {
         (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
         when(col("label") <= 4, 1L).otherwise(0L))
     }),
+    // score_auc with a DeLong 95% CI from the same binned relation —
+    // placement values are constant per bin under ties, so the variance
+    // components are cell-weighted sums (integer-nano quantized).
+    "auc_confidence" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .filter(element_at(col("embedding"), 1).isNotNull)
+      EvalOps.binnedAucCi(e,
+        (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
+        when(col("label") <= 4, 1L).otherwise(0L))
+    }),
     // Reliability table + ECE contributions of a deterministic length-based
     // quality probability against the lang='en' outcome.
     "score_calibration" -> ((s, dir) =>
@@ -686,6 +696,79 @@ object ProfileQueries {
         |       round(CAST(u2 AS DOUBLE)
         |             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
         |FROM a""".stripMargin,
+    "auc_confidence" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(embedding[1] AS DOUBLE) * 100000.0) AS BIGINT) AS c,
+        |         CASE WHEN label <= 4 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM embeddings WHERE embedding[1] IS NOT NULL
+        |), st AS (
+        |  SELECT min(c) AS minc, max(c) AS maxc FROM e
+        |), b AS (
+        |  SELECT ((c - minc) * 256) // (maxc - minc + 1) AS bin, y
+        |  FROM e CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM b GROUP BY bin
+        |), w1 AS (
+        |  SELECT n_pos, n_neg,
+        |         sum(n_neg) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg AS neg_below,
+        |         sum(n_pos) OVER (ORDER BY bin DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pos AS pos_above,
+        |         sum(n_pos) OVER () AS p, sum(n_neg) OVER () AS n
+        |  FROM g
+        |), w2 AS (
+        |  SELECT *, sum(CAST(n_pos AS HUGEINT)
+        |                * CAST(2 * neg_below + n_neg AS HUGEINT)) OVER () AS u2
+        |  FROM w1
+        |), terms AS (
+        |  SELECT p, n, u2,
+        |         CAST(round(CAST(n_pos AS DOUBLE)
+        |           * ((2.0 * CAST(neg_below AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |                / (2.0 * CAST(n AS DOUBLE))
+        |              - CAST(u2 AS DOUBLE)
+        |                / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)))
+        |           * ((2.0 * CAST(neg_below AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |                / (2.0 * CAST(n AS DOUBLE))
+        |              - CAST(u2 AS DOUBLE)
+        |                / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)))
+        |           * 1e9) AS BIGINT) AS t10,
+        |         CAST(round(CAST(n_neg AS DOUBLE)
+        |           * ((2.0 * CAST(pos_above AS DOUBLE) + CAST(n_pos AS DOUBLE))
+        |                / (2.0 * CAST(p AS DOUBLE))
+        |              - CAST(u2 AS DOUBLE)
+        |                / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)))
+        |           * ((2.0 * CAST(pos_above AS DOUBLE) + CAST(n_pos AS DOUBLE))
+        |                / (2.0 * CAST(p AS DOUBLE))
+        |              - CAST(u2 AS DOUBLE)
+        |                / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)))
+        |           * 1e9) AS BIGINT) AS t01
+        |  FROM w2
+        |), a AS (
+        |  SELECT CAST(max(p) AS BIGINT) AS n_pos, CAST(max(n) AS BIGINT) AS n_neg,
+        |         max(CAST(u2 AS DOUBLE)) AS u2d,
+        |         CAST(sum(t10) AS BIGINT) AS s10n, CAST(sum(t01) AS BIGINT) AS s01n
+        |  FROM terms
+        |), f AS (
+        |  SELECT n_pos, n_neg,
+        |         u2d / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc_raw,
+        |         sqrt(CAST(s10n AS DOUBLE)
+        |                / (1e9 * (CAST(n_pos AS DOUBLE) - 1.0))
+        |                / CAST(n_pos AS DOUBLE)
+        |              + CAST(s01n AS DOUBLE)
+        |                / (1e9 * (CAST(n_neg AS DOUBLE) - 1.0))
+        |                / CAST(n_neg AS DOUBLE)) AS se_raw
+        |  FROM a
+        |)
+        |SELECT n_pos, n_neg, round(auc_raw, 6) AS auc,
+        |       CASE WHEN n_pos > 1 AND n_neg > 1 THEN round(se_raw, 6) END AS se,
+        |       CASE WHEN n_pos > 1 AND n_neg > 1
+        |            THEN round(greatest(auc_raw - 1.959964 * se_raw, 0.0), 6) END AS ci_lo,
+        |       CASE WHEN n_pos > 1 AND n_neg > 1
+        |            THEN round(least(auc_raw + 1.959964 * se_raw, 1.0), 6) END AS ci_hi
+        |FROM f""".stripMargin,
     "score_calibration" ->
       """WITH e AS (
         |  SELECT CAST(trunc(CAST(n_chars AS DOUBLE)

@@ -72,6 +72,76 @@ object EvalOps {
           .as("auc"))
   }
 
+  /** [[binnedAuc]] with a DeLong 95% confidence interval, from the same
+    * ≤ `bins`-row binned relation. DeLong's estimator needs each
+    * observation's placement value; under binning all observations in a
+    * cell are tied, so the placement is constant per cell —
+    * v_b = (negBelow_b + neg_b/2)/N for positives,
+    * w_b = (posAbove_b + pos_b/2)/P for negatives — and the component
+    * variances S10/S01 are cell-weighted sums over the bin relation, not
+    * over rows. Var(AUC) = S10/P + S01/N (DeLong, Biometrics 1988).
+    *
+    * Cross-row double accumulation would be merge-order-dependent, so each
+    * cell's variance term is quantized to integer NANOS before the sum
+    * (the repo's `round(x·1e9)` convention) — the result is
+    * bit-reproducible cross-engine. Output: one row
+    * `(n_pos, n_neg, auc, se, ci_lo, ci_hi)`.
+    */
+  def binnedAucCi(df: DataFrame, scoreQ: Column, posFlag: Column,
+                  bins: Int = 256): DataFrame = {
+    val e = df.select(scoreQ.cast("bigint").as("c"), posFlag.cast("bigint").as("y"))
+    val st = e.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    val g = e.crossJoin(st)
+      .select(expr(s"((c - minc) * $bins) DIV (maxc - minc + 1)").as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rcum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = g.select(
+      col("bin"), col("n_pos"), col("n_neg"),
+      (sum(col("n_neg")).over(cum) - col("n_neg")).as("neg_below"),
+      (sum(col("n_pos")).over(rcum) - col("n_pos")).as("pos_above"),
+      sum(col("n_pos")).over(all).as("p"),
+      sum(col("n_neg")).over(all).as("n"))
+      .withColumn("u2",
+        sum(dec(col("n_pos")) * dec(lit(2L) * col("neg_below") + col("n_neg"))).over(all))
+    // every per-row double below is a chain over exact integers shared by
+    // all rows (u2, p, n are window constants) — deterministic
+    val auc = dbl(col("u2")) / (lit(2.0) * dbl(col("p")) * dbl(col("n")))
+    val vB = (lit(2.0) * dbl(col("neg_below")) + dbl(col("n_neg"))) /
+      (lit(2.0) * dbl(col("n")))
+    val wB = (lit(2.0) * dbl(col("pos_above")) + dbl(col("n_pos"))) /
+      (lit(2.0) * dbl(col("p")))
+    val t10 = round(dbl(col("n_pos")) * (vB - auc) * (vB - auc) * lit(1e9)).cast("bigint")
+    val t01 = round(dbl(col("n_neg")) * (wB - auc) * (wB - auc) * lit(1e9)).cast("bigint")
+    val folded = w
+      .select(col("n_pos"), col("n_neg"), col("p"), col("n"), col("u2"),
+        t10.as("t10"), t01.as("t01"))
+      .agg(
+        max(col("p")).as("n_pos"),
+        max(col("n")).as("n_neg"),
+        max(dbl(col("u2"))).as("u2d"),
+        sum(col("t10")).as("s10n"),
+        sum(col("t01")).as("s01n"))
+    val aucOut = col("u2d") / (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg")))
+    val s10 = dbl(col("s10n")) / (lit(1e9) * (dbl(col("n_pos")) - lit(1.0)))
+    val s01 = dbl(col("s01n")) / (lit(1e9) * (dbl(col("n_neg")) - lit(1.0)))
+    val se = sqrt(s10 / dbl(col("n_pos")) + s01 / dbl(col("n_neg")))
+    val defined = col("n_pos") > 1L && col("n_neg") > 1L
+    folded.select(
+      col("n_pos"), col("n_neg"),
+      round(aucOut, 6).as("auc"),
+      when(defined, round(se, 6)).as("se"),
+      when(defined, round(greatest(aucOut - lit(1.959964) * se, lit(0.0)), 6)).as("ci_lo"),
+      when(defined, round(least(aucOut + lit(1.959964) * se, lit(1.0)), 6)).as("ci_hi"))
+  }
+
   /** Grouped form of [[binnedAuc]]: one AUC row per group, each on its own
     * `bins`-cell grid (per-group min/max from ONE grouped stats pass,
     * joined back on the group key — AQE broadcasts it when the group

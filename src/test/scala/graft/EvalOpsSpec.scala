@@ -82,6 +82,37 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 25)
   }
 
+  test("binnedAucCi == brute-force DeLong on the gridded scores") {
+    val row = for {
+      c <- Gen.chooseNum(-5000L, 5000L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (c, y)
+    val gen = Gen.nonEmptyListOf(row)
+      .suchThat(l => l.count(_._2 == 1L) >= 2 && l.count(_._2 == 0L) >= 2)
+    check(Prop.forAllNoShrink(gen) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("c", "y")
+      val r = graft.operators.EvalOps.binnedAucCi(df, col("c"), col("y"), Bins).head()
+      val bins = grid(rows.map(_._1), Bins).zip(rows.map(_._2))
+      val pos = bins.filter(_._2 == 1L).map(_._1)
+      val neg = bins.filter(_._2 == 0L).map(_._1)
+      val nP = pos.size.toDouble; val nN = neg.size.toDouble
+      val auc = (for (p <- pos; q <- neg)
+        yield { if (p > q) 1.0 else if (p == q) 0.5 else 0.0 }).sum / (nP * nN)
+      // per-observation placement values (constant within a bin)
+      val v = pos.map(p => (neg.count(_ < p) + 0.5 * neg.count(_ == p)) / nN)
+      val w = neg.map(q => (pos.count(_ > q) + 0.5 * pos.count(_ == q)) / nP)
+      val s10 = v.map(x => (x - auc) * (x - auc)).sum / (nP - 1)
+      val s01 = w.map(x => (x - auc) * (x - auc)).sum / (nN - 1)
+      val se = math.sqrt(s10 / nP + s01 / nN)
+      r.getLong(0) == pos.size && r.getLong(1) == neg.size &&
+      math.abs(r.getDouble(2) - auc) <= 1e-6 &&
+      math.abs(r.getDouble(3) - se) <= 1e-5 &&
+      math.abs(r.getDouble(4) - math.max(auc - 1.959964 * se, 0.0)) <= 2e-5 &&
+      math.abs(r.getDouble(5) - math.min(auc + 1.959964 * se, 1.0)) <= 2e-5 &&
+      r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5)
+    }, n = 25)
+  }
+
   test("binnedAucBy == per-group brute force; single-class groups get NULL") {
     val row = for {
       g <- Gen.oneOf("a", "b", "c")
