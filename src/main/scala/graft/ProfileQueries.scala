@@ -169,6 +169,15 @@ object ProfileQueries {
         (col("n_chars").cast("double") /
           (col("n_chars").cast("double") + lit(200.0)) * lit(1000000.0)).cast("bigint"),
         when(col("lang") === "en", 1L).otherwise(0L))),
+    // Murphy decomposition of the Brier score for the same calibration
+    // probability/outcome pair: exact MSE + reliability/resolution/
+    // uncertainty, with the binning-resolution residual (Var_b(p) −
+    // 2·Cov_b(p, y): 0 iff forecasts are constant per bin).
+    "brier_decomposition" -> ((s, dir) =>
+      EvalOps.brierDecomposition(Tables.documents(s, dir),
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(200.0)) * lit(1000000.0)).cast("bigint"),
+        when(col("lang") === "en", 1L).otherwise(0L))),
     // PSI drift of the order-total distribution, early half vs late half
     // of the order-date range (midpoint in integer micros).
     "drift_psi" -> ((s, dir) => {
@@ -792,6 +801,63 @@ object ProfileQueries {
         |       round(CAST(abs(n_pos * 1000000 - sum_pm) AS DOUBLE)
         |             / (1000000.0 * CAST(n_total AS DOUBLE)), 6) AS ece_contrib
         |FROM t ORDER BY bin""".stripMargin,
+    "brier_decomposition" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(n_chars AS DOUBLE)
+        |                    / (CAST(n_chars AS DOUBLE) + 200.0) * 1000000.0) AS BIGINT)
+        |           AS pm,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), g AS (
+        |  SELECT least(pm // 100000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_b,
+        |         CAST(sum(y) AS BIGINT) AS s_y,
+        |         CAST(sum(pm) AS BIGINT) AS s_pm,
+        |         sum(CAST((pm - y * 1000000) * (pm - y * 1000000) AS HUGEINT)) AS sq
+        |  FROM e GROUP BY 1
+        |), w AS (
+        |  SELECT n_b, s_y, s_pm, sq,
+        |         sum(n_b) OVER () AS n, sum(s_y) OVER () AS ty
+        |  FROM g
+        |), t AS (
+        |  SELECT n, ty, sq,
+        |         CAST(round(CAST(n_b AS DOUBLE)
+        |           * (CAST(s_pm AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0)
+        |              - CAST(s_y AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |           * (CAST(s_pm AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0)
+        |              - CAST(s_y AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |           * 1000000000.0) AS BIGINT) AS rel_t,
+        |         CAST(round(CAST(n_b AS DOUBLE)
+        |           * (CAST(s_y AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |              - CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * (CAST(s_y AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |              - CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * 1000000000.0) AS BIGINT) AS res_t
+        |  FROM w
+        |), a AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(ty) AS BIGINT) AS ty,
+        |         sum(sq) AS sq,
+        |         CAST(sum(rel_t) AS BIGINT) AS rel_n,
+        |         CAST(sum(res_t) AS BIGINT) AS res_n
+        |  FROM t
+        |)
+        |SELECT n,
+        |       round(CAST(sq AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * 1000000000000.0), 6) AS brier,
+        |       round(CAST(rel_n AS DOUBLE)
+        |             / (1000000000.0 * CAST(n AS DOUBLE)), 6) AS reliability,
+        |       round(CAST(res_n AS DOUBLE)
+        |             / (1000000000.0 * CAST(n AS DOUBLE)), 6) AS resolution,
+        |       round((CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (1.0 - CAST(ty AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty,
+        |       round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
+        |             - (CAST(rel_n AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE))
+        |                - CAST(res_n AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE))
+        |                + (CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  * (1.0 - CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |         AS residual
+        |FROM a""".stripMargin,
     "drift_psi" ->
       """WITH stm AS (
         |  SELECT (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) // 2 AS mid

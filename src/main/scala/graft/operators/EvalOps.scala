@@ -301,6 +301,76 @@ object EvalOps {
           .as("gini"))
   }
 
+  /** Murphy decomposition of the Brier score for a micro-quantized
+    * probability against a binary outcome: `brier` (the exact mean
+    * squared error, from an all-integer sum of (pm − y·10^6)² in
+    * DECIMAL(38,0)) and its calibration-table decomposition
+    * reliability − resolution + uncertainty, where reliability =
+    * Σ n_b(p̄_b − ȳ_b)²/N (the calibration gap [[calibrationTable]]
+    * reads per bin), resolution = Σ n_b(ȳ_b − ȳ)²/N (how much the
+    * forecast separates outcomes), uncertainty = ȳ(1 − ȳ).
+    *
+    * Cell terms are quantized to integer NANOS before summation (the
+    * repo's merge-order-free accumulation convention); the decomposition
+    * identity holds exactly only when forecasts are constant within a
+    * bin, so the residual `brier − (rel − res + unc)` is the
+    * within-bin forecast variance — a useful binning-resolution gauge,
+    * exposed as `within_bin_var`. One grouped aggregation over ≤ `bins`
+    * keys + one ≤ `bins`-row window. Output: one row
+    * `(n, brier, reliability, resolution, uncertainty, within_bin_var)`.
+    */
+  def brierDecomposition(df: DataFrame, probMicro: Column, posFlag: Column,
+                         bins: Int = 10): DataFrame = {
+    val e = df.select(probMicro.cast("bigint").as("pm"), posFlag.cast("bigint").as("y"))
+    val width = 1000000L / bins
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = e
+      .select(least(expr(s"pm DIV $width"), lit((bins - 1).toLong)).as("bin"),
+        col("pm"), col("y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_b"),
+        sum(col("y")).as("s_y"),
+        sum(col("pm")).as("s_pm"),
+        sum(dec((col("pm") - col("y") * lit(1000000L)) *
+          (col("pm") - col("y") * lit(1000000L)))).as("sq"))
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    val w = g.select(col("bin"), col("n_b"), col("s_y"), col("s_pm"), col("sq"),
+      sum(col("n_b")).over(all).as("n"),
+      sum(col("s_y")).over(all).as("ty"))
+    val pBar = dbl(col("s_pm")) / (dbl(col("n_b")) * lit(1e6))
+    val yBarB = dbl(col("s_y")) / dbl(col("n_b"))
+    val yBar = dbl(col("ty")) / dbl(col("n"))
+    val relT = round(dbl(col("n_b")) * (pBar - yBarB) * (pBar - yBarB) * lit(1e9))
+      .cast("bigint")
+    val resT = round(dbl(col("n_b")) * (yBarB - yBar) * (yBarB - yBar) * lit(1e9))
+      .cast("bigint")
+    val folded = w
+      .select(col("n_b"), col("sq"), col("n"), col("ty"),
+        relT.as("rel_t"), resT.as("res_t"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("ty")).as("ty"),
+        sum(col("sq")).as("sq"),
+        sum(col("rel_t")).as("rel_n"),
+        sum(col("res_t")).as("res_n"))
+    val n = dbl(col("n"))
+    val yb = dbl(col("ty")) / n
+    val brier = dbl(col("sq")) / (n * lit(1e12))
+    val rel = dbl(col("rel_n")) / (lit(1e9) * n)
+    val res = dbl(col("res_n")) / (lit(1e9) * n)
+    val unc = yb * (lit(1.0) - yb)
+    folded.select(
+      col("n"),
+      round(brier, 6).as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(brier - (rel - res + unc), 6).as("residual"))
+  }
+
   /** Population-stability-index contributions between two halves of a
     * population, on a fixed `bins`-cell grid over an integer-quantized
     * value.

@@ -196,6 +196,40 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 25)
   }
 
+  test("brierDecomposition == brute-force Murphy decomposition") {
+    val row = for {
+      pm <- Gen.chooseNum(0L, 1000000L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (pm, y)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("pm", "y")
+      val r = graft.operators.EvalOps.brierDecomposition(df, col("pm"), col("y")).head()
+      val n = rows.size.toDouble
+      val brier = rows.map { case (pm, y) =>
+        val d = pm / 1e6 - y; d * d
+      }.sum / n
+      val yBar = rows.map(_._2).sum / n
+      val byBin = rows.groupBy { case (pm, _) => math.min(pm / 100000L, 9L) }
+      val rel = byBin.values.map { rs =>
+        val pb = rs.map(_._1).sum / (rs.size * 1e6)
+        val yb = rs.map(_._2).sum.toDouble / rs.size
+        rs.size * (pb - yb) * (pb - yb)
+      }.sum / n
+      val res = byBin.values.map { rs =>
+        val yb = rs.map(_._2).sum.toDouble / rs.size
+        rs.size * (yb - yBar) * (yb - yBar)
+      }.sum / n
+      val unc = yBar * (1 - yBar)
+      r.getLong(0) == rows.size &&
+      math.abs(r.getDouble(1) - brier) <= 1e-6 &&
+      math.abs(r.getDouble(2) - rel) <= 1e-5 &&
+      math.abs(r.getDouble(3) - res) <= 1e-5 &&
+      math.abs(r.getDouble(4) - unc) <= 1e-6 &&
+      // residual = within-bin Var(p) − 2·Cov(p, y); sign-indefinite
+      math.abs(r.getDouble(5) - (brier - (rel - res + unc))) <= 2e-5
+    }, n = 25)
+  }
+
   test("psiContributionsBy == per-group ungrouped psiContributions on each slice") {
     val row = for {
       g <- Gen.oneOf("a", "b")
