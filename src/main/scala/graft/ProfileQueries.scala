@@ -217,6 +217,11 @@ object ProfileQueries {
           .groupBy(col("o_custkey"))
           .agg(sum((col("o_totalprice") * lit(100.0)).cast("bigint")).as("cents")),
         col("cents"))),
+    // Language × source association: per-cell mutual-information
+    // contributions over the bounded contingency (is lang confounded
+    // with source before mixture weighting?).
+    "lang_source_mi" -> ((s, dir) =>
+      EvalOps.categoricalMi(Tables.documents(s, dir), "lang", "source")),
     // Per-feature PSI: the event-value distribution early vs late (global
     // time midpoint), one 16-bin breakdown PER EVENT TYPE — the grouped
     // drift-monitor shape.
@@ -1006,6 +1011,23 @@ object ProfileQueries {
         |                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) - 1.0, 6)
         |       END AS gini
         |FROM a""".stripMargin,
+    "lang_source_mi" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM documents GROUP BY 1, 2
+        |), w AS (
+        |  SELECT lang, source, n_ab,
+        |         sum(n_ab) OVER (PARTITION BY lang) AS n_a,
+        |         sum(n_ab) OVER (PARTITION BY source) AS n_b,
+        |         sum(n_ab) OVER () AS n
+        |  FROM g
+        |)
+        |SELECT lang, source, n_ab,
+        |       round((CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+        |         AS mi_contrib
+        |FROM w ORDER BY lang, source""".stripMargin,
     "psi_by_type" ->
       """WITH f AS (
         |  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events

@@ -439,6 +439,42 @@ object EvalOps {
       .orderBy(col(groupCol), col("bin"))
   }
 
+  /** Mutual-information contributions between two bounded categorical
+    * columns — the "is language confounded with source?" association
+    * audit a mixture planner runs before weighting by either axis.
+    *
+    * One grouped count over the (a, b) contingency (bounded keys by
+    * precondition); marginals ride three windows over the ≤ |A|·|B|-row
+    * cell relation (PARTITION BY a, PARTITION BY b, global). Each cell's
+    * term (n_ab/n)·ln(n_ab·n/(n_a·n_b)) is one double chain over exact
+    * integers, rounded to 6 decimals; the scalar MI (nats) is the
+    * trivial sum of the rows (chi2_drift's readout convention) and is
+    * ≥ 0 up to per-cell rounding. Output per observed cell, ordered:
+    * `(a, b, n_ab, mi_contrib)`.
+    */
+  def categoricalMi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val g = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val byA = Window.partitionBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byB = Window.partitionBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    g.select(col("a"), col("b"), col("n_ab"),
+      sum(col("n_ab")).over(byA).as("n_a"),
+      sum(col("n_ab")).over(byB).as("n_b"),
+      sum(col("n_ab")).over(all).as("n"))
+      .select(
+        col("a").as(aCol), col("b").as(bCol), col("n_ab"),
+        round((dbl(col("n_ab")) / dbl(col("n"))) *
+          log(dbl(col("n_ab")) * dbl(col("n")) /
+            (dbl(col("n_a")) * dbl(col("n_b")))), 6).as("mi_contrib"))
+      .orderBy(col(aCol), col(bCol))
+  }
+
   /** Benford first-significant-digit audit of a positive integer-quantized
     * amount column: observed digit counts vs the Benford expectation
     * N · log10(1 + 1/d), with per-digit chi-square contributions.

@@ -249,6 +249,31 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("categoricalMi == brute-force contingency MI; total MI non-negative") {
+    val row = for {
+      a <- Gen.oneOf("x", "y", "z")
+      b <- Gen.oneOf("p", "q", "r", "s")
+    } yield (a, b)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(String, String)] =>
+      val df = rows.toDF("a", "b")
+      val got = graft.operators.EvalOps.categoricalMi(df, "a", "b").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val n = rows.size.toDouble
+      val byCell = rows.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val byA = rows.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val byB = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val cellsOk = byCell.forall { case (cell @ (a, b), nab) =>
+        val (gn, gc) = got(cell)
+        gn == nab.toLong &&
+        math.abs(gc - (nab / n) * math.log(nab * n / (byA(a) * byB(b)))) <= 1e-6
+      }
+      // MI ≥ 0 up to per-cell rounding
+      cellsOk && got.keySet == byCell.keySet &&
+      got.values.map(_._2).sum >= -1e-5 * got.size
+    }, n = 25)
+  }
+
   test("binnedGini == exact Gini of the bin-representative multiset") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(-50L, 100000L))
       .suchThat(_.exists(_ >= 0L))
