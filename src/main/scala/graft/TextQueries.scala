@@ -118,6 +118,8 @@ object TextQueries {
     "zipf_slope" -> ((s, dir) => TextOps.zipfSlope(Tables.documents(s, dir))),
     // Per-source type-token ratio + hapax share.
     "source_ttr" -> ((s, dir) => TextOps.sourceLexicalDiversity(Tables.documents(s, dir))),
+    // Per-source Jensen-Shannon divergence from the corpus token mixture.
+    "source_divergence" -> ((s, dir) => TextOps.sourceDivergence(Tables.documents(s, dir))),
     // Deterministic md5-order training shuffle — reviewable first-100 head.
     "train_shuffle" -> ((s, dir) =>
       graft.operators.TrainsetOps.trainingOrder(Tables.documents(s, dir))),
@@ -565,6 +567,40 @@ object TextQueries {
         |       round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 6) AS hapax_share
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    "source_divergence" ->
+      """WITH tc AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM tc GROUP BY 1
+        |), t AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS c_t FROM tc GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(sum(c_t) AS BIGINT) AS n FROM t
+        |), d AS (
+        |  SELECT s.source, t.tok, s.t_s, t.c_t, nn.n,
+        |         coalesce(tc.c, CAST(0 AS BIGINT)) AS c
+        |  FROM s CROSS JOIN t CROSS JOIN nn
+        |  LEFT JOIN tc ON tc.source = s.source AND tc.tok = t.tok
+        |), terms AS (
+        |  SELECT source, t_s,
+        |         CAST(round((CASE WHEN c > 0
+        |           THEN 0.5 * (CAST(c AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |                * ln((CAST(c AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |                     / ((CAST(c AS DOUBLE) / CAST(t_s AS DOUBLE)
+        |                         + CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+        |           ELSE 0.0 END
+        |           + 0.5 * (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * ln((CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / ((CAST(c AS DOUBLE) / CAST(t_s AS DOUBLE)
+        |                      + CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0)))
+        |           * 1e9) AS BIGINT) AS nano
+        |  FROM d
+        |)
+        |SELECT source, CAST(max(t_s) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(nano) AS DOUBLE) / 1e9, 6) AS jsd
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "train_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -796,6 +796,49 @@ object TextOps {
     * combine (vocabulary-bounded output), one per-source rollup —
     * integer-exact until the two final rounded divisions.
     */
+  /** Per-source Jensen-Shannon divergence from the corpus token
+    * distribution — the "which source is least like the mixture?" gauge a
+    * mixture planner reads before reweighting (0 = identical to the
+    * corpus, ln 2 = disjoint support).
+    *
+    * One tokenize + (source, tok) count, then everything happens on the
+    * vocabulary-bounded side: per-source and per-token marginals are
+    * grouped rollups of the count relation, densified to the full
+    * source × vocab grid (both bounded — a missing (s, t) cell still owes
+    * its ½·q·ln(q/m) half, which a sparse join would drop). Each cell's
+    * term is quantized to integer NANOS before the per-source sum (the
+    * merge-order-free accumulation convention). Output per source:
+    * `(source, n_tokens, jsd)` in nats.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = tc.groupBy(col("source")).agg(sum(col("c")).as("t_s"))
+    val tokTot = tc.groupBy(col("tok")).agg(sum(col("c")).as("c_t"))
+    val nTot = tokTot.agg(sum(col("c_t")).as("n"))
+    val dense = srcTot
+      .crossJoin(tokTot)
+      .crossJoin(nTot)
+      .join(tc, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val dbl = (c: Column) => c.cast("double")
+    val p = dbl(col("c")) / dbl(col("t_s"))
+    val q = dbl(col("c_t")) / dbl(col("n"))
+    val m = (p + q) / lit(2.0)
+    val term = when(col("c") > 0L, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+      lit(0.5) * q * log(q / m)
+    dense
+      .select(col("source"), col("t_s"),
+        round(term * lit(1e9)).cast("bigint").as("nano"))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tokens"), sum(col("nano")).as("jsd_n"))
+      .select(col("source"), col("n_tokens"),
+        round(dbl(col("jsd_n")) / lit(1e9), 6).as("jsd"))
+      .orderBy(col("source"))
+  }
+
   def sourceLexicalDiversity(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(tokens(col("text"))).as("tok"))

@@ -291,4 +291,33 @@ class TextSpec extends SparkSpec {
     val again = TrainsetOps.trainingOrder(docs, sample = 50).collect().sortBy(_.getInt(2))
     assert(sorted.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
+
+  test("sourceDivergence == brute-force JSD; bounds [0, ln 2]; identical source ≈ 0") {
+    val docs = Seq(
+      (1L, "a b c a", "s1"), (2L, "a b", "s1"),
+      (3L, "c c d d", "s2"), (4L, "d e", "s2"),
+      (5L, "a b c a a b", "s3")).toDF("doc_id", "text", "source")
+    val got = TextOps.sourceDivergence(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = Seq((1L, "a b c a", "s1"), (2L, "a b", "s1"), (3L, "c c d d", "s2"),
+      (4L, "d e", "s2"), (5L, "a b c a a b", "s3"))
+      .flatMap { case (_, t, s) => t.split(" ").map(s -> _) }
+    val n = rows.size.toDouble
+    val corpus = rows.groupBy(_._2).view.mapValues(_.size / n).toMap
+    for ((src, grp) <- rows.groupBy(_._1)) {
+      val ts = grp.size.toDouble
+      val p = grp.groupBy(_._2).view.mapValues(_.size / ts).toMap
+      val jsd = corpus.keys.map { tok =>
+        val pv = p.getOrElse(tok, 0.0); val qv = corpus(tok)
+        val m = (pv + qv) / 2.0
+        (if (pv > 0) 0.5 * pv * math.log(pv / m) else 0.0) + 0.5 * qv * math.log(qv / m)
+      }.sum
+      val (gn, gj) = got(src)
+      assert(gn == grp.size, s"$src token count")
+      assert(math.abs(gj - jsd) <= 1e-6, s"$src: $gj vs brute $jsd")
+      assert(gj >= -1e-9 && gj <= math.log(2) + 1e-9)
+    }
+    // a source that IS the corpus mixture diverges less than a skewed one
+    assert(got("s2")._2 > got("s1")._2)
+  }
 }
