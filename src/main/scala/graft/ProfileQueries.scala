@@ -217,6 +217,17 @@ object ProfileQueries {
           .groupBy(col("o_custkey"))
           .agg(sum((col("o_totalprice") * lit(100.0)).cast("bigint")).as("cents")),
         col("cents"))),
+    // Tie-corrected rank agreement between the first two embedding
+    // components: exact Kendall tau-b of the 64×64 grid-quantized scores
+    // (pair orientations counted cell-wise — never O(N²) pairs).
+    "score_kendall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .filter(element_at(col("embedding"), 1).isNotNull &&
+          element_at(col("embedding"), 2).isNotNull)
+      EvalOps.binnedKendallTau(e,
+        (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
+        (element_at(col("embedding"), 2).cast("double") * lit(100000.0)).cast("bigint"))
+    }),
     // Language × source association: per-cell mutual-information
     // contributions over the bounded contingency (is lang confounded
     // with source before mixture weighting?).
@@ -1011,6 +1022,63 @@ object ProfileQueries {
         |                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) - 1.0, 6)
         |       END AS gini
         |FROM a""".stripMargin,
+    "score_kendall" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(embedding[1] AS DOUBLE) * 100000.0) AS BIGINT) AS cx,
+        |         CAST(trunc(CAST(embedding[2] AS DOUBLE) * 100000.0) AS BIGINT) AS cy
+        |  FROM embeddings
+        |  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+        |), st AS (
+        |  SELECT min(cx) AS minx, max(cx) AS maxx,
+        |         min(cy) AS miny, max(cy) AS maxy FROM e
+        |), cells AS (
+        |  SELECT ((cx - minx) * 64) // (maxx - minx + 1) AS bx,
+        |         ((cy - miny) * 64) // (maxy - miny + 1) AS by,
+        |         CAST(count(*) AS BIGINT) AS n_c
+        |  FROM e CROSS JOIN st GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT xs.bx, ys.by, coalesce(c.n_c, CAST(0 AS BIGINT)) AS n_c
+        |  FROM (SELECT DISTINCT bx FROM cells) xs
+        |  CROSS JOIN (SELECT DISTINCT by FROM cells) ys
+        |  LEFT JOIN cells c ON c.bx = xs.bx AND c.by = ys.by
+        |), w1 AS (
+        |  SELECT bx, by, n_c,
+        |         coalesce(sum(n_c) OVER (PARTITION BY bx ORDER BY by
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |         coalesce(sum(n_c) OVER (PARTITION BY bx ORDER BY by DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM dense
+        |), w2 AS (
+        |  SELECT n_c,
+        |         coalesce(sum(below) OVER (PARTITION BY by ORDER BY bx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sw,
+        |         coalesce(sum(above) OVER (PARTITION BY by ORDER BY bx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nw
+        |  FROM w1
+        |), o AS (
+        |  SELECT CAST(sum(n_c) AS BIGINT) AS n,
+        |         sum(CAST(n_c AS HUGEINT) * CAST(sw AS HUGEINT)) AS c_pairs,
+        |         sum(CAST(n_c AS HUGEINT) * CAST(nw AS HUGEINT)) AS d_pairs
+        |  FROM w2
+        |), xm AS (
+        |  SELECT sum(CAST(n_x AS HUGEINT) * CAST(n_x - 1 AS HUGEINT)) AS tx2
+        |  FROM (SELECT CAST(sum(n_c) AS BIGINT) AS n_x FROM cells GROUP BY bx)
+        |), ym AS (
+        |  SELECT sum(CAST(n_y AS HUGEINT) * CAST(n_y - 1 AS HUGEINT)) AS ty2
+        |  FROM (SELECT CAST(sum(n_c) AS BIGINT) AS n_y FROM cells GROUP BY by)
+        |), f AS (
+        |  SELECT n, c_pairs, d_pairs, tx2, ty2,
+        |         CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) AS n2
+        |  FROM o CROSS JOIN xm CROSS JOIN ym
+        |)
+        |SELECT n, CAST(c_pairs AS BIGINT) AS concordant,
+        |       CAST(d_pairs AS BIGINT) AS discordant,
+        |       CASE WHEN n2 > tx2 AND n2 > ty2
+        |            THEN round(2.0 * CAST(c_pairs - d_pairs AS DOUBLE)
+        |                       / sqrt(CAST(n2 - tx2 AS DOUBLE)
+        |                              * CAST(n2 - ty2 AS DOUBLE)), 6)
+        |       END AS tau_b
+        |FROM f""".stripMargin,
     "lang_source_mi" ->
       """WITH g AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab

@@ -439,6 +439,78 @@ object EvalOps {
       .orderBy(col(groupCol), col("bin"))
   }
 
+  /** Binned Kendall tau-b rank correlation between two integer-quantized
+    * scores — the tie-corrected concordance gauge (does the cheap quality
+    * signal order documents the way the expensive one does?).
+    *
+    * The exact statistic needs all O(N²) pair orientations; the engine
+    * grids both scores (one min/max stats pass, `bins`² cells) and counts
+    * pair orientations CELL-wise: concordant pairs are Σ n_c·SW_c and
+    * discordant Σ n_c·NW_c, where SW/NW (points strictly south-west /
+    * north-west of the cell) come from two chained exclusive prefix sums
+    * over the DENSIFIED bins × bins grid (column-cumulative within bx,
+    * then across bx within by — a sparse grid would misalign the second
+    * sum). Ties use the marginal identity: tau_b =
+    * (C − D)/√((n0 − Tx)(n0 − Ty)) with Tx/Ty = Σ C(n_x, 2)/Σ C(n_y, 2)
+    * over the bin marginals — within-cell pairs count as ties in BOTH
+    * margins, so the result is the exact tau-b of the grid-quantized
+    * scores. Every window runs over the ≤ bins² cell relation; products
+    * run in DECIMAL(38,0). NULL when either margin is single-binned.
+    * Output: one row `(n, concordant, discordant, tau_b)`.
+    */
+  def binnedKendallTau(df: DataFrame, xQ: Column, yQ: Column,
+                       bins: Int = 64): DataFrame = {
+    val e = df.select(xQ.cast("bigint").as("cx"), yQ.cast("bigint").as("cy"))
+    val st = e.agg(
+      min(col("cx")).as("minx"), max(col("cx")).as("maxx"),
+      min(col("cy")).as("miny"), max(col("cy")).as("maxy"))
+    val cells = e.crossJoin(st)
+      .select(
+        expr(s"((cx - minx) * $bins) DIV (maxx - minx + 1)").as("bx"),
+        expr(s"((cy - miny) * $bins) DIV (maxy - miny + 1)").as("by"))
+      .groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n_c"))
+    val dense = cells.select(col("bx")).distinct()
+      .crossJoin(cells.select(col("by")).distinct())
+      .join(cells, Seq("bx", "by"), "left")
+      .withColumn("n_c", coalesce(col("n_c"), lit(0L)))
+    val colBelow = Window.partitionBy(col("bx")).orderBy(col("by"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val colAbove = Window.partitionBy(col("bx")).orderBy(col("by").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val w1 = dense.select(col("bx"), col("by"), col("n_c"),
+      coalesce(sum(col("n_c")).over(colBelow), lit(0L)).as("below"),
+      coalesce(sum(col("n_c")).over(colAbove), lit(0L)).as("above"))
+    val west = Window.partitionBy(col("by")).orderBy(col("bx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val oriented = w1.select(col("n_c"),
+      coalesce(sum(col("below")).over(west), lit(0L)).as("sw"),
+      coalesce(sum(col("above")).over(west), lit(0L)).as("nw"))
+      .agg(
+        sum(col("n_c")).as("n"),
+        sum(dec(col("n_c")) * dec(col("sw"))).as("c_pairs"),
+        sum(dec(col("n_c")) * dec(col("nw"))).as("d_pairs"))
+    // doubled identity avoids decimal division: with X2 = Σ n_x(n_x−1),
+    // Y2 = Σ n_y(n_y−1), N2 = n(n−1), tau_b = 2(C − D)/√((N2−X2)(N2−Y2))
+    val tx = cells.groupBy(col("bx")).agg(sum(col("n_c")).as("n_x"))
+      .agg(sum(dec(col("n_x")) * dec(col("n_x") - lit(1L))).as("tx2"))
+    val ty = cells.groupBy(col("by")).agg(sum(col("n_c")).as("n_y"))
+      .agg(sum(dec(col("n_y")) * dec(col("n_y") - lit(1L))).as("ty2"))
+    val j = oriented.crossJoin(tx).crossJoin(ty)
+      .withColumn("n2", dec(col("n")) * dec(col("n") - lit(1L)))
+    val defined = col("n2") > col("tx2") && col("n2") > col("ty2")
+    j.select(
+      col("n"),
+      col("c_pairs").cast("bigint").as("concordant"),
+      col("d_pairs").cast("bigint").as("discordant"),
+      when(defined,
+        round(lit(2.0) * dbl(col("c_pairs") - col("d_pairs")) /
+          sqrt(dbl(col("n2") - col("tx2")) * dbl(col("n2") - col("ty2"))), 6))
+        .as("tau_b"))
+  }
+
   /** Mutual-information contributions between two bounded categorical
     * columns — the "is language confounded with source?" association
     * audit a mixture planner runs before weighting by either axis.

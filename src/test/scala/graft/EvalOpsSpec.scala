@@ -249,6 +249,42 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("binnedKendallTau == brute-force tau-b on the gridded pairs") {
+    val kb = 16
+    val row = for {
+      x <- Gen.chooseNum(-500L, 500L)
+      y <- Gen.chooseNum(-500L, 500L)
+    } yield (x, y)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("x", "y")
+      val r = graft.operators.EvalOps.binnedKendallTau(df, col("x"), col("y"), kb).head()
+      val bx = grid(rows.map(_._1), kb)
+      val by = grid(rows.map(_._2), kb)
+      val pts = bx.zip(by)
+      var conc = 0L; var disc = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.size) {
+        val s = (pts(i)._1 - pts(j)._1) * (pts(i)._2 - pts(j)._2)
+        if (s > 0) conc += 1 else if (s < 0) disc += 1
+      }
+      val n = pts.size.toLong
+      val tx2 = bx.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+      val ty2 = by.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+      val n2 = n * (n - 1)
+      val base = r.getLong(0) == n && r.getLong(1) == conc && r.getLong(2) == disc
+      if (n2 <= tx2 || n2 <= ty2) base && r.isNullAt(3)
+      else {
+        val tau = 2.0 * (conc - disc) / math.sqrt((n2 - tx2).toDouble * (n2 - ty2).toDouble)
+        base && math.abs(r.getDouble(3) - tau) <= 1e-6
+      }
+    }, n = 20)
+  }
+
+  test("binnedKendallTau: perfect agreement gives tau_b = 1") {
+    val df = (1L to 40L).map(i => (i, i * 3)).toDF("x", "y")
+    val r = graft.operators.EvalOps.binnedKendallTau(df, col("x"), col("y"), 64).head()
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("categoricalMi == brute-force contingency MI; total MI non-negative") {
     val row = for {
       a <- Gen.oneOf("x", "y", "z")
