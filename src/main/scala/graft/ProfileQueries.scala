@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DeltaOps, EvalOps, LayoutOps, ProfileOps, TrainsetOps}
+import graft.operators.{DeltaOps, EvalOps, LayoutOps, ProfileOps, RankOps, TextOps, TrainsetOps}
 import graft.sources.Tables
 
 /** Dataset-profiling, data-layout, and training-set-construction queries
@@ -227,6 +227,35 @@ object ProfileQueries {
       EvalOps.binnedKendallTau(e,
         (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
         (element_at(col("embedding"), 2).cast("double") * lit(100000.0)).cast("bigint"))
+    }),
+    // Chance-corrected agreement between two tercile "raters" of the
+    // same documents (token-count vs distinct-token-count): Cohen's
+    // kappa + linear-weighted kappa over the 3×3 contingency. Terciles
+    // come from ONE long-form RankOps.ntileCuts pass (no corpus-scale
+    // rank window); the corpus is tokenized once via the cached per-doc
+    // score relation.
+    "rater_kappa" -> ((s, dir) => {
+      val d = graft.operators.DedupOps.registerCache(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("nd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val longForm = d
+        .select(col("doc_id"), posexplode(array(col("nt"), col("nd"))))
+        .select(col("doc_id"), (col("pos") + 1).as("dim"), col("col").as("v"))
+      val cuts = RankOps.ntileCuts(longForm, Seq("dim"), Seq("v", "doc_id"), 3)
+      val ca = cuts.filter(col("dim") === 1)
+        .select(col("gr_c1").as("a_c1"), col("gr_c2").as("a_c2"))
+      val cb = cuts.filter(col("dim") === 2)
+        .select(col("gr_c1").as("b_c1"), col("gr_c2").as("b_c2"))
+      val rated = d.crossJoin(broadcast(ca)).crossJoin(broadcast(cb))
+        .select(
+          RankOps.ntileBucketExpr(
+            struct(col("nt").as("v"), col("doc_id")), 3, "a_c").as("ra"),
+          RankOps.ntileBucketExpr(
+            struct(col("nd").as("v"), col("doc_id")), 3, "b_c").as("rb"))
+      EvalOps.cohenKappa(rated, "ra", "rb", 3)
     }),
     // Language × source association: per-cell mutual-information
     // contributions over the bounded contingency (is lang confounded
@@ -1078,6 +1107,50 @@ object ProfileQueries {
         |                       / sqrt(CAST(n2 - tx2 AS DOUBLE)
         |                              * CAST(n2 - ty2 AS DOUBLE)), 6)
         |       END AS tau_b
+        |FROM f""".stripMargin,
+    "rater_kappa" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM documents
+        |), r AS (
+        |  SELECT ntile(3) OVER (ORDER BY nt, doc_id) AS ra,
+        |         ntile(3) OVER (ORDER BY nd, doc_id) AS rb
+        |  FROM d
+        |), c AS (
+        |  SELECT ra, rb, CAST(count(*) AS BIGINT) AS n_ab FROM r GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(n_ab) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN ra = rb THEN n_ab ELSE 0 END) AS BIGINT) AS diag,
+        |         sum(CAST(2 - abs(ra - rb) AS HUGEINT) * CAST(n_ab AS HUGEINT)) AS wsum
+        |  FROM c
+        |), ma AS (SELECT ra AS a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM c GROUP BY 1),
+        |mb AS (SELECT rb AS b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM c GROUP BY 1),
+        |pe AS (
+        |  SELECT coalesce(sum(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)),
+        |                  CAST(0 AS HUGEINT)) AS pe_num
+        |  FROM ma JOIN mb ON a = b
+        |), pew AS (
+        |  SELECT sum(CAST(2 - abs(a - b) AS HUGEINT)
+        |             * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS pew_num
+        |  FROM ma CROSS JOIN mb
+        |), f AS (
+        |  SELECT n, diag, wsum, pe_num, pew_num,
+        |         CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS n2
+        |  FROM tot CROSS JOIN pe CROSS JOIN pew
+        |)
+        |SELECT n,
+        |       round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |       round(CAST(pe_num AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS pe,
+        |       CASE WHEN n2 > pe_num THEN
+        |         round(CAST(CAST(diag AS HUGEINT) * CAST(n AS HUGEINT) - pe_num AS DOUBLE)
+        |               / CAST(n2 - pe_num AS DOUBLE), 6) END AS kappa,
+        |       round(CAST(wsum AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)), 6) AS po_w,
+        |       round(CAST(pew_num AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)), 6) AS pe_w,
+        |       CASE WHEN 2 * n2 > pew_num THEN
+        |         round(CAST(wsum * CAST(n AS HUGEINT) - pew_num AS DOUBLE)
+        |               / CAST(2 * n2 - pew_num AS DOUBLE), 6) END AS kappa_w
         |FROM f""".stripMargin,
     "lang_source_mi" ->
       """WITH g AS (

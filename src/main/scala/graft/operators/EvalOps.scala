@@ -579,4 +579,56 @@ object EvalOps {
           (dbl(col("nt")) * expShare), 6).as("chi2_contrib"))
       .orderBy(col("digit"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two raters over
+    * the SAME ordinal label space `1..k` (the "do two quality raters
+    * agree beyond what their marginals force?" audit), plus the
+    * linear-weighted variant for ordinal labels (off-by-one disagreements
+    * penalized less than off-by-two).
+    *
+    * One grouped count over the ≤ k² contingency; everything downstream
+    * is arithmetic over that bounded relation. All numerators stay
+    * integer until the final division: with D = Σ diag, PE = Σ_j
+    * n_a(j)·n_b(j), W = Σ w_ab·n_ab and WE = Σ_ij w_ij·n_a(i)·n_b(j)
+    * (weights pre-scaled to the integer (k−1) − |i−j|),
+    * kappa = (D·n − PE)/(n² − PE) and kappa_w = (W·n − WE)/((k−1)·n² − WE)
+    * — each a single double division over DECIMAL(38,0)-exact terms.
+    * PE rides an equi-join of the two ≤ k-row margins; WE a k×k margin
+    * cross (broadcast, bounded by precondition). NULL kappas when a
+    * margin is degenerate (pe = 1). Output: one row
+    * `(n, po, pe, kappa, po_w, pe_w, kappa_w)`.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val cells = df
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val wNum = lit((k - 1).toLong) - abs(col("a") - col("b"))
+    val tot = cells.agg(
+      sum(col("n_ab")).as("n"),
+      sum(when(col("a") === col("b"), col("n_ab")).otherwise(0L)).as("diag"),
+      sum(dec(wNum) * dec(col("n_ab"))).as("wsum"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val pe = ma.join(mb, col("a") === col("b"))
+      .agg(coalesce(sum(dec(col("n_a")) * dec(col("n_b"))), dec(lit(0L))).as("pe_num"))
+    val peW = ma.crossJoin(mb)
+      .agg(sum(dec(wNum) * dec(col("n_a")) * dec(col("n_b"))).as("pew_num"))
+    val j = tot.crossJoin(pe).crossJoin(peW)
+      .withColumn("n2", dec(col("n")) * dec(col("n")))
+    j.select(
+      col("n"),
+      round(dbl(col("diag")) / dbl(col("n")), 6).as("po"),
+      round(dbl(col("pe_num")) / dbl(col("n2")), 6).as("pe"),
+      when(col("n2") > col("pe_num"),
+        round(dbl(dec(col("diag")) * dec(col("n")) - col("pe_num")) /
+          dbl(col("n2") - col("pe_num")), 6)).as("kappa"),
+      round(dbl(col("wsum")) / (lit((k - 1).toDouble) * dbl(col("n"))), 6).as("po_w"),
+      round(dbl(col("pew_num")) / (lit((k - 1).toDouble) * dbl(col("n2"))), 6).as("pe_w"),
+      when(dec(lit((k - 1).toLong)) * col("n2") > col("pew_num"),
+        round(dbl(col("wsum") * dec(col("n")) - col("pew_num")) /
+          dbl(dec(lit((k - 1).toLong)) * col("n2") - col("pew_num")), 6)).as("kappa_w"))
+  }
 }

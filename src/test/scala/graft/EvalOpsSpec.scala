@@ -285,6 +285,41 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("cohenKappa == brute-force contingency kappa (plain + linear-weighted)") {
+    val row = for {
+      a <- Gen.chooseNum(1, 3)
+      b <- Gen.chooseNum(1, 3)
+    } yield (a, b)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Int, Int)] =>
+      val df = rows.toDF("ra", "rb")
+      val r = graft.operators.EvalOps.cohenKappa(df, "ra", "rb", 3).head()
+      val n = rows.size.toLong
+      val diag = rows.count { case (a, b) => a == b }.toLong
+      val wsum = rows.map { case (a, b) => 2L - math.abs(a - b) }.sum
+      val ma = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val mb = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val peNum = (1 to 3).map(j => ma.getOrElse(j, 0L) * mb.getOrElse(j, 0L)).sum
+      val pewNum = (for (i <- 1 to 3; j <- 1 to 3)
+        yield (2L - math.abs(i - j)) * ma.getOrElse(i, 0L) * mb.getOrElse(j, 0L)).sum
+      val n2 = n * n
+      val okPo = math.abs(r.getDouble(1) - diag.toDouble / n) <= 1e-6
+      val okPe = math.abs(r.getDouble(2) - peNum.toDouble / n2) <= 1e-6
+      val okK =
+        if (n2 <= peNum) r.isNullAt(3)
+        else math.abs(r.getDouble(3) - (diag * n - peNum).toDouble / (n2 - peNum)) <= 1e-6
+      val okKw =
+        if (2 * n2 <= pewNum) r.isNullAt(6)
+        else math.abs(r.getDouble(6) - (wsum * n - pewNum).toDouble / (2 * n2 - pewNum)) <= 1e-6
+      r.getLong(0) == n && okPo && okPe && okK && okKw
+    }, n = 20)
+  }
+
+  test("cohenKappa: identical non-degenerate raters give kappa = kappa_w = 1") {
+    val df = Seq((1, 1), (2, 2), (3, 3), (1, 1)).toDF("ra", "rb")
+    val r = graft.operators.EvalOps.cohenKappa(df, "ra", "rb", 3).head()
+    assert(r.getDouble(3) == 1.0 && r.getDouble(6) == 1.0)
+  }
+
   test("categoricalMi == brute-force contingency MI; total MI non-negative") {
     val row = for {
       a <- Gen.oneOf("x", "y", "z")
