@@ -162,6 +162,19 @@ object ProfileQueries {
         (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
         when(col("label") <= 4, 1L).otherwise(0L))
     }),
+    // Paired DeLong test: do the first two embedding components differ in
+    // ranking power for the low-label outcome, accounting for the
+    // placement covariance from scoring the SAME items? One corpus pass
+    // to the 256² joint cell relation; margins/placements derive from it.
+    "auc_compare" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .filter(element_at(col("embedding"), 1).isNotNull &&
+          element_at(col("embedding"), 2).isNotNull)
+      EvalOps.binnedAucCompare(e,
+        (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
+        (element_at(col("embedding"), 2).cast("double") * lit(100000.0)).cast("bigint"),
+        when(col("label") <= 4, 1L).otherwise(0L))
+    }),
     // Reliability table + ECE contributions of a deterministic length-based
     // quality probability against the lang='en' outcome.
     "score_calibration" -> ((s, dir) =>
@@ -822,6 +835,106 @@ object ProfileQueries {
         |            THEN round(greatest(auc_raw - 1.959964 * se_raw, 0.0), 6) END AS ci_lo,
         |       CASE WHEN n_pos > 1 AND n_neg > 1
         |            THEN round(least(auc_raw + 1.959964 * se_raw, 1.0), 6) END AS ci_hi
+        |FROM f""".stripMargin,
+    "auc_compare" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(embedding[1] AS DOUBLE) * 100000.0) AS BIGINT) AS c1,
+        |         CAST(trunc(CAST(embedding[2] AS DOUBLE) * 100000.0) AS BIGINT) AS c2,
+        |         CASE WHEN label <= 4 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM embeddings
+        |  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+        |), st AS (
+        |  SELECT min(c1) AS min1, max(c1) AS max1,
+        |         min(c2) AS min2, max(c2) AS max2 FROM e
+        |), joint AS (
+        |  SELECT ((c1 - min1) * 256) // (max1 - min1 + 1) AS b1,
+        |         ((c2 - min2) * 256) // (max2 - min2 + 1) AS b2,
+        |         CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM e CROSS JOIN st GROUP BY 1, 2
+        |), m1 AS (
+        |  SELECT b1, CAST(sum(n_pos) AS BIGINT) AS mp1,
+        |         CAST(sum(n_neg) AS BIGINT) AS mn1
+        |  FROM joint GROUP BY 1
+        |), m1w AS (
+        |  SELECT b1, mp1, mn1,
+        |         sum(mn1) OVER (ORDER BY b1
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - mn1 AS negb1,
+        |         sum(mp1) OVER (ORDER BY b1 DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - mp1 AS posa1
+        |  FROM m1
+        |), m2 AS (
+        |  SELECT b2, CAST(sum(n_pos) AS BIGINT) AS mp2,
+        |         CAST(sum(n_neg) AS BIGINT) AS mn2
+        |  FROM joint GROUP BY 1
+        |), m2w AS (
+        |  SELECT b2, mp2, mn2,
+        |         sum(mn2) OVER (ORDER BY b2
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - mn2 AS negb2,
+        |         sum(mp2) OVER (ORDER BY b2 DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - mp2 AS posa2
+        |  FROM m2
+        |), consts AS (
+        |  SELECT (SELECT CAST(sum(mp1) AS BIGINT) FROM m1) AS p,
+        |         (SELECT CAST(sum(mn1) AS BIGINT) FROM m1) AS nn,
+        |         (SELECT sum(CAST(mp1 AS HUGEINT)
+        |                     * CAST(2 * negb1 + mn1 AS HUGEINT)) FROM m1w) AS u2a,
+        |         (SELECT sum(CAST(mp2 AS HUGEINT)
+        |                     * CAST(2 * negb2 + mn2 AS HUGEINT)) FROM m2w) AS u2b
+        |), pv AS (
+        |  SELECT n_pos, n_neg, p, nn,
+        |         CAST(u2a AS DOUBLE) AS u2ad, CAST(u2b AS DOUBLE) AS u2bd,
+        |         (2.0 * CAST(negb1 AS DOUBLE) + CAST(mn1 AS DOUBLE))
+        |           / (2.0 * CAST(nn AS DOUBLE)) AS v1,
+        |         (2.0 * CAST(negb2 AS DOUBLE) + CAST(mn2 AS DOUBLE))
+        |           / (2.0 * CAST(nn AS DOUBLE)) AS v2,
+        |         (2.0 * CAST(posa1 AS DOUBLE) + CAST(mp1 AS DOUBLE))
+        |           / (2.0 * CAST(p AS DOUBLE)) AS w1,
+        |         (2.0 * CAST(posa2 AS DOUBLE) + CAST(mp2 AS DOUBLE))
+        |           / (2.0 * CAST(p AS DOUBLE)) AS w2,
+        |         CAST(u2a AS DOUBLE)
+        |           / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) AS a1,
+        |         CAST(u2b AS DOUBLE)
+        |           / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) AS a2
+        |  FROM joint JOIN m1w USING (b1) JOIN m2w USING (b2) CROSS JOIN consts
+        |), terms AS (
+        |  SELECT p, nn, u2ad, u2bd,
+        |    CAST(round(CAST(n_pos AS DOUBLE) * (v1 - a1) * (v1 - a1) * 1e9) AS BIGINT) AS t10_11,
+        |    CAST(round(CAST(n_pos AS DOUBLE) * (v2 - a2) * (v2 - a2) * 1e9) AS BIGINT) AS t10_22,
+        |    CAST(round(CAST(n_pos AS DOUBLE) * (v1 - a1) * (v2 - a2) * 1e9) AS BIGINT) AS t10_12,
+        |    CAST(round(CAST(n_neg AS DOUBLE) * (w1 - a1) * (w1 - a1) * 1e9) AS BIGINT) AS t01_11,
+        |    CAST(round(CAST(n_neg AS DOUBLE) * (w2 - a2) * (w2 - a2) * 1e9) AS BIGINT) AS t01_22,
+        |    CAST(round(CAST(n_neg AS DOUBLE) * (w1 - a1) * (w2 - a2) * 1e9) AS BIGINT) AS t01_12
+        |  FROM pv
+        |), a AS (
+        |  SELECT CAST(max(p) AS BIGINT) AS n_pos, CAST(max(nn) AS BIGINT) AS n_neg,
+        |         max(u2ad) AS u2ad, max(u2bd) AS u2bd,
+        |         CAST(sum(t10_11) AS BIGINT) AS s10_11,
+        |         CAST(sum(t10_22) AS BIGINT) AS s10_22,
+        |         CAST(sum(t10_12) AS BIGINT) AS s10_12,
+        |         CAST(sum(t01_11) AS BIGINT) AS s01_11,
+        |         CAST(sum(t01_22) AS BIGINT) AS s01_22,
+        |         CAST(sum(t01_12) AS BIGINT) AS s01_12
+        |  FROM terms
+        |), f AS (
+        |  SELECT n_pos, n_neg,
+        |         u2ad / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS a1r,
+        |         u2bd / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS a2r,
+        |         (CAST(s10_11 + s10_22 - 2 * s10_12 AS DOUBLE)
+        |            / (1e9 * (CAST(n_pos AS DOUBLE) - 1.0))) / CAST(n_pos AS DOUBLE)
+        |       + (CAST(s01_11 + s01_22 - 2 * s01_12 AS DOUBLE)
+        |            / (1e9 * (CAST(n_neg AS DOUBLE) - 1.0))) / CAST(n_neg AS DOUBLE)
+        |           AS var_d
+        |  FROM a
+        |)
+        |SELECT n_pos, n_neg,
+        |       round(a1r, 6) AS auc1, round(a2r, 6) AS auc2,
+        |       round(a1r - a2r, 6) AS d_auc,
+        |       CASE WHEN n_pos > 1 AND n_neg > 1 AND var_d >= 0
+        |            THEN round(sqrt(var_d), 6) END AS se,
+        |       CASE WHEN n_pos > 1 AND n_neg > 1 AND var_d > 0
+        |            THEN round((a1r - a2r) / sqrt(var_d), 6) END AS z
         |FROM f""".stripMargin,
     "score_calibration" ->
       """WITH e AS (

@@ -142,6 +142,112 @@ object EvalOps {
       when(defined, round(least(aucOut + lit(1.959964) * se, lit(1.0)), 6)).as("ci_hi"))
   }
 
+  /** Paired DeLong comparison of TWO scores' AUCs on the SAME labeled
+    * items — "does the new quality signal rank documents better than the
+    * old one, beyond correlated-sample noise?". Unpaired z-tests overstate
+    * significance because both scores see the same items; DeLong's paired
+    * variance subtracts the placement covariance.
+    *
+    * Both scores are gridded (one shared min/max stats pass) and the
+    * corpus reduced ONCE to the ≤ bins² joint (b1, b2) cell relation —
+    * the only corpus aggregation; per-score margins, placements (v for
+    * positives, w for negatives — constant per bin under binned ties) and
+    * U-statistics all derive from that cached relation. Var(AUC₁ − AUC₂) =
+    * [S10₁₁ + S10₂₂ − 2·S10₁₂]/P + [S01₁₁ + S01₂₂ − 2·S01₁₂]/N with each
+    * S a cell-weighted (co)variance of placements, per-cell terms
+    * integer-nano quantized before the sum (bit-reproducible; same
+    * convention as [[binnedAucCi]]). Output: one row
+    * `(n_pos, n_neg, auc1, auc2, d_auc, se, z)`; se NULL unless both
+    * classes have > 1 item, z additionally NULL when the paired variance
+    * is ≤ 0 (identical placements).
+    */
+  def binnedAucCompare(df: DataFrame, s1Q: Column, s2Q: Column, posFlag: Column,
+                       bins: Int = 256): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val e = df.select(s1Q.cast("bigint").as("c1"), s2Q.cast("bigint").as("c2"),
+      posFlag.cast("bigint").as("y"))
+    val st = e.agg(
+      min(col("c1")).as("min1"), max(col("c1")).as("max1"),
+      min(col("c2")).as("min2"), max(col("c2")).as("max2"))
+    // the one corpus pass; ≤ bins² cells, reused by both margins + final
+    val joint = DedupOps.registerCache(e.crossJoin(st)
+      .select(
+        expr(s"((c1 - min1) * $bins) DIV (max1 - min1 + 1)").as("b1"),
+        expr(s"((c2 - min2) * $bins) DIV (max2 - min2 + 1)").as("b2"),
+        col("y"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def margin(b: String): DataFrame = {
+      val g = joint.groupBy(col(b).as("bin"))
+        .agg(sum(col("n_pos")).as("mp"), sum(col("n_neg")).as("mn"))
+      val cum = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rcum = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("bin"), col("mp"), col("mn"),
+        (sum(col("mn")).over(cum) - col("mn")).as("negb"),
+        (sum(col("mp")).over(rcum) - col("mp")).as("posa"))
+    }
+    val m1 = margin("b1")
+    val m2 = margin("b2")
+    def totals(m: DataFrame, u2Name: String): DataFrame = m.agg(
+      sum(col("mp")).as("p_" + u2Name), sum(col("mn")).as("n_" + u2Name),
+      sum(dec(col("mp")) * dec(lit(2L) * col("negb") + col("mn"))).as(u2Name))
+    val consts = totals(m1, "u2a").crossJoin(totals(m2, "u2b"))
+      .select(col("p_u2a").as("p"), col("n_u2a").as("nn"),
+        col("u2a"), col("u2b"))
+    val m1j = m1.select(col("bin").as("b1"), col("mp").as("mp1"), col("mn").as("mn1"),
+      col("negb").as("negb1"), col("posa").as("posa1"))
+    val m2j = m2.select(col("bin").as("b2"), col("mp").as("mp2"), col("mn").as("mn2"),
+      col("negb").as("negb2"), col("posa").as("posa2"))
+    val cells = joint
+      .join(broadcast(m1j), Seq("b1"))
+      .join(broadcast(m2j), Seq("b2"))
+      .crossJoin(broadcast(consts))
+    val auc1 = dbl(col("u2a")) / (lit(2.0) * dbl(col("p")) * dbl(col("nn")))
+    val auc2 = dbl(col("u2b")) / (lit(2.0) * dbl(col("p")) * dbl(col("nn")))
+    val v1 = (lit(2.0) * dbl(col("negb1")) + dbl(col("mn1"))) / (lit(2.0) * dbl(col("nn")))
+    val v2 = (lit(2.0) * dbl(col("negb2")) + dbl(col("mn2"))) / (lit(2.0) * dbl(col("nn")))
+    val w1 = (lit(2.0) * dbl(col("posa1")) + dbl(col("mp1"))) / (lit(2.0) * dbl(col("p")))
+    val w2 = (lit(2.0) * dbl(col("posa2")) + dbl(col("mp2"))) / (lit(2.0) * dbl(col("p")))
+    def nano(c: Column): Column = round(c * lit(1e9)).cast("bigint")
+    val folded = cells.select(
+      col("p"), col("nn"), col("u2a"), col("u2b"),
+      nano(dbl(col("n_pos")) * (v1 - auc1) * (v1 - auc1)).as("t10_11"),
+      nano(dbl(col("n_pos")) * (v2 - auc2) * (v2 - auc2)).as("t10_22"),
+      nano(dbl(col("n_pos")) * (v1 - auc1) * (v2 - auc2)).as("t10_12"),
+      nano(dbl(col("n_neg")) * (w1 - auc1) * (w1 - auc1)).as("t01_11"),
+      nano(dbl(col("n_neg")) * (w2 - auc2) * (w2 - auc2)).as("t01_22"),
+      nano(dbl(col("n_neg")) * (w1 - auc1) * (w2 - auc2)).as("t01_12"))
+      .agg(
+        max(col("p")).as("n_pos"), max(col("nn")).as("n_neg"),
+        max(dbl(col("u2a"))).as("u2ad"), max(dbl(col("u2b"))).as("u2bd"),
+        sum(col("t10_11")).as("s10_11"), sum(col("t10_22")).as("s10_22"),
+        sum(col("t10_12")).as("s10_12"),
+        sum(col("t01_11")).as("s01_11"), sum(col("t01_22")).as("s01_22"),
+        sum(col("t01_12")).as("s01_12"))
+    val a1 = col("u2ad") / (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg")))
+    val a2 = col("u2bd") / (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg")))
+    val pm1 = lit(1e9) * (dbl(col("n_pos")) - lit(1.0))
+    val nm1 = lit(1e9) * (dbl(col("n_neg")) - lit(1.0))
+    val varD =
+      (dbl(col("s10_11") + col("s10_22") - lit(2L) * col("s10_12")) / pm1) /
+        dbl(col("n_pos")) +
+        (dbl(col("s01_11") + col("s01_22") - lit(2L) * col("s01_12")) / nm1) /
+          dbl(col("n_neg"))
+    val se = sqrt(varD)
+    val defined = col("n_pos") > 1L && col("n_neg") > 1L
+    folded.select(
+      col("n_pos"), col("n_neg"),
+      round(a1, 6).as("auc1"),
+      round(a2, 6).as("auc2"),
+      round(a1 - a2, 6).as("d_auc"),
+      when(defined && varD >= 0.0, round(se, 6)).as("se"),
+      when(defined && varD > 0.0, round((a1 - a2) / se, 6)).as("z"))
+  }
+
   /** Grouped form of [[binnedAuc]]: one AUC row per group, each on its own
     * `bins`-cell grid (per-group min/max from ONE grouped stats pass,
     * joined back on the group key — AQE broadcasts it when the group

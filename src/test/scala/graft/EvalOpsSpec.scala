@@ -285,6 +285,86 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("binnedAucCompare == cell-wise paired-DeLong replay on the gridded scores") {
+    val kb = 16
+    val row = for {
+      x <- Gen.chooseNum(-300L, 300L)
+      z <- Gen.chooseNum(-300L, 300L)
+      y <- Gen.oneOf(0, 1)
+    } yield (x, z, y)
+    // at least one of each class so the AUCs are defined
+    val gen = Gen.nonEmptyListOf(row).map(rs => (5L, -5L, 1) :: (-5L, 5L, 0) :: rs)
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    check(Prop.forAllNoShrink(gen) { rows: List[(Long, Long, Int)] =>
+      val df = rows.toDF("s1", "s2", "y")
+      val r = graft.operators.EvalOps
+        .binnedAucCompare(df, col("s1"), col("s2"), col("y"), kb).head()
+      val b1 = grid(rows.map(_._1), kb)
+      val b2 = grid(rows.map(_._2), kb)
+      val ys = rows.map(_._3)
+      val items = b1.lazyZip(b2).lazyZip(ys).toList
+      val p = ys.count(_ == 1).toLong
+      val nn = ys.count(_ == 0).toLong
+      def marg(bs: Seq[Long]): (Map[Long, Long], Map[Long, Long]) = {
+        val mp = bs.zip(ys).filter(_._2 == 1).groupBy(_._1)
+          .map { case (b, g) => b -> g.size.toLong }
+        val mn = bs.zip(ys).filter(_._2 == 0).groupBy(_._1)
+          .map { case (b, g) => b -> g.size.toLong }
+        (mp, mn)
+      }
+      val (mp1, mn1) = marg(b1); val (mp2, mn2) = marg(b2)
+      def below(m: Map[Long, Long], b: Long) = m.filter(_._1 < b).values.sum
+      def above(m: Map[Long, Long], b: Long) = m.filter(_._1 > b).values.sum
+      def u2(mp: Map[Long, Long], mn: Map[Long, Long]): Long =
+        (mp.keySet ++ mn.keySet).toSeq.map { b =>
+          mp.getOrElse(b, 0L) * (2 * below(mn, b) + mn.getOrElse(b, 0L))
+        }.sum
+      val a1 = u2(mp1, mn1).toDouble / (2.0 * p * nn)
+      val a2 = u2(mp2, mn2).toDouble / (2.0 * p * nn)
+      def v(mn: Map[Long, Long], b: Long) =
+        (2.0 * below(mn, b) + mn.getOrElse(b, 0L)) / (2.0 * nn)
+      def w(mp: Map[Long, Long], b: Long) =
+        (2.0 * above(mp, b) + mp.getOrElse(b, 0L)) / (2.0 * p)
+      val cells = items.groupBy(t => (t._1, t._2)).map { case ((c1, c2), g) =>
+        (c1, c2, g.count(_._3 == 1).toLong, g.count(_._3 == 0).toLong)
+      }
+      var s1011, s1022, s1012, s0111, s0122, s0112 = 0L
+      cells.foreach { case (c1, c2, np, ng) =>
+        val (v1, v2) = (v(mn1, c1), v(mn2, c2))
+        val (w1, w2) = (w(mp1, c1), w(mp2, c2))
+        s1011 += nano(np * (v1 - a1) * (v1 - a1))
+        s1022 += nano(np * (v2 - a2) * (v2 - a2))
+        s1012 += nano(np * (v1 - a1) * (v2 - a2))
+        s0111 += nano(ng * (w1 - a1) * (w1 - a1))
+        s0122 += nano(ng * (w2 - a2) * (w2 - a2))
+        s0112 += nano(ng * (w1 - a1) * (w2 - a2))
+      }
+      val varD =
+        ((s1011 + s1022 - 2 * s1012).toDouble / (1e9 * (p - 1.0))) / p +
+          ((s0111 + s0122 - 2 * s0112).toDouble / (1e9 * (nn - 1.0))) / nn
+      val base = r.getLong(0) == p && r.getLong(1) == nn &&
+        math.abs(r.getDouble(2) - a1) <= 1e-6 &&
+        math.abs(r.getDouble(3) - a2) <= 1e-6 &&
+        math.abs(r.getDouble(4) - (a1 - a2)) <= 1e-6
+      val okSe =
+        if (p <= 1 || nn <= 1 || varD < 0) r.isNullAt(5)
+        else math.abs(r.getDouble(5) - math.sqrt(varD)) <= 1e-6
+      val okZ =
+        if (p <= 1 || nn <= 1 || varD <= 0) r.isNullAt(6)
+        else math.abs(r.getDouble(6) - (a1 - a2) / math.sqrt(varD)) <= 1e-5
+      base && okSe && okZ
+    }, n = 20)
+  }
+
+  test("binnedAucCompare of a score against itself: d_auc = 0, z undefined") {
+    val df = Seq((10L, 10L, 1), (3L, 3L, 0), (7L, 7L, 1), (1L, 1L, 0))
+      .toDF("s1", "s2", "y")
+    val r = graft.operators.EvalOps
+      .binnedAucCompare(df, col("s1"), col("s2"), col("y"), 16).head()
+    assert(r.getDouble(4) == 0.0 && r.isNullAt(6) && r.getDouble(5) == 0.0)
+  }
+
   test("cohenKappa == brute-force contingency kappa (plain + linear-weighted)") {
     val row = for {
       a <- Gen.chooseNum(1, 3)
