@@ -270,6 +270,19 @@ object ProfileQueries {
             struct(col("nd").as("v"), col("doc_id")), 3, "b_c").as("rb"))
       EvalOps.cohenKappa(rated, "ra", "rb", 3)
     }),
+    // Head-of-corpus agreement between the same two raters at depths
+    // 10/25/50/100: overlap@k + Jaccard@k of the top-k lists by
+    // token-count vs distinct-token-count (TakeOrdered lists, no global
+    // sort; corpus tokenized once via the cached score relation).
+    "topk_overlap" -> ((s, dir) => {
+      val d = graft.operators.DedupOps.registerCache(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("nd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      EvalOps.topkOverlap(d, "doc_id", col("nt"), col("nd"))
+    }),
     // Language × source association: per-cell mutual-information
     // contributions over the bounded contingency (is lang confounded
     // with source before mixture weighting?).
@@ -1265,6 +1278,40 @@ object ProfileQueries {
         |         round(CAST(wsum * CAST(n AS HUGEINT) - pew_num AS DOUBLE)
         |               / CAST(2 * n2 - pew_num AS DOUBLE), 6) END AS kappa_w
         |FROM f""".stripMargin,
+    "topk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM documents
+        |), r1 AS (
+        |  SELECT doc_id, rank1 FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY nt DESC, doc_id) AS rank1
+        |    FROM d) WHERE rank1 <= 100
+        |), r2 AS (
+        |  SELECT doc_id, rank2 FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY nd DESC, doc_id) AS rank2
+        |    FROM d) WHERE rank2 <= 100
+        |), j AS (
+        |  SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id, rank1, rank2
+        |  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+        |), ks AS (SELECT * FROM (VALUES (10), (25), (50), (100)) AS t(depth)),
+        |g AS (
+        |  SELECT depth,
+        |         CAST(sum(CASE WHEN rank1 <= depth THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN rank2 <= depth THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN rank1 <= depth AND rank2 <= depth
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |  FROM j CROSS JOIN ks GROUP BY depth
+        |)
+        |SELECT depth, n_a, n_b, n_common,
+        |       CASE WHEN least(n_a, n_b) > 0 THEN
+        |         round(CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 6)
+        |       END AS overlap,
+        |       CASE WHEN n_a + n_b > n_common THEN
+        |         round(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6)
+        |       END AS jaccard
+        |FROM g ORDER BY depth""".stripMargin,
     "lang_source_mi" ->
       """WITH g AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab

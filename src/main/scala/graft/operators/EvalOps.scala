@@ -686,6 +686,52 @@ object EvalOps {
       .orderBy(col("digit"))
   }
 
+  /** Top-k agreement between two ranking signals over the same items —
+    * "do the cheap and the expensive quality scores surface the same
+    * head of the corpus?" — at a ladder of depths. Overlap@k is the
+    * share of the shallower list shared; Jaccard@k the share of the
+    * union. Rankings are (score DESC, id ASC) — the id tiebreak makes
+    * both engines' lists identical under score ties.
+    *
+    * Scale shape: each signal's top-max(depths) list comes from
+    * `orderBy(...).limit(k)` — Spark plans `TakeOrderedAndProject`
+    * (per-partition heap + driver merge of k·partitions rows), never a
+    * global sort. Ranks are then row_number over the ≤ k-row lists, the
+    * full outer join and the depth fan-out stay ≤ 2k rows. Output per
+    * depth, ordered: `(depth, n_a, n_b, n_common, overlap, jaccard)`.
+    */
+  def topkOverlap(df: DataFrame, idCol: String, s1: Column, s2: Column,
+                  depths: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    val kMax = depths.max
+    val base = df.select(col(idCol).as("id"), s1.as("v1"), s2.as("v2"))
+    val top1 = base.orderBy(col("v1").desc, col("id")).limit(kMax)
+    val top2 = base.orderBy(col("v2").desc, col("id")).limit(kMax)
+    val r1 = top1.select(col("id"),
+      row_number().over(Window.orderBy(col("v1").desc, col("id"))).as("rank1"))
+    val r2 = top2.select(col("id"),
+      row_number().over(Window.orderBy(col("v2").desc, col("id"))).as("rank2"))
+    val joined = r1.join(r2, Seq("id"), "full")
+    val dRel = df.sparkSession.range(1)
+      .select(explode(array(depths.map(d => lit(d)): _*)).as("depth"))
+    val dbl = (c: Column) => c.cast("double")
+    val g = joined.crossJoin(broadcast(dRel))
+      .groupBy(col("depth"))
+      .agg(
+        sum(when(col("rank1") <= col("depth"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("rank2") <= col("depth"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("rank1") <= col("depth") && col("rank2") <= col("depth"), 1L)
+          .otherwise(0L)).as("n_common"))
+    g.select(
+      col("depth"), col("n_a"), col("n_b"), col("n_common"),
+      when(least(col("n_a"), col("n_b")) > 0L,
+        round(dbl(col("n_common")) / dbl(least(col("n_a"), col("n_b"))), 6))
+        .as("overlap"),
+      when(col("n_a") + col("n_b") > col("n_common"),
+        round(dbl(col("n_common")) /
+          dbl(col("n_a") + col("n_b") - col("n_common")), 6)).as("jaccard"))
+      .orderBy(col("depth"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two raters over
     * the SAME ordinal label space `1..k` (the "do two quality raters
     * agree beyond what their marginals force?" audit), plus the

@@ -365,6 +365,31 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0 && r.isNullAt(6) && r.getDouble(5) == 0.0)
   }
 
+  test("topkOverlap == brute-force list intersection at every depth") {
+    val depths = Seq(2, 5, 10)
+    val row = for {
+      v1 <- Gen.chooseNum(0L, 20L)
+      v2 <- Gen.chooseNum(0L, 20L)
+    } yield (v1, v2)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Long, Long)] =>
+      val withId = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val df = withId.toDF("id", "v1", "v2")
+      val res = graft.operators.EvalOps
+        .topkOverlap(df, "id", col("v1"), col("v2"), depths).collect()
+      val top1 = withId.sortBy(t => (-t._2, t._1)).map(_._1)
+      val top2 = withId.sortBy(t => (-t._3, t._1)).map(_._1)
+      depths.sorted.zip(res).forall { case (d, r) =>
+        val a = top1.take(d).toSet
+        val b = top2.take(d).toSet
+        val common = (a & b).size.toLong
+        r.getInt(0) == d && r.getLong(1) == a.size && r.getLong(2) == b.size &&
+          r.getLong(3) == common &&
+          math.abs(r.getDouble(4) - common.toDouble / math.min(a.size, b.size)) <= 1e-6 &&
+          math.abs(r.getDouble(5) - common.toDouble / (a.size + b.size - common)) <= 1e-6
+      }
+    }, n = 20)
+  }
+
   test("cohenKappa == brute-force contingency kappa (plain + linear-weighted)") {
     val row = for {
       a <- Gen.chooseNum(1, 3)
