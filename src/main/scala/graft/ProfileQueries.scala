@@ -283,6 +283,13 @@ object ProfileQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       EvalOps.topkOverlap(d, "doc_id", col("nt"), col("nd"))
     }),
+    // Exact CUSUM changepoint of daily order revenue: did the mean step,
+    // and on which day? Integer D_t = n·P_t − t·T locates max |CUSUM|
+    // with no float comparison; windows run over the bounded day grid.
+    "revenue_cusum" -> ((s, dir) =>
+      EvalOps.cusumChangepoint(Tables.orders(s, dir),
+        col("o_orderdate").cast("date"),
+        (col("o_totalprice") * lit(100.0)).cast("bigint"))),
     // Language × source association: per-cell mutual-information
     // contributions over the bounded contingency (is lang confounded
     // with source before mixture weighting?).
@@ -1312,6 +1319,34 @@ object ProfileQueries {
         |         round(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6)
         |       END AS jaccard
         |FROM g ORDER BY depth""".stripMargin,
+    "revenue_cusum" ->
+      """WITH g AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS k,
+        |         CAST(sum(CAST(trunc(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT k, xs,
+        |         CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS i,
+        |         CAST(sum(xs) OVER (ORDER BY k
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+        |         CAST(sum(xs) OVER () AS BIGINT) AS tot,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM g
+        |), d AS (
+        |  SELECT *, CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+        |            - CAST(i AS HUGEINT) * CAST(tot AS HUGEINT) AS dstat
+        |  FROM w WHERE i < n
+        |), best AS (
+        |  SELECT * FROM d ORDER BY abs(dstat) DESC, k LIMIT 1
+        |)
+        |SELECT n AS n_periods, k AS cp_key, i AS cp_index,
+        |       round(CAST(abs(dstat) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS cusum,
+        |       round(CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_before,
+        |       round(CAST(tot - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 100.0), 6)
+        |         AS mean_after,
+        |       round(CAST(tot - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 100.0)
+        |             - CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS shift
+        |FROM best""".stripMargin,
     "lang_source_mi" ->
       """WITH g AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab

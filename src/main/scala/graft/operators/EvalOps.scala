@@ -686,6 +686,53 @@ object EvalOps {
       .orderBy(col("digit"))
   }
 
+  /** CUSUM mean-shift changepoint over a keyed series — "did the daily
+    * revenue (or any per-period metric) step to a new level, and when?".
+    * The classic statistic max_t |Σ_{i≤t}(x_i − x̄)| is located EXACTLY
+    * but in integer arithmetic: with P_t the prefix sum, T the total and
+    * n the period count, D_t = n·P_t − t·T = n·Σ_{i≤t}(x_i − x̄), so
+    * argmax |D_t| (DECIMAL(38,0)-exact, earliest-key tiebreak) is the
+    * changepoint with zero float comparisons.
+    *
+    * One keyed aggregation reduces the input to the ≤ #periods relation
+    * (bounded: the key is a calendar grain); prefix/total windows and the
+    * argmax TakeOrdered all run over that bounded relation. The last
+    * period is excluded (a split needs a non-empty "after"). Output: one
+    * row `(n_periods, cp_key, cp_index, cusum, mean_before, mean_after,
+    * shift)` — monetary fields in units of `valueQ`/100 (cents in →
+    * currency out), rounded to 6.
+    */
+  def cusumChangepoint(df: DataFrame, keyQ: Column, valueQ: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val g = df.select(keyQ.as("k"), valueQ.cast("bigint").as("x"))
+      .groupBy(col("k")).agg(sum(col("x")).as("xs"))
+    val ord = Window.orderBy(col("k"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = g.select(col("k"), col("xs"),
+      row_number().over(ord).cast("long").as("i"),
+      sum(col("xs")).over(cum).as("p"),
+      sum(col("xs")).over(all).as("tot"),
+      count(lit(1)).over(all).as("n"))
+    val d = w
+      .withColumn("dstat",
+        dec(col("n")) * dec(col("p")) - dec(col("i")) * dec(col("tot")))
+      .filter(col("i") < col("n"))
+    val best = d.orderBy(abs(col("dstat")).desc, col("k")).limit(1)
+    val before = dbl(col("p")) / (dbl(col("i")) * lit(100.0))
+    val after = dbl(col("tot") - col("p")) / (dbl(col("n") - col("i")) * lit(100.0))
+    best.select(
+      col("n").as("n_periods"),
+      col("k").as("cp_key"),
+      col("i").as("cp_index"),
+      round(dbl(abs(col("dstat"))) / (dbl(col("n")) * lit(100.0)), 6).as("cusum"),
+      round(before, 6).as("mean_before"),
+      round(after, 6).as("mean_after"),
+      round(after - before, 6).as("shift"))
+  }
+
   /** Top-k agreement between two ranking signals over the same items —
     * "do the cheap and the expensive quality scores surface the same
     * head of the corpus?" — at a ladder of depths. Overlap@k is the

@@ -365,6 +365,45 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0 && r.isNullAt(6) && r.getDouble(5) == 0.0)
   }
 
+  test("cusumChangepoint == brute-force argmax |CUSUM| replay") {
+    val row = for {
+      k <- Gen.chooseNum(1, 30)
+      x <- Gen.chooseNum(-500L, 500L)
+    } yield (k, x)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Int, Long)] =>
+      val df = rows.toDF("k", "x")
+      val res = graft.operators.EvalOps
+        .cusumChangepoint(df, col("k"), col("x")).collect()
+      val series = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      val n = series.size.toLong
+      if (n == 1) res.isEmpty
+      else {
+        val tot = series.map(_._2).sum
+        val pre = series.scanLeft(0L)((acc, kv) => acc + kv._2).tail
+        val ds = series.indices.dropRight(1).map { idx =>
+          val i = idx + 1L
+          (series(idx)._1, i, pre(idx), BigInt(n) * pre(idx) - BigInt(i) * tot)
+        }
+        val (bk, bi, bp, bd) = ds.sortBy { case (k, _, _, d) => (-d.abs, k) }.head
+        val r = res.head
+        r.getLong(0) == n && r.getInt(1) == bk && r.getLong(2) == bi &&
+          math.abs(r.getDouble(3) - bd.abs.toDouble / (n * 100.0)) <= 1e-6 &&
+          math.abs(r.getDouble(4) - bp / (bi * 100.0)) <= 1e-6 &&
+          math.abs(r.getDouble(5) - (tot - bp).toDouble / ((n - bi) * 100.0)) <= 1e-6 &&
+          math.abs(r.getDouble(6) -
+            ((tot - bp).toDouble / ((n - bi) * 100.0) - bp / (bi * 100.0))) <= 1e-6
+      }
+    }, n = 20)
+  }
+
+  test("cusumChangepoint finds an obvious level shift at its boundary") {
+    val df = ((1 to 10).map(i => (i, 100L)) ++ (11 to 20).map(i => (i, 900L)))
+      .toDF("k", "x")
+    val r = graft.operators.EvalOps.cusumChangepoint(df, col("k"), col("x")).head()
+    assert(r.getInt(1) == 10 && r.getDouble(4) == 1.0 && r.getDouble(5) == 9.0)
+  }
+
   test("topkOverlap == brute-force list intersection at every depth") {
     val depths = Seq(2, 5, 10)
     val row = for {
