@@ -570,12 +570,15 @@ object EvalOps {
     val st = e.agg(
       min(col("cx")).as("minx"), max(col("cx")).as("maxx"),
       min(col("cy")).as("miny"), max(col("cy")).as("maxy"))
-    val cells = e.crossJoin(st)
+    // the cell relation feeds five branches (densify axes + grid join +
+    // both tie margins) — cache it so the corpus pass runs once
+    val cells = DedupOps.registerCache(e.crossJoin(st)
       .select(
         expr(s"((cx - minx) * $bins) DIV (maxx - minx + 1)").as("bx"),
         expr(s"((cy - miny) * $bins) DIV (maxy - miny + 1)").as("by"))
       .groupBy(col("bx"), col("by"))
       .agg(count(lit(1)).as("n_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dense = cells.select(col("bx")).distinct()
       .crossJoin(cells.select(col("by")).distinct())
       .join(cells, Seq("bx", "by"), "left")
@@ -800,10 +803,13 @@ object EvalOps {
   def cohenKappa(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val dbl = (c: Column) => c.cast("double")
-    val cells = df
+    // the contingency feeds three branches (totals + both margins) —
+    // cache it so the corpus aggregation runs once, not per branch
+    val cells = DedupOps.registerCache(df
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wNum = lit((k - 1).toLong) - abs(col("a") - col("b"))
     val tot = cells.agg(
       sum(col("n_ab")).as("n"),
@@ -811,9 +817,9 @@ object EvalOps {
       sum(dec(wNum) * dec(col("n_ab"))).as("wsum"))
     val ma = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
     val mb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
-    val pe = ma.join(mb, col("a") === col("b"))
+    val pe = ma.join(broadcast(mb), col("a") === col("b"))
       .agg(coalesce(sum(dec(col("n_a")) * dec(col("n_b"))), dec(lit(0L))).as("pe_num"))
-    val peW = ma.crossJoin(mb)
+    val peW = ma.crossJoin(broadcast(mb))
       .agg(sum(dec(wNum) * dec(col("n_a")) * dec(col("n_b"))).as("pew_num"))
     val j = tot.crossJoin(pe).crossJoin(peW)
       .withColumn("n2", dec(col("n")) * dec(col("n")))

@@ -496,4 +496,35 @@ class PlanSpec extends SparkSpec {
     val windowIdx = p.indexOf("Window")
     assert(windowIdx > 0 && p.indexOf("HashAggregate", windowIdx) > windowIdx)
   }
+
+  test("score_kendall / auc_compare: prefix windows ride cell aggregates, no cartesian") {
+    for (q <- Seq("score_kendall", "auc_compare")) {
+      val p = plan(q)
+      val windowIdx = p.indexOf("Window")
+      assert(windowIdx > 0, s"$q: expected prefix-sum windows over the cell relation")
+      // root-first print: the corpus-reducing aggregation appears BELOW
+      // every window — windows only consume the bounded grid
+      assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+        s"$q: window must consume the cell aggregation")
+      assert(!p.contains("CartesianProduct"), s"$q: bounded relations must broadcast")
+    }
+  }
+
+  test("rater_kappa: margin joins broadcast; no cartesian, no corpus rank window") {
+    val p = plan("rater_kappa")
+    assert(!p.contains("CartesianProduct"), "3-row margins must broadcast")
+    // kappa consumes ntile buckets from broadcast cut keys — any Window
+    // in the plan belongs to the bounded RankOps boundary pass, printed
+    // below the contingency aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("topk_overlap / revenue_cusum: top-k via TakeOrderedAndProject, no global sort of raw rows") {
+    for (q <- Seq("topk_overlap", "revenue_cusum")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: limits must plan as heap top-k, not Sort+Limit")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
 }
