@@ -706,10 +706,21 @@ object EvalOps {
     * currency out), rounded to 6.
     */
   def cusumChangepoint(df: DataFrame, keyQ: Column, valueQ: Column): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val dbl = (c: Column) => c.cast("double")
     val g = df.select(keyQ.as("k"), valueQ.cast("bigint").as("x"))
       .groupBy(col("k")).agg(sum(col("x")).as("xs"))
+    cusumFromSums(g)
+  }
+
+  /** [[cusumChangepoint]]'s readout half: the changepoint located from an
+    * already-aggregated `(k, xs)` per-period sum relation. Split out so
+    * the streaming twin ([[graft.streaming.StreamingCusum]]) can read the
+    * same statistic off its incrementally-maintained period state — the
+    * state is a plain keyed sum (associative/commutative), the readout a
+    * pure function of it.
+    */
+  def cusumFromSums(g: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
     val ord = Window.orderBy(col("k"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.orderBy(col("k"))
