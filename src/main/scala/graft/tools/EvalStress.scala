@@ -88,21 +88,47 @@ object EvalStress {
           .agg(sum((col("o_totalprice") * lit(100.0)).cast("bigint")).as("cents")),
         col("cents"))
 
+      // round-9 additions: tau-b (cell counts scale N → tau drifts O(1/n)),
+      // paired DeLong (AUCs exactly invariant, se shrinks ~1/√N), CUSUM
+      // (cp location/means invariant, the statistic itself scales N)
+      def kendallDf = EvalOps.binnedKendallTau(
+        emb.filter(element_at(col("embedding"), 1).isNotNull &&
+          element_at(col("embedding"), 2).isNotNull),
+        (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
+        (element_at(col("embedding"), 2).cast("double") * lit(100000.0)).cast("bigint"))
+      def aucCmpDf = EvalOps.binnedAucCompare(
+        emb.filter(element_at(col("embedding"), 1).isNotNull &&
+          element_at(col("embedding"), 2).isNotNull),
+        (element_at(col("embedding"), 1).cast("double") * lit(100000.0)).cast("bigint"),
+        (element_at(col("embedding"), 2).cast("double") * lit(100000.0)).cast("bigint"),
+        when(col("label") <= 4, 1L).otherwise(0L))
+      def cusumDf = EvalOps.cusumChangepoint(ord,
+        col("o_orderdate").cast("date"),
+        (col("o_totalprice") * lit(100.0)).cast("bigint"))
+
       def run(): Seq[(String, Double)] = Seq(
         "auc" -> time(force(aucDf))._1,
         "calibration" -> time(force(calDf))._1,
         "psi" -> time(force(psiDf))._1,
-        "gini" -> time(force(giniDf))._1)
+        "gini" -> time(force(giniDf))._1,
+        "kendall" -> time(force(kendallDf))._1,
+        "auc_cmp" -> time(force(aucCmpDf))._1,
+        "cusum" -> time(force(cusumDf))._1)
       run() // warm-up
       val warm = run()
       val auc = aucDf.head().getDouble(2)
       val ece = calDf.agg(sum(col("ece_contrib"))).head().getDouble(0)
       val psi = psiDf.agg(sum(col("psi_contrib"))).head().getDouble(0)
       val gini = giniDf.head().getDouble(2)
+      val tau = kendallDf.head().getDouble(3)
+      val cmp = aucCmpDf.head()
+      val cus = cusumDf.head()
       println(
         f"factor=$factor%-3d emb=$nEmb%-8d ord=$nOrd%-9d " +
           warm.map { case (n, t) => f"$n=$t%.2fs" }.mkString(" ") +
-          f" | invariants: auc=$auc%.6f ece=$ece%.6f gini=$gini%.6f psi~$psi%.6f")
+          f" | invariants: auc=$auc%.6f ece=$ece%.6f gini=$gini%.6f psi~$psi%.6f" +
+          f" tau~$tau%.6f d_auc=${cmp.getDouble(4)}%.6f" +
+          f" cp=${cus.get(1)} shift=${cus.getDouble(6)}%.6f")
     }
     spark.stop()
   }
