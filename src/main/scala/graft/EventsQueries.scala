@@ -401,6 +401,37 @@ object EventsQueries {
     // pipeline keeps. Pure calendar-part projection + one 168-key
     // aggregation (date-part parity note: Spark weekday()+1 == DuckDB
     // isodow, both Monday=1).
+    // Classical seasonal decomposition, the honest version of
+    // dow_seasonality: detrend daily revenue with a centered 7-day MA
+    // first (scaled ×7 so the detrended series stays integer cents),
+    // then average the detrended series per ISO weekday. The MA window
+    // and the dow rollup both run on the bounded day grid, never on raw
+    // events. Uncentered index by design: subtracting the mean of the 7
+    // dow means would need a 7-double accumulation whose association
+    // order isn't cross-engine-deterministic; the uncentered index is
+    // the same information shifted by one constant.
+    "seasonal_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(
+          col("ts").cast("date").as("k"),
+          when(col("value").isNotNull && !isnan(col("value")),
+            (col("value") * lit(100.0)).cast("bigint")).as("cents"))
+        .groupBy(col("k"))
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("xs"))
+      val w7 = Window.orderBy(col("k")).rowsBetween(-3, 3)
+      val det = daily
+        .select(
+          (weekday(col("k")) + lit(1)).as("iso_dow"),
+          (lit(7L) * col("xs") - sum(col("xs")).over(w7)).as("d7"),
+          count(lit(1)).over(w7).as("c7"))
+        .filter(col("c7") === 7)
+      det.groupBy(col("iso_dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("d7")).as("sum_detr7_c"))
+        .select(col("iso_dow"), col("n_days"), col("sum_detr7_c"),
+          round(col("sum_detr7_c").cast("double") /
+            (col("n_days").cast("double") * lit(700.0)), 6).as("seasonal"))
+        .orderBy(col("iso_dow"))
+    }),
     "dow_seasonality" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(
@@ -1192,6 +1223,27 @@ object EventsQueries {
         |)
         |SELECT event_id, user_id, ts_us, last_purchase_value
         |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS k,
+        |         coalesce(CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |                        THEN CAST(trunc(value * 100.0) AS BIGINT) END) AS BIGINT),
+        |                  CAST(0 AS BIGINT)) AS xs
+        |  FROM events GROUP BY 1
+        |), det AS (
+        |  SELECT CAST(isodow(k) AS INT) AS iso_dow,
+        |         7 * xs - sum(xs) OVER (ORDER BY k
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS d7,
+        |         count(*) OVER (ORDER BY k
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        |  FROM daily
+        |)
+        |SELECT iso_dow, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(d7) AS BIGINT) AS sum_detr7_c,
+        |       round(CAST(sum(d7) AS DOUBLE)
+        |             / (CAST(count(*) AS DOUBLE) * 700.0), 6) AS seasonal
+        |FROM det WHERE c7 = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dow_seasonality" ->
       """SELECT CAST(isodow(ts) AS INT) AS iso_dow,
         |       CAST(hour(ts) AS INT) AS hour_of_day,
