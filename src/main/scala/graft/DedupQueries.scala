@@ -51,6 +51,10 @@ object DedupQueries {
     // Memorization-risk dial: fraction of each doc's 8-grams unique to it.
     "ngram_novelty" -> ((s, dir) =>
       DedupOps.ngramNovelty(Tables.documents(s, dir), n = 8)),
+    // Per-source duplication audit: internal redundancy + cross-source
+    // verbatim overlap, digests-only shuffles.
+    "dup_rate_by_source" -> ((s, dir) =>
+      DedupOps.dupRateBySource(Tables.documents(s, dir))),
     // Substring-level near-dups: winnowing-fingerprint containment ≥ 0.8
     // (catches copy-with-additions that token Jaccard under-scores).
     "dedup_substring" -> ((s, dir) =>
@@ -129,6 +133,23 @@ object DedupQueries {
         |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', '', 'g'))) AS fp
         |      FROM documents)
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "dup_rate_by_source" ->
+      """WITH sh AS (
+        |  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS c_sh
+        |  FROM documents GROUP BY 1, 2
+        |), hh AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS n_src FROM sh GROUP BY 1
+        |)
+        |SELECT source,
+        |       CAST(sum(c_sh) AS BIGINT) AS n_docs,
+        |       CAST(sum(c_sh - 1) AS BIGINT) AS n_internal_excess,
+        |       CAST(sum(CASE WHEN n_src > 1 THEN c_sh ELSE 0 END) AS BIGINT) AS n_cross,
+        |       round(CAST(sum(c_sh - 1) AS DOUBLE) / CAST(sum(c_sh) AS DOUBLE), 6)
+        |         AS internal_share,
+        |       round(CAST(sum(CASE WHEN n_src > 1 THEN c_sh ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(c_sh) AS DOUBLE), 6) AS cross_share
+        |FROM sh JOIN hh USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairCtes
          |SELECT a_id, b_id, inter, na, nb,

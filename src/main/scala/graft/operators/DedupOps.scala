@@ -41,6 +41,40 @@ object DedupOps {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Per-source duplication audit — which source is internally redundant,
+    * and how much of it also appears verbatim in OTHER sources? The
+    * curation question behind "should we even keep crawling this feed".
+    * Per source: `n_internal_excess` counts copies beyond the first of
+    * each within-source text group; `n_cross` counts docs whose exact
+    * text also occurs in at least one other source.
+    *
+    * Scale shape: the corpus reduces map-side to (source, 16-byte md5)
+    * groups; the source-spread relation and the final rollup aggregate
+    * and join DIGESTS only — document text never shuffles (the
+    * [[fingerprint]] design note). The (source, h) relation feeds both
+    * the spread count and the join probe, so it is cached per-query.
+    */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val sh = registerCache(docs
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hh = sh.groupBy(col("h")).agg(count(lit(1)).as("n_src"))
+    val dbl = (c: Column) => c.cast("double")
+    sh.join(hh, Seq("h"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c_sh")).as("n_docs"),
+        sum(col("c_sh") - lit(1L)).as("n_internal_excess"),
+        sum(when(col("n_src") > 1L, col("c_sh")).otherwise(0L)).as("n_cross"))
+      .select(
+        col("source"), col("n_docs"), col("n_internal_excess"), col("n_cross"),
+        round(dbl(col("n_internal_excess")) / dbl(col("n_docs")), 6).as("internal_share"),
+        round(dbl(col("n_cross")) / dbl(col("n_docs")), 6).as("cross_share"))
+      .orderBy(col("source"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized, lowercased
     * text — catches dups that differ only in spacing/case. The digest is
     * computed map-side so the dedup shuffle moves 16-byte keys, not

@@ -156,4 +156,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) >= 0.8, "nearly every doc-1 fingerprint also appears in doc 2")
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L }, "no stranger pairs")
   }
+
+  test("dupRateBySource: internal excess and cross-source overlap on a golden corpus") {
+    val df = Seq(
+      (1L, "alpha", "s1"), (2L, "alpha", "s1"), (3L, "alpha", "s2"),
+      (4L, "beta", "s1"), (5L, "gamma", "s2"), (6L, "gamma", "s2"),
+      (7L, "delta", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = DedupOps.dupRateBySource(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    DedupOps.releaseShingleCaches()
+    // s1: 3 docs; "alpha"×2 internal excess 1; both alphas cross (s2 has one)
+    assert(got("s1") == ((3L, 1L, 2L, 0.333333, 0.666667)))
+    // s2: 3 docs; "gamma"×2 excess 1; the alpha crosses
+    assert(got("s2") == ((3L, 1L, 1L, 0.333333, 0.333333)))
+    // s3: unique everywhere
+    assert(got("s3") == ((1L, 0L, 0L, 0.0, 0.0)))
+    // identity: global exact-dedup excess = within-source excess + the
+    // cross-source collapse (distinct (source, text) minus distinct text)
+    val withinExcess = got.values.map(_._2).sum
+    val globalExcess = df.count() - DedupOps.exact(df).count()
+    val crossCollapse =
+      df.select(col("source"), col("text")).distinct().count() -
+        df.select(col("text")).distinct().count()
+    assert(globalExcess == withinExcess + crossCollapse)
+  }
 }
