@@ -283,6 +283,14 @@ object ProfileQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       EvalOps.topkOverlap(d, "doc_id", col("nt"), col("nd"))
     }),
+    // Split-balance audit: chi-square independence of the hash split vs
+    // source (densified grid so unobserved cells contribute), the "did
+    // the split correlate with provenance?" pre-training check.
+    "split_balance" -> ((s, dir) =>
+      EvalOps.chi2Independence(
+        Tables.documents(s, dir)
+          .select(TextOps.splitExpr(col("doc_id")).as("split"), col("source")),
+        "split", "source")),
     // Exact CUSUM changepoint of daily order revenue: did the mean step,
     // and on which day? Integer D_t = n·P_t − t·T locates max |CUSUM|
     // with no float comparison; windows run over the bounded day grid.
@@ -1319,6 +1327,41 @@ object ProfileQueries {
         |         round(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6)
         |       END AS jaccard
         |FROM g ORDER BY depth""".stripMargin,
+    "split_balance" -> {
+      val bucket =
+        s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"
+      s"""WITH s AS (
+         |  SELECT CASE WHEN $bucket < 80 THEN 'train'
+         |              WHEN $bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         source
+         |  FROM documents
+         |), c AS (
+         |  SELECT split, source, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM s GROUP BY 1, 2
+         |), dense AS (
+         |  SELECT sp.split, so.source, coalesce(c.n_ab, CAST(0 AS BIGINT)) AS n_ab
+         |  FROM (SELECT DISTINCT split FROM c) sp
+         |  CROSS JOIN (SELECT DISTINCT source FROM c) so
+         |  LEFT JOIN c ON c.split = sp.split AND c.source = so.source
+         |), m AS (
+         |  SELECT split, source, n_ab,
+         |         CAST(sum(n_ab) OVER (PARTITION BY split) AS BIGINT) AS n_a,
+         |         CAST(sum(n_ab) OVER (PARTITION BY source) AS BIGINT) AS n_b,
+         |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
+         |  FROM dense
+         |)
+         |SELECT split, source, n_ab,
+         |       round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |             / CAST(n AS DOUBLE), 6) AS exp_n,
+         |       round((CAST(n_ab AS DOUBLE)
+         |              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+         |             * (CAST(n_ab AS DOUBLE)
+         |              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+         |             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)),
+         |             6) AS chi2_contrib
+         |FROM m ORDER BY split, source""".stripMargin
+    },
     "revenue_cusum" ->
       """WITH g AS (
         |  SELECT CAST(o_orderdate AS DATE) AS k,

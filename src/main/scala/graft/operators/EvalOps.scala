@@ -656,6 +656,52 @@ object EvalOps {
       .orderBy(col(aCol), col(bCol))
   }
 
+  /** Pearson chi-square independence audit between two bounded
+    * categorical columns — "is the train/val/test split balanced across
+    * sources, or did the hash accidentally correlate with provenance?".
+    * Complements [[categoricalMi]] (effect size in nats) with the
+    * classical test statistic whose null distribution is known
+    * (chi² with (|A|−1)(|B|−1) dof).
+    *
+    * One grouped count over the bounded contingency, then the grid is
+    * DENSIFIED (distinct-A × distinct-B cross, bounded by precondition)
+    * before the marginal windows: unobserved cells contribute
+    * (0 − exp)²/exp, which the observed-cells-only shortcut would
+    * silently drop. Expected counts and contributions are single double
+    * chains over exact integer marginals, rounded to 6. Output per cell,
+    * ordered: `(a, b, n_ab, exp_n, chi2_contrib)`; the scalar statistic
+    * is the trivial sum of the rows.
+    */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val g = DedupOps.registerCache(df
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dense = g.select(col("a")).distinct()
+      .crossJoin(broadcast(g.select(col("b")).distinct()))
+      .join(g, Seq("a", "b"), "left")
+      .withColumn("n_ab", coalesce(col("n_ab"), lit(0L)))
+    val byA = Window.partitionBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byB = Window.partitionBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    val m = dense.select(col("a"), col("b"), col("n_ab"),
+      sum(col("n_ab")).over(byA).as("n_a"),
+      sum(col("n_ab")).over(byB).as("n_b"),
+      sum(col("n_ab")).over(all).as("n"))
+    val expN = dbl(col("n_a")) * dbl(col("n_b")) / dbl(col("n"))
+    m.select(
+      col("a").as(aCol), col("b").as(bCol), col("n_ab"),
+      round(expN, 6).as("exp_n"),
+      round((dbl(col("n_ab")) - expN) * (dbl(col("n_ab")) - expN) / expN, 6)
+        .as("chi2_contrib"))
+      .orderBy(col(aCol), col(bCol))
+  }
+
   /** Benford first-significant-digit audit of a positive integer-quantized
     * amount column: observed digit counts vs the Benford expectation
     * N · log10(1 + 1/d), with per-digit chi-square contributions.

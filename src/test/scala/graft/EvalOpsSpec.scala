@@ -464,6 +464,40 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0 && r.getDouble(6) == 1.0)
   }
 
+  test("chi2Independence == brute-force densified contingency chi-square") {
+    val row = for {
+      a <- Gen.oneOf("p", "q", "r")
+      b <- Gen.oneOf("u", "v")
+    } yield (a, b)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(String, String)] =>
+      val df = rows.toDF("x", "y")
+      val res = graft.operators.EvalOps.chi2Independence(df, "x", "y").collect()
+      val n = rows.size.toLong
+      val cnt = rows.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val as = rows.map(_._1).distinct.sorted
+      val bs = rows.map(_._2).distinct.sorted
+      val ma = rows.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+      val mb = rows.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+      val want = for (a <- as; b <- bs) yield {
+        val nab = cnt.getOrElse((a, b), 0L)
+        val exp = ma(a).toDouble * mb(b).toDouble / n
+        (a, b, nab, exp, (nab - exp) * (nab - exp) / exp)
+      }
+      res.length == want.length && res.zip(want).forall { case (r, (a, b, nab, exp, c2)) =>
+        r.getString(0) == a && r.getString(1) == b && r.getLong(2) == nab &&
+          math.abs(r.getDouble(3) - exp) <= 1e-6 && math.abs(r.getDouble(4) - c2) <= 1e-6
+      }
+    }, n = 20)
+  }
+
+  test("chi2Independence: a perfectly balanced grid has zero statistic") {
+    val df = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val total = graft.operators.EvalOps.chi2Independence(df, "a", "b")
+      .agg(sum(col("chi2_contrib"))).head().getDouble(0)
+    assert(total == 0.0)
+  }
+
   test("categoricalMi == brute-force contingency MI; total MI non-negative") {
     val row = for {
       a <- Gen.oneOf("x", "y", "z")
