@@ -618,6 +618,38 @@ object EventsQueries {
           max(col("d_us")).as("max_gap_us"))
         .orderBy(col("bucket"))
     }),
+    // Goh–Barabási burstiness per event type: B = (σ − μ)/(σ + μ) of the
+    // per-(user, type) inter-arrival gaps — −1 = metronome, 0 = Poisson,
+    // →1 = bursty. Complements interarrival_hist (the distribution) with
+    // the canonical dispersion scalar. Sufficient stats are exact: Σd and
+    // Σd² in DECIMAL(38,0) (micros² passes 2^63); σ and B are single
+    // double chains over them. The lag window partitions per (user, type)
+    // — events shuffle once, every partition sorts its own short run.
+    "event_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val dbl = (c: Column) => c.cast("double")
+      val g = Tables.events(s, dir)
+        .withColumn("d_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("d_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("d_us")).as("s"),
+          sum(dec(col("d_us")) * dec(col("d_us"))).as("q"))
+      val mu = dbl(col("s")) / dbl(col("n_gaps"))
+      val sigma = sqrt(
+        dbl(dec(col("n_gaps")) * col("q") - dec(col("s")) * dec(col("s"))) /
+          (dbl(col("n_gaps")) * dbl(col("n_gaps") - lit(1L))))
+      g.select(
+        col("event_type"), col("n_gaps"),
+        round(mu / lit(1e6), 6).as("mean_gap_s"),
+        when(col("n_gaps") > 1L, round(sigma / lit(1e6), 6)).as("sd_gap_s"),
+        when(col("n_gaps") > 1L && sigma + mu > lit(0.0),
+          round((sigma - mu) / (sigma + mu), 6)).as("burstiness"))
+        .orderBy(col("event_type"))
+    }),
     // Trailing-7-day rolling totals via a RANGE frame over epoch day —
     // value-based framing, so calendar gaps shorten the window correctly
     // (a ROWS frame would silently span them). The window runs on the
@@ -1392,6 +1424,34 @@ object EventsQueries {
         |       min(d_us) AS min_gap_us, max(d_us) AS max_gap_us
         |FROM e WHERE d_us IS NOT NULL
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "event_burstiness" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts), event_id) AS d_us
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(d_us) AS BIGINT) AS s,
+        |         sum(CAST(d_us AS HUGEINT) * CAST(d_us AS HUGEINT)) AS q
+        |  FROM e WHERE d_us IS NOT NULL GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n_gaps, s,
+        |         CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |         CASE WHEN n_gaps > 1 THEN
+        |           sqrt(CAST(CAST(n_gaps AS HUGEINT) * q
+        |                     - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+        |                / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE)))
+        |         END AS sigma
+        |  FROM g
+        |)
+        |SELECT event_type, n_gaps,
+        |       round(mu / 1e6, 6) AS mean_gap_s,
+        |       CASE WHEN n_gaps > 1 THEN round(sigma / 1e6, 6) END AS sd_gap_s,
+        |       CASE WHEN n_gaps > 1 AND sigma + mu > 0
+        |            THEN round((sigma - mu) / (sigma + mu), 6) END AS burstiness
+        |FROM f ORDER BY event_type""".stripMargin,
     "rolling_7d" ->
       """WITH d AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,
