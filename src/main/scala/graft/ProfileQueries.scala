@@ -283,6 +283,18 @@ object ProfileQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       EvalOps.topkOverlap(d, "doc_id", col("nt"), col("nd"))
     }),
+    // Per-type volume trend: exact-OLS slope of daily event counts over
+    // the epoch-day index — "is this event stream growing or decaying,
+    // and how linearly?". One bounded (type, day) rollup feeds the same
+    // decimal-exact sufficient-stats OLS as ols_discount.
+    "volume_trend" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("day").cast("double").as("day_d"),
+          col("n_events").cast("double").as("n_d"))
+      ProfileOps.olsByGroup(daily, "event_type", "day_d", "n_d")
+    }),
     // Split-balance audit: chi-square independence of the hash split vs
     // source (densified grid so unobserved cells contribute), the "did
     // the split correlate with provenance?" pre-training check.
@@ -1327,6 +1339,35 @@ object ProfileQueries {
         |         round(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6)
         |       END AS jaccard
         |FROM g ORDER BY depth""".stripMargin,
+    "volume_trend" ->
+      """WITH d AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT grp,
+        |         CAST(trunc(CAST(day AS DOUBLE) * 100.0) AS BIGINT) AS x,
+        |         CAST(trunc(CAST(n_events AS DOUBLE) * 100.0) AS BIGINT) AS y
+        |  FROM d
+        |), g AS (
+        |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY grp
+        |)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                / CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_c,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM g ORDER BY grp""".stripMargin,
     "split_balance" -> {
       val bucket =
         s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"

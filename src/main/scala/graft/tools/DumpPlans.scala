@@ -65,6 +65,8 @@ object DumpPlans {
     "split_leakage" -> "Cross-split 8-gram contamination: session-cached shingle relation, split as a map-side hash of doc_id (never a corpus join), gram-flag aggregation + one hash join back, 3-row pair summary.",
     "score_auc" -> "Binned Mann-Whitney AUC: one min/max stats broadcast grids the scores, per-bin class counts from ONE map-side-combinable aggregation, the ECDF window and the DECIMAL pair-count fold both consume the ≤ 256-row binned relation — the global rank the exact statistic needs never happens.",
     "spend_gini" -> "Concentration audit: per-customer rollup, stats-broadcast grid, per-bin (count, min-representative) aggregation; the Lorenz running-count window and the DECIMAL term fold ride the ≤ 256-row bin relation — no sorted-cumulative-sum over customers.",
+    "score_kendall" -> "Binned Kendall tau-b: ONE corpus aggregation to the cached 64² cell relation; the densify cross and both tie margins re-read the cache; chained exclusive prefix-sum windows (south-west / north-west orientation counts) run over ≤ 4096 cells — the O(N²) pair enumeration the exact statistic implies never happens.",
+    "auc_compare" -> "Paired DeLong: ONE corpus pass to the cached ≤ 256² joint (b1, b2) cell relation; per-score margins, placement values and both U-statistics derive from the cache; the placement-covariance fold is cell-weighted with integer-nano terms — two scores compared with the same single-scan cost as one.",
     "drift_psi" -> "PSI drift: date-midpoint and value-range stats broadcast (two 1-row relations), one (bin × early) count aggregation, smoothed contributions as per-row double chains over the 16-row binned relation.",
     "benford_audit" -> "Benford audit: first digit via integer string-length arithmetic inside the scan projection (column-pruned to the price), a 9-key aggregation, expectation and chi-square contributions per row over the 9-row digit relation.")
 
