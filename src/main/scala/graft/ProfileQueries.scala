@@ -303,6 +303,14 @@ object ProfileQueries {
         Tables.documents(s, dir)
           .select(TextOps.splitExpr(col("doc_id")).as("split"), col("source")),
         "split", "source")),
+    // Sample autocorrelation of daily order revenue at lags 1..7 —
+    // integer n-scaled deviations, one lead-window pass over the bounded
+    // day grid (is there memory for the changepoint/seasonal gauges to
+    // explain?).
+    "revenue_acf" -> ((s, dir) =>
+      EvalOps.integerAcf(Tables.orders(s, dir),
+        col("o_orderdate").cast("date"),
+        (col("o_totalprice") * lit(100.0)).cast("bigint"))),
     // Exact CUSUM changepoint of daily order revenue: did the mean step,
     // and on which day? Integer D_t = n·P_t − t·T locates max |CUSUM|
     // with no float comparison; windows run over the bounded day grid.
@@ -1402,6 +1410,39 @@ object ProfileQueries {
          |             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)),
          |             6) AS chi2_contrib
          |FROM m ORDER BY split, source""".stripMargin
+    },
+    "revenue_acf" -> {
+      val leads = (1 to 7)
+        .map(l => s"lead(d, $l) OVER (ORDER BY k) AS d$l").mkString(", ")
+      val sums = (1 to 7)
+        .map(l => s"sum(d * d$l) AS num$l, CAST(count(d$l) AS BIGINT) AS np$l")
+        .mkString(", ")
+      val union = (1 to 7)
+        .map(l => s"SELECT $l AS lag, np$l AS n_pairs, num$l AS num, den FROM f")
+        .mkString(" UNION ALL ")
+      s"""WITH g AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS k,
+         |         CAST(sum(CAST(trunc(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS xs
+         |  FROM orders GROUP BY 1
+         |), w AS (
+         |  SELECT k, xs,
+         |         CAST(sum(xs) OVER () AS BIGINT) AS tot,
+         |         CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM g
+         |), dd AS (
+         |  SELECT k, CAST(n AS HUGEINT) * CAST(xs AS HUGEINT)
+         |            - CAST(tot AS HUGEINT) AS d
+         |  FROM w
+         |), l AS (
+         |  SELECT d, $leads FROM dd
+         |), f AS (
+         |  SELECT sum(d * d) AS den, $sums FROM l
+         |)
+         |SELECT lag, n_pairs,
+         |       CASE WHEN den > 0 AND n_pairs > 0
+         |            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |       END AS acf
+         |FROM ($union) ORDER BY lag""".stripMargin
     },
     "revenue_cusum" ->
       """WITH g AS (

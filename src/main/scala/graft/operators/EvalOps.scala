@@ -793,6 +793,52 @@ object EvalOps {
       round(after - before, 6).as("shift"))
   }
 
+  /** Exact sample autocorrelation of a keyed series at lags 1..maxLag —
+    * "does yesterday's revenue predict today's?", the memory gauge that
+    * decides whether [[cusumChangepoint]]'s level shifts or
+    * seasonal indices are even meaningful. r_k =
+    * Σ(x_t − x̄)(x_{t+k} − x̄) / Σ(x_t − x̄)² with the mean handled in
+    * INTEGER arithmetic: d_t = n·x_t − T is exact (the n²-scaled
+    * deviation), both the numerator and denominator scale by the same n²,
+    * so r_k is one double division over DECIMAL(38,0) sums — no float
+    * accumulation, no mean-subtraction rounding.
+    *
+    * One keyed aggregation reduces the input to the bounded period grid;
+    * ONE window pass computes all maxLag leads; the sums fold to a single
+    * row and unpivot to ≤ maxLag output rows. Output per lag, ordered:
+    * `(lag, n_pairs, acf)`; acf NULL when the series is constant
+    * (denominator 0) or shorter than the lag.
+    */
+  def integerAcf(df: DataFrame, keyQ: Column, valueQ: Column,
+                 maxLag: Int = 7): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val g = df.select(keyQ.as("k"), valueQ.cast("bigint").as("x"))
+      .groupBy(col("k")).agg(sum(col("x")).as("xs"))
+    val ord = Window.orderBy(col("k"))
+    val all = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = g.select(col("k"), col("xs"),
+      sum(col("xs")).over(all).as("tot"),
+      count(lit(1)).over(all).as("n"))
+      .withColumn("d", dec(col("n")) * dec(col("xs")) - dec(col("tot")))
+    val leads = w.select(col("d") +:
+      (1 to maxLag).map(l => lead(col("d"), l).over(ord).as(s"d$l")): _*)
+    val aggCols = sum(col("d") * col("d")).as("den") +:
+      (1 to maxLag).flatMap(l => Seq(
+        sum(col("d") * col(s"d$l")).as(s"num$l"),
+        count(col(s"d$l")).as(s"np$l")))
+    val folded = leads.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = folded.select(explode(array((1 to maxLag).map(l =>
+      struct(lit(l).as("lag"), col(s"np$l").as("n_pairs"),
+        col(s"num$l").as("num"), col("den").as("den"))): _*)).as("r"))
+    stacked.select(
+      col("r.lag").as("lag"), col("r.n_pairs").as("n_pairs"),
+      when(col("r.den") > dec(lit(0L)) && col("r.n_pairs") > 0L,
+        round(dbl(col("r.num")) / dbl(col("r.den")), 6)).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   /** Top-k agreement between two ranking signals over the same items —
     * "do the cheap and the expensive quality scores surface the same
     * head of the corpus?" — at a ladder of depths. Overlap@k is the

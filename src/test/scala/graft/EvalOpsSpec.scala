@@ -365,6 +365,39 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0 && r.isNullAt(6) && r.getDouble(5) == 0.0)
   }
 
+  test("integerAcf == brute-force mean-centered autocorrelation replay") {
+    val row = for {
+      k <- Gen.chooseNum(1, 25)
+      x <- Gen.chooseNum(-500L, 500L)
+    } yield (k, x)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Int, Long)] =>
+      val maxLag = 4
+      val df = rows.toDF("k", "x")
+      val res = graft.operators.EvalOps
+        .integerAcf(df, col("k"), col("x"), maxLag).collect()
+      val series = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+        .toSeq.sortBy(_._1).map(_._2)
+      val n = series.size
+      val tot = series.sum
+      val d = series.map(x => BigInt(n) * x - tot)
+      val den = d.map(v => v * v).sum
+      (1 to maxLag).zip(res).forall { case (lag, r) =>
+        val pairs = d.dropRight(lag).zip(d.drop(lag))
+        val num = pairs.map { case (a, b) => a * b }.sum
+        val base = r.getInt(0) == lag && r.getLong(1) == pairs.size.toLong
+        if (den == 0 || pairs.isEmpty) base && r.isNullAt(2)
+        else base &&
+          math.abs(r.getDouble(2) - (BigDecimal(num) / BigDecimal(den)).toDouble) <= 1e-6
+      }
+    }, n = 20)
+  }
+
+  test("integerAcf: a strictly alternating series has acf(1) < 0 < acf(2)") {
+    val df = (1 to 40).map(i => (i, if (i % 2 == 0) 100L else -100L)).toDF("k", "x")
+    val r = graft.operators.EvalOps.integerAcf(df, col("k"), col("x"), 2).collect()
+    assert(r(0).getDouble(2) < 0 && r(1).getDouble(2) > 0)
+  }
+
   test("cusumChangepoint == brute-force argmax |CUSUM| replay") {
     val row = for {
       k <- Gen.chooseNum(1, 30)
