@@ -318,6 +318,37 @@ object ProfileQueries {
       EvalOps.cusumChangepoint(Tables.orders(s, dir),
         col("o_orderdate").cast("date"),
         (col("o_totalprice") * lit(100.0)).cast("bigint"))),
+    // Three-rater Fleiss' kappa: do token-count, distinct-token and
+    // raw-length terciles bucket documents consistently? Terciles from
+    // ONE long-form RankOps pass (3 dims); sufficient stats from one
+    // corpus aggregation of when-flag counts — no explode, no window.
+    "rater_fleiss" -> ((s, dir) => {
+      val d = graft.operators.DedupOps.registerCache(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("nd"),
+          col("n_chars").cast("long").as("nc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val longForm = d
+        .select(col("doc_id"), posexplode(array(col("nt"), col("nd"), col("nc"))))
+        .select(col("doc_id"), (col("pos") + 1).as("dim"), col("col").as("v"))
+      val cuts = RankOps.ntileCuts(longForm, Seq("dim"), Seq("v", "doc_id"), 3)
+      def cutsFor(dim: Int, p: String) = cuts.filter(col("dim") === dim)
+        .select(col("gr_c1").as(s"${p}1"), col("gr_c2").as(s"${p}2"))
+      val rated = d
+        .crossJoin(broadcast(cutsFor(1, "a_c")))
+        .crossJoin(broadcast(cutsFor(2, "b_c")))
+        .crossJoin(broadcast(cutsFor(3, "d_c")))
+        .select(
+          RankOps.ntileBucketExpr(
+            struct(col("nt").as("v"), col("doc_id")), 3, "a_c").as("r1"),
+          RankOps.ntileBucketExpr(
+            struct(col("nd").as("v"), col("doc_id")), 3, "b_c").as("r2"),
+          RankOps.ntileBucketExpr(
+            struct(col("nc").as("v"), col("doc_id")), 3, "d_c").as("r3"))
+      EvalOps.fleissKappa(rated, Seq("r1", "r2", "r3"), 3)
+    }),
     // Language × source association: per-cell mutual-information
     // contributions over the bounded contingency (is lang confounded
     // with source before mixture weighting?).
@@ -1472,6 +1503,52 @@ object ProfileQueries {
         |       round(CAST(tot - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 100.0)
         |             - CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS shift
         |FROM best""".stripMargin,
+    "rater_fleiss" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+        |         CAST(n_chars AS BIGINT) AS nc
+        |  FROM documents
+        |), r AS (
+        |  SELECT ntile(3) OVER (ORDER BY nt, doc_id) AS r1,
+        |         ntile(3) OVER (ORDER BY nd, doc_id) AS r2,
+        |         ntile(3) OVER (ORDER BY nc, doc_id) AS r3
+        |  FROM d
+        |), c AS (
+        |  SELECT (CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+        |          + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+        |          + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS c1,
+        |         (CASE WHEN r1 = 2 THEN 1 ELSE 0 END
+        |          + CASE WHEN r2 = 2 THEN 1 ELSE 0 END
+        |          + CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS c2,
+        |         (CASE WHEN r1 = 3 THEN 1 ELSE 0 END
+        |          + CASE WHEN r2 = 3 THEN 1 ELSE 0 END
+        |          + CASE WHEN r3 = 3 THEN 1 ELSE 0 END) AS c3
+        |  FROM r
+        |), f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c1 * c1 + c2 * c2 + c3 * c3) AS BIGINT) AS a,
+        |         CAST(sum(c1) AS BIGINT) AS m1,
+        |         CAST(sum(c2) AS BIGINT) AS m2,
+        |         CAST(sum(c3) AS BIGINT) AS m3
+        |  FROM c
+        |), g AS (
+        |  SELECT n, a,
+        |         CAST(m1 AS HUGEINT) * m1 + CAST(m2 AS HUGEINT) * m2
+        |           + CAST(m3 AS HUGEINT) * m3 AS e,
+        |         CAST(a AS HUGEINT) - CAST(n AS HUGEINT) * 3 AS anr,
+        |         CAST(n AS HUGEINT) * 6 AS d1,
+        |         CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * 9 AS d2
+        |  FROM f
+        |)
+        |SELECT n AS n_items, CAST(3 AS BIGINT) AS n_raters,
+        |       round(CAST(anr AS DOUBLE) / CAST(d1 AS DOUBLE), 6) AS p_bar,
+        |       round(CAST(e AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS p_e,
+        |       CASE WHEN d2 > e THEN
+        |         round(CAST(anr * d2 - e * d1 AS DOUBLE)
+        |               / CAST(d1 * (d2 - e) AS DOUBLE), 6) END AS kappa
+        |FROM g""".stripMargin,
     "lang_source_mi" ->
       """WITH g AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab

@@ -656,6 +656,50 @@ object EvalOps {
       .orderBy(col(aCol), col(bCol))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement among r ≥ 2 raters over
+    * the ordinal label space `1..k` (the multi-rater generalization of
+    * [[cohenKappa]]: do THREE quality signals bucket documents
+    * consistently, not just two?).
+    *
+    * One corpus aggregation computes every sufficient statistic: per item
+    * the category counts n_ij (a codegen'd sum of `when` flags per
+    * category — no explode), A = Σ n_ij² and the category margins
+    * C_j ride the same agg. With D1 = N·r·(r−1) and D2 = (N·r)²,
+    * P̄ = (A − N·r)/D1, P̄e = Σ C_j²/D2 and
+    * κ = [(A − N·r)·D2 − E·D1] / [D1·(D2 − E)] — every numerator exact
+    * in DECIMAL(38,0), one double division at the end. NULL κ when
+    * the margins are degenerate (P̄e = 1). Output: one row
+    * `(n_items, n_raters, p_bar, p_e, kappa)`.
+    */
+  def fleissKappa(df: DataFrame, raterCols: Seq[String], k: Int): DataFrame = {
+    require(raterCols.size >= 2, "fleissKappa needs at least two raters")
+    val r = raterCols.size
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val cnts = (1 to k).map(j =>
+      raterCols.map(c => when(col(c) === j, 1L).otherwise(0L))
+        .reduce(_ + _).as(s"c$j"))
+    val base = df.select(cnts: _*)
+    val aRow = (1 to k).map(j => col(s"c$j") * col(s"c$j")).reduce(_ + _)
+    val aggCols = count(lit(1)).as("n") +: sum(aRow).as("a") +:
+      (1 to k).map(j => sum(col(s"c$j")).as(s"m$j"))
+    val f = base.agg(aggCols.head, aggCols.tail: _*)
+    val e = (1 to k).map(j => dec(col(s"m$j")) * dec(col(s"m$j"))).reduce(_ + _)
+    val j = f
+      .withColumn("e", e)
+      .withColumn("anr", dec(col("a")) - dec(col("n")) * lit(r.toLong))
+      .withColumn("d1", dec(col("n")) * lit((r * (r - 1)).toLong))
+      .withColumn("d2", dec(col("n")) * dec(col("n")) * lit((r * r).toLong))
+    j.select(
+      col("n").as("n_items"),
+      lit(r.toLong).as("n_raters"),
+      round(dbl(col("anr")) / dbl(col("d1")), 6).as("p_bar"),
+      round(dbl(col("e")) / dbl(col("d2")), 6).as("p_e"),
+      when(col("d2") > col("e"),
+        round(dbl(col("anr") * col("d2") - col("e") * col("d1")) /
+          dbl(col("d1") * (col("d2") - col("e"))), 6)).as("kappa"))
+  }
+
   /** Pearson chi-square independence audit between two bounded
     * categorical columns — "is the train/val/test split balanced across
     * sources, or did the hash accidentally correlate with provenance?".

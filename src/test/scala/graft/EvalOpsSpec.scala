@@ -462,6 +462,41 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("fleissKappa == brute-force multi-rater replay") {
+    val row = for {
+      a <- Gen.chooseNum(1, 3)
+      b <- Gen.chooseNum(1, 3)
+      c <- Gen.chooseNum(1, 3)
+    } yield (a, b, c)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Int, Int, Int)] =>
+      val df = rows.toDF("r1", "r2", "r3")
+      val res = graft.operators.EvalOps
+        .fleissKappa(df, Seq("r1", "r2", "r3"), 3).head()
+      val n = rows.size.toLong
+      val cnts = rows.map { case (a, b, c) =>
+        (1 to 3).map(j => Seq(a, b, c).count(_ == j).toLong) }
+      val aSum = cnts.map(_.map(x => x * x).sum).sum
+      val ms = (0 until 3).map(j => cnts.map(_(j)).sum)
+      val e = ms.map(m => BigInt(m) * m).sum
+      val anr = BigInt(aSum) - BigInt(n) * 3
+      val d1 = BigInt(n) * 6
+      val d2 = BigInt(n) * n * 9
+      val okP = math.abs(res.getDouble(2) - (BigDecimal(anr) / BigDecimal(d1)).toDouble) <= 1e-6 &&
+        math.abs(res.getDouble(3) - (BigDecimal(e) / BigDecimal(d2)).toDouble) <= 1e-6
+      val okK =
+        if (d2 <= e) res.isNullAt(4)
+        else math.abs(res.getDouble(4) -
+          (BigDecimal(anr * d2 - e * d1) / BigDecimal(d1 * (d2 - e))).toDouble) <= 1e-6
+      res.getLong(0) == n && res.getLong(1) == 3L && okP && okK
+    }, n = 20)
+  }
+
+  test("fleissKappa: unanimous non-degenerate raters give kappa = 1") {
+    val df = Seq((1, 1, 1), (2, 2, 2), (3, 3, 3), (1, 1, 1)).toDF("r1", "r2", "r3")
+    val r = graft.operators.EvalOps.fleissKappa(df, Seq("r1", "r2", "r3"), 3).head()
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("cohenKappa == brute-force contingency kappa (plain + linear-weighted)") {
     val row = for {
       a <- Gen.chooseNum(1, 3)
