@@ -26,6 +26,34 @@ object TextQueries {
     "dataset_split" -> ((s, dir) => TextOps.splitSummary(Tables.documents(s, dir))),
     // Corpus heavy-hitters: top-5 tokens per language.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir), k = 5)),
+    // Tokenizer-budget planning: share of all corpus tokens covered by
+    // the top-k vocabulary at k ∈ {10, 100, 1000, 10000}. The corpus
+    // reduces once to the cached vocab relation; the head comes from
+    // TakeOrdered (no full vocab sort in Spark), the rank window runs
+    // over ≤ 10k rows, totals broadcast.
+    "vocab_coverage" -> ((s, dir) => {
+      val vocab = graft.operators.DedupOps.registerCache(
+        Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val tot = vocab.agg(sum(col("n")).as("total_tokens"),
+        count(lit(1)).as("n_vocab"))
+      val ranked = vocab.orderBy(col("n").desc, col("tok")).limit(10000)
+        .select(col("n"), row_number()
+          .over(Window.orderBy(col("n").desc, col("tok"))).as("rank"))
+      val ks = s.range(1)
+        .select(explode(array(Seq(10, 100, 1000, 10000).map(lit): _*)).as("k"))
+      ranked.crossJoin(broadcast(ks)).filter(col("rank") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_terms"), col("covered_tokens"),
+          col("total_tokens"), col("n_vocab"),
+          round(col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6).as("coverage"))
+        .orderBy(col("k"))
+    }),
     // Count-Min sketch point queries vs exact counts (fixed 4×1024 state).
     "cms_terms" -> ((s, dir) =>
       graft.operators.SketchOps.cmsEstimate(
@@ -453,6 +481,27 @@ object TextQueries {
          |       round(avg(quality_score), 6) AS avg_score,
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), v AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_vocab FROM v
+        |), r AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+        |  FROM v
+        |), ks AS (SELECT * FROM (VALUES (10), (100), (1000), (10000)) AS x(k)),
+        |g AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(n) AS BIGINT) AS covered_tokens
+        |  FROM r CROSS JOIN ks WHERE rank <= k GROUP BY k
+        |)
+        |SELECT k, n_terms, covered_tokens, total_tokens, n_vocab,
+        |       round(CAST(covered_tokens AS DOUBLE)
+        |             / CAST(total_tokens AS DOUBLE), 6) AS coverage
+        |FROM g CROSS JOIN t ORDER BY k""".stripMargin,
     "top_terms" ->
       """WITH c AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
