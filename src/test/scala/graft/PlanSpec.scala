@@ -527,4 +527,39 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"))
     }
   }
+
+  test("session-3 audits: bounded-relation windows, no cartesian anywhere") {
+    for (q <- Seq("split_balance", "rater_fleiss", "revenue_acf",
+      "seasonal_decompose", "event_burstiness", "dup_rate_by_source",
+      "volume_trend")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: bounded relations must broadcast")
+    }
+  }
+
+  test("revenue_acf / seasonal_decompose: lead/MA windows consume the day aggregate") {
+    for (q <- Seq("revenue_acf", "seasonal_decompose")) {
+      val p = plan(q)
+      val windowIdx = p.indexOf("Window")
+      assert(windowIdx > 0, s"$q: expected windows over the day grid")
+      assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+        s"$q: window must consume the daily aggregation, not raw rows")
+    }
+  }
+
+  test("vocab_coverage: head of the vocab via TakeOrderedAndProject, not a full sort") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the 10k head must be heap top-k over the vocab relation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rater_fleiss: one flat aggregation computes all sufficient stats — no explode") {
+    val p = plan("rater_fleiss")
+    // the when-flag category counts are projections; the only Generate
+    // allowed is the RankOps long-form cut pass below the final agg
+    val finalAgg = p.indexOf("HashAggregate")
+    assert(finalAgg > 0)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
