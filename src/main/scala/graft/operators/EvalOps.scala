@@ -633,10 +633,18 @@ object EvalOps {
     * ≥ 0 up to per-cell rounding. Output per observed cell, ordered:
     * `(a, b, n_ab, mi_contrib)`.
     */
-  def categoricalMi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val g = df.select(col(aCol).as("a"), col(bCol).as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
+  def categoricalMi(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    miFromCells(
+      df.select(col(aCol).as("a"), col(bCol).as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_ab")),
+      aCol, bCol)
+
+  /** [[categoricalMi]]'s readout half from a counted `(a, b, n_ab)`
+    * contingency — shared with the streaming twin; one state relation
+    * feeds kappa + chi² + MI monitors at once.
+    */
+  def miFromCells(g: DataFrame, aCol: String, bCol: String): DataFrame = {
     val byA = Window.partitionBy(col("a"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byB = Window.partitionBy(col("b"))
@@ -716,16 +724,28 @@ object EvalOps {
     * ordered: `(a, b, n_ab, exp_n, chi2_contrib)`; the scalar statistic
     * is the trivial sum of the rows.
     */
-  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val g = DedupOps.registerCache(df
-      .select(col(aCol).as("a"), col(bCol).as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chi2FromCells(
+      df.select(col(aCol).as("a"), col(bCol).as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_ab")),
+      aCol, bCol)
+
+  /** [[chi2Independence]]'s readout half from a counted `(a, b, n_ab)`
+    * contingency — shared with the streaming twin (same split as
+    * [[cohenKappaFromCells]]).
+    */
+  def chi2FromCells(rawCells: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val g = DedupOps.registerCache(rawCells
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val dense = g.select(col("a")).distinct()
-      .crossJoin(broadcast(g.select(col("b")).distinct()))
-      .join(g, Seq("a", "b"), "left")
-      .withColumn("n_ab", coalesce(col("n_ab"), lit(0L)))
+    // fresh names on the densify legs: three branches of the same
+    // relation otherwise carry identical attribute ids, which the
+    // analyzer cannot always disambiguate (streaming memory-sink views)
+    val dense = g.select(col("a").as("da")).distinct()
+      .crossJoin(broadcast(g.select(col("b").as("db")).distinct()))
+      .join(g, col("da") === col("a") && col("db") === col("b"), "left")
+      .select(col("da").as("a"), col("db").as("b"),
+        coalesce(col("n_ab"), lit(0L)).as("n_ab"))
     val byA = Window.partitionBy(col("a"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byB = Window.partitionBy(col("b"))
@@ -947,15 +967,26 @@ object EvalOps {
     * margin is degenerate (pe = 1). Output: one row
     * `(n, po, pe, kappa, po_w, pe_w, kappa_w)`.
     */
-  def cohenKappa(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame = {
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame =
+    cohenKappaFromCells(
+      df.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_ab")),
+      k)
+
+  /** [[cohenKappa]]'s readout half, from an already-counted `(a, b,
+    * n_ab)` contingency relation. Split out so the streaming twin
+    * ([[graft.streaming.StreamingContingency]]) reads the same statistic
+    * off its incrementally-maintained cell state — the contingency is a
+    * plain keyed count (associative/commutative), the readout a pure
+    * function of it.
+    */
+  def cohenKappaFromCells(rawCells: DataFrame, k: Int): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val dbl = (c: Column) => c.cast("double")
     // the contingency feeds three branches (totals + both margins) —
-    // cache it so the corpus aggregation runs once, not per branch
-    val cells = DedupOps.registerCache(df
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
+    // cache it so the upstream aggregation runs once, not per branch
+    val cells = DedupOps.registerCache(rawCells
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wNum = lit((k - 1).toLong) - abs(col("a") - col("b"))
     val tot = cells.agg(
