@@ -875,10 +875,20 @@ object EvalOps {
     */
   def integerAcf(df: DataFrame, keyQ: Column, valueQ: Column,
                  maxLag: Int = 7): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val dbl = (c: Column) => c.cast("double")
     val g = df.select(keyQ.as("k"), valueQ.cast("bigint").as("x"))
       .groupBy(col("k")).agg(sum(col("x")).as("xs"))
+    acfFromSums(g, maxLag)
+  }
+
+  /** [[integerAcf]]'s readout half from a `(k, xs)` per-period sum
+    * relation — the SAME state [[cusumFromSums]] reads, so the streaming
+    * twin ([[graft.streaming.StreamingCusum]]) serves changepoint AND
+    * autocorrelation monitors off one incrementally-maintained
+    * aggregation.
+    */
+  def acfFromSums(g: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
     val ord = Window.orderBy(col("k"))
     val all = Window.orderBy(col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

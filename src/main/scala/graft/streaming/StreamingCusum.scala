@@ -35,4 +35,11 @@ object StreamingCusum {
     */
   def changepointFromState(state: DataFrame): DataFrame =
     graft.operators.EvalOps.cusumFromSums(state)
+
+  /** Autocorrelation readout (lags 1..maxLag) from the SAME `(k, xs)`
+    * state — one incremental aggregation serves both the level-shift and
+    * the memory monitor.
+    */
+  def acfFromState(state: DataFrame, maxLag: Int = 7): DataFrame =
+    graft.operators.EvalOps.acfFromSums(state, maxLag)
 }

@@ -48,6 +48,10 @@ class StreamingCusumSpec extends SparkSpec {
       assert(sr == br, "changepoint readout is a pure function of the state")
       assert(sr.getInt(1) == 20, s"shift injected at day 20, located ${sr.getInt(1)}")
       assert(sr.getDouble(6) > 0.0, "positive level shift must read positive")
+      val sa = StreamingCusum.acfFromState(streamState, 3).collect().toSeq
+      val ba = graft.operators.EvalOps
+        .integerAcf(all.toDF("k", "x"), col("k"), col("x"), 3).collect().toSeq
+      assert(sa == ba, "ACF readout off the same state equals the batch operator")
     } finally query.stop()
   }
 
