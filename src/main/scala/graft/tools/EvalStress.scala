@@ -105,6 +105,10 @@ object EvalStress {
       def cusumDf = EvalOps.cusumChangepoint(ord,
         col("o_orderdate").cast("date"),
         (col("o_totalprice") * lit(100.0)).cast("bigint"))
+      // deviations scale by exactly N under replication → acf invariant
+      def acfDf = EvalOps.integerAcf(ord,
+        col("o_orderdate").cast("date"),
+        (col("o_totalprice") * lit(100.0)).cast("bigint"))
 
       def run(): Seq[(String, Double)] = Seq(
         "auc" -> time(force(aucDf))._1,
@@ -113,7 +117,8 @@ object EvalStress {
         "gini" -> time(force(giniDf))._1,
         "kendall" -> time(force(kendallDf))._1,
         "auc_cmp" -> time(force(aucCmpDf))._1,
-        "cusum" -> time(force(cusumDf))._1)
+        "cusum" -> time(force(cusumDf))._1,
+        "acf" -> time(force(acfDf))._1)
       run() // warm-up
       val warm = run()
       val auc = aucDf.head().getDouble(2)
@@ -123,12 +128,13 @@ object EvalStress {
       val tau = kendallDf.head().getDouble(3)
       val cmp = aucCmpDf.head()
       val cus = cusumDf.head()
+      val acf1 = acfDf.head().getDouble(2)
       println(
         f"factor=$factor%-3d emb=$nEmb%-8d ord=$nOrd%-9d " +
           warm.map { case (n, t) => f"$n=$t%.2fs" }.mkString(" ") +
           f" | invariants: auc=$auc%.6f ece=$ece%.6f gini=$gini%.6f psi~$psi%.6f" +
           f" tau~$tau%.6f d_auc=${cmp.getDouble(4)}%.6f" +
-          f" cp=${cus.get(1)} shift=${cus.getDouble(6)}%.6f")
+          f" cp=${cus.get(1)} shift=${cus.getDouble(6)}%.6f acf1=$acf1%.6f")
     }
     spark.stop()
   }
