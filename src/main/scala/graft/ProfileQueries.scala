@@ -295,6 +295,17 @@ object ProfileQueries {
           col("n_events").cast("double").as("n_d"))
       ProfileOps.olsByGroup(daily, "event_type", "day_d", "n_d")
     }),
+    // Token-weighted median doc length per source: the length below
+    // which half the TOKEN mass sits (the unweighted median
+    // over-represents short docs when planning token budgets). Exact,
+    // via the weighted bounded-histogram two-pass — no group-scale sort.
+    "weighted_median" -> ((s, dir) =>
+      ProfileOps.weightedMedianBy(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ntok")),
+        "source", col("n_chars"), col("ntok"))
+        .select(col("grp").as("source"), col("total_w"),
+          col("wmedian").as("wmedian_chars"))),
     // Split-balance audit: chi-square independence of the hash split vs
     // source (densified grid so unobserved cells contribute), the "did
     // the split correlate with provenance?" pre-training check.
@@ -1407,6 +1418,25 @@ object ProfileQueries {
         |             / (CAST(n * sxx - sx * sx AS DOUBLE)
         |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
         |FROM g ORDER BY grp""".stripMargin,
+    "weighted_median" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, CAST(sum(w) AS BIGINT) AS tw FROM d GROUP BY 1
+        |), c AS (
+        |  SELECT source, v, CAST(sum(w) AS BIGINT) AS wv FROM d GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, v,
+        |         CAST(sum(wv) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+        |  FROM c
+        |)
+        |SELECT r.source AS source, CAST(max(tw) AS BIGINT) AS total_w,
+        |       CAST(min(CASE WHEN cum >= (tw + 1) // 2 THEN v END) AS BIGINT)
+        |         AS wmedian_chars
+        |FROM r JOIN t ON r.source = t.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "split_balance" -> {
       val bucket =
         s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"

@@ -316,6 +316,62 @@ object ProfileOps {
     * pair sees the same n — the standard complete-case matrix.
     * Output: (col_x, col_y, n, corr_r) for x < y in column-name order.
     */
+  /** Exact WEIGHTED median per group — "the document length below which
+    * half the TOKEN mass sits", the quantile a token-budget planner needs
+    * (the unweighted median over-represents short docs). Returns the
+    * smallest value v with cumulative weight ≥ ⌈W/2⌉ per group.
+    *
+    * Same bounded-window discipline as [[groupQuantiles]]/RankOps, with
+    * WEIGHT sums in place of counts: one per-group stats pass grids the
+    * values; the per-(group, bin) weight histogram locates each group's
+    * crossing bin from a ≤ nBins-row cumulative window; only the
+    * crossing-bin rows are then value-ranked (per-(group, value) rollup +
+    * a window over that boundary slice) to read the exact value. No
+    * group-scale sort ever runs. Output per group:
+    * `(grp, total_w, wmedian)`.
+    */
+  def weightedMedianBy(df: DataFrame, grpCol: String, valueQ: Column,
+                       weightQ: Column, nBins: Int = 4096): DataFrame = {
+    val base = DedupOps.registerCache(
+      df.select(col(grpCol).as("grp"), valueQ.cast("long").as("v"),
+        weightQ.cast("long").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val st = base.groupBy(col("grp"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val binned = base.join(broadcast(st), Seq("grp"))
+      .select(col("grp"), col("v"), col("w"),
+        expr(s"((v - mn) * $nBins) DIV (mx - mn + 1)").as("bin"))
+    val hist = binned.groupBy(col("grp"), col("bin")).agg(sum(col("w")).as("wb"))
+    val cumW = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val marked = hist.select(col("grp"), col("bin"), col("wb"),
+      sum(col("wb")).over(cumW).as("cum"),
+      sum(col("wb")).over(allW).as("tw"))
+      .withColumn("target", expr("(tw + 1) DIV 2"))
+    // crossing bin: the first whose cumulative weight reaches the target
+    val crossing = marked
+      .filter(col("cum") >= col("target") && col("cum") - col("wb") < col("target"))
+      .select(col("grp"), col("bin").as("xbin"),
+        (col("cum") - col("wb")).as("w_before"), col("target"), col("tw"))
+    val slice = binned
+      .join(broadcast(crossing.withColumnRenamed("grp", "xgrp")),
+        col("grp") === col("xgrp") && col("bin") === col("xbin"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(col("w")).as("wv"),
+        max(col("w_before")).as("w_before"), max(col("target")).as("target"),
+        max(col("tw")).as("tw"))
+    val cumV = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slice.select(col("grp"), col("v"), col("tw"), col("target"),
+      (col("w_before") + sum(col("wv")).over(cumV)).as("cum2"))
+      .filter(col("cum2") >= col("target"))
+      .groupBy(col("grp"))
+      .agg(max(col("tw")).as("total_w"), min(col("v")).as("wmedian"))
+      .orderBy(col("grp"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val names = cols.sorted

@@ -305,4 +305,42 @@ class ProfileEdgeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(disj == Map("added" -> 1L, "removed" -> 2L))
   }
+
+  test("weightedMedianBy == brute-force smallest value with cum weight >= ceil(W/2)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def check(p: Prop, n: Int): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+      assert(res.passed, res.status.toString)
+    }
+    val row = for {
+      g <- Gen.oneOf("s1", "s2", "s3")
+      v <- Gen.chooseNum(-100L, 100L)
+      w <- Gen.chooseNum(1L, 50L)
+    } yield (g, v, w)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(String, Long, Long)] =>
+      val df = rows.toDF("g", "v", "w")
+      val got = ProfileOps.weightedMedianBy(df, "g", col("v"), col("w"), nBins = 16)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      graft.operators.DedupOps.releaseShingleCaches()
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val tw = rs.map(_._3).sum
+        val target = (tw + 1) / 2
+        val byV = rs.groupBy(_._2).map { case (v, g2) => v -> g2.map(_._3).sum }
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        val med = byV.collectFirst {
+          case (v, wv) if { cum += wv; cum >= target } => v
+        }.get
+        g -> ((tw, med))
+      }
+      got == want
+    }, n = 20)
+  }
+
+  test("weightedMedianBy with unit weights == the plain lower median") {
+    val df = (1L to 9L).map(v => ("s", v, 1L)).toDF("g", "v", "w")
+    val r = ProfileOps.weightedMedianBy(df, "g", col("v"), col("w")).head()
+    graft.operators.DedupOps.releaseShingleCaches()
+    assert(r.getLong(1) == 9L && r.getLong(2) == 5L)
+  }
 }
