@@ -306,6 +306,16 @@ object ProfileQueries {
         "source", col("n_chars"), col("ntok"))
         .select(col("grp").as("source"), col("total_w"),
           col("wmedian").as("wmedian_chars"))),
+    // The full token-weighted length ladder per language (p25/50/75/90):
+    // all four percentiles share one stats pass, one weight histogram,
+    // and one boundary-slice window.
+    "weighted_quantiles" -> ((s, dir) =>
+      ProfileOps.weightedQuantilesBy(
+        Tables.documents(s, dir).select(col("lang"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ntok")),
+        "lang", col("n_chars"), col("ntok"), Seq(25, 50, 75, 90))
+        .select(col("grp").as("lang"), col("total_w"),
+          col("p25"), col("p50"), col("p75"), col("p90"))),
     // Split-balance audit: chi-square independence of the hash split vs
     // source (densified grid so unobserved cells contribute), the "did
     // the split correlate with provenance?" pre-training check.
@@ -1436,6 +1446,27 @@ object ProfileQueries {
         |       CAST(min(CASE WHEN cum >= (tw + 1) // 2 THEN v END) AS BIGINT)
         |         AS wmedian_chars
         |FROM r JOIN t ON r.source = t.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "weighted_quantiles" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents
+        |), t AS (
+        |  SELECT lang, CAST(sum(w) AS BIGINT) AS tw FROM d GROUP BY 1
+        |), c AS (
+        |  SELECT lang, v, CAST(sum(w) AS BIGINT) AS wv FROM d GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, v,
+        |         CAST(sum(wv) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum
+        |  FROM c
+        |)
+        |SELECT r.lang AS lang, CAST(max(tw) AS BIGINT) AS total_w,
+        |       CAST(min(CASE WHEN cum >= (25 * tw + 99) // 100 THEN v END) AS BIGINT) AS p25,
+        |       CAST(min(CASE WHEN cum >= (50 * tw + 99) // 100 THEN v END) AS BIGINT) AS p50,
+        |       CAST(min(CASE WHEN cum >= (75 * tw + 99) // 100 THEN v END) AS BIGINT) AS p75,
+        |       CAST(min(CASE WHEN cum >= (90 * tw + 99) // 100 THEN v END) AS BIGINT) AS p90
+        |FROM r JOIN t ON r.lang = t.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "split_balance" -> {
       val bucket =

@@ -331,7 +331,21 @@ object ProfileOps {
     * `(grp, total_w, wmedian)`.
     */
   def weightedMedianBy(df: DataFrame, grpCol: String, valueQ: Column,
-                       weightQ: Column, nBins: Int = 4096): DataFrame = {
+                       weightQ: Column, nBins: Int = 4096): DataFrame =
+    weightedQuantilesBy(df, grpCol, valueQ, weightQ, Seq(50), nBins)
+      .select(col("grp"), col("total_w"), col("p50").as("wmedian"))
+
+  /** The general weighted-quantile ladder behind [[weightedMedianBy]]:
+    * per group, for each p the smallest value whose cumulative weight
+    * reaches ⌈p·W/100⌉. One wide row per group:
+    * `(grp, total_w, p<ps…>)`. Every p shares the single stats pass, the
+    * single weight histogram, and one boundary-slice window — adding
+    * percentiles costs a broadcast fan-out of ≤ |ps| rows per group, not
+    * extra corpus passes.
+    */
+  def weightedQuantilesBy(df: DataFrame, grpCol: String, valueQ: Column,
+                          weightQ: Column, ps: Seq[Int],
+                          nBins: Int = 4096): DataFrame = {
     val base = DedupOps.registerCache(
       df.select(col(grpCol).as("grp"), valueQ.cast("long").as("v"),
         weightQ.cast("long").as("w"))
@@ -346,29 +360,37 @@ object ProfileOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.partitionBy(col("grp"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pRel = df.sparkSession.range(1)
+      .select(explode(array(ps.map(p => lit(p.toLong)): _*)).as("p"))
     val marked = hist.select(col("grp"), col("bin"), col("wb"),
       sum(col("wb")).over(cumW).as("cum"),
       sum(col("wb")).over(allW).as("tw"))
-      .withColumn("target", expr("(tw + 1) DIV 2"))
-    // crossing bin: the first whose cumulative weight reaches the target
+      .crossJoin(broadcast(pRel))
+      .withColumn("target", expr("(p * tw + 99) DIV 100"))
+    // crossing bin per (group, p): the first reaching that p's target
     val crossing = marked
       .filter(col("cum") >= col("target") && col("cum") - col("wb") < col("target"))
-      .select(col("grp"), col("bin").as("xbin"),
+      .select(col("grp").as("xgrp"), col("bin").as("xbin"), col("p"),
         (col("cum") - col("wb")).as("w_before"), col("target"), col("tw"))
     val slice = binned
-      .join(broadcast(crossing.withColumnRenamed("grp", "xgrp")),
+      .join(broadcast(crossing),
         col("grp") === col("xgrp") && col("bin") === col("xbin"))
-      .groupBy(col("grp"), col("v"))
+      .groupBy(col("grp"), col("p"), col("v"))
       .agg(sum(col("w")).as("wv"),
         max(col("w_before")).as("w_before"), max(col("target")).as("target"),
         max(col("tw")).as("tw"))
-    val cumV = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val cumV = Window.partitionBy(col("grp"), col("p")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    slice.select(col("grp"), col("v"), col("tw"), col("target"),
-      (col("w_before") + sum(col("wv")).over(cumV)).as("cum2"))
+    val answers = slice
+      .select(col("grp"), col("p"), col("v"), col("tw"), col("target"),
+        (col("w_before") + sum(col("wv")).over(cumV)).as("cum2"))
       .filter(col("cum2") >= col("target"))
-      .groupBy(col("grp"))
-      .agg(max(col("tw")).as("total_w"), min(col("v")).as("wmedian"))
+      .groupBy(col("grp"), col("p"))
+      .agg(max(col("tw")).as("tw"), min(col("v")).as("qv"))
+    val wide = max(col("tw")).as("total_w") +:
+      ps.map(p => max(when(col("p") === p.toLong, col("qv"))).as(s"p$p"))
+    answers.groupBy(col("grp"))
+      .agg(wide.head, wide.tail: _*)
       .orderBy(col("grp"))
   }
 

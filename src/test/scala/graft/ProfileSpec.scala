@@ -337,6 +337,40 @@ class ProfileEdgeSpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("weightedQuantilesBy == brute-force ladder at every p") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def check(p: Prop, n: Int): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+      assert(res.passed, res.status.toString)
+    }
+    val ps = Seq(25, 50, 75, 90)
+    val row = for {
+      g <- Gen.oneOf("s1", "s2")
+      v <- Gen.chooseNum(-50L, 50L)
+      w <- Gen.chooseNum(1L, 20L)
+    } yield (g, v, w)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(String, Long, Long)] =>
+      val df = rows.toDF("g", "v", "w")
+      val got = ProfileOps.weightedQuantilesBy(df, "g", col("v"), col("w"), ps, nBins = 16)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), ps.indices.map(i => r.getLong(2 + i))))
+        .toMap
+      graft.operators.DedupOps.releaseShingleCaches()
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val tw = rs.map(_._3).sum
+        val byV = rs.groupBy(_._2).map { case (v, g2) => v -> g2.map(_._3).sum }
+          .toSeq.sortBy(_._1)
+        val qs = ps.map { p =>
+          val target = (p * tw + 99) / 100
+          var cum = 0L
+          byV.collectFirst { case (v, wv) if { cum += wv; cum >= target } => v }.get
+        }
+        g -> ((tw, qs: Seq[Long]))
+      }
+      got == want
+    }, n = 20)
+  }
+
   test("weightedMedianBy with unit weights == the plain lower median") {
     val df = (1L to 9L).map(v => ("s", v, 1L)).toDF("g", "v", "w")
     val r = ProfileOps.weightedMedianBy(df, "g", col("v"), col("w")).head()
