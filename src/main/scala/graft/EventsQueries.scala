@@ -314,6 +314,37 @@ object EventsQueries {
     // shuffle; the entropy sums are nano-log integers over the ≤ |types|²
     // transition relation — exact at any parallelism, float only in the
     // final division.
+    // Entropy RATE of the event-type process: the state-frequency-weighted
+    // mean of the per-state next-event entropies, Σ_{s,t} (n_st/N)·
+    // ln(tot_s/n_st) — one scalar "how predictable is the stream", plus
+    // the ln(|states|)-normalized form. Same integer-nano log sums over
+    // the ≤ |types|² transition relation as transition_entropy.
+    "entropy_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val tc = Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tc.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+      val f = tc.join(broadcast(tot), Seq("prev_type"))
+        .agg(
+          sum(col("n")).as("n_transitions"),
+          countDistinct(col("prev_type")).as("n_states"),
+          sum(col("n") *
+            round(log(col("tot").cast("double") / col("n")) * lit(1e9)).cast("long"))
+            .as("ent_nano"))
+      val rate = col("ent_nano").cast("double") /
+        col("n_transitions").cast("double") / lit(1e9)
+      f.select(
+        col("n_transitions"), col("n_states"),
+        round(rate, 6).as("entropy_rate_nats"),
+        when(col("n_states") > 1L,
+          round(rate / log(col("n_states").cast("double")), 6))
+          .as("normalized_rate"))
+    }),
     "transition_entropy" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val tc = Tables
@@ -784,6 +815,32 @@ object EventsQueries {
         |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
+    "entropy_rate" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events
+        |), tc AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM tc GROUP BY 1
+        |), f AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+        |         CAST(count(DISTINCT tc.prev_type) AS BIGINT) AS n_states,
+        |         CAST(sum(n * CAST(round(ln(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+        |                                 * 1e9) AS BIGINT)) AS BIGINT) AS ent_nano
+        |  FROM tc JOIN tot ON tc.prev_type = tot.prev_type
+        |)
+        |SELECT n_transitions, n_states,
+        |       round(CAST(ent_nano AS DOUBLE)
+        |             / CAST(n_transitions AS DOUBLE) / 1e9, 6) AS entropy_rate_nats,
+        |       CASE WHEN n_states > 1 THEN
+        |         round(CAST(ent_nano AS DOUBLE)
+        |               / CAST(n_transitions AS DOUBLE) / 1e9
+        |               / ln(CAST(n_states AS DOUBLE)), 6) END AS normalized_rate
+        |FROM f""".stripMargin,
     "transition_entropy" ->
       """WITH l AS (
         |  SELECT event_type,
