@@ -131,6 +131,17 @@ object ProfileQueries {
     // oracle-reproducible).
     "feature_corr" -> ((s, dir) =>
       ProfileOps.corrMatrix(Tables.lineitem(s, dir), ProfiledCols)),
+    // The same decimal-exact correlation matrix over DOCUMENT quality
+    // signals (chars / tokens / distinct tokens) — are the cheap signals
+    // redundant with each other before anyone weights by them?
+    "doc_signal_corr" -> ((s, dir) =>
+      ProfileOps.corrMatrix(
+        Tables.documents(s, dir).select(
+          col("n_chars").cast("double").as("n_chars"),
+          size(array_distinct(TextOps.tokens(col("text"))))
+            .cast("double").as("n_distinct"),
+          size(TextOps.tokens(col("text"))).cast("double").as("n_tokens")),
+        Seq("n_chars", "n_distinct", "n_tokens"))),
     // Compaction planning over documents-as-files: 4000-byte target bins
     // per source via one exclusive-prefix-sum window (no driver loop).
     "compaction_bins" -> ((s, dir) =>
@@ -784,6 +795,45 @@ object ProfileQueries {
       s"""WITH b AS (
          |  SELECT $melt
          |  FROM lineitem
+         |  WHERE $guard
+         |), g AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |         $sums
+         |  FROM b
+         |)
+         |$branches
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+    "doc_signal_corr" -> {
+      // same generator shape as feature_corr, over the derived doc signals
+      val exprs = Seq( // sorted by signal name (corrMatrix output order)
+        "n_chars" -> "CAST(n_chars AS DOUBLE)",
+        "n_distinct" -> "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)",
+        "n_tokens" -> "CAST(len(string_split(text, ' ')) AS DOUBLE)")
+      val v = exprs.indices.map(i => s"v$i")
+      val melt = exprs.zip(v).map { case ((_, e), vi) =>
+        s"CAST(trunc(($e) * 100.0) AS BIGINT) AS $vi"
+      }.mkString(", ")
+      val guard = exprs.map { case (_, e) =>
+        s"($e) IS NOT NULL AND NOT isnan($e)"
+      }.mkString(" AND ")
+      val sums =
+        v.map(vi => s"sum(CAST($vi AS HUGEINT)) AS s_$vi").mkString(", ") + ", " +
+          (for { i <- v.indices; j <- i until v.size }
+            yield s"sum(CAST(${v(i)} AS HUGEINT) * ${v(j)}) AS p_${v(i)}_${v(j)}")
+            .mkString(", ")
+      val branches = (for { i <- v.indices; j <- (i + 1) until v.size } yield {
+        val (a, b) = (v(i), v(j))
+        s"""SELECT '${exprs(i)._1}' AS col_x, '${exprs(j)._1}' AS col_y,
+           |       CAST(n AS BIGINT) AS n,
+           |       round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE)
+           |             / sqrt(CAST(n * p_${a}_$a - s_$a * s_$a AS DOUBLE)
+           |                    * CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6) AS corr_r
+           |FROM g""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH b AS (
+         |  SELECT $melt
+         |  FROM documents
          |  WHERE $guard
          |), g AS (
          |  SELECT CAST(count(*) AS HUGEINT) AS n,
