@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.operators.{DeltaOps, EvalOps, LayoutOps, ProfileOps, RankOps, TextOps, TrainsetOps}
 import graft.sources.Tables
 
@@ -136,11 +137,12 @@ object ProfileQueries {
     // redundant with each other before anyone weights by them?
     "doc_signal_corr" -> ((s, dir) =>
       ProfileOps.corrMatrix(
-        Tables.documents(s, dir).select(
-          col("n_chars").cast("double").as("n_chars"),
-          size(array_distinct(TextOps.tokens(col("text"))))
-            .cast("double").as("n_distinct"),
-          size(TextOps.tokens(col("text"))).cast("double").as("n_tokens")),
+        Tables.documents(s, dir)
+          .select(col("n_chars"), GraftFunctions.tokenCounts(col("text")).as("tc"))
+          .select(
+            col("n_chars").cast("double").as("n_chars"),
+            col("tc.n_distinct").cast("double").as("n_distinct"),
+            col("tc.n_tokens").cast("double").as("n_tokens")),
         Seq("n_chars", "n_distinct", "n_tokens"))),
     // Compaction planning over documents-as-files: 4000-byte target bins
     // per source via one exclusive-prefix-sum window (no driver loop).
@@ -260,10 +262,11 @@ object ProfileQueries {
     // score relation.
     "rater_kappa" -> ((s, dir) => {
       val d = graft.operators.DedupOps.registerCache(
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("nt"),
-          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("nd"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), GraftFunctions.tokenCounts(col("text")).as("tc"))
+          .select(col("doc_id"),
+            col("tc.n_tokens").cast("long").as("nt"),
+            col("tc.n_distinct").cast("long").as("nd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val longForm = d
         .select(col("doc_id"), posexplode(array(col("nt"), col("nd"))))
@@ -287,10 +290,11 @@ object ProfileQueries {
     // sort; corpus tokenized once via the cached score relation).
     "topk_overlap" -> ((s, dir) => {
       val d = graft.operators.DedupOps.registerCache(
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("nt"),
-          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("nd"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), GraftFunctions.tokenCounts(col("text")).as("tc"))
+          .select(col("doc_id"),
+            col("tc.n_tokens").cast("long").as("nt"),
+            col("tc.n_distinct").cast("long").as("nd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       EvalOps.topkOverlap(d, "doc_id", col("nt"), col("nd"))
     }),
@@ -313,7 +317,8 @@ object ProfileQueries {
     "weighted_median" -> ((s, dir) =>
       ProfileOps.weightedMedianBy(
         Tables.documents(s, dir).select(col("source"), col("n_chars"),
-          size(TextOps.tokens(col("text"))).cast("long").as("ntok")),
+          GraftFunctions.tokenCounts(col("text"))
+            .getField("n_tokens").cast("long").as("ntok")),
         "source", col("n_chars"), col("ntok"))
         .select(col("grp").as("source"), col("total_w"),
           col("wmedian").as("wmedian_chars"))),
@@ -323,7 +328,8 @@ object ProfileQueries {
     "weighted_quantiles" -> ((s, dir) =>
       ProfileOps.weightedQuantilesBy(
         Tables.documents(s, dir).select(col("lang"), col("n_chars"),
-          size(TextOps.tokens(col("text"))).cast("long").as("ntok")),
+          GraftFunctions.tokenCounts(col("text"))
+            .getField("n_tokens").cast("long").as("ntok")),
         "lang", col("n_chars"), col("ntok"), Seq(25, 50, 75, 90))
         .select(col("grp").as("lang"), col("total_w"),
           col("p25"), col("p50"), col("p75"), col("p90"))),
@@ -356,11 +362,13 @@ object ProfileQueries {
     // corpus aggregation of when-flag counts — no explode, no window.
     "rater_fleiss" -> ((s, dir) => {
       val d = graft.operators.DedupOps.registerCache(
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("nt"),
-          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("nd"),
-          col("n_chars").cast("long").as("nc"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            GraftFunctions.tokenCounts(col("text")).as("tc"))
+          .select(col("doc_id"),
+            col("tc.n_tokens").cast("long").as("nt"),
+            col("tc.n_distinct").cast("long").as("nd"),
+            col("n_chars").cast("long").as("nc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val longForm = d
         .select(col("doc_id"), posexplode(array(col("nt"), col("nd"), col("nc"))))

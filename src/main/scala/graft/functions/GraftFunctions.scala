@@ -18,6 +18,7 @@ object GraftFunctions {
   val HASH60 = "graft_hash60"
   val HASH60B = "graft_hash60b"
   val REPETITION = "graft_repetition"
+  val TOKEN_COUNTS = "graft_token_counts"
 
   /** Idempotent per-session registration (called from SparkEntry.tune) —
     * skips names already present so repeated tune() calls (one per query
@@ -33,6 +34,7 @@ object GraftFunctions {
     registerOnce(HASH60, exprs => Hash60Expr(exprs(0)))
     registerOnce(HASH60B, exprs => Hash60Expr(exprs(0), second = true))
     registerOnce(REPETITION, exprs => RepetitionStatsExpr(exprs(0)))
+    registerOnce(TOKEN_COUNTS, exprs => TokenCountsExpr(exprs(0)))
     registerOnce(WINNOW, {
       case Seq(t) => WinnowFingerprintsExpr(t)
       case Seq(t, k, w) => // literal-int k/w (plan-time constants)
@@ -62,6 +64,12 @@ object GraftFunctions {
     * n_5grams, n_distinct_5)` in one pass (codegen'd).
     */
   def repetitionStats(text: Column): Column = call_function(REPETITION, text)
+
+  /** `(n_tokens, n_distinct)` of a text column in one compiled pass
+    * (codegen'd). Declarative twin: `size(split(...))` +
+    * `size(array_distinct(split(...)))` — two array materializations.
+    */
+  def tokenCounts(text: Column): Column = call_function(TOKEN_COUNTS, text)
 
   /** Reference implementation with built-in higher-order functions —
     * interpreted, kept for cross-checking the native expression in tests

@@ -103,6 +103,31 @@ class TextSpec extends SparkSpec {
     native.zip(decl).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("tokenCounts: native kernel equals size(split) / size(array_distinct(split))") {
+    val edges = Seq(
+      (9001L, ""),
+      (9002L, "one"),
+      (9003L, "a  b   c"),
+      (9004L, "x x x x x"),
+      (9005L, "日本 語 の 日本 語 の テスト"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionAll(edges)
+    val native = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenCounts(col("text")).as("tc"))
+      .select(col("doc_id"), col("tc.n_tokens"), col("tc.n_distinct"))
+      .orderBy(col("doc_id")).collect()
+    val decl = docs
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(TextOps.tokens(col("text")))).as("n_distinct"))
+      .orderBy(col("doc_id")).collect()
+    assert(native.length == decl.length)
+    native.zip(decl).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
   test("winnowing: short docs fingerprint to empty") {
     import org.apache.spark.sql.functions._
     val fp = Seq((1L, "abcdefg"))
