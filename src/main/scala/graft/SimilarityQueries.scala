@@ -57,6 +57,18 @@ object SimilarityQueries {
     "embed_prototypes" -> ((s, dir) =>
       graft.operators.KMeansOps.prototypeSummary(
         Tables.embeddings(s, dir), k = KmK, iters = KmIters)),
+    // Do the k-means clusters recover the labels beyond chance? Adjusted
+    // Rand Index between the same deterministic fit's assignment and the
+    // label column — integer pair-counting over the 8×|labels|
+    // contingency.
+    "cluster_ari" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = graft.operators.KMeansOps.fitAssign(e, k = KmK, iters = KmIters)
+        .select(col("vec_id"), col("cid"))
+      graft.operators.EvalOps.adjustedRandIndex(
+        a.join(e.select(col("vec_id"), col("label")), Seq("vec_id")),
+        "cid", "label")
+    }),
     // SemDeDup: the same k-means fit, then near-dup pruning ONLY within a
     // cluster — the scale path for embedding dedup (dedup_embedding is the
     // exact all-pairs baseline it approximates). Threshold matches the
@@ -363,6 +375,33 @@ object SimilarityQueries {
          |       CAST(sum(CASE WHEN rk > n_keep THEN CAST(dist AS BIGINT) ELSE 0 END)
          |            AS BIGINT) AS pruned_dist
          |FROM kk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cluster_ari" ->
+      s"""$kmeansWithChain, lab AS (
+         |  SELECT a.cid, e.label FROM aF a JOIN embeddings e ON a.vec_id = e.vec_id
+         |), cc AS (
+         |  SELECT cid, label, CAST(count(*) AS BIGINT) AS n_ab FROM lab GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(sum(n_ab) AS BIGINT) AS n,
+         |         CAST(count(DISTINCT cid) AS BIGINT) AS ka,
+         |         CAST(count(DISTINCT label) AS BIGINT) AS kb,
+         |         sum(CAST(n_ab AS HUGEINT) * (n_ab - 1)) AS x
+         |  FROM cc
+         |), maA AS (
+         |  SELECT sum(CAST(n_a AS HUGEINT) * (n_a - 1)) AS aa
+         |  FROM (SELECT CAST(sum(n_ab) AS BIGINT) AS n_a FROM cc GROUP BY cid)
+         |), mbB AS (
+         |  SELECT sum(CAST(n_b AS HUGEINT) * (n_b - 1)) AS bb
+         |  FROM (SELECT CAST(sum(n_ab) AS BIGINT) AS n_b FROM cc GROUP BY label)
+         |), f AS (
+         |  SELECT n, ka, kb, x, aa, bb,
+         |         CAST(n AS HUGEINT) * (n - 1) AS n2
+         |  FROM tot CROSS JOIN maA CROSS JOIN mbB
+         |)
+         |SELECT n, ka AS n_parts_a, kb AS n_parts_b,
+         |       CASE WHEN n2 * (aa + bb) - 2 * aa * bb <> 0 THEN
+         |         round(2.0 * CAST(x * n2 - aa * bb AS DOUBLE)
+         |               / CAST(n2 * (aa + bb) - 2 * aa * bb AS DOUBLE), 6) END AS ari
+         |FROM f""".stripMargin,
     "dedup_semantic" ->
       s"""$kmeansWithChain, e2 AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -708,6 +708,46 @@ object EvalOps {
           dbl(col("d1") * (col("d2") - col("e"))), 6)).as("kappa"))
   }
 
+  /** Adjusted Rand Index between two partitions of the same items — "do
+    * the k-means clusters recover the labels beyond chance?", the
+    * clustering-evaluation twin of [[cohenKappa]] (kappa needs a SHARED
+    * label space; ARI compares arbitrary partitions). Pair-counting
+    * identity, all-integer: with X = Σ_ij n_ij(n_ij−1),
+    * A = Σ_i a_i(a_i−1), B = Σ_j b_j(b_j−1), N2 = n(n−1),
+    * ARI = 2(X·N2 − A·B) / (N2(A+B) − 2AB) — DECIMAL(38,0)-exact
+    * numerators, one double division. NULL when the denominator is 0
+    * (both partitions trivial). One grouped count over the bounded
+    * contingency; margins from the ≤ |A|·|B| cell relation. Output: one
+    * row `(n, n_parts_a, n_parts_b, ari)`.
+    */
+  def adjustedRandIndex(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val cells = DedupOps.registerCache(df
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = cells.agg(
+      sum(col("n_ab")).as("n"),
+      countDistinct(col("a")).as("ka"),
+      countDistinct(col("b")).as("kb"),
+      sum(dec(col("n_ab")) * dec(col("n_ab") - lit(1L))).as("x"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+      .agg(sum(dec(col("n_a")) * dec(col("n_a") - lit(1L))).as("aa"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+      .agg(sum(dec(col("n_b")) * dec(col("n_b") - lit(1L))).as("bb"))
+    val j = tot.crossJoin(ma).crossJoin(mb)
+      .withColumn("n2", dec(col("n")) * dec(col("n") - lit(1L)))
+      .withColumn("den",
+        col("n2") * (col("aa") + col("bb")) - lit(2L) * col("aa") * col("bb"))
+    j.select(
+      col("n"), col("ka").as("n_parts_a"), col("kb").as("n_parts_b"),
+      when(col("den") =!= dec(lit(0L)),
+        round(lit(2.0) * dbl(col("x") * col("n2") - col("aa") * col("bb")) /
+          dbl(col("den")), 6)).as("ari"))
+  }
+
   /** Pearson chi-square independence audit between two bounded
     * categorical columns — "is the train/val/test split balanced across
     * sources, or did the hash accidentally correlate with provenance?".

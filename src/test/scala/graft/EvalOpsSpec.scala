@@ -462,6 +462,40 @@ class EvalOpsSpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("adjustedRandIndex == brute-force pair-counting replay") {
+    val row = for {
+      a <- Gen.chooseNum(1, 4)
+      b <- Gen.chooseNum(1, 3)
+    } yield (a, b)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Int, Int)] =>
+      val df = rows.toDF("pa", "pb")
+      val r = graft.operators.EvalOps.adjustedRandIndex(df, "pa", "pb").head()
+      graft.operators.DedupOps.releaseShingleCaches()
+      val n = rows.size.toLong
+      val cells = rows.groupBy(identity).map { case (_, g) => g.size.toLong }
+      val x = cells.map(c => BigInt(c) * (c - 1)).sum
+      val aa = rows.groupBy(_._1).map { case (_, g) =>
+        BigInt(g.size) * (g.size - 1) }.sum
+      val bb = rows.groupBy(_._2).map { case (_, g) =>
+        BigInt(g.size) * (g.size - 1) }.sum
+      val n2 = BigInt(n) * (n - 1)
+      val den = n2 * (aa + bb) - 2 * aa * bb
+      val base = r.getLong(0) == n &&
+        r.getLong(1) == rows.map(_._1).distinct.size.toLong &&
+        r.getLong(2) == rows.map(_._2).distinct.size.toLong
+      if (den == 0) base && r.isNullAt(3)
+      else base && math.abs(r.getDouble(3) -
+        (BigDecimal(2 * (x * n2 - aa * bb)) / BigDecimal(den)).toDouble) <= 1e-6
+    }, n = 20)
+  }
+
+  test("adjustedRandIndex: identical partitions give ari = 1") {
+    val df = Seq((1, 10), (1, 10), (2, 20), (3, 30), (3, 30)).toDF("pa", "pb")
+    val r = graft.operators.EvalOps.adjustedRandIndex(df, "pa", "pb").head()
+    graft.operators.DedupOps.releaseShingleCaches()
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("fleissKappa == brute-force multi-rater replay") {
     val row = for {
       a <- Gen.chooseNum(1, 3)
