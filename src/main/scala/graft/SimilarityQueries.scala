@@ -69,6 +69,17 @@ object SimilarityQueries {
         a.join(e.select(col("vec_id"), col("label")), Seq("vec_id")),
         "cid", "label")
     }),
+    // ARI's information-theoretic companion on the same fit: normalized
+    // mutual information between clusters and labels (integer-nano
+    // entropies; the N·1e9 scale cancels in the ratio).
+    "cluster_nmi" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = graft.operators.KMeansOps.fitAssign(e, k = KmK, iters = KmIters)
+        .select(col("vec_id"), col("cid"))
+      graft.operators.EvalOps.nmiFromPartitions(
+        a.join(e.select(col("vec_id"), col("label")), Seq("vec_id")),
+        "cid", "label")
+    }),
     // SemDeDup: the same k-means fit, then near-dup pruning ONLY within a
     // cluster — the scale path for embedding dedup (dedup_embedding is the
     // exact all-pairs baseline it approximates). Threshold matches the
@@ -402,6 +413,45 @@ object SimilarityQueries {
          |         round(2.0 * CAST(x * n2 - aa * bb AS DOUBLE)
          |               / CAST(n2 * (aa + bb) - 2 * aa * bb AS DOUBLE), 6) END AS ari
          |FROM f""".stripMargin,
+    "cluster_nmi" ->
+      s"""$kmeansWithChain, lab AS (
+         |  SELECT a.cid, e.label FROM aF a JOIN embeddings e ON a.vec_id = e.vec_id
+         |), cc AS (
+         |  SELECT cid, label, CAST(count(*) AS BIGINT) AS n_ab FROM lab GROUP BY 1, 2
+         |), wn AS (
+         |  SELECT n_ab,
+         |         CAST(sum(n_ab) OVER (PARTITION BY cid) AS BIGINT) AS n_a,
+         |         CAST(sum(n_ab) OVER (PARTITION BY label) AS BIGINT) AS n_b,
+         |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
+         |  FROM cc
+         |), i AS (
+         |  SELECT CAST(max(n) AS BIGINT) AS n,
+         |         CAST(sum(n_ab * CAST(round(ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+         |                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         |                        * 1e9) AS BIGINT)) AS BIGINT) AS mi_nano
+         |  FROM wn
+         |), ha AS (
+         |  SELECT CAST(sum(nm * CAST(round(ln(CAST(nt AS DOUBLE) / CAST(nm AS DOUBLE))
+         |                        * 1e9) AS BIGINT)) AS BIGINT) AS ha_nano
+         |  FROM (SELECT CAST(sum(n_ab) AS BIGINT) AS nm,
+         |               CAST(sum(sum(n_ab)) OVER () AS BIGINT) AS nt
+         |        FROM cc GROUP BY cid)
+         |), hb AS (
+         |  SELECT CAST(sum(nm * CAST(round(ln(CAST(nt AS DOUBLE) / CAST(nm AS DOUBLE))
+         |                        * 1e9) AS BIGINT)) AS BIGINT) AS hb_nano
+         |  FROM (SELECT CAST(sum(n_ab) AS BIGINT) AS nm,
+         |               CAST(sum(sum(n_ab)) OVER () AS BIGINT) AS nt
+         |        FROM cc GROUP BY label)
+         |)
+         |SELECT n,
+         |       round(CAST(ha_nano AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 6) AS h_a,
+         |       round(CAST(hb_nano AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 6) AS h_b,
+         |       round(CAST(mi_nano AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 6) AS mi,
+         |       CASE WHEN ha_nano > 0 AND hb_nano > 0 THEN
+         |         round(CAST(mi_nano AS DOUBLE)
+         |               / sqrt(CAST(ha_nano AS DOUBLE) * CAST(hb_nano AS DOUBLE)), 6)
+         |       END AS nmi
+         |FROM i CROSS JOIN ha CROSS JOIN hb""".stripMargin,
     "dedup_semantic" ->
       s"""$kmeansWithChain, e2 AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

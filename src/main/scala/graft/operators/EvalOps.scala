@@ -748,6 +748,61 @@ object EvalOps {
           dbl(col("den")), 6)).as("ari"))
   }
 
+  /** Normalized Mutual Information between two partitions of the same
+    * items — [[adjustedRandIndex]]'s information-theoretic companion
+    * (ARI counts pairs; NMI measures shared bits):
+    * NMI = I(A;B)/√(H(A)·H(B)).
+    *
+    * All three quantities use the repo's integer-nano log convention
+    * (per-cell/margin terms `count · round(ln(ratio)·1e9)` summed as
+    * BIGINT — merge-order-free): I = Σ n_ab·ln(n_ab·N/(n_a·n_b))/N,
+    * H(A) = Σ n_a·ln(N/n_a)/N. The N·1e9 scale cancels in the ratio, so
+    * NMI = I_sum/√(HA_sum·HB_sum) exactly as summed. NULL when either
+    * partition is trivial (zero entropy). One grouped count over the
+    * bounded contingency; margins ride windows on the cell relation.
+    * Output: one row `(n, h_a, h_b, mi, nmi)` (nats, rounded 6).
+    */
+  def nmiFromPartitions(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val cells = DedupOps.registerCache(df
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val byA = Window.partitionBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byB = Window.partitionBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def nanoLn(c: Column): Column = round(log(c) * lit(1e9)).cast("long")
+    val iSum = cells
+      .select(col("n_ab"),
+        sum(col("n_ab")).over(byA).as("n_a"),
+        sum(col("n_ab")).over(byB).as("n_b"),
+        sum(col("n_ab")).over(all).as("n"))
+      .agg(
+        max(col("n")).as("n"),
+        sum(col("n_ab") *
+          nanoLn(dbl(col("n_ab")) * dbl(col("n")) /
+            (dbl(col("n_a")) * dbl(col("n_b"))))).as("mi_nano"))
+    def entSum(mCol: String, name: String): DataFrame = {
+      val m = cells.groupBy(col(mCol)).agg(sum(col("n_ab")).as("nm"))
+      m.crossJoin(broadcast(m.agg(sum(col("nm")).as("nt"))))
+        .agg(sum(col("nm") * nanoLn(dbl(col("nt")) / dbl(col("nm")))).as(name))
+    }
+    val j = iSum.crossJoin(entSum("a", "ha_nano")).crossJoin(entSum("b", "hb_nano"))
+    val nats = (c: Column) => dbl(c) / dbl(col("n")) / lit(1e9)
+    j.select(
+      col("n"),
+      round(nats(col("ha_nano")), 6).as("h_a"),
+      round(nats(col("hb_nano")), 6).as("h_b"),
+      round(nats(col("mi_nano")), 6).as("mi"),
+      when(col("ha_nano") > 0L && col("hb_nano") > 0L,
+        round(dbl(col("mi_nano")) /
+          sqrt(dbl(col("ha_nano")) * dbl(col("hb_nano"))), 6)).as("nmi"))
+  }
+
   /** Pearson chi-square independence audit between two bounded
     * categorical columns — "is the train/val/test split balanced across
     * sources, or did the hash accidentally correlate with provenance?".

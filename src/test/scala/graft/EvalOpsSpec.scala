@@ -496,6 +496,42 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("nmiFromPartitions == brute-force integer-nano replay") {
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val row = for {
+      a <- Gen.chooseNum(1, 4)
+      b <- Gen.chooseNum(1, 3)
+    } yield (a, b)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Int, Int)] =>
+      val df = rows.toDF("pa", "pb")
+      val r = graft.operators.EvalOps.nmiFromPartitions(df, "pa", "pb").head()
+      graft.operators.DedupOps.releaseShingleCaches()
+      val n = rows.size.toLong
+      val cells = rows.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val ma = rows.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+      val mb = rows.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+      val miN = cells.map { case ((a, b), c) =>
+        c * nano(math.log(c.toDouble * n / (ma(a).toDouble * mb(b)))) }.sum
+      val haN = ma.values.map(m => m * nano(math.log(n.toDouble / m))).sum
+      val hbN = mb.values.map(m => m * nano(math.log(n.toDouble / m))).sum
+      val base = r.getLong(0) == n &&
+        math.abs(r.getDouble(1) - haN.toDouble / n / 1e9) <= 1e-6 &&
+        math.abs(r.getDouble(2) - hbN.toDouble / n / 1e9) <= 1e-6 &&
+        math.abs(r.getDouble(3) - miN.toDouble / n / 1e9) <= 1e-6
+      if (haN <= 0 || hbN <= 0) base && r.isNullAt(4)
+      else base && math.abs(r.getDouble(4) -
+        miN.toDouble / math.sqrt(haN.toDouble * hbN.toDouble)) <= 1e-6
+    }, n = 20)
+  }
+
+  test("nmiFromPartitions: identical non-trivial partitions give nmi = 1") {
+    val df = Seq((1, 10), (1, 10), (2, 20), (3, 30), (3, 30)).toDF("pa", "pb")
+    val r = graft.operators.EvalOps.nmiFromPartitions(df, "pa", "pb").head()
+    graft.operators.DedupOps.releaseShingleCaches()
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("fleissKappa == brute-force multi-rater replay") {
     val row = for {
       a <- Gen.chooseNum(1, 3)
