@@ -69,6 +69,12 @@ object SimilarityQueries {
         a.join(e.select(col("vec_id"), col("label")), Seq("vec_id")),
         "cid", "label")
     }),
+    // Cluster-quality gauge on the same fit: simplified silhouette
+    // (centroid-distance form — the O(n·k) statistic, exact integer
+    // micro² distances, nano-quantized per-vector scores).
+    "cluster_silhouette" -> ((s, dir) =>
+      graft.operators.KMeansOps.silhouetteSummary(
+        Tables.embeddings(s, dir), k = KmK, iters = KmIters)),
     // ARI's information-theoretic companion on the same fit: normalized
     // mutual information between clusters and labels (integer-nano
     // entropies; the N·1e9 scale cancels in the ratio).
@@ -413,6 +419,22 @@ object SimilarityQueries {
          |         round(2.0 * CAST(x * n2 - aa * bb AS DOUBLE)
          |               / CAST(n2 * (aa + bb) - 2 * aa * bb AS DOUBLE), 6) END AS ari
          |FROM f""".stripMargin,
+    "cluster_silhouette" ->
+      s"""$kmeansWithChain, alt AS (
+         |  SELECT d.vec_id, min(d.dist) AS b
+         |  FROM dF d JOIN aF ON d.vec_id = aF.vec_id AND d.cid <> aF.cid
+         |  GROUP BY 1
+         |), sv AS (
+         |  SELECT aF.cid,
+         |         CAST(round(CASE WHEN greatest(aF.dist, alt.b) > 0
+         |                    THEN (alt.b - aF.dist) / greatest(aF.dist, alt.b)
+         |                    ELSE 0 END * 1e9) AS BIGINT) AS s_nano
+         |  FROM aF JOIN alt ON aF.vec_id = alt.vec_id
+         |)
+         |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       round(CAST(sum(s_nano) AS DOUBLE) / count(*) / 1e9, 6)
+         |         AS mean_silhouette
+         |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
     "cluster_nmi" ->
       s"""$kmeansWithChain, lab AS (
          |  SELECT a.cid, e.label FROM aF a JOIN embeddings e ON a.vec_id = e.vec_id

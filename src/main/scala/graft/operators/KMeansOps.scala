@@ -116,6 +116,53 @@ object KMeansOps {
     best
   }
 
+  /** Simplified silhouette per cluster — cohesion vs separation with
+    * CENTROID distances standing in for mean pairwise distances
+    * (Hruschka et al.'s simplified silhouette: s = (b − a)/max(a, b)
+    * with a = ‖v − c_own‖², b = min over other centroids — the O(n·k)
+    * form of the O(n²) statistic, the only one that scales). Distances
+    * are the fit's exact integer micro² values; per-vector s is
+    * integer-nano quantized before the cluster mean (merge-order-free).
+    * Output per cluster, ordered: `(cluster_id, n_vecs,
+    * mean_silhouette)`.
+    */
+  def silhouetteSummary(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val vecs = quantize(embeddings)
+    var cents = DedupOps.registerCache(seeds(vecs, k).persist(StorageLevel.MEMORY_AND_DISK))
+    cents.count()
+    for (i <- 1 until iters) {
+      cents = DedupOps.registerCache(
+        update(vecs, assign(vecs, cents)).persist(StorageLevel.MEMORY_AND_DISK))
+      cents.count()
+    }
+    val c = broadcast(
+      cents.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+    def dists = vecs.crossJoin(c).select(
+      col("vec_id"), col("cid"),
+      (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
+        .as("dist"))
+    val best = dists.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("acid"), col("m.dist").as("a"))
+    val sv = dists.join(best, Seq("vec_id"))
+      .filter(col("cid") =!= col("acid"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("acid")).as("acid"), max(col("a")).as("a"),
+        min(col("dist")).as("b"))
+      .select(col("acid"),
+        round(
+          when(greatest(col("a"), col("b")) > 0.0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+            .otherwise(0.0) * lit(1e9)).cast("long").as("s_nano"))
+    sv.groupBy(col("acid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_nano")).as("sn"))
+      .select(col("acid").as("cluster_id"), col("n_vecs"),
+        round(col("sn").cast("double") / col("n_vecs").cast("double") / lit(1e9), 6)
+          .as("mean_silhouette"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** [[fitAssign]] summarized: `(cluster_id, n_vecs, inertia)` per
     * surviving cluster.
     */

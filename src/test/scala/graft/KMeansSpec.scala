@@ -33,6 +33,26 @@ class KMeansSpec extends SparkSpec {
     assert(byCluster == Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
   }
 
+  test("silhouette: well-separated blobs score near 1; scores bounded in [-1, 1]") {
+    val emb = Seq(
+      (1L, Array(0.10f, 0.10f, 0.10f, 0.10f)),
+      (2L, Array(0.11f, 0.10f, 0.10f, 0.10f)),
+      (3L, Array(0.10f, 0.11f, 0.10f, 0.10f)),
+      (4L, Array(0.90f, 0.90f, 0.90f, 0.90f)),
+      (5L, Array(0.91f, 0.90f, 0.90f, 0.90f)),
+      (6L, Array(0.90f, 0.91f, 0.90f, 0.90f)))
+      .toDF("vec_id", "embedding")
+    val rows = KMeansOps.silhouetteSummary(emb, k = 2, iters = 2).collect()
+    DedupOps.releaseShingleCaches()
+    assert(rows.length == 2 && rows.map(_.getLong(1)).sum == 6L)
+    assert(rows.forall(_.getDouble(2) > 0.9),
+      s"separated blobs must score near 1: ${rows.mkString(",")}")
+    val sf = KMeansOps.silhouetteSummary(
+      Tables.embeddings(spark, TestSpark.sf0001), k = 8, iters = 2).collect()
+    DedupOps.releaseShingleCaches()
+    assert(sf.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("kmeans is partitioning-invariant (exact integer arithmetic)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val a = KMeansOps.fitSummary(emb, k = 8, iters = 2).collect().toSeq
