@@ -162,6 +162,26 @@ object EventsQueries {
           col("event_type") === "purchase"),
         maxGap = 86400000000L) // 24h in microseconds
     }),
+    // Funnel LATENCY, not just conversion: exact rank-interpolated
+    // quartiles (+p90) of the per-user stage-to-stage lags for funnel
+    // completers — "how long does view→purchase actually take". Reuses
+    // FunnelOps.stageTimes and the groupQuantiles bounded-rank machinery.
+    "conversion_lag" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val st = graft.operators.FunnelOps.stageTimes(
+        ev, "user_id", "ts_us",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        maxGap = 86400000000L)
+      val j = st(0).join(st(1), Seq("user_id")).join(st(2), Seq("user_id"))
+      val lags = j.selectExpr(
+        """stack(3,
+          |  'click_to_purchase', (t3 - t2) / 1e6,
+          |  'view_to_click', (t2 - t1) / 1e6,
+          |  'view_to_purchase', (t3 - t1) / 1e6) AS (stage, lag_s)""".stripMargin)
+      graft.operators.ProfileOps.groupQuantiles(lags, "stage", "lag_s")
+    }),
     // Weekly cohort retention — the standard activation matrix: users are
     // cohorted by their first active week; each (cohort, week-offset) cell
     // counts users still active. Scale shape: ONE scan → distinct
@@ -910,6 +930,50 @@ object EventsQueries {
         |             / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conv_1_2,
         |       round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
         |             / CAST((SELECT count(*) FROM s2) AS DOUBLE), 6) AS conv_2_3""".stripMargin,
+    "conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > t1 AND ts_us <= t1 + 86400000000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us <= t2 + 86400000000 GROUP BY 1
+        |), lg AS (
+        |  SELECT 'click_to_purchase' AS grp0, (t3 - t2) / 1e6 AS lag_s
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'view_to_click', (t2 - t1) / 1e6
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'view_to_purchase', (t3 - t1) / 1e6
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |), r AS (
+        |  SELECT grp0 AS grp,
+        |         CAST(trunc(lag_s * 100.0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY grp0
+        |                            ORDER BY CAST(trunc(lag_s * 100.0) AS BIGINT)) AS rn,
+        |         count(*) OVER (PARTITION BY grp0) AS n
+        |  FROM lg
+        |), t AS (
+        |  SELECT grp, n, p,
+        |         CAST(p AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 100.0 AS pos
+        |  FROM (SELECT DISTINCT grp, n FROM r),
+        |       (SELECT unnest([25, 50, 75, 90]) AS p)
+        |), tk AS (
+        |  SELECT grp, p, n, pos, CAST(trunc(pos) AS BIGINT) AS k FROM t
+        |)
+        |SELECT tk.grp, tk.p, CAST(tk.n AS BIGINT) AS n,
+        |       round((CAST(lo.cents AS DOUBLE)
+        |              + (CAST(coalesce(hi.cents, lo.cents) AS DOUBLE)
+        |                 - CAST(lo.cents AS DOUBLE))
+        |                * (tk.pos - CAST(tk.k AS DOUBLE))) / 100.0, 6) AS q
+        |FROM tk
+        |JOIN r lo ON lo.grp = tk.grp AND lo.rn = tk.k + 1
+        |LEFT JOIN r hi ON hi.grp = tk.grp AND hi.rn = tk.k + 2
+        |ORDER BY 1, 2""".stripMargin,
     "audience_matrix" -> {
       val h = graft.functions.PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")
       val finalize =
