@@ -22,6 +22,42 @@ object TpchQueries {
   private def cents(c: Column): Column = round(c * lit(100), 0).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Supplier-revenue concentration per region: Herfindahl–Hirschman
+    // index of each region's supplier market shares (+ the 1/HHI
+    // "effective supplier count"). Exact cents² revenue, fixed-size dims
+    // broadcast; shares never materialize — HHI = Σr²/ (Σr)² from two
+    // decimal-exact sums per region.
+    "region_hhi" -> ((s, dir) => {
+      val geo = broadcast(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("r_name")))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val rs = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"),
+          (round(col("l_extendedprice") * lit(100), 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * lit(100), 0).cast("long")))
+            .as("rev_c2"))
+        .join(geo, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("r_name"), col("s_suppkey"))
+        .agg(sum(col("rev_c2")).as("rs"))
+      rs.groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(dec(col("rs"))).as("tot"),
+          sum(dec(col("rs")) * dec(col("rs"))).as("sq"))
+        .select(col("r_name"), col("n_suppliers"),
+          round(dbl(col("sq")) / (dbl(col("tot")) * dbl(col("tot"))), 6).as("hhi"),
+          round(dbl(col("tot")) * dbl(col("tot")) / dbl(col("sq")), 6)
+            .as("effective_suppliers"))
+        .orderBy(col("r_name"))
+    }),
     // Pricing summary (TPC-H Q1 shape): wide multi-aggregate group-by with
     // a pushed-down timestamp predicate.
     "q1_pricing" -> ((s, dir) => {
@@ -939,6 +975,30 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "region_hhi" ->
+      """WITH l AS (
+        |  SELECT l_suppkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_c2
+        |  FROM lineitem
+        |), geo AS (
+        |  SELECT s_suppkey, r_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |), rs AS (
+        |  SELECT r_name, s_suppkey, CAST(sum(rev_c2) AS BIGINT) AS rs
+        |  FROM l JOIN geo ON l.l_suppkey = geo.s_suppkey GROUP BY 1, 2
+        |), g AS (
+        |  SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |         sum(CAST(rs AS HUGEINT)) AS tot,
+        |         sum(CAST(rs AS HUGEINT) * CAST(rs AS HUGEINT)) AS sq
+        |  FROM rs GROUP BY 1
+        |)
+        |SELECT r_name, n_suppliers,
+        |       round(CAST(sq AS DOUBLE)
+        |             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+        |       round(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)
+        |             / CAST(sq AS DOUBLE), 6) AS effective_suppliers
+        |FROM g ORDER BY r_name""".stripMargin,
     "rfm_segments" ->
       """WITH pc AS (
         |  SELECT o_custkey,
