@@ -562,4 +562,27 @@ class PlanSpec extends SparkSpec {
     assert(finalAgg > 0)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("late session-3 audits: no cartesian product anywhere") {
+    for (q <- Seq("weighted_median", "weighted_quantiles", "cluster_ari",
+      "cluster_nmi", "cluster_silhouette", "conversion_lag", "region_hhi",
+      "doc_signal_corr", "entropy_rate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: bounded relations must broadcast")
+    }
+  }
+
+  test("weighted_quantiles: boundary windows consume the weight histogram, not raw docs") {
+    val p = plan("weighted_quantiles")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0)
+    assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+      "windows must sit above the per-bin/per-value aggregations")
+  }
+
+  test("region_hhi: all three dims broadcast into the lineitem probe") {
+    val p = plan("region_hhi")
+    assert(p.contains("BroadcastHashJoin"), "geo dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no SMJ for fixed-size dims")
+  }
 }
