@@ -22,6 +22,48 @@ object TpchQueries {
   private def cents(c: Column): Column = round(c * lit(100), 0).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Market-efficiency audit: the 20 parts whose UNIT price disperses
+    // most across sales (coefficient of variation from decimal-exact
+    // sufficient stats; cents-quantized unit price so both engines bin
+    // identically). TakeOrdered top-20 — no global sort.
+    "price_dispersion" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val x = Tables.lineitem(s, dir).filter(col("l_quantity") > 0)
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * lit(100.0) / col("l_quantity"))
+            .cast("bigint").as("x"))
+      val g = x.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+        .filter(col("n") >= 5)
+      val mu = dbl(col("sx")) / dbl(col("n"))
+      val sd = sqrt(
+        dbl(dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx"))) /
+          (dbl(col("n")) * dbl(col("n") - lit(1L))))
+      g.select(col("l_partkey"), col("n"),
+        round(mu / lit(100.0), 6).as("mean_unit_price"),
+        round(sd / mu, 6).as("cv"))
+        .orderBy(col("cv").desc, col("l_partkey")).limit(20)
+    }),
+    // Supply-chain resilience: how many distinct suppliers does each part
+    // actually ship through, bucketed — and what share of parts is
+    // single-sourced? One distinct-pair aggregation (map-side md5-free:
+    // the (part, supp) key is already compact ints), then a bounded
+    // per-count rollup; the share rides a ≤ #counts-row window.
+    "supply_redundancy" -> ((s, dir) => {
+      val perPart = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_suppliers"))
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      perPart.groupBy(col("n_suppliers")).agg(count(lit(1)).as("n_parts"))
+        .select(col("n_suppliers"), col("n_parts"),
+          round(col("n_parts").cast("double") /
+            sum(col("n_parts")).over(all).cast("double"), 6).as("part_share"))
+        .orderBy(col("n_suppliers"))
+    }),
     // Supplier-revenue concentration per region: Herfindahl–Hirschman
     // index of each region's supplier market shares (+ the 1/HHI
     // "effective supplier count"). Exact cents² revenue, fixed-size dims
@@ -975,6 +1017,39 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "price_dispersion" ->
+      """WITH x AS (
+        |  SELECT l_partkey,
+        |         CAST(trunc(l_extendedprice * 100.0 / l_quantity) AS BIGINT) AS x
+        |  FROM lineitem WHERE l_quantity > 0
+        |), g AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM x GROUP BY 1 HAVING count(*) >= 5
+        |), c AS (
+        |  SELECT l_partkey, n,
+        |         round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+        |           AS mean_unit_price,
+        |         round(sqrt(CAST(CAST(n AS HUGEINT) * sxx
+        |                         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |               / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
+        |  FROM g
+        |)
+        |SELECT l_partkey, n, mean_unit_price, cv
+        |FROM c ORDER BY cv DESC, l_partkey LIMIT 20""".stripMargin,
+    "supply_redundancy" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        |  FROM lineitem GROUP BY 1
+        |), g AS (
+        |  SELECT n_suppliers, CAST(count(*) AS BIGINT) AS n_parts FROM pp GROUP BY 1
+        |)
+        |SELECT n_suppliers, n_parts,
+        |       round(CAST(n_parts AS DOUBLE)
+        |             / CAST(sum(n_parts) OVER () AS DOUBLE), 6) AS part_share
+        |FROM g ORDER BY n_suppliers""".stripMargin,
     "region_hhi" ->
       """WITH l AS (
         |  SELECT l_suppkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT)
