@@ -341,6 +341,29 @@ object ProfileQueries {
         Tables.documents(s, dir)
           .select(TextOps.splitExpr(col("doc_id")).as("split"), col("source")),
         "split", "source")),
+    // Kaplan–Meier reorder survival: share of customers (log-scale)
+    // still "alive" t weeks after an order without reordering, with each
+    // customer's open-ended final gap entering as a right-CENSORED
+    // observation rather than being dropped (the bias naive gap
+    // histograms carry). Bounded week-bucket grid; product-limit fold as
+    // integer-nano log terms.
+    "order_gap_survival" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+        col("o_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("ts"), col("o_orderkey"))
+      val gaps = o.withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr("((ts - prev) DIV 86400000000) DIV 7").as("b"),
+          lit(1L).as("ev"))
+      val mx = o.agg(max(col("ts")).as("mts"))
+      val tails = o.groupBy(col("o_custkey")).agg(max(col("ts")).as("lts"))
+        .crossJoin(broadcast(mx))
+        .select(expr("((mts - lts) DIV 86400000000) DIV 7").as("b"),
+          lit(0L).as("ev"))
+      EvalOps.kmSurvival(gaps.unionAll(tails), col("b"), col("ev"))
+    }),
     // Sample autocorrelation of daily order revenue at lags 1..7 —
     // integer n-scaled deviations, one lead-window pass over the bounded
     // day grid (is there memory for the changepoint/seasonal gauges to
@@ -1561,6 +1584,50 @@ object ProfileQueries {
          |             6) AS chi2_contrib
          |FROM m ORDER BY split, source""".stripMargin
     },
+    "order_gap_survival" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS ts, o_orderkey FROM orders
+        |), g AS (
+        |  SELECT ((ts - lag(ts) OVER (PARTITION BY o_custkey
+        |                              ORDER BY ts, o_orderkey))
+        |          // 86400000000) // 7 AS b
+        |  FROM o
+        |), ev AS (
+        |  SELECT b, CAST(1 AS BIGINT) AS ev FROM g WHERE b IS NOT NULL
+        |  UNION ALL
+        |  SELECT (((SELECT max(ts) FROM o) - lts) // 86400000000) // 7 AS b,
+        |         CAST(0 AS BIGINT)
+        |  FROM (SELECT max(ts) AS lts FROM o GROUP BY o_custkey)
+        |), cg AS (
+        |  SELECT b AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(sum(1 - ev) AS BIGINT) AS cc
+        |  FROM ev GROUP BY 1
+        |), wg AS (
+        |  SELECT t, d, cc,
+        |         CAST(sum(d + cc) OVER ()
+        |              - coalesce(sum(d + cc) OVER (ORDER BY t
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS at_risk
+        |  FROM cg
+        |), mg AS (
+        |  SELECT t, at_risk, d, cc,
+        |         CASE WHEN d = 0 THEN 0
+        |              WHEN at_risk > d THEN
+        |                CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE))
+        |                           * 1e9) AS BIGINT)
+        |              ELSE 0 END AS tn,
+        |         max(CASE WHEN d > 0 AND d >= at_risk THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY t
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM wg
+        |)
+        |SELECT t, at_risk AS n_at_risk, d AS n_events, cc AS n_censored,
+        |       CASE WHEN dead = 0 THEN
+        |         round(CAST(sum(tn) OVER (ORDER BY t
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |               / 1e9, 6)
+        |       END AS log_survival
+        |FROM mg ORDER BY t""".stripMargin,
     "revenue_acf" -> {
       val leads = (1 to 7)
         .map(l => s"lead(d, $l) OVER (ORDER BY k) AS d$l").mkString(", ")

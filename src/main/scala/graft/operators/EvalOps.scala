@@ -894,6 +894,52 @@ object EvalOps {
       .orderBy(col("digit"))
   }
 
+  /** Kaplan–Meier survival over bucketed durations WITH right-censoring —
+    * "what share of customers go longer than t without reordering?",
+    * the survival curve naive gap histograms get wrong (a customer's
+    * final open-ended gap carries information only as a censored
+    * observation; dropping it biases survival DOWN).
+    *
+    * Input rows are (bucketed duration, event flag: 1 = observed event,
+    * 0 = censored). One grouped count reduces the corpus to the bounded
+    * bucket grid; risk sets and the product-limit fold ride windows over
+    * it. The KM product Π(1 − d_j/r_j) is exposed as LOG-survival
+    * (integer-nano ln terms summed as BIGINT — merge-order-free, and no
+    * cross-engine exp in the hot path; exponentiate downstream if a
+    * probability is wanted). Buckets at/after the point the curve hits 0
+    * (d = r) report NULL log-survival. Output per bucket, ordered:
+    * `(t, n_at_risk, n_events, n_censored, log_survival)`.
+    */
+  def kmSurvival(df: DataFrame, durQ: Column, eventFlag: Column): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val e = df.select(durQ.cast("long").as("t"), eventFlag.cast("long").as("ev"))
+    val g = e.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val ord = Window.orderBy(col("t"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = g.select(col("t"), col("d"), col("c"),
+      (sum(col("d") + col("c")).over(all) -
+        coalesce(sum(col("d") + col("c")).over(prev), lit(0L))).as("at_risk"))
+    val termN = when(col("d") === 0L, lit(0L))
+      .when(col("at_risk") > col("d"),
+        round(log(lit(1.0) - dbl(col("d")) / dbl(col("at_risk"))) * lit(1e9))
+          .cast("long"))
+      .otherwise(lit(0L)) // d == r: curve dies here — masked below
+    val m = w.select(col("t"), col("at_risk"), col("d"), col("c"), termN.as("tn"),
+      max(when(col("d") > 0L && col("d") >= col("at_risk"), 1L).otherwise(0L))
+        .over(cum).as("dead"))
+    m.select(
+      col("t"), col("at_risk").as("n_at_risk"),
+      col("d").as("n_events"), col("c").as("n_censored"),
+      when(col("dead") === 0L,
+        round(sum(col("tn")).over(cum).cast("double") / lit(1e9), 6))
+        .as("log_survival"))
+      .orderBy(col("t"))
+  }
+
   /** CUSUM mean-shift changepoint over a keyed series — "did the daily
     * revenue (or any per-period metric) step to a new level, and when?".
     * The classic statistic max_t |Σ_{i≤t}(x_i − x̄)| is located EXACTLY

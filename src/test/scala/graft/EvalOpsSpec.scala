@@ -398,6 +398,47 @@ class EvalOpsSpec extends SparkSpec {
     assert(r(0).getDouble(2) < 0 && r(1).getDouble(2) > 0)
   }
 
+  test("kmSurvival == brute-force product-limit replay with censoring") {
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val row = for {
+      t <- Gen.chooseNum(0L, 10L)
+      e <- Gen.oneOf(0L, 1L)
+    } yield (t, e)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(row)) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("t", "ev")
+      val res = graft.operators.EvalOps.kmSurvival(df, col("t"), col("ev")).collect()
+      val byT = rows.groupBy(_._1).map { case (t, g) =>
+        t -> (g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)
+      }.toSeq.sortBy(_._1)
+      var remaining = rows.size.toLong
+      var cum = 0L
+      var dead = false
+      val want = byT.map { case (t, (d, c)) =>
+        val r = remaining
+        remaining -= d + c
+        if (d > 0 && d >= r) dead = true
+        if (!dead && d > 0) cum += nano(math.log(1.0 - d.toDouble / r))
+        (t, r, d, c, if (dead) None else Some(cum / 1e9))
+      }
+      res.length == want.length && res.zip(want).forall {
+        case (row0, (t, r, d, c, ls)) =>
+          val base = row0.getLong(0) == t && row0.getLong(1) == r &&
+            row0.getLong(2) == d && row0.getLong(3) == c
+          ls match {
+            case None => base && row0.isNullAt(4)
+            case Some(v) => base && math.abs(row0.getDouble(4) - v) <= 1e-6
+          }
+      }
+    }, n = 20)
+  }
+
+  test("kmSurvival: no censoring and all events at one time kills the curve there") {
+    val df = Seq((3L, 1L), (3L, 1L), (3L, 1L)).toDF("t", "ev")
+    val r = graft.operators.EvalOps.kmSurvival(df, col("t"), col("ev")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.isNullAt(4))
+  }
+
   test("cusumChangepoint == brute-force argmax |CUSUM| replay") {
     val row = for {
       k <- Gen.chooseNum(1, 30)
