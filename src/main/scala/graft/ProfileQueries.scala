@@ -341,6 +341,44 @@ object ProfileQueries {
         Tables.documents(s, dir)
           .select(TextOps.splitExpr(col("doc_id")).as("split"), col("source")),
         "split", "source")),
+    // Where did the big spenders go? Customer spend-quintile TRANSITION
+    // matrix between the early and late halves of the order history —
+    // quintiles per half from ONE long-form RankOps.ntileCuts pass
+    // (bounded cut keys, no customer-scale rank window), then a 5×5
+    // matrix with per-origin row shares.
+    "customer_migration" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val st = o.agg(
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("lo"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("hi"))
+        .select(expr("(lo + hi) DIV 2").as("mid"))
+      val base = graft.operators.DedupOps.registerCache(
+        o.crossJoin(broadcast(st))
+          .select(col("o_custkey"),
+            when(unix_micros(col("o_orderdate").cast("timestamp")) <= col("mid"), 0)
+              .otherwise(1).as("half"),
+            (col("o_totalprice") * lit(100.0)).cast("bigint").as("cents"))
+          .groupBy(col("half"), col("o_custkey"))
+          .agg(sum(col("cents")).as("tot"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cuts = RankOps.ntileCuts(base, Seq("half"), Seq("tot", "o_custkey"), 5)
+      val b = base.join(broadcast(cuts), Seq("half"))
+        .withColumn("qb", RankOps.ntileBucketExpr(Seq("tot", "o_custkey"), 5))
+      val early = b.filter(col("half") === 0)
+        .select(col("o_custkey"), col("qb").as("from_q"))
+      val late = b.filter(col("half") === 1)
+        .select(col("o_custkey"), col("qb").as("to_q"))
+      val m = early.join(late, Seq("o_custkey"))
+        .groupBy(col("from_q"), col("to_q"))
+        .agg(count(lit(1)).as("n_customers"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_q"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      m.select(col("from_q"), col("to_q"), col("n_customers"),
+        round(col("n_customers").cast("double") /
+          sum(col("n_customers")).over(wf).cast("double"), 6).as("row_share"))
+        .orderBy(col("from_q"), col("to_q"))
+    }),
     // Kaplan–Meier reorder survival: share of customers (log-scale)
     // still "alive" t weeks after an order without reordering, with each
     // customer's open-ended final gap entering as a right-CENSORED
@@ -1584,6 +1622,30 @@ object ProfileQueries {
          |             6) AS chi2_contrib
          |FROM m ORDER BY split, source""".stripMargin
     },
+    "customer_migration" ->
+      """WITH st AS (
+        |  SELECT (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) // 2 AS mid
+        |  FROM orders
+        |), s AS (
+        |  SELECT CASE WHEN epoch_us(o_orderdate) <= mid THEN 0 ELSE 1 END AS half,
+        |         o_custkey,
+        |         CAST(sum(CAST(trunc(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM orders CROSS JOIN st GROUP BY 1, 2
+        |), q AS (
+        |  SELECT half, o_custkey,
+        |         ntile(5) OVER (PARTITION BY half ORDER BY tot, o_custkey) AS qb
+        |  FROM s
+        |), m AS (
+        |  SELECT e.qb AS from_q, l.qb AS to_q, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM q e JOIN q l ON e.o_custkey = l.o_custkey
+        |  WHERE e.half = 0 AND l.half = 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT from_q, to_q, n_customers,
+        |       round(CAST(n_customers AS DOUBLE)
+        |             / CAST(sum(n_customers) OVER (PARTITION BY from_q) AS DOUBLE), 6)
+        |         AS row_share
+        |FROM m ORDER BY from_q, to_q""".stripMargin,
     "order_gap_survival" ->
       """WITH o AS (
         |  SELECT o_custkey, epoch_us(o_orderdate) AS ts, o_orderkey FROM orders
