@@ -341,6 +341,35 @@ object ProfileQueries {
         Tables.documents(s, dir)
           .select(TextOps.splitExpr(col("doc_id")).as("split"), col("source")),
         "split", "source")),
+    // Cohort LTV curves: customers cohorted by first-order week; each
+    // (cohort, week-offset ≤ 12) cell carries the cohort's cumulative
+    // revenue and per-customer LTV. The cumulative window runs on the
+    // bounded (cohort, offset) grid, never on orders.
+    "cohort_ltv" -> ((s, dir) => {
+      val o = graft.operators.DedupOps.registerCache(
+        Tables.orders(s, dir).select(col("o_custkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000000").as("wk"),
+          (col("o_totalprice") * lit(100.0)).cast("bigint").as("cents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cohorts = o.groupBy(col("o_custkey")).agg(min(col("wk")).as("cw"))
+      val sizes = cohorts.groupBy(col("cw")).agg(count(lit(1)).as("n_customers"))
+      val cells = o.join(cohorts, Seq("o_custkey"))
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("woff"))
+        .agg(sum(col("cents")).as("rev_c"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cw")).orderBy(col("woff"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      cells.join(broadcast(sizes), Seq("cw"))
+        .select(col("cw"), col("woff"), col("n_customers"), col("rev_c"),
+          sum(col("rev_c")).over(wcum).as("cum_rev_c"))
+        .filter(col("woff") <= 12)
+        .select(col("cw").as("cohort_week"), col("woff"), col("n_customers"),
+          col("rev_c"), col("cum_rev_c"),
+          round(col("cum_rev_c").cast("double") /
+            col("n_customers").cast("double") / lit(100.0), 6).as("ltv_per_customer"))
+        .orderBy(col("cohort_week"), col("woff"))
+    }),
     // Where did the big spenders go? Customer spend-quintile TRANSITION
     // matrix between the early and late halves of the order history —
     // quintiles per half from ONE long-form RankOps.ntileCuts pass
@@ -1622,6 +1651,31 @@ object ProfileQueries {
          |             6) AS chi2_contrib
          |FROM m ORDER BY split, source""".stripMargin
     },
+    "cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) // 604800000000 AS wk,
+        |         CAST(trunc(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders
+        |), ch AS (
+        |  SELECT o_custkey, CAST(min(wk) AS BIGINT) AS cw FROM o GROUP BY 1
+        |), sz AS (
+        |  SELECT cw, CAST(count(*) AS BIGINT) AS n_customers FROM ch GROUP BY 1
+        |), cells AS (
+        |  SELECT ch.cw, o.wk - ch.cw AS woff, CAST(sum(cents) AS BIGINT) AS rev_c
+        |  FROM o JOIN ch USING (o_custkey) GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cw, woff, rev_c,
+        |         CAST(sum(rev_c) OVER (PARTITION BY cw ORDER BY woff
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_rev_c
+        |  FROM cells
+        |)
+        |SELECT cw AS cohort_week, woff, n_customers, rev_c, cum_rev_c,
+        |       round(CAST(cum_rev_c AS DOUBLE)
+        |             / CAST(n_customers AS DOUBLE) / 100.0, 6) AS ltv_per_customer
+        |FROM cum JOIN sz USING (cw)
+        |WHERE woff <= 12
+        |ORDER BY cohort_week, woff""".stripMargin,
     "customer_migration" ->
       """WITH st AS (
         |  SELECT (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) // 2 AS mid
