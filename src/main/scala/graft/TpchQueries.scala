@@ -22,6 +22,40 @@ object TpchQueries {
   private def cents(c: Column): Column = round(c * lit(100), 0).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-brand return rate with a 95% WILSON interval — the binomial CI
+    // that stays inside [0,1] at small n, unlike the normal
+    // approximation. Counts are exact integers; the interval is one
+    // double chain per brand row.
+    "return_rates" -> ((s, dir) => {
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val j = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      val g = j.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("k"))
+      val z = lit(1.959964)
+      val zz = z * z
+      val phat = dbl(col("k")) / dbl(col("n"))
+      val denom = lit(1.0) + zz / dbl(col("n"))
+      val center = (phat + zz / (lit(2.0) * dbl(col("n")))) / denom
+      val half = z * sqrt(phat * (lit(1.0) - phat) / dbl(col("n")) +
+        zz / (lit(4.0) * dbl(col("n")) * dbl(col("n")))) / denom
+      g.select(col("p_brand"), col("n"), col("k"),
+        round(phat, 6).as("return_rate"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"))
+        .orderBy(col("p_brand"))
+    }),
+    // Discount elasticity per brand: exact-OLS slope of quantity on
+    // discount — does discounting actually move volume, where?
+    "q_elasticity" -> ((s, dir) =>
+      graft.operators.ProfileOps.olsByGroup(
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey")),
+        "p_brand", "l_discount", "l_quantity")),
     // Market-efficiency audit: the 20 parts whose UNIT price disperses
     // most across sales (coefficient of variation from decimal-exact
     // sufficient stats; cents-quantized unit price so both engines bin
@@ -1017,6 +1051,62 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "return_rates" ->
+      """WITH j AS (
+        |  SELECT p_brand, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), g AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS k
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT p_brand, n, k,
+        |       round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS return_rate,
+        |       round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |              + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
+        |             / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+        |             - 1.959964 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 / CAST(n AS DOUBLE)
+        |                 + 1.959964 * 1.959964
+        |                   / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |               / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)), 6) AS ci_lo,
+        |       round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |              + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
+        |             / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+        |             + 1.959964 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 / CAST(n AS DOUBLE)
+        |                 + 1.959964 * 1.959964
+        |                   / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |               / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)), 6) AS ci_hi
+        |FROM g ORDER BY p_brand""".stripMargin,
+    "q_elasticity" ->
+      """WITH b AS (
+        |  SELECT p_brand AS grp,
+        |         CAST(trunc(l_discount * 100.0) AS BIGINT) AS x,
+        |         CAST(trunc(l_quantity * 100.0) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
+        |    AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+        |), g AS (
+        |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY grp
+        |)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                / CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_c,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM g ORDER BY grp""".stripMargin,
     "price_dispersion" ->
       """WITH x AS (
         |  SELECT l_partkey,
