@@ -333,6 +333,39 @@ object ProfileQueries {
         "lang", col("n_chars"), col("ntok"), Seq(25, 50, 75, 90))
         .select(col("grp").as("lang"), col("total_w"),
           col("p25"), col("p50"), col("p75"), col("p90"))),
+    // Did usage HOURS shift between the early and late halves of the
+    // event stream? Chi-square independence of hour-of-day × half over
+    // the densified 24×2 grid.
+    "usage_shift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val st = e.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        .select(expr("(lo + hi) DIV 2").as("mid"))
+      EvalOps.chi2Independence(
+        e.crossJoin(broadcast(st)).select(
+          hour(col("ts")).as("hod"),
+          when(col("ts_us") <= col("mid"), "early").otherwise("late").as("half")),
+        "hod", "half")
+    }),
+    // Distribution drift of document LENGTH between the training split
+    // and the held-out splits — the continuous companion of
+    // split_balance's categorical check (PSI over the 16-bin grid).
+    "split_drift" -> ((s, dir) =>
+      EvalOps.psiContributions(
+        Tables.documents(s, dir).select(col("n_chars"),
+          when(TextOps.splitExpr(col("doc_id")) === "train", 1L).otherwise(0L)
+            .as("is_train")),
+        col("n_chars"), col("is_train"))),
+    // Is weekend daily revenue stochastically larger than weekday's?
+    // Binned Mann-Whitney AUC over the bounded day grid (an AUC of 0.5
+    // = no weekend effect).
+    "weekend_effect" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(col("o_orderdate").cast("date").as("k"),
+          (col("o_totalprice") * lit(100.0)).cast("bigint").as("cents"))
+        .groupBy(col("k")).agg(sum(col("cents")).as("xs"))
+      EvalOps.binnedAuc(daily, col("xs"),
+        when(weekday(col("k")) >= 5, 1L).otherwise(0L))
+    }),
     // Split-balance audit: chi-square independence of the hash split vs
     // source (densified grid so unobserved cells contribute), the "did
     // the split correlate with provenance?" pre-training check.
@@ -1616,6 +1649,101 @@ object ProfileQueries {
         |       CAST(min(CASE WHEN cum >= (90 * tw + 99) // 100 THEN v END) AS BIGINT) AS p90
         |FROM r JOIN t ON r.lang = t.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "usage_shift" ->
+      """WITH stm AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+        |), s AS (
+        |  SELECT CAST(hour(ts) AS INT) AS a,
+        |         CASE WHEN epoch_us(ts) <= mid THEN 'early' ELSE 'late' END AS b2
+        |  FROM events CROSS JOIN stm
+        |), c AS (
+        |  SELECT a, b2, CAST(count(*) AS BIGINT) AS n_ab FROM s GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT xa.a, xb.b2, coalesce(c.n_ab, CAST(0 AS BIGINT)) AS n_ab
+        |  FROM (SELECT DISTINCT a FROM c) xa
+        |  CROSS JOIN (SELECT DISTINCT b2 FROM c) xb
+        |  LEFT JOIN c ON c.a = xa.a AND c.b2 = xb.b2
+        |), m AS (
+        |  SELECT a, b2, n_ab,
+        |         CAST(sum(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+        |         CAST(sum(n_ab) OVER (PARTITION BY b2) AS BIGINT) AS n_b,
+        |         CAST(sum(n_ab) OVER () AS BIGINT) AS n
+        |  FROM dense
+        |)
+        |SELECT a AS hod, b2 AS half, n_ab,
+        |       round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |             / CAST(n AS DOUBLE), 6) AS exp_n,
+        |       round((CAST(n_ab AS DOUBLE)
+        |              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(n_ab AS DOUBLE)
+        |              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)),
+        |             6) AS chi2_contrib
+        |FROM m ORDER BY hod, half""".stripMargin,
+    "split_drift" -> {
+      val bucket =
+        s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"
+      s"""WITH e AS (
+         |  SELECT CAST(n_chars AS BIGINT) AS c,
+         |         CASE WHEN $bucket < 80 THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS a
+         |  FROM documents
+         |), st AS (
+         |  SELECT min(c) AS minc, max(c) AS maxc FROM e
+         |), b AS (
+         |  SELECT ((c - minc) * 16) // (maxc - minc + 1) AS bin, a
+         |  FROM e CROSS JOIN st
+         |), g AS (
+         |  SELECT bin, CAST(sum(a) AS BIGINT) AS n_early,
+         |         CAST(sum(1 - a) AS BIGINT) AS n_late
+         |  FROM b GROUP BY bin
+         |), t AS (
+         |  SELECT bin, n_early, n_late,
+         |         sum(n_early) OVER () AS te, sum(n_late) OVER () AS tl
+         |  FROM g
+         |)
+         |SELECT bin, n_early, n_late,
+         |       round(((CAST(n_late AS DOUBLE) + 0.5) / (CAST(tl AS DOUBLE) + 8.0)
+         |              - (CAST(n_early AS DOUBLE) + 0.5) / (CAST(te AS DOUBLE) + 8.0))
+         |             * ln(((CAST(n_late AS DOUBLE) + 0.5) / (CAST(tl AS DOUBLE) + 8.0))
+         |                  / ((CAST(n_early AS DOUBLE) + 0.5)
+         |                     / (CAST(te AS DOUBLE) + 8.0))), 6) AS psi_contrib
+         |FROM t ORDER BY bin""".stripMargin
+    },
+    "weekend_effect" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS k,
+        |         CAST(sum(CAST(trunc(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |), e AS (
+        |  SELECT c, CASE WHEN isodow(k) >= 6 THEN CAST(1 AS BIGINT)
+        |                 ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM daily
+        |), st AS (
+        |  SELECT min(c) AS minc, max(c) AS maxc FROM e
+        |), b AS (
+        |  SELECT ((c - minc) * 256) // (maxc - minc + 1) AS bin, y
+        |  FROM e CROSS JOIN st
+        |), g AS (
+        |  SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM b GROUP BY bin
+        |), w AS (
+        |  SELECT n_pos, n_neg,
+        |         sum(n_neg) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg AS neg_below
+        |  FROM g
+        |), a AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |         sum(CAST(n_pos AS HUGEINT)
+        |             * CAST(2 * neg_below + n_neg AS HUGEINT)) AS u2
+        |  FROM w
+        |)
+        |SELECT n_pos, n_neg,
+        |       round(CAST(u2 AS DOUBLE)
+        |             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |FROM a""".stripMargin,
     "split_balance" -> {
       val bucket =
         s"(${graft.functions.PortableHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 100"
