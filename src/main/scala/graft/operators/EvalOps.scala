@@ -1165,4 +1165,172 @@ object EvalOps {
         round(dbl(col("wsum") * dec(col("n")) - col("pew_num")) /
           dbl(dec(lit((k - 1).toLong)) * col("n2") - col("pew_num")), 6)).as("kappa_w"))
   }
+
+  /** Precision/recall operating ladder + binned average precision for a
+    * micro-quantized probability against a binary outcome — the
+    * threshold-picking table a pipeline reads before it deploys a quality
+    * classifier (the AUC says the score RANKS; this says what precision
+    * each recall actually costs).
+    *
+    * Same decile-bin state as [[liftCurve]] (one grouped aggregation over
+    * ≤ `bins` integer keys); thresholding at bin b predicts positive for
+    * every row in bins ≥ b, so TP/FP ladders are descending cumulative
+    * sums over the ≤ `bins`-row relation. F1 uses the integer identity
+    * F1 = 2·TP / (cum_n + total_pos) — one division, no P/R float
+    * composition. `ap_contrib` is ΔR·P per bin (readout convention: AP is
+    * the trivial sum of the contributions, like `ece_contrib`). Output
+    * per populated bin, best-first: `(bin, n, n_pos, cum_n, cum_pos,
+    * precision, recall, f1, ap_contrib)`.
+    */
+  def prCurve(df: DataFrame, probMicro: Column, posFlag: Column,
+              bins: Int = 10): DataFrame = {
+    val e = df.select(probMicro.cast("bigint").as("pm"), posFlag.cast("bigint").as("y"))
+    val width = 1000000L / bins
+    val g = e
+      .select(least(expr(s"pm DIV $width"), lit((bins - 1).toLong)).as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    prFromBins(g)
+  }
+
+  /** [[prCurve]]'s readout half over an already-binned `(bin, n, n_pos)`
+    * relation — split out so the streaming twin
+    * ([[graft.streaming.StreamingAuc.prFromState]]) reads the same ladder
+    * off its incrementally-maintained class-bin state. Windows run over
+    * ≤ bins rows only.
+    */
+  def prFromBins(g: DataFrame): DataFrame = {
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: Column) => c.cast("double")
+    g.select(col("bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(desc).as("cum_n"),
+      sum(col("n_pos")).over(desc).as("cum_pos"),
+      sum(col("n_pos")).over(all).as("pt"))
+      .select(
+        col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        round(dbl(col("cum_pos")) / dbl(col("cum_n")), 6).as("precision"),
+        when(col("pt") > 0L,
+          round(dbl(col("cum_pos")) / dbl(col("pt")), 6)).as("recall"),
+        when(col("cum_n") + col("pt") > 0L,
+          round(lit(2.0) * dbl(col("cum_pos")) / dbl(col("cum_n") + col("pt")), 6))
+          .as("f1"),
+        when(col("pt") > 0L,
+          round(dbl(col("n_pos")) * dbl(col("cum_pos")) /
+            (dbl(col("pt")) * dbl(col("cum_n"))), 6)).as("ap_contrib"))
+      .orderBy(col("bin").desc)
+  }
+
+  /** Mann-Kendall trend test + Theil-Sen slope of a keyed series — the
+    * robust "is this metric actually drifting, and how fast?" monitor
+    * (no normality assumption, outlier-resistant slope) that complements
+    * [[cusumChangepoint]]'s step detector.
+    *
+    * One keyed aggregation reduces the corpus to the bounded period grid
+    * (like `revenue_cusum`); the O(periods²) pair relation is built from
+    * that GRID, never from data — bounded by the calendar, not the
+    * corpus, so 100 TB pays the same ~n²/2 ≈ 10⁶ pair rows as sf0.01.
+    * S = Σ sign(x_j − x_i) is an exact integer fold; Var(S) uses the
+    * tie-corrected formula n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18 in
+    * BIGINT; z applies the ±1 continuity correction. The Theil-Sen slope
+    * is the interpolated median of the pairwise slopes, each quantized to
+    * integer micro-units first so the median is cross-engine exact (see
+    * the inline note). Output: one row `(n_periods, s_stat, var_s, z,
+    * slope)` (slope in `valueQ`/100 units per period; z NULL when the
+    * series is constant).
+    */
+  def trendTest(df: DataFrame, keyQ: Column, valueQ: Column): DataFrame = {
+    val g = df.select(keyQ.cast("long").as("k"), valueQ.cast("bigint").as("x"))
+      .groupBy(col("k")).agg(sum(col("x")).as("xs"))
+    trendFromSums(g)
+  }
+
+  /** [[trendTest]]'s readout half over an already-aggregated `(k, xs)`
+    * period-sum relation — the same mergeable state
+    * [[cusumFromSums]]/[[acfFromSums]] read, so one maintained state
+    * serves three monitors.
+    */
+  def trendFromSums(g0: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    // the grid feeds three branches (pairs twice + ties + count) — cache
+    // so the upstream aggregation runs once
+    val g = DedupOps.registerCache(
+      g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = g.select(col("k").as("ka"), col("xs").as("xa"))
+    val b = g.select(col("k").as("kb"), col("xs").as("xb"))
+    // bounded-grid pair fan-out: broadcast one side so the non-equi
+    // condition plans as BroadcastNestedLoopJoin, never CartesianProduct
+    val pairs = broadcast(a).crossJoin(b).filter(col("ka") < col("kb"))
+    val folded = pairs.agg(
+      coalesce(sum(
+        when(col("xb") > col("xa"), 1L)
+          .when(col("xb") < col("xa"), -1L)
+          .otherwise(0L)), lit(0L)).as("s_stat"),
+      // slope quantized to integer micro-units BEFORE the median: the
+      // interpolated median of integers ≤ 2^52 is exact in IEEE double in
+      // ANY evaluation order, so Spark's percentile() and DuckDB's
+      // quantile_cont() agree bit-for-bit (raw double medians differ in
+      // the last ulp between a+(b−a)/2 and a/2+b/2 formulations)
+      expr("percentile(CAST(CAST(xb - xa AS DOUBLE) * 1000000.0" +
+        " / CAST(kb - ka AS DOUBLE) AS BIGINT), 0.5)")
+        .as("slope_raw"))
+    val nrow = g.agg(count(lit(1)).as("n"))
+    val ties = g.groupBy(col("xs")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1L)
+      .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
+        lit(0L)).as("tie_num"))
+    folded.crossJoin(broadcast(nrow)).crossJoin(broadcast(ties))
+      .withColumn("var_num",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tie_num"))
+      .select(
+        col("n").as("n_periods"),
+        col("s_stat"),
+        round(dbl(col("var_num")) / lit(18.0), 6).as("var_s"),
+        when(col("var_num") > 0L,
+          round(
+            when(col("s_stat") > 0L, dbl(col("s_stat") - 1L))
+              .when(col("s_stat") < 0L, dbl(col("s_stat") + 1L))
+              .otherwise(lit(0.0)) /
+              sqrt(dbl(col("var_num")) / lit(18.0)), 6)).as("z"),
+        // micro-units of valueQ per period → valueQ/100 units per period
+        round(col("slope_raw") / lit(100000000.0), 6).as("slope"))
+  }
+
+  /** Group-fairness audit of a binary classifier: per-group selection
+    * rate (demographic parity), base rate, TPR and FPR (equalized odds),
+    * plus the pooled row — the bias check a pipeline runs before a
+    * quality filter ships (does "keep the top" keep the same fraction of
+    * every cohort, at the same error rates?).
+    *
+    * One ROLLUP aggregation over the bounded group domain; the pooled row
+    * is the grouping-set total (grp NULL), not a second scan. All four
+    * sufficient statistics are exact BIGINT when-flag sums; rates divide
+    * once at the end. Output per group (NULL grp = pooled, first):
+    * `(grp, n, pred_rate, base_rate, tpr, fpr)` — tpr/fpr NULL where a
+    * group lacks the class.
+    */
+  def fairnessRates(df: DataFrame, groupCol: String,
+                    predFlag: Column, posFlag: Column): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    df.select(col(groupCol).as("grp"),
+      predFlag.cast("bigint").as("yhat"), posFlag.cast("bigint").as("y"))
+      .rollup(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("yhat")).as("n_pred"),
+        sum(col("y")).as("n_pos"),
+        sum(col("yhat") * col("y")).as("n_tp"),
+        sum(col("yhat") * (lit(1L) - col("y"))).as("n_fp"))
+      .select(
+        col("grp"), col("n"),
+        round(dbl(col("n_pred")) / dbl(col("n")), 6).as("pred_rate"),
+        round(dbl(col("n_pos")) / dbl(col("n")), 6).as("base_rate"),
+        when(col("n_pos") > 0L,
+          round(dbl(col("n_tp")) / dbl(col("n_pos")), 6)).as("tpr"),
+        when(col("n") - col("n_pos") > 0L,
+          round(dbl(col("n_fp")) / dbl(col("n") - col("n_pos")), 6)).as("fpr"))
+      .orderBy(col("grp").asc_nulls_first)
+  }
 }

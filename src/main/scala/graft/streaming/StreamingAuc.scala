@@ -71,4 +71,19 @@ object StreamingAuc {
           round(dbl(col("u_max")) / (dbl(col("n_pos")) * dbl(col("n_neg"))), 6))
           .as("err_hi"))
   }
+
+  /** Precision/recall/F1/AP ladder read off the SAME `(y, bin, cnt)`
+    * state — one maintained class-bin histogram, two monitors (AUC
+    * bracket + operating table), zero extra stream passes. Pivots the
+    * state to per-bin `(n, n_pos)` and delegates to the batch readout
+    * ([[graft.operators.EvalOps.prFromBins]]), so stream and batch share
+    * exact code (StreamingAucSpec pins the equivalence).
+    */
+  def prFromState(state: DataFrame): DataFrame =
+    graft.operators.EvalOps.prFromBins(
+      state
+        .groupBy(col("bin"))
+        .agg(
+          sum(col("cnt")).as("n"),
+          sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("n_pos")))
 }

@@ -93,4 +93,43 @@ class StreamingAucSpec extends SparkSpec {
     assert(r.getLong(0) == 3 && r.getLong(1) == 0)
     assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
+
+  test("PR ladder off the state == brute-force thresholds on the codes") {
+    val all = sample(13, 800)
+    val df = all.toDF("value", "y")
+    val state = StreamingAuc.classBinCounts(df, spec)
+    val got = StreamingAuc.prFromState(state).collect()
+
+    // brute-force operating points on the quantized codes: predict
+    // positive at code >= each occupied code, best-first
+    val codes = all.map { case (v, y) => (math.floor(v * 100).toLong, y) }
+    val pt = codes.count(_._2 == 1L).toDouble
+    val occupied = codes.map(_._1).distinct.sorted.reverse
+    assert(got.length == occupied.length)
+    got.zip(occupied).foreach { case (row, thr) =>
+      assert(row.getLong(0) == thr, s"bin order: ${row.getLong(0)} != $thr")
+      val kept = codes.filter(_._1 >= thr)
+      val tp = kept.count(_._2 == 1L)
+      val prec = tp.toDouble / kept.size
+      val rec = tp.toDouble / pt
+      val f1 = 2.0 * tp / (kept.size + pt)
+      assert(row.getLong(3) == kept.size && row.getLong(4) == tp)
+      assert(math.abs(row.getDouble(5) - prec) < 5e-7, s"precision at $thr")
+      assert(math.abs(row.getDouble(6) - rec) < 5e-7, s"recall at $thr")
+      assert(math.abs(row.getDouble(7) - f1) < 5e-7, s"f1 at $thr")
+    }
+    // AP contributions sum to the standard threshold-sweep AP
+    val apGot = got.map(r => r.getDouble(8)).sum
+    val apExact = occupied.map { thr =>
+      val kept = codes.filter(_._1 >= thr)
+      val tp = kept.count(_._2 == 1L)
+      val dAtThr = codes.count(c => c._1 == thr && c._2 == 1L)
+      (dAtThr / pt) * (tp.toDouble / kept.size)
+    }.sum
+    assert(math.abs(apGot - apExact) < 1e-4, s"AP $apGot != $apExact")
+
+    // readout is a pure function of the state: batch state == same ladder
+    val batch = StreamingAuc.prFromState(StreamingAuc.classBinCounts(df, spec)).collect()
+    assert(got.sameElements(batch))
+  }
 }
