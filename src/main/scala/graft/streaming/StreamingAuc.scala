@@ -82,7 +82,7 @@ object StreamingAuc {
   def prFromState(state: DataFrame): DataFrame =
     graft.operators.EvalOps.prFromBins(
       state
-        .groupBy(col("bin"))
+        .groupBy(col("bin").cast("bigint").as("bin"))
         .agg(
           sum(col("cnt")).as("n"),
           sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("n_pos")))
