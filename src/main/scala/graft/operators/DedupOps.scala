@@ -135,9 +135,16 @@ object DedupOps {
   // RankOps' ntile cut keys (≤ dims×(k−1) scalars). Same lifecycle as the
   // session relations: reps of one bench sweep reuse them, and the same
   // staleness trade applies (same files + same plan ⇒ same value).
-  private val sessionValues = scala.collection.mutable.Map
-    .empty[(org.apache.spark.sql.SparkSession,
-            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Any]
+  // ConcurrentHashMap, NOT the synchronized mutable.Map the relation caches
+  // use: sessionValue computes run full Spark jobs, and holding the global
+  // DedupOps lock across a distributed job would serialize every concurrent
+  // cache/memo user behind it. The key carries a data-version fingerprint
+  // (file paths + sizes + mtimes of the leaf relations) so a mid-session
+  // overwrite of the underlying files misses the memo instead of silently
+  // returning stale ranks.
+  private val sessionValues = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long), Any]()
 
   /** Unpersist every TRANSIENT cache registered since the last release.
     * Blocking: async unpersist lets dead cache blocks pile up across a
@@ -166,17 +173,45 @@ object DedupOps {
     sessionValues.clear()
   }
 
-  /** Memoize a bounded driver-side value derived from `source` (session
-    * lifecycle — evicted by [[releaseAllCaches]]).
+  /** Fingerprint of the leaf file relations feeding `df`: a hash over the
+    * sorted (path, length, modificationTime) of every input file. Included
+    * in the [[sessionValue]] memo key so two reads of the same plan over
+    * CHANGED files can't alias. Driver-only metadata — the FileIndex
+    * listing is already cached by the analyzed relation, so this is a
+    * driver-memory walk, not an object-store LIST per call.
     */
-  private[graft] def sessionValue[T](source: DataFrame, tag: String)(compute: => T): T =
-    synchronized {
-      sessionValues
-        .getOrElseUpdate(
-          (source.sparkSession, source.queryExecution.analyzed.canonicalized, tag),
-          compute)
-        .asInstanceOf[T]
+  private def dataVersion(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val files: Seq[(String, Long, Long)] = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+        case _ => Seq.empty[(String, Long, Long)]
+      }
+    }.flatten.sortBy(t => (t._1, t._2, t._3))
+    files.foldLeft(1125899906842597L) { case (h, (p, len, mt)) =>
+      ((h * 31 + p.hashCode) * 31 + len) * 31 + mt
     }
+  }
+
+  /** Memoize a bounded driver-side value derived from `source` (session
+    * lifecycle — evicted by [[releaseAllCaches]]). The compute runs OUTSIDE
+    * any lock (putIfAbsent publication): a racing duplicate compute is
+    * idempotent and strictly cheaper than serializing every memo user
+    * behind one global lock while Spark jobs run.
+    */
+  private[graft] def sessionValue[T](source: DataFrame, tag: String)(compute: => T): T = {
+    val key = (source.sparkSession, source.queryExecution.analyzed.canonicalized,
+      tag, dataVersion(source))
+    val cached = sessionValues.get(key)
+    if (cached != null) cached.asInstanceOf[T]
+    else {
+      val v = compute
+      val prev = sessionValues.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Register an externally-persisted relation for the same release
     * lifecycle (used by ClusterOps for its final label generation and by

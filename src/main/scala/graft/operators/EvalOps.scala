@@ -421,9 +421,9 @@ object EvalOps {
     * identity holds exactly only when forecasts are constant within a
     * bin, so the residual `brier − (rel − res + unc)` is the
     * within-bin forecast variance — a useful binning-resolution gauge,
-    * exposed as `within_bin_var`. One grouped aggregation over ≤ `bins`
+    * exposed as `residual`. One grouped aggregation over ≤ `bins`
     * keys + one ≤ `bins`-row window. Output: one row
-    * `(n, brier, reliability, resolution, uncertainty, within_bin_var)`.
+    * `(n, brier, reliability, resolution, uncertainty, residual)`.
     */
   def brierDecomposition(df: DataFrame, probMicro: Column, posFlag: Column,
                          bins: Int = 10): DataFrame = {

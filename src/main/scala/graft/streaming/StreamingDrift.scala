@@ -48,30 +48,41 @@ object StreamingDrift {
         sum(when(col("y") === 1, 0L).otherwise(col("cnt"))).as("n_cur"))
 
   /** PSI readout from a `(…group, y, bin, cnt)` state: per-bin
-    * Laplace-smoothed (+1/2, over the group's OCCUPIED bins)
-    * contributions (p_cur − p_ref)·ln(p_cur / p_ref), ordered — the
-    * scalar PSI per group is the trivial sum of its rows. One
-    * ≤ bins-row-per-group pivot + one partitioned bounded window.
+    * Laplace-smoothed contributions (p_cur − p_ref)·ln(p_cur / p_ref),
+    * ordered — the scalar PSI per group is the trivial sum of its rows.
+    * One ≤ bins-row-per-group pivot + one partitioned bounded window.
+    *
+    * Smoothing convention: +1/2 per CONFIGURED bin (`nBins`, the
+    * `spec.bins` the state was built with) — the SAME denominator as the
+    * batch twin [[graft.operators.EvalOps.psiContributions]], so batch and
+    * streaming PSI agree on identical data even when configured bins are
+    * empty. (Empty bins contribute no rows here — only occupied bins are
+    * materialized in the state — but the shares are normalized as if all
+    * `nBins` cells got the +1/2 prior, exactly like the batch form.)
     * Output: `(…group, bin, n_ref, n_cur, psi_contrib)`.
     */
-  def psiFromStateBy(state: DataFrame, grpCols: Seq[String]): DataFrame = {
+  def psiFromStateBy(state: DataFrame, nBins: Int, grpCols: Seq[String]): DataFrame = {
     val all = Window.partitionBy(grpCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withTot = perBinCounts(state, grpCols)
       .select((grpCols :+ "bin" :+ "n_ref" :+ "n_cur").map(col) ++ Seq(
         sum(col("n_ref")).over(all).as("tr"),
-        sum(col("n_cur")).over(all).as("tc"),
-        count(lit(1)).over(all).as("nb")): _*)
-    val pr = (dbl(col("n_ref")) + lit(0.5)) / (dbl(col("tr")) + dbl(col("nb")) * lit(0.5))
-    val pc = (dbl(col("n_cur")) + lit(0.5)) / (dbl(col("tc")) + dbl(col("nb")) * lit(0.5))
+        sum(col("n_cur")).over(all).as("tc")): _*)
+    val pr = (dbl(col("n_ref")) + lit(0.5)) / (dbl(col("tr")) + lit(nBins * 0.5))
+    val pc = (dbl(col("n_cur")) + lit(0.5)) / (dbl(col("tc")) + lit(nBins * 0.5))
     withTot
       .select((grpCols :+ "bin" :+ "n_ref" :+ "n_cur").map(col) :+
         round((pc - pr) * log(pc / pr), 6).as("psi_contrib"): _*)
       .orderBy((grpCols :+ "bin").map(col): _*)
   }
 
+  /** [[psiFromStateBy]] taking the state's own [[BinSpec]]. */
+  def psiFromStateBy(state: DataFrame, spec: BinSpec, grpCols: Seq[String]): DataFrame =
+    psiFromStateBy(state, spec.bins, grpCols)
+
   /** Ungrouped [[psiFromStateBy]]. */
-  def psiFromState(state: DataFrame): DataFrame = psiFromStateBy(state, Seq.empty)
+  def psiFromState(state: DataFrame, spec: BinSpec): DataFrame =
+    psiFromStateBy(state, spec.bins, Seq.empty)
 
   /** Gridded two-sample KS readout from a `(…group, y, bin, cnt)` state:
     * the max ECDF gap over the group's occupied bins (exact FOR THE

@@ -46,15 +46,15 @@ class StreamingDriftSpec extends SparkSpec {
       input.addData(all.drop(400)); query.processAllAvailable()
       val streamState = spark.table("sdrift_state")
       val batchState = StreamingDrift.classBinCounts(all.toDF("value", "y"), spec)
-      val sp = StreamingDrift.psiFromState(streamState).collect()
-      val bp = StreamingDrift.psiFromState(batchState).collect()
+      val sp = StreamingDrift.psiFromState(streamState, spec).collect()
+      val bp = StreamingDrift.psiFromState(batchState, spec).collect()
       assert(sp.toSeq == bp.toSeq, "PSI readout is a pure function of the state")
 
       val m = stateMap(all)
-      val nb = m.size
+      val nb = spec.bins // smoothing uses the CONFIGURED bin count (batch-twin convention)
       val tr = m.values.map(_._1).sum.toDouble
       val tc = m.values.map(_._2).sum.toDouble
-      assert(sp.length == nb)
+      assert(sp.length == m.size)
       sp.foreach { r =>
         val (nr, nc) = m(r.getAs[Number](0).longValue())
         assert(r.getLong(1) == nr && r.getLong(2) == nc)
@@ -63,6 +63,26 @@ class StreamingDriftSpec extends SparkSpec {
         assert(math.abs(r.getDouble(3) - (pc - pr) * math.log(pc / pr)) <= 1e-6)
       }
     } finally query.stop()
+  }
+
+  test("PSI readout == batch psiContributions on an aligned grid (shared smoothing)") {
+    // Pin min/max codes to the spec's domain ends so the batch operator's
+    // data-driven grid ((c - minc) * bins) DIV (maxc - minc + 1) is the
+    // identity on codes — then the batch and streaming PSI must agree
+    // row-for-row because both smooth by +1/2 per CONFIGURED bin.
+    val all = sample(29, 600) :+ ((0.004, 1L)) :+ ((9.994, 0L))
+    val df = all.toDF("value", "y")
+    val state = StreamingAuc.classBinCounts(df, spec)
+    val sp = StreamingDrift.psiFromState(state, spec).collect()
+    val bp = graft.operators.EvalOps.psiContributions(
+      df, expr("CAST(floor(value * 100) AS BIGINT)"), col("y"), spec.bins).collect()
+    assert(sp.length == bp.length)
+    sp.zip(bp).foreach { case (s, b) =>
+      assert(s.getAs[Number](0).longValue() == b.getLong(0))
+      assert(s.getLong(1) == b.getLong(1) && s.getLong(2) == b.getLong(2))
+      assert(s.getDouble(3) == b.getDouble(3),
+        s"bin ${b.getLong(0)}: streaming ${s.getDouble(3)} != batch ${b.getDouble(3)}")
+    }
   }
 
   test("ksFromState == brute replay of the gridded ECDF gap") {
@@ -91,14 +111,14 @@ class StreamingDriftSpec extends SparkSpec {
       math.min(9.9, r.nextInt(900) / 100.0), if (r.nextBoolean()) 1L else 0L))
     val df = all.toDF("feat", "value", "y")
     val state = StreamingDrift.classBinCountsBy(df, spec, Seq("feat"))
-    val psiBy = StreamingDrift.psiFromStateBy(state, Seq("feat")).collect()
+    val psiBy = StreamingDrift.psiFromStateBy(state, spec, Seq("feat")).collect()
       .groupBy(_.getString(0))
     val ksBy = StreamingDrift.ksFromStateBy(state, Seq("feat")).collect()
       .map(r0 => r0.getString(0) -> r0.toSeq.drop(1)).toMap
     for (f <- Seq("f1", "f2")) {
       val slice = all.filter(_._1 == f).map(t => (t._2, t._3)).toDF("value", "y")
       val sliceState = StreamingDrift.classBinCounts(slice, spec)
-      val psi = StreamingDrift.psiFromState(sliceState).collect()
+      val psi = StreamingDrift.psiFromState(sliceState, spec).collect()
       assert(psiBy(f).map(_.toSeq.drop(1)).toSeq == psi.map(_.toSeq).toSeq,
         s"grouped PSI for $f must equal the ungrouped readout of its slice")
       val ks = StreamingDrift.ksFromState(sliceState).head()
