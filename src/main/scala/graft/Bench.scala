@@ -60,7 +60,7 @@ object Bench {
     val perRep = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> Vector.empty[Option[Double]]): _*)
     val sweepLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
-    (0 until reps).foreach { _ =>
+    def runSweep(): Unit = {
       val lBefore = load1()
       var lMax = lBefore
       names.foreach { name =>
@@ -94,6 +94,30 @@ object Bench {
       // through sf0.1, release-between-sweeps territory at sf≥1, see
       // PERF.md "Bench cache retention").
     }
+    (0 until reps).foreach(_ => runSweep())
+    // Loadavg guard (round-10): a sweep whose max 1-min load exceeded the
+    // threshold is CONTAMINATED — ambient host work was competing for the
+    // cores during it (the bench's own contribution at sf0.1 stays well
+    // under this: each query holds ≤32 threads for ~1 s, so the 1-min
+    // average barely moves). Contaminated sweeps trigger replacement
+    // sweeps (up to SPARK_GRAFT_EXTRA_SWEEPS, default 2) and are EXCLUDED
+    // from the medians when ≥2 clean sweeps exist; the JSON records which
+    // sweep indices were dropped so the record stays self-diagnosing.
+    // 2.5 default: a quiet-host sweep at sf0.1 peaks under ~2 (BENCH_r09
+    // sweep 2: max 1.93) while the documented contaminated sweeps peaked
+    // at 3.8 and 5.11 — 2.5 splits the observed clean/spiked populations.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(2.5)
+    val extraBudget = sys.env.get("SPARK_GRAFT_EXTRA_SWEEPS").map(_.toInt).getOrElse(2)
+    var extras = 0
+    while (extras < extraBudget && sweepLoads.count(_._3 <= loadMax) < reps) {
+      runSweep()
+      extras += 1
+    }
+    val cleanIdx = sweepLoads.zipWithIndex.collect { case ((_, _, m), i) if m <= loadMax => i }
+    val excludedIdx = sweepLoads.indices.filterNot(cleanIdx.contains)
+    // medians over clean sweeps only (when at least 2 exist); mins keep
+    // every rep — a spike can only make a rep slower, never faster
+    val medianIdx = if (cleanIdx.size >= 2) cleanIdx.toVector else sweepLoads.indices.toVector
     graft.operators.DedupOps.releaseShingleCaches()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -104,8 +128,12 @@ object Bench {
     val allTimes = perRep.map { case (name, ts) =>
       name -> (if (ts.exists(_.isEmpty)) Seq.empty[Double] else ts.flatten)
     }
+    val cleanTimes = perRep.map { case (name, ts) =>
+      name -> (if (ts.exists(_.isEmpty)) Seq.empty[Double]
+               else medianIdx.flatMap(i => ts.lift(i).flatten))
+    }
     val results = allTimes.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else ts.min) }
-    val medians = allTimes.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else median(ts)) }
+    val medians = cleanTimes.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else median(ts)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -138,8 +166,9 @@ object Bench {
     val r1Failed = results.count { case (k, v) => r1Names(k) && v < 0 }
     val failedTotal = results.count { case (_, v) => v < 0 }
     val r1SubtotalMed = medians.collect { case (k, v) if r1Names(k) && v >= 0 => v }.sum
+    val excludedJson = excludedIdx.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_times":$qsTimes,"loadavg_sweeps":$loadsJson,"sf":"$sfDir","n":$reps,"r1_subtotal":$r1Subtotal,"r1_subtotal_median":$r1SubtotalMed,"r1_failed":$r1Failed,"failed":$failedTotal}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_times":$qsTimes,"loadavg_sweeps":$loadsJson,"load_threshold":$loadMax,"load_excluded_sweeps":$excludedJson,"sf":"$sfDir","n":${sweepLoads.size},"r1_subtotal":$r1Subtotal,"r1_subtotal_median":$r1SubtotalMed,"r1_failed":$r1Failed,"failed":$failedTotal}"""
     // stdout gets wrapped in sbt/log4j noise (round-1 driver record shows
     // parsed:null from tail-scraping). Three redundant channels, most
     // reliable first: (1) the file artifact at SPARK_GRAFT_BENCH_OUT

@@ -88,12 +88,19 @@ object ClusterOps {
 
   /** Near-dup clusters over documents: nodes = every doc, edges = the
     * n-gram Jaccard pairs at `minJaccard`. Output `(doc_id, cluster_id)`.
+    *
+    * The CONVERGED label relation is memoized for the session (same
+    * lifecycle as [[DedupOps.jaccardPairs]]' pair memo): `dedup_clusters`,
+    * `dedup_survivors`, and any later consumer of the same
+    * (docs, n, minJaccard) reuse one fixpoint instead of re-running the
+    * per-round propagate+count loop per query.
     */
   def nearDupClusters(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
-    connectedComponents(
-      docs.select(col("doc_id").as("id")),
-      DedupOps.jaccardPairs(docs, n, minJaccard).select(col("a_id"), col("b_id")))
-      .select(col("id").as("doc_id"), col("cluster_id"))
+    DedupOps.sessionRelation(docs, s"nearDupClusters:$n:$minJaccard")(
+      connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        DedupOps.jaccardPairs(docs, n, minJaccard).select(col("a_id"), col("b_id")))
+        .select(col("id").as("doc_id"), col("cluster_id")))
 
   /** Survivor selection — the final step of the dedup pipeline: per
     * near-dup cluster keep ONE document under a deterministic policy

@@ -297,23 +297,43 @@ object DedupOps {
     * ~4× even on uniform data, and Σ df(s)² blow-up on skew is bounded by
     * prefix membership rather than raw frequency.
     */
-  def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = synchronized {
+  def jaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
     // session-scoped like the shingle corpus itself: four downstream
     // queries (clusters, survivors, pagerank, editdist) all consume the
     // SAME tiny pair relation — memoizing it here means the prefix-filter
     // + verify pipeline runs once per session per (docs, n, t), not once
     // per query. The first consuming query's action fills the cache while
     // its transient inputs (prefix relation) are still alive.
-    val memoKey = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
-      s"jaccardPairs:$n:$minJaccard")
-    sessionRelations.get(memoKey) match {
+    sessionRelation(docs, s"jaccardPairs:$n:$minJaccard")(
+      jaccardPairsUncached(docs, n, minJaccard))
+
+  /** Memoize a session-scoped derived RELATION (persisted, released by
+    * [[releaseAllCaches]]): the shared shape behind [[jaccardPairs]] and
+    * [[graft.operators.ClusterOps.nearDupClusters]]'s converged labels.
+    * `compute` runs OUTSIDE the lock (it may run Spark jobs — e.g. the
+    * label-propagation fixpoint's per-round convergence counts), keeping
+    * the global lock held for map bookkeeping only; a racing duplicate
+    * compute loses the publication race and its cache entry is dropped.
+    */
+  private[graft] def sessionRelation(source: DataFrame, tag: String)(
+      compute: => DataFrame): DataFrame = {
+    val memoKey = (source.sparkSession, source.queryExecution.analyzed.canonicalized, tag)
+    val hit = synchronized(sessionRelations.get(memoKey))
+    hit match {
       case Some(cached) => cached
       case None =>
-        val out = jaccardPairsUncached(docs, n, minJaccard)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        sessionBacking += out
-        sessionRelations(memoKey) = out
-        out
+        val out = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        synchronized {
+          sessionRelations.get(memoKey) match {
+            case Some(winner) =>
+              out.unpersist(blocking = false)
+              winner
+            case None =>
+              sessionBacking += out
+              sessionRelations(memoKey) = out
+              out
+          }
+        }
     }
   }
 
