@@ -20,6 +20,12 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  // dedup_embedding_lsh banding config (see the numeric trade analysis in
+  // SimilarityOps.nearDupPairsLsh's scaladoc)
+  private val LshBands = 20
+  private val LshR = 6
+  private val EmbDim = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => DedupOps.exact(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => DedupOps.fingerprintDedup(Tables.documents(s, dir))),
@@ -39,6 +45,16 @@ object DedupQueries {
       DedupOps.simhashPairs(Tables.documents(s, dir), maxHamming = 5)),
     "dedup_embedding" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(Tables.embeddings(s, dir), minCos = 0.4)),
+    // The sub-quadratic DEFAULT path for embedding dedup: banded sign-bit
+    // LSH candidate generation (20 bands × 6 planes) + exact cosine
+    // verify. Output ⊆ dedup_embedding at the same threshold; the recall
+    // trade at this LOW threshold is documented and measured
+    // (SimilarityOps.nearDupPairsLsh scaladoc, EmbedScaleStress) — at real
+    // near-dup thresholds (cos ≥ 0.9) the filter is ~lossless.
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      SimilarityOps.nearDupPairsLsh(
+        Tables.embeddings(s, dir), minCos = 0.4,
+        bands = LshBands, planesPerBand = LshR, dim = EmbDim)),
     // Connected components over the jaccard pair graph — pairs → duplicate
     // clusters, the survivor-selection step of a real dedup pipeline.
     "dedup_clusters" -> ((s, dir) =>
@@ -433,6 +449,41 @@ object DedupQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 5
          |ORDER BY a_id, b_id""".stripMargin
+    },
+    "dedup_embedding_lsh" -> {
+      // replicate the banded buckets literally: band b's bucket is the
+      // sign-bit word of planes [b·r, (b+1)·r), each plane the SAME
+      // IEEE-double literal the engine projects against
+      val planeSql = (p: Int) =>
+        SimilarityOps.planeInts(p, EmbDim)
+          .map(k => s"(CAST($k AS DOUBLE) / 1000000.0 - 0.5)")
+          .mkString("[", ", ", "]")
+      val bandBucketSql = (b: Int) =>
+        (0 until LshR).map { j =>
+          s"(CASE WHEN round(list_dot_product(emb, ${planeSql(b * LshR + j)}), 6) > 0 " +
+            s"THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val bk = (0 until LshBands)
+        .map(b => s"SELECT vec_id, $b AS band, ${bandBucketSql(b)} AS bucket FROM e")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), bk AS (
+         |$bk
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |), p AS (
+         |  SELECT c.a_id, c.b_id,
+         |         round(list_dot_product(ea.emb, eb.emb)
+         |               / (sqrt(list_dot_product(ea.emb, ea.emb))
+         |                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.a_id
+         |  JOIN e eb ON eb.vec_id = c.b_id
+         |)
+         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
     },
     "dedup_embedding" ->
       """WITH e AS (

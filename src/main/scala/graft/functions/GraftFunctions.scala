@@ -19,6 +19,7 @@ object GraftFunctions {
   val HASH60B = "graft_hash60b"
   val REPETITION = "graft_repetition"
   val TOKEN_COUNTS = "graft_token_counts"
+  val LSH_BANDS = "graft_lsh_band_buckets"
 
   /** Idempotent per-session registration (called from SparkEntry.tune) —
     * skips names already present so repeated tune() calls (one per query
@@ -35,6 +36,17 @@ object GraftFunctions {
     registerOnce(HASH60B, exprs => Hash60Expr(exprs(0), second = true))
     registerOnce(REPETITION, exprs => RepetitionStatsExpr(exprs(0)))
     registerOnce(TOKEN_COUNTS, exprs => TokenCountsExpr(exprs(0)))
+    registerOnce(LSH_BANDS, { // literal-int config (plan-time constants)
+      case Seq(emb, b, r, d) =>
+        LshBandBucketsExpr(
+          emb,
+          b.eval().asInstanceOf[Number].intValue(),
+          r.eval().asInstanceOf[Number].intValue(),
+          d.eval().asInstanceOf[Number].intValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"$LSH_BANDS takes (emb, bands, planesPerBand, dim); got ${other.size} args")
+    })
     registerOnce(WINNOW, {
       case Seq(t) => WinnowFingerprintsExpr(t)
       case Seq(t, k, w) => // literal-int k/w (plan-time constants)
@@ -53,6 +65,13 @@ object GraftFunctions {
 
   /** Dot product over two `array<double>` columns (codegen'd). */
   def dot(a: Column, b: Column): Column = call_function(DOT, a, b)
+
+  /** All banded sign-bit LSH bucket ids of an `array<double>` embedding in
+    * one fused pass (codegen'd): `array<long>` of length `bands`. See
+    * [[LshBandBucketsExpr]].
+    */
+  def lshBandBuckets(emb: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
+    call_function(LSH_BANDS, emb, lit(bands), lit(planesPerBand), lit(dim))
 
   /** Winnowing fingerprints (k=5, w=4) of a text column in one compiled
     * pass (codegen'd). HOF twin: `TextOps.winnowFingerprints`.

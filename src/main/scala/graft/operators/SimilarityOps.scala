@@ -62,10 +62,10 @@ object SimilarityOps {
     * per-row hashing at runtime.
     */
   def planeInts(p: Int, dim: Int): Array[Long] =
-    Array.tabulate(dim)(i => PortableHash.hash60Local(s"h:$p:$i") % 1000000L)
+    graft.functions.LshPlanes.planeInts(p, dim)
 
   def planeVector(p: Int, dim: Int): Array[Double] =
-    planeInts(p, dim).map(k => k.toDouble / 1000000.0 - 0.5)
+    graft.functions.LshPlanes.planeVector(p, dim)
 
   /** Sign-bit LSH bucket id from `numPlanes` hyperplanes of dimension
     * `dim`. The projection runs through the codegen'd [[GraftFunctions.dot]]
@@ -327,6 +327,86 @@ object SimilarityOps {
         col("n_suspect"))
       .orderBy(col("label"))
   }
+
+  /** Per-band sign-bit bucket id: band `band` owns the DISJOINT plane
+    * group `[band·r, (band+1)·r)` (r = planesPerBand), bit j of the bucket
+    * is plane `band·r + j`'s sign. Same cross-engine determinism contract
+    * as [[lshBucket]] (projection rounded to 6 before the sign test).
+    */
+  def bandBucket(emb: Column, band: Int, planesPerBand: Int, dim: Int): Column =
+    (0 until planesPerBand).map { j =>
+      val proj = round(
+        GraftFunctions.dot(emb, typedlit(planeVector(band * planesPerBand + j, dim).toSeq)), 6)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Banded-LSH near-dup pairs: the SUB-QUADRATIC default path for
+    * embedding dedup. Candidate pairs are vectors agreeing on all
+    * `planesPerBand` sign bits in AT LEAST ONE of `bands` bands
+    * (amplified random-hyperplane LSH — the minhash banding construction
+    * over sign-bit signatures); only candidates pay the exact cosine
+    * verify, and only those with `cos ≥ minCos` survive. Output is a
+    * SUBSET of [[nearDupPairs]] at the same threshold, with identical
+    * `(a_id, b_id, cos)` values on every emitted row.
+    *
+    * Scale shape: candidate generation ships only 8-byte ids through the
+    * (band, bucket) equi-join — embeddings attach to the deduplicated
+    * candidate relation afterwards via two hash joins — so the exchange
+    * volume is O(n·bands + |candidates|), never O(n²) vectors. Collision
+    * probability per band is p^r with p = 1 − θ/π: at real near-dup
+    * thresholds the filter is essentially lossless (cos ≥ 0.9 → recall
+    * 1−(1−0.856^r)^bands ≈ 0.9999 at r=6, b=20) while random pairs pass
+    * at ~bands·2^−r. At LOW thresholds the trade is real and measured:
+    * on the 64-dim synthetic corpus at minCos 0.4, r=6/b=20 retains
+    * ~0.76 of true pairs while evaluating ~28 % of the n²/2 cosines
+    * (EmbedScaleStress reports both); production embeddings (d ≥ 256,
+    * near-dups at cos ≥ 0.9) sit far into the favorable regime. The exact
+    * blocked kernel ([[nearDupPairs]]) remains the verify/small-n path.
+    */
+  def nearDupPairsLsh(
+      embeddings: DataFrame,
+      minCos: Double,
+      bands: Int,
+      planesPerBand: Int,
+      dim: Int): DataFrame = {
+    val e = corpus(embeddings)
+    nearDupVerify(lshCandidates(e, bands, planesPerBand, dim), e, minCos)
+  }
+
+  /** Distinct candidate id pairs from the banded sign-bit buckets —
+    * public so stress tools can measure candidate volume against n²/2.
+    */
+  def lshCandidates(
+      corpusRel: DataFrame,
+      bands: Int,
+      planesPerBand: Int,
+      dim: Int): DataFrame = {
+    // ONE fused kernel pass computes all band buckets (the equivalent
+    // bands×r-literal column expression falls out of whole-stage codegen
+    // at this config and evaluates interpreted — see LshBandBucketsExpr)
+    val ids = corpusRel.select(
+      col("vec_id"),
+      posexplode(GraftFunctions.lshBandBuckets(col("emb"), bands, planesPerBand, dim)))
+      .select(col("pos").as("band"), col("col").as("bucket"), col("vec_id"))
+    ids.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+      .join(ids.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** Exact cosine verify over a candidate id-pair relation. */
+  private def nearDupVerify(cand: DataFrame, e: DataFrame, minCos: Double): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(GraftFunctions.cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+      .orderBy(col("a_id"), col("b_id"))
 
   def nearDupPairs(embeddings: DataFrame, minCos: Double, blocks: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession

@@ -70,6 +70,48 @@ object EmbedScaleStress {
       t(s"semanticDedup k=$kSem")(
         SimilarityOps.semanticDedup(emb, k = kSem, iters = 2, minCos = 0.4).count())
       DedupOps.releaseAllCaches()
+      // the sub-quadratic LSH path at dedup_embedding_lsh's LOW-threshold
+      // config: candidate volume vs n²/2. This synthetic corpus is the
+      // UNFAVORABLE regime by construction (near-random 64-dim vectors,
+      // threshold 0.4 barely above the background cosine tail), so the
+      // prefilter retains ~28 % of pairs — the documented trade.
+      val nv = emb.count()
+      val allPairs = nv * (nv - 1) / 2
+      val candN = SimilarityOps
+        .lshCandidates(SimilarityOps.corpus(emb), bands = 20, planesPerBand = 6, dim = 64)
+        .count()
+      println(f"  lshCandidates b=20 r=6 (low-threshold regime): $candN%d of $allPairs%d " +
+        f"all-pairs (${100.0 * candN / allPairs}%.1f%%)")
+      t("nearDupPairsLsh cos>=0.4")(
+        SimilarityOps.nearDupPairsLsh(emb, 0.4, bands = 20, planesPerBand = 6, dim = 64).count())
+      DedupOps.releaseAllCaches()
+      // the FAVORABLE regime the path defaults for — real near-dups
+      // (perturbed copies, cos ≈ 1) against a sharper banding
+      // (12 bands × 10 planes → background collision ~12·2⁻¹⁰ ≈ 1 %):
+      // plant 1 % duplicates, search at the production threshold 0.9,
+      // and report candidates ≪ n²/2 plus planted-dup recall
+      val planted = emb
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      val dupCorpus = emb.select(col("vec_id"), col("embedding"), col("label")).union(planted)
+      val nd = dupCorpus.count()
+      val candHi = SimilarityOps
+        .lshCandidates(SimilarityOps.corpus(dupCorpus), bands = 12, planesPerBand = 10, dim = 64)
+        .count()
+      val nPlanted = planted.count()
+      val found = SimilarityOps
+        .nearDupPairsLsh(dupCorpus, 0.9, bands = 12, planesPerBand = 10, dim = 64)
+        .filter(col("b_id") - col("a_id") === 10000000L)
+        .count()
+      println(f"  lshCandidates b=12 r=10 (near-dup regime): $candHi%d of " +
+        f"${nd * (nd - 1) / 2}%d all-pairs (${100.0 * candHi / (nd * (nd - 1) / 2)}%.2f%%), " +
+        f"planted-dup recall $found%d/$nPlanted%d")
+      t("nearDupPairsLsh cos>=0.9 planted")(
+        SimilarityOps.nearDupPairsLsh(dupCorpus, 0.9, bands = 12, planesPerBand = 10, dim = 64).count())
+      DedupOps.releaseAllCaches()
     }
     spark.stop()
   }

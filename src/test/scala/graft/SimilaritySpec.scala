@@ -139,6 +139,58 @@ class SimilaritySpec extends SparkSpec {
     assert(sem.map(_.getLong(2)).sum <= exact)
   }
 
+  test("LshBandBuckets kernel == per-band column expression") {
+    val got = emb.limit(40).select(
+      col("vec_id"),
+      GraftFunctions.lshBandBuckets(col("emb"), 20, 6, 64).as("kern"),
+      array((0 until 20).map(b => SimilarityOps.bandBucket(col("emb"), b, 6, 64)): _*)
+        .as("cols"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("nearDupPairsLsh: subset of exact pairs, lossless on planted near-dups") {
+    val raw = Tables.embeddings(spark, TestSpark.sf0001)
+    // plant two near-identical copies of vector 0 (tiny perturbation →
+    // cos ≈ 1): a REAL near-dup must survive the banded prefilter
+    val base = raw.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val planted = Seq(
+      (90001L, base.map(x => x + 0.001f), 0),
+      (90002L, base.map(x => x * 1.01f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = raw.select(col("vec_id"), col("embedding"), col("label")).union(planted)
+    val lsh = SimilarityOps
+      .nearDupPairsLsh(corpus, minCos = 0.4, bands = 20, planesPerBand = 6, dim = 64)
+      .collect()
+    val exact = SimilarityOps.nearDupPairs(corpus, minCos = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // every LSH pair appears in the exact output with the identical cosine
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"LSH pair $key not in exact output")
+      assert(exact(key) == r.getDouble(2), s"cos mismatch at $key")
+    }
+    assert(lsh.length <= exact.size)
+    // the planted cos≈1 pairs are found (the favorable-regime guarantee)
+    val got = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 90001L)) && got.contains((0L, 90002L)) &&
+      got.contains((90001L, 90002L)),
+      s"planted near-dups missing from $got")
+    // candidate volume is genuinely below all-pairs
+    val n = corpus.count()
+    val cand = SimilarityOps
+      .lshCandidates(SimilarityOps.corpus(corpus), bands = 20, planesPerBand = 6, dim = 64)
+      .count()
+    assert(cand < n * (n - 1) / 2,
+      s"candidates $cand not below all-pairs ${n * (n - 1) / 2}")
+  }
+
   test("semanticDedup cluster sizes agree with fitSummary") {
     val raw = Tables.embeddings(spark, TestSpark.sf0001)
     val sem = SimilarityOps
