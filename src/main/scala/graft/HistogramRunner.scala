@@ -100,8 +100,81 @@ object HistogramRunner {
     HistogramOps.histogramFromBinned(binned.select(col("code"), col("cnt")), spec)
   }
 
-  /** CLI-shaped main: runMain graft.HistogramRunner <source> <valueCol>
-    * [linear|log] [outDir] — writes the reference's CSV format (S5).
+  /** Parsed CLI surface — the reference's flags
+    * (compute_histogram/main.py:17-41: `-m/--method`, `-w/--workers`,
+    * `--min_value`, `--max_value`, `--minmax_only`) plus the parquet-era
+    * positionals `<source> [valueCol] [outDir]`.
+    */
+  final case class CliArgs(
+      source: String,
+      outDir: String,
+      workers: Int,
+      cfg: HistogramConfig)
+
+  /** Parse the full reference CLI. Positionals stay compatible with the
+    * pre-round-10 shape `<source> <valueCol> [method] [outDir]` (a bare
+    * `linear`/`log` third positional is still accepted as the method).
+    */
+  def parseArgs(args: Array[String]): CliArgs = {
+    var method: Option[BinMethod] = None
+    var workers = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    var minV: Option[Double] = None
+    var maxV: Option[Double] = None
+    var minmaxOnly = false
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-m" | "--method" => method = Some(BinMethod.parse(args(i + 1))); i += 2
+        case "-w" | "--workers" => workers = args(i + 1).toInt; i += 2
+        case "--min_value" => minV = Some(args(i + 1).toDouble); i += 2
+        case "--max_value" => maxV = Some(args(i + 1).toDouble); i += 2
+        case "--minmax_only" => minmaxOnly = true; i += 1
+        case other if other.startsWith("--") =>
+          throw new IllegalArgumentException(
+            s"unknown flag $other; usage: <source> [valueCol] [outDir] " +
+              "[-m linear|log] [-w N] [--min_value X] [--max_value Y] [--minmax_only]")
+        case p => pos += p; i += 1
+      }
+    }
+    require(pos.nonEmpty, "missing <source>")
+    val valueCol = if (pos.length > 1) pos(1) else "value"
+    // legacy positional method: <source> <valueCol> log <outDir>
+    val legacyMethod = pos.length > 2 && Set("linear", "log").contains(pos(2))
+    if (legacyMethod) method = method.orElse(Some(BinMethod.parse(pos(2))))
+    val outIdx = if (legacyMethod) 3 else 2
+    val outDir = if (pos.length > outIdx) pos(outIdx) else "target/histogram_csv"
+    CliArgs(
+      pos(0), outDir, workers,
+      HistogramConfig(valueCol, method.getOrElse(BinMethod.Linear), minV, maxV, minmaxOnly))
+  }
+
+  /** Session configs for a CLI run. E2 (retry/backoff): the reference
+    * wraps every tile read in a 7-attempt exponential-backoff retry
+    * (main.py:229-236 — stop_max_attempt_number=7, 1 s base, 5 min cap);
+    * Spark's equivalent resilience is task re-execution plus the S3A
+    * connector's own retry policy, so the CLI session pins
+    * `spark.task.maxFailures=7` and the matching S3A retry knobs instead
+    * of hand-rolling a retry loop in engine code (SURVEY §2.8).
+    */
+  def sessionConfigs(workers: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> workers.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.ui.enabled" -> "false",
+    "spark.task.maxFailures" -> "7",
+    "spark.hadoop.fs.s3a.retry.limit" -> "7",
+    "spark.hadoop.fs.s3a.retry.interval" -> "1s",
+    "spark.hadoop.fs.s3a.attempts.maximum" -> "7")
+
+  /** CLI-shaped main: runMain graft.HistogramRunner <source> [valueCol]
+    * [outDir] [-m linear|log] [-w N] [--min_value X] [--max_value Y]
+    * [--minmax_only] — the reference's full flag surface
+    * (compute_histogram/main.py:17-41). Writes the reference's CSV
+    * format (S5); `--minmax_only` stops after the stats pass and prints
+    * `MIN_VALUE=… MAX_VALUE=…` (actually honoring the flag the reference
+    * parses but never checks — main.py:29-33 vs :53-57).
     *
     * `<source>` is a Parquet table path, or a `.txt` tile list (S4 —
     * one URI per line, like the reference's bio_*_list.txt), which routes
@@ -109,31 +182,51 @@ object HistogramRunner {
     * program shape: tile list → per-tile scan → 2-pass histogram → CSV.
     */
   def main(args: Array[String]): Unit = {
-    val path = args(0)
-    val valueCol = args(1)
-    val method = if (args.length > 2) BinMethod.parse(args(2)) else BinMethod.Linear
-    val out = if (args.length > 3) args(3) else "target/histogram_csv"
-    val spark = SparkSession
-      .builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val cli = parseArgs(args)
+    // getOrCreate: under a test harness an active session is reused (and
+    // NOT stopped on exit); standalone, the builder owns its session
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = sessionConfigs(cli.workers)
+      .foldLeft(SparkSession.builder().master(s"local[${cli.workers}]")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    runCli(spark, cli)
+    if (preExisting.isEmpty) spark.stop()
+  }
+
+  /** The CLI body against a given session (spec-driveable). Returns the
+    * written relation (stats row for `--minmax_only`, else the histogram).
+    */
+  def runCli(spark: SparkSession, cli: CliArgs): DataFrame = {
+    val path = cli.source
     val pixels = sys.env.getOrElse("SPARK_GRAFT_PIXELS", "100000").toLong
     val pushed = path.endsWith(".txt") &&
       !sys.env.get("SPARK_GRAFT_PUSHED").contains("0")
     val histo0 =
-      if (pushed) {
+      if (pushed && cli.cfg.minmaxOnly) {
+        // stats-pushed minmax: one row per tile crosses the scan boundary
+        import org.apache.spark.sql.functions._
+        val stats = spark.read
+          .format("graft.sources.raster.RasterSource")
+          .option("tileListPath", path)
+          .option("pixelsPerTile", pixels.toString)
+          .option("mode", "stats")
+          .load()
+          .agg(min(col("min_value")).as("min_value"), max(col("max_value")).as("max_value"))
+        if (cli.cfg.clampToZero)
+          stats.select(
+            least(col("min_value"), lit(0.0)).as("min_value"),
+            greatest(col("max_value"), lit(0.0)).as("max_value"))
+        else stats
+      } else if (pushed) {
         // default for tile lists: the per-tile stats/hist passes run
         // INSIDE the scan (mode=stats / mode=hist readers) — bins, not
         // pixels, cross the scan boundary (RasterPushStress: 7.5× cold /
         // 2× warm at 32×2M px; the gap is the pixel volume at real sizes)
-        runPushed(spark, path, pixels, HistogramConfig(valueCol, method))
+        runPushed(spark, path, pixels, cli.cfg)
       } else {
         val source =
           if (path.endsWith(".txt")) {
@@ -147,14 +240,21 @@ object HistogramRunner {
               .option("pixelsPerTile", pixels.toString)
               .load()
           } else spark.read.parquet(path)
-        run(source, HistogramConfig(valueCol, method))
+        run(source, cli.cfg)
       }
-    // persist: writeCsv and the bin count would otherwise each run the
-    // full two-pass pipeline from scratch
-    val histo = histo0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    HistogramOps.writeCsv(histo, out)
-    println(s"HISTOGRAM_BINS=${histo.count()} OUT=$out")
-    histo.unpersist()
-    spark.stop()
+    if (cli.cfg.minmaxOnly) {
+      val row = histo0.head()
+      // the reference's click.echo surface (main.py:51-52)
+      println(s"MIN_VALUE=${row.getDouble(0)} MAX_VALUE=${row.getDouble(1)}")
+      histo0
+    } else {
+      // persist: writeCsv and the bin count would otherwise each run the
+      // full two-pass pipeline from scratch
+      val histo = histo0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      HistogramOps.writeCsv(histo, cli.outDir)
+      println(s"HISTOGRAM_BINS=${histo.count()} OUT=${cli.outDir}")
+      histo.unpersist()
+      histo
+    }
   }
 }

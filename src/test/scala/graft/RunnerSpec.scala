@@ -55,6 +55,48 @@ class RunnerSpec extends SparkSpec {
     assert(legacy == Seq((math.log(101.0) * 1000).toInt, (math.log(102.0) * 1000).toInt))
   }
 
+  test("E3 CLI: full reference flag surface parses (main.py:17-41)") {
+    val c = HistogramRunner.parseArgs(Array(
+      "tiles.txt", "value", "out_dir",
+      "-m", "log", "-w", "8", "--min_value", "0.5", "--max_value", "9.5", "--minmax_only"))
+    assert(c.source == "tiles.txt" && c.outDir == "out_dir" && c.workers == 8)
+    assert(c.cfg == HistogramConfig(
+      "value", BinMethod.Log, Some(0.5), Some(9.5), minmaxOnly = true))
+    // long-form flags
+    val d = HistogramRunner.parseArgs(Array("src.parquet", "--method", "linear"))
+    assert(d.cfg.method == BinMethod.Linear && d.cfg.valueCol == "value")
+    // legacy positional method still accepted
+    val e = HistogramRunner.parseArgs(Array("src.parquet", "l_quantity", "log", "o"))
+    assert(e.cfg.method == BinMethod.Log && e.outDir == "o" &&
+      e.cfg.valueCol == "l_quantity")
+    intercept[IllegalArgumentException](HistogramRunner.parseArgs(Array("s", "--bogus")))
+  }
+
+  test("E3 CLI: --minmax_only and override paths run through the arg surface") {
+    val mm = HistogramRunner.runCli(
+      spark,
+      HistogramRunner.parseArgs(Array(
+        s"${TestSpark.sf0001}/lineitem.parquet", "l_quantity", "--minmax_only")))
+      .head()
+    assert(mm.getDouble(0) == 1.0 && mm.getDouble(1) == 50.0)
+    val out = Files.createTempDirectory("cli_histo").toString
+    val histo = HistogramRunner.runCli(
+      spark,
+      HistogramRunner.parseArgs(Array(
+        s"${TestSpark.sf0001}/lineitem.parquet", "l_quantity", out,
+        "--min_value", "0", "--max_value", "10")))
+    assert(histo.count() == 1020L) // overrides set the range, like run()
+    assert(Files.exists(Paths.get(out, "histogram.csv")))
+  }
+
+  test("E2 retry config: CLI session pins task+S3A retries (main.py:229-236)") {
+    val cfgs = HistogramRunner.sessionConfigs(4)
+    assert(cfgs("spark.task.maxFailures") == "7") // reference: 7 attempts
+    assert(cfgs("spark.hadoop.fs.s3a.retry.limit") == "7")
+    assert(cfgs("spark.hadoop.fs.s3a.attempts.maximum") == "7")
+    assert(cfgs("spark.sql.shuffle.partitions") == "4")
+  }
+
   test("F4 mask filter: reference 3x3 fixture semantics") {
     // values [[1,2,3],[2,3,4],[3,4,5]], mask [[F,T,T],[T,F,T],[T,T,F]]
     // (test/test_histogram.py:5-6) → kept: 2,3,2,4,3,4
