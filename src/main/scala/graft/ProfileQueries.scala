@@ -228,6 +228,22 @@ object ProfileQueries {
     "auc_by_source" -> ((s, dir) =>
       EvalOps.binnedAucBy(Tables.documents(s, dir), "source",
         col("n_chars"), when(col("lang") === "en", 1L).otherwise(0L))),
+    // The streaming monitor's PR ladder read off its maintained class-bin
+    // STATE (StreamingAuc.prFromState over StreamingQuantiles.binCountsBy
+    // — the identical expression tree runs batch or incremental), so the
+    // shared stream/batch readout gets the same DuckDB hash gate as the
+    // batch-only queries. Same probability/outcome pair as lift_curve;
+    // the fixed quantization domain (codes 0..99 + last-bin closure) is
+    // the price every streaming state pays.
+    "pr_curve_state" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(200.0))).as("value"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      graft.streaming.StreamingAuc.prFromState(
+        graft.streaming.StreamingAuc.classBinCounts(
+          d, graft.core.BinSpec(0, 100, 0.0, graft.core.BinMethod.Linear)))
+    }),
     // Cumulative-gains / lift table over the calibration probability's
     // decile bins, accumulated best-bin-first.
     "lift_curve" -> ((s, dir) =>
@@ -1383,6 +1399,45 @@ object ProfileQueries {
         |                          * CAST(n_neg AS DOUBLE)), 6)
         |       END AS auc
         |FROM a ORDER BY source""".stripMargin,
+    "pr_curve_state" ->
+      """WITH e AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0) AS v,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), q AS (
+        |  -- quantize ×100 (trunc toward zero), numpy range semantics:
+        |  -- codes outside [0, 100] drop, code 100 merges into bin 99
+        |  SELECT CASE WHEN CAST(trunc(v * 100) AS BIGINT) = 100 THEN 99
+        |              ELSE CAST(trunc(v * 100) AS BIGINT) END AS bin, y
+        |  FROM e
+        |  WHERE CAST(trunc(v * 100) AS BIGINT) BETWEEN 0 AND 100
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM q GROUP BY 1
+        |), t AS (
+        |  SELECT bin, n, n_pos,
+        |         CAST(sum(n) OVER (ORDER BY bin DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |         CAST(sum(n_pos) OVER (ORDER BY bin DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |         sum(n_pos) OVER () AS pt
+        |  FROM g
+        |)
+        |SELECT bin, n, n_pos, cum_n, cum_pos,
+        |       round(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE), 6) AS precision,
+        |       CASE WHEN pt > 0
+        |            THEN round(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+        |       END AS recall,
+        |       CASE WHEN cum_n + pt > 0
+        |            THEN round(2.0 * CAST(cum_pos AS DOUBLE)
+        |                       / CAST(cum_n + pt AS DOUBLE), 6)
+        |       END AS f1,
+        |       CASE WHEN pt > 0
+        |            THEN round(CAST(n_pos AS DOUBLE) * CAST(cum_pos AS DOUBLE)
+        |                       / (CAST(pt AS DOUBLE) * CAST(cum_n AS DOUBLE)), 6)
+        |       END AS ap_contrib
+        |FROM t ORDER BY bin DESC""".stripMargin,
     "lift_curve" ->
       """WITH e AS (
         |  SELECT CAST(trunc(CAST(n_chars AS DOUBLE)

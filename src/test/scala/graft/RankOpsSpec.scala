@@ -185,4 +185,37 @@ class RankOpsSpec extends SparkSpec {
       got.except(expected).isEmpty && expected.except(got).isEmpty
     }, n = 25)
   }
+
+  test("rowsAboveRank >MaxDriverGroups: distributed fallback correct, plan stays bounded") {
+    // 3 × MaxDriverGroups groups forces the fully-distributed path (the
+    // driver-side literal path caps at 64 groups by design)
+    val nGroups = RankOps.MaxDriverGroups * 3
+    val rows = for {
+      g <- 0 until nGroups
+      i <- 0 until 7
+    } yield (s"g$g", (i * 13 % 5).toLong, (g * 7 + i).toLong)
+    val df = rows.toDF("grp", "v", "id")
+    val got = RankOps.rowsAboveRank(df, Seq("grp"), Seq("v", "id"), lit(4L), nBins = 8)
+    val expected = df
+      .withColumn(
+        "gr_pos",
+        row_number().over(Window.partitionBy($"grp").orderBy($"v", $"id")).cast("long"))
+      .filter($"gr_pos" > 4L)
+      .select($"grp", $"id", $"gr_pos")
+    assert(got.select($"grp", $"id", $"gr_pos").except(expected).isEmpty &&
+      expected.except(got.select($"grp", $"id", $"gr_pos")).isEmpty)
+    // plan shape: every rank window is PARTITIONED (by (grp, gr_bin) —
+    // ≤ group-size rows per partition), and the keep relation arrives
+    // broadcast — no corpus-scale global sort, no unbounded window
+    val p = got.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windowLines.nonEmpty, "fallback must rank inside boundary bins")
+    windowLines.foreach { l =>
+      assert(l.contains("gr_bin"),
+        s"rank window must be partitioned by the bounded (grp, gr_bin) key: $l")
+    }
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "keep set must broadcast onto the binned corpus")
+    assert(!p.contains("CartesianProduct"), "no cartesian fan-out in the fallback")
+  }
 }
