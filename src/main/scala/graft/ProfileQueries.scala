@@ -19,6 +19,27 @@ object ProfileQueries {
   val ProfiledCols: Seq[String] =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Fixed quantization domain for the *_state queries: the calibration
+    * probability lives in [0, 1), so codes 0..99 + last-bin closure.
+    */
+  private val DocStateSpec =
+    graft.core.BinSpec(0, 100, 0.0, graft.core.BinMethod.Linear)
+
+  /** The ONE maintained class-bin state four monitors read
+    * (pr_curve_state / drift_psi_state / drift_ks_state / auc_state):
+    * per-(y, bin) counts of the documents' length-calibration probability,
+    * classed by lang='en'. The same expression tree runs incrementally
+    * under Structured Streaming (StreamingAucSpec pins state equivalence);
+    * here it is built batch-side so each readout gets a DuckDB hash gate.
+    */
+  private def docCalibrationState(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingAuc.classBinCounts(
+      Tables.documents(s, dir).select(
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(200.0))).as("value"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+      DocStateSpec)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Long-form per-column completeness/cardinality/range profile.
     "profile_columns" -> ((s, dir) =>
@@ -235,15 +256,24 @@ object ProfileQueries {
     // batch-only queries. Same probability/outcome pair as lift_curve;
     // the fixed quantization domain (codes 0..99 + last-bin closure) is
     // the price every streaming state pays.
-    "pr_curve_state" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(
-        (col("n_chars").cast("double") /
-          (col("n_chars").cast("double") + lit(200.0))).as("value"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      graft.streaming.StreamingAuc.prFromState(
-        graft.streaming.StreamingAuc.classBinCounts(
-          d, graft.core.BinSpec(0, 100, 0.0, graft.core.BinMethod.Linear)))
-    }),
+    "pr_curve_state" -> ((s, dir) =>
+      graft.streaming.StreamingAuc.prFromState(docCalibrationState(s, dir))),
+    // PSI read off the SAME maintained class-bin state (one incremental
+    // aggregation, four monitors): length-score distribution of en vs
+    // non-en documents, smoothed by the configured bin count exactly like
+    // the batch EvalOps.psiContributions (StreamingDriftSpec pins the
+    // batch==stream equality on an aligned grid).
+    "drift_psi_state" -> ((s, dir) =>
+      graft.streaming.StreamingDrift.psiFromState(
+        docCalibrationState(s, dir), DocStateSpec)),
+    // Gridded two-sample KS off the same state: max ECDF gap over the
+    // occupied bins + the α=0.05 critical value.
+    "drift_ks_state" -> ((s, dir) =>
+      graft.streaming.StreamingDrift.ksFromState(docCalibrationState(s, dir))),
+    // Mann-Whitney AUC off the same state, with the worst-case
+    // within-bin bracket [err_lo, err_hi] the streaming resolution pays.
+    "auc_state" -> ((s, dir) =>
+      graft.streaming.StreamingAuc.aucFromState(docCalibrationState(s, dir))),
     // Cumulative-gains / lift table over the calibration probability's
     // decile bins, accumulated best-bin-first.
     "lift_curve" -> ((s, dir) =>
@@ -1399,6 +1429,116 @@ object ProfileQueries {
         |                          * CAST(n_neg AS DOUBLE)), 6)
         |       END AS auc
         |FROM a ORDER BY source""".stripMargin,
+    "drift_psi_state" ->
+      """WITH e AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0) AS v,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), q AS (
+        |  SELECT CASE WHEN CAST(trunc(v * 100) AS BIGINT) = 100 THEN 99
+        |              ELSE CAST(trunc(v * 100) AS BIGINT) END AS bin, y
+        |  FROM e
+        |  WHERE CAST(trunc(v * 100) AS BIGINT) BETWEEN 0 AND 100
+        |), g AS (
+        |  SELECT bin, CAST(sum(y) AS BIGINT) AS n_ref,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_cur
+        |  FROM q GROUP BY 1
+        |), t AS (
+        |  SELECT bin, n_ref, n_cur,
+        |         sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+        |  FROM g
+        |)
+        |SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+        |       round(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 50.0)
+        |               - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 50.0))
+        |             * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 50.0))
+        |                  / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 50.0))),
+        |             6) AS psi_contrib
+        |FROM t ORDER BY bin""".stripMargin,
+    "drift_ks_state" ->
+      """WITH e AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0) AS v,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), q AS (
+        |  SELECT CASE WHEN CAST(trunc(v * 100) AS BIGINT) = 100 THEN 99
+        |              ELSE CAST(trunc(v * 100) AS BIGINT) END AS bin, y
+        |  FROM e
+        |  WHERE CAST(trunc(v * 100) AS BIGINT) BETWEEN 0 AND 100
+        |), g AS (
+        |  SELECT bin, CAST(sum(y) AS BIGINT) AS n_ref,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_cur
+        |  FROM q GROUP BY 1
+        |), t AS (
+        |  SELECT bin, n_ref, n_cur,
+        |         sum(n_ref) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |         sum(n_cur) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |         sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+        |  FROM g
+        |), a AS (
+        |  SELECT CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur,
+        |         CASE WHEN max(tr) > 0 AND max(tc) > 0
+        |              THEN round(max(abs(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
+        |                                 - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))), 6)
+        |         END AS ks_stat
+        |  FROM t
+        |)
+        |SELECT n_ref, n_cur, ks_stat,
+        |       CASE WHEN ks_stat IS NOT NULL
+        |            THEN round(1.3581015 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |                       / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 6)
+        |       END AS ks_crit,
+        |       CASE WHEN ks_stat IS NOT NULL
+        |            THEN ks_stat > round(1.3581015 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |                       / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 6)
+        |       END AS drifted
+        |FROM a""".stripMargin,
+    "auc_state" ->
+      """WITH e AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0) AS v,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), q AS (
+        |  SELECT CASE WHEN CAST(trunc(v * 100) AS BIGINT) = 100 THEN 99
+        |              ELSE CAST(trunc(v * 100) AS BIGINT) END AS bin, y
+        |  FROM e
+        |  WHERE CAST(trunc(v * 100) AS BIGINT) BETWEEN 0 AND 100
+        |), g AS (
+        |  SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM q GROUP BY 1
+        |), w AS (
+        |  SELECT n_pos, n_neg,
+        |         sum(n_neg) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg AS neg_below
+        |  FROM g
+        |), a AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |         sum(CAST(n_pos AS HUGEINT) * CAST(2 * neg_below + n_neg AS HUGEINT)) AS u2,
+        |         sum(CAST(n_pos AS HUGEINT) * CAST(neg_below AS HUGEINT)) AS u_min,
+        |         sum(CAST(n_pos AS HUGEINT) * CAST(neg_below + n_neg AS HUGEINT)) AS u_max
+        |  FROM w
+        |)
+        |SELECT n_pos, n_neg,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0
+        |            THEN round(CAST(u2 AS DOUBLE)
+        |                       / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |       END AS auc,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0
+        |            THEN round(CAST(u_min AS DOUBLE)
+        |                       / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |       END AS err_lo,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0
+        |            THEN round(CAST(u_max AS DOUBLE)
+        |                       / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |       END AS err_hi
+        |FROM a""".stripMargin,
     "pr_curve_state" ->
       """WITH e AS (
         |  SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0) AS v,
