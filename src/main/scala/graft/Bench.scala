@@ -103,10 +103,12 @@ object Bench {
     // sweeps (up to SPARK_GRAFT_EXTRA_SWEEPS, default 2) and are EXCLUDED
     // from the medians when ≥2 clean sweeps exist; the JSON records which
     // sweep indices were dropped so the record stays self-diagnosing.
-    // 2.5 default: a quiet-host sweep at sf0.1 peaks under ~2 (BENCH_r09
-    // sweep 2: max 1.93) while the documented contaminated sweeps peaked
-    // at 3.8 and 5.11 — 2.5 splits the observed clean/spiked populations.
-    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(2.5)
+    // 4.0 default: measured on a quiet host, the bench's OWN 32-thread
+    // bursts lift the 1-min average to 2.3-3.9 over a 205-query sweep
+    // (bench_r10_s1: sweep maxes 2.27/3.15/3.22/2.9/3.9 with ambient
+    // ~0.2), so anything under ~4 is indistinguishable from self-load;
+    // the documented genuinely-contaminated r9 sweep peaked at 5.11.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(4.0)
     val extraBudget = sys.env.get("SPARK_GRAFT_EXTRA_SWEEPS").map(_.toInt).getOrElse(2)
     var extras = 0
     while (extras < extraBudget && sweepLoads.count(_._3 <= loadMax) < reps) {
