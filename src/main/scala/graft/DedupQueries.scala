@@ -26,6 +26,44 @@ object DedupQueries {
   private val LshR = 6
   private val EmbDim = 64
 
+  /** Shared oracle CTE chain `e → bk → cand → p` replicating the banded
+    * sign-bit buckets literally: band b's bucket is the sign-bit word of
+    * planes [b·r, (b+1)·r), each plane the SAME IEEE-double literal the
+    * engine projects against; `p` carries the exact cosine of every
+    * DISTINCT candidate pair.
+    */
+  private lazy val lshPairCtes: String = {
+    val planeSql = (p: Int) =>
+      SimilarityOps.planeInts(p, EmbDim)
+        .map(k => s"(CAST($k AS DOUBLE) / 1000000.0 - 0.5)")
+        .mkString("[", ", ", "]")
+    val bandBucketSql = (b: Int) =>
+      (0 until LshR).map { j =>
+        s"(CASE WHEN round(list_dot_product(emb, ${planeSql(b * LshR + j)}), 6) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val bk = (0 until LshBands)
+      .map(b => s"SELECT vec_id, $b AS band, ${bandBucketSql(b)} AS bucket FROM e")
+      .mkString("\nUNION ALL\n")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), bk AS (
+       |$bk
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), p AS (
+       |  SELECT c.a_id, c.b_id,
+       |         round(list_dot_product(ea.emb, eb.emb)
+       |               / (sqrt(list_dot_product(ea.emb, ea.emb))
+       |                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.a_id
+       |  JOIN e eb ON eb.vec_id = c.b_id
+       |)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => DedupOps.exact(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => DedupOps.fingerprintDedup(Tables.documents(s, dir))),
@@ -53,6 +91,14 @@ object DedupQueries {
     // near-dup thresholds (cos ≥ 0.9) the filter is ~lossless.
     "dedup_embedding_lsh" -> ((s, dir) =>
       SimilarityOps.nearDupPairsLsh(
+        Tables.embeddings(s, dir), minCos = 0.4,
+        bands = LshBands, planesPerBand = LshR, dim = EmbDim)),
+    // Embedding-space split-leakage audit: eval vectors with a train
+    // near-dup (cos >= 0.4 via the same LSH prefilter + exact verify) —
+    // the semantic sibling of split_leakage's n-gram rule, gating the
+    // SAME deterministic vec_id split hash.
+    "split_leakage_semantic" -> ((s, dir) =>
+      SimilarityOps.semanticLeakage(
         Tables.embeddings(s, dir), minCos = 0.4,
         bands = LshBands, planesPerBand = LshR, dim = EmbDim)),
     // Connected components over the jaccard pair graph — pairs → duplicate
@@ -450,40 +496,35 @@ object DedupQueries {
          |WHERE bit_count(xor(a.s, b.s)) <= 5
          |ORDER BY a_id, b_id""".stripMargin
     },
-    "dedup_embedding_lsh" -> {
-      // replicate the banded buckets literally: band b's bucket is the
-      // sign-bit word of planes [b·r, (b+1)·r), each plane the SAME
-      // IEEE-double literal the engine projects against
-      val planeSql = (p: Int) =>
-        SimilarityOps.planeInts(p, EmbDim)
-          .map(k => s"(CAST($k AS DOUBLE) / 1000000.0 - 0.5)")
-          .mkString("[", ", ", "]")
-      val bandBucketSql = (b: Int) =>
-        (0 until LshR).map { j =>
-          s"(CASE WHEN round(list_dot_product(emb, ${planeSql(b * LshR + j)}), 6) > 0 " +
-            s"THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-      val bk = (0 until LshBands)
-        .map(b => s"SELECT vec_id, $b AS band, ${bandBucketSql(b)} AS bucket FROM e")
-        .mkString("\nUNION ALL\n")
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-         |), bk AS (
-         |$bk
-         |), cand AS (
-         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM bk a JOIN bk b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |), p AS (
-         |  SELECT c.a_id, c.b_id,
-         |         round(list_dot_product(ea.emb, eb.emb)
-         |               / (sqrt(list_dot_product(ea.emb, ea.emb))
-         |                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos
-         |  FROM cand c
-         |  JOIN e ea ON ea.vec_id = c.a_id
-         |  JOIN e eb ON eb.vec_id = c.b_id
+    "dedup_embedding_lsh" ->
+      s"""WITH $lshPairCtes
+         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "split_leakage_semantic" -> {
+      val split = (idCol: String) => {
+        val bucket =
+          s"(${graft.functions.PortableHash.hash60Sql(s"'split:' || CAST($idCol AS VARCHAR)")}) % 100"
+        s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"
+      }
+      s"""WITH $lshPairCtes, pr AS (
+         |  SELECT a_id, b_id, ${split("a_id")} AS sa, ${split("b_id")} AS sb
+         |  FROM p WHERE cos >= 0.4
+         |), leaked AS (
+         |  SELECT DISTINCT CASE WHEN sa = 'train' AND sb <> 'train' THEN b_id
+         |                       WHEN sb = 'train' AND sa <> 'train' THEN a_id
+         |                  END AS vec_id
+         |  FROM pr
+         |  WHERE (sa = 'train' AND sb <> 'train') OR (sb = 'train' AND sa <> 'train')
+         |), ev AS (
+         |  SELECT vec_id, ${split("vec_id")} AS split FROM embeddings
          |)
-         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_eval,
+         |       CAST(sum(CASE WHEN leaked.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_leaked,
+         |       round(CAST(sum(CASE WHEN leaked.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS leak_frac
+         |FROM ev LEFT JOIN leaked USING (vec_id)
+         |WHERE split <> 'train'
+         |GROUP BY split ORDER BY split""".stripMargin
     },
     "dedup_embedding" ->
       """WITH e AS (

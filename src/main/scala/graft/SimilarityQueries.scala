@@ -25,6 +25,8 @@ object SimilarityQueries {
   private val NProbe = 4
   private val KmK = 8
   private val KmIters = 2
+  private val RerankC = 50
+  private val CoresetK = 8
 
   private def queriesAndCorpus(s: SparkSession, dir: String) = {
     val e = SimilarityOps.corpus(Tables.embeddings(s, dir))
@@ -47,6 +49,13 @@ object SimilarityQueries {
     "knn_ivf" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
       SimilarityOps.knnIvf(q, c, k = 10, nlist = NList, nprobe = NProbe)
+    }),
+    // Two-stage retrieval: SQ8 integer-dot prefilter (top-50 shortlist
+    // per query over 1-byte-per-dim codes) + exact cosine rerank — the
+    // memory-bound production ANN shape.
+    "knn_rerank" -> ((s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      SimilarityOps.knnRerank(q, c, k = 10, rerank = RerankC)
     }),
     // Lloyd k-means in exact integer micro-space (KMeansOps): 8 clusters,
     // 2 iterations, per-cluster size + inertia.
@@ -135,7 +144,12 @@ object SimilarityQueries {
     // ANN planning: bucket occupancy + avg candidate-list size for
     // 2/4/6-plane LSH configs from one projection pass.
     "lsh_tuning" -> ((s, dir) =>
-      SimilarityOps.lshTuning(Tables.embeddings(s, dir), dim = Dim, planeCounts = Seq(2, 4, 6))))
+      SimilarityOps.lshTuning(Tables.embeddings(s, dir), dim = Dim, planeCounts = Seq(2, 4, 6))),
+    // Greedy k-center coreset: the 8 most mutually-distant vectors (exact
+    // integer micro² distances, deterministic seed + tie-breaks) — the
+    // diverse-subset picker for labeling/inspection budgets.
+    "coreset_kcenter" -> ((s, dir) =>
+      graft.operators.TrainsetOps.kcenterCoreset(Tables.embeddings(s, dir), k = CoresetK)))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -269,6 +283,72 @@ object SimilarityQueries {
          |)
          |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
+    "coreset_kcenter" -> {
+      // unrolled greedy stages: cI picks the arg-max of the running min
+      // distance dI-1; every distance is the exact integer identity
+      // a·a − 2a·b + b·b over micro-quantized components
+      val d2 = (a: String, b: String) =>
+        s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+      val stages = (1 until CoresetK).map { i =>
+        val prev = s"d${i - 1}"
+        s"""c$i AS (SELECT vec_id, vi, md FROM $prev ORDER BY md DESC, vec_id LIMIT 1),
+           |d$i AS (SELECT d.vec_id, d.vi, least(d.md, ${d2("d.vi", s"c$i.vi")}) AS md
+           |        FROM $prev d, c$i)""".stripMargin
+      }.mkString(",\n")
+      val sels = (1 until CoresetK)
+        .map(i => s"SELECT $i AS sel, vec_id, CAST(md AS BIGINT) AS dist2_micro FROM c$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> round(x * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), c0 AS (SELECT vec_id, vi FROM v ORDER BY vec_id LIMIT 1),
+         |d0 AS (SELECT v.vec_id, v.vi, ${d2("v.vi", "c0.vi")} AS md FROM v, c0),
+         |$stages
+         |SELECT 0 AS sel, vec_id, CAST(NULL AS BIGINT) AS dist2_micro FROM c0
+         |UNION ALL
+         |$sels
+         |ORDER BY sel""".stripMargin
+    },
+    "knn_rerank" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), st AS (
+         |  SELECT g.i AS dim, min(emb[g.i]) AS mn, max(emb[g.i]) - min(emb[g.i]) AS rg
+         |  FROM e CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  GROUP BY 1
+         |), cd AS (
+         |  SELECT vec_id,
+         |         list(mn + ((CASE WHEN rg = 0 THEN 0.0
+         |                     ELSE least(255.0, floor((emb[dim] - mn) * 255.0 / rg)) END)
+         |                    + 0.5) * rg / 255.0
+         |              ORDER BY dim) AS cc
+         |  FROM e CROSS JOIN st GROUP BY vec_id
+         |), qd AS (
+         |  SELECT vec_id AS q_id, cc AS qc FROM cd WHERE vec_id % 50 = 0
+         |), s1 AS (
+         |  SELECT q_id, c.vec_id AS c_id, ${cosSql("qc", "c.cc")} AS iscore
+         |  FROM qd JOIN cd c ON c.vec_id <> qd.q_id
+         |), sl AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY iscore DESC, c_id) AS srank
+         |    FROM s1)
+         |  WHERE srank <= $RerankC
+         |), s2 AS (
+         |  SELECT sl.q_id, sl.c_id, ${cosSql("eq.emb", "ec.emb")} AS cos
+         |  FROM sl
+         |  JOIN e eq ON eq.vec_id = sl.q_id
+         |  JOIN e ec ON ec.vec_id = sl.c_id
+         |), r AS (
+         |  SELECT q_id, c_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, c_id) AS INT) AS rank
+         |  FROM s2
+         |)
+         |SELECT q_id, c_id, rank, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "knn_ivf" -> {
       val centHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
       s"""WITH e AS (

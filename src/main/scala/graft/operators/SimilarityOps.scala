@@ -159,6 +159,85 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Two-stage retrieval: SQ8-quantized integer-dot prefilter + exact
+    * cosine rerank — the production memory-bound ANN shape (scan the
+    * 1-byte-per-dim codes, fetch full vectors only for the shortlist).
+    *
+    * Stage 1 quantizes every vector to uint8 codes (per-dim min/max
+    * scaling, the [[graft.operators.TrainsetOps.quantizeEmbeddings]]
+    * scheme), scores (query, candidate) with the COSINE OF THE
+    * RECONSTRUCTIONS `x̂_i = mn_i + (code_i + ½)·rg_i/255` (symmetric SQ8
+    * scoring — raw code dots would drop the per-dim affine and rank
+    * poorly), and keeps the top `rerank` per query; stage 2 fetches the
+    * full vectors for the shortlist ONLY (two id-keyed joins) and reranks
+    * by exact cosine. Codes, reconstructions, and both rankings are
+    * bit-deterministic cross-engine (rounded-6 scores, c_id tie-break);
+    * with `rerank ≥ |candidates|` the output equals [[knnBruteForce]]
+    * exactly (SimilaritySpec pins both properties, plus shortlist
+    * recall).
+    *
+    * Scale shape: at rest and across the wire a production deployment
+    * ships the 1-byte-per-dim codes (8× smaller than the fp64 vectors;
+    * the reconstruction is a scan-time expansion — here both stages live
+    * in one plan, so it expands before the broadcast); full vectors cross
+    * a join only for |Q|·rerank rows. Per-dim stats are a bounded
+    * driver-side read (dim rows), session-memoized like the rank
+    * machinery's cut keys.
+    */
+  def knnRerank(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      rerank: Int): DataFrame = {
+    val c = candidates.toDF("c_id", "c_emb")
+    val q = queries.toDF("q_id", "q_emb")
+    // per-dim (min, range) of the CANDIDATE corpus — dim rows, driver-side
+    val stats: Seq[(Double, Double)] = DedupOps.sessionValue(c, "knnRerank:stats") {
+      c.select(posexplode(col("c_emb")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .orderBy(col("dim"))
+        .collect()
+        .map(r => (r.getDouble(1), r.getDouble(2) - r.getDouble(1)))
+        .toSeq
+    }
+    val mins = typedlit(stats.map(_._1))
+    val rngs = typedlit(stats.map(_._2))
+    // uint8 code per dim, expanded to the reconstruction the symmetric
+    // SQ8 score compares (scored by the native cosine kernel, codegen'd)
+    def recon(emb: Column): Column =
+      zip_with(emb, sequence(lit(1), lit(stats.size)), (x, i) => {
+        val mn = element_at(mins, i)
+        val rg = element_at(rngs, i)
+        val code =
+          when(rg === 0.0, 0.0).otherwise(least(lit(255.0), floor((x - mn) * 255.0 / rg)))
+        mn + (code + lit(0.5)) * rg / lit(255.0)
+      })
+    val shortlist = broadcast(q.select(col("q_id"), recon(col("q_emb")).as("qc")))
+      .crossJoin(c.select(col("c_id"), recon(col("c_emb")).as("cc")))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(
+        col("q_id"), col("c_id"),
+        round(GraftFunctions.cosine(col("qc"), col("cc")), 6).as("iscore"))
+      .withColumn(
+        "srank",
+        row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("c_id"))))
+      .filter(col("srank") <= rerank)
+      .select(col("q_id"), col("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    shortlist
+      .join(q.select(col("q_id"), col("q_emb")), Seq("q_id"))
+      .join(c.select(col("c_id"), col("c_emb")), Seq("c_id"))
+      .select(
+        col("q_id"), col("c_id"),
+        round(GraftFunctions.cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** IVF-style ANN (the other scale path besides LSH): a coarse quantizer
     * of `nlist` centroids (deterministically sampled from the corpus by
     * portable-hash order — a production system would k-means them;
@@ -394,6 +473,46 @@ object SimilarityOps {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+  }
+
+  /** Embedding-space train/eval leakage audit — [[graft.operators.TextOps
+    * .splitLeakage]]'s semantic sibling: an eval (val/test) vector is
+    * LEAKED when a train vector sits within `minCos` of it (a near-copy
+    * the n-gram rule can't see — paraphrases, re-encodings — that quietly
+    * inflates held-out metrics). Near-dup pairs come from the banded-LSH
+    * prefilter + exact verify ([[nearDupPairsLsh]]); splits are the
+    * map-side hash of vec_id ([[graft.operators.TextOps.splitExpr]] — the
+    * SAME deterministic split the text-side audit uses, so the two audits
+    * gate one split assignment). Output per eval split:
+    * `(split, n_eval, n_leaked, leak_frac)`.
+    */
+  def semanticLeakage(
+      embeddings: DataFrame,
+      minCos: Double,
+      bands: Int,
+      planesPerBand: Int,
+      dim: Int): DataFrame = {
+    val pairs = nearDupPairsLsh(embeddings, minCos, bands, planesPerBand, dim)
+    val sa = TextOps.splitExpr(col("a_id"))
+    val sb = TextOps.splitExpr(col("b_id"))
+    val leakedIds = pairs
+      .select(
+        when(sa === "train" && sb =!= "train", col("b_id"))
+          .when(sb === "train" && sa =!= "train", col("a_id"))
+          .as("vec_id"))
+      .filter(col("vec_id").isNotNull)
+      .distinct()
+    corpus(embeddings)
+      .select(col("vec_id"), TextOps.splitExpr(col("vec_id")).as("split"))
+      .filter(col("split") =!= "train")
+      .join(leakedIds.withColumn("leak", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_eval"), sum(coalesce(col("leak"), lit(0L))).as("n_leaked"))
+      .select(
+        col("split"), col("n_eval"), col("n_leaked"),
+        round(col("n_leaked").cast("double") / col("n_eval").cast("double"), 6)
+          .as("leak_frac"))
+      .orderBy(col("split"))
   }
 
   /** Exact cosine verify over a candidate id-pair relation. */

