@@ -274,6 +274,17 @@ object ProfileQueries {
     // within-bin bracket [err_lo, err_hi] the streaming resolution pays.
     "auc_state" -> ((s, dir) =>
       graft.streaming.StreamingAuc.aucFromState(docCalibrationState(s, dir))),
+    // Quintile cuts off the plain bin-count state (StreamingQuantiles):
+    // each boundary's rank, holding bin, and [err_lo, err_hi] value
+    // interval — the streaming rank machinery's readout, now hash-gated
+    // like its batch twin (group_quantiles).
+    "ntile_cuts_state" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(200.0))).as("value"))
+      graft.streaming.StreamingQuantiles.cutsFromState(
+        graft.streaming.StreamingQuantiles.binCounts(d, DocStateSpec), DocStateSpec, k = 5)
+    }),
     // Cumulative-gains / lift table over the calibration probability's
     // decile bins, accumulated best-bin-first.
     "lift_curve" -> ((s, dir) =>
@@ -1539,6 +1550,33 @@ object ProfileQueries {
         |                       / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
         |       END AS err_hi
         |FROM a""".stripMargin,
+    "ntile_cuts_state" ->
+      """WITH e AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0) AS v
+        |  FROM documents
+        |), q AS (
+        |  SELECT CASE WHEN CAST(trunc(v * 100) AS BIGINT) = 100 THEN 99
+        |              ELSE CAST(trunc(v * 100) AS BIGINT) END AS bin
+        |  FROM e
+        |  WHERE CAST(trunc(v * 100) AS BIGINT) BETWEEN 0 AND 100
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1
+        |), t AS (
+        |  SELECT bin, cnt,
+        |         sum(cnt) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER () AS n
+        |  FROM g
+        |), x AS (
+        |  SELECT bin, cum, cum - cnt AS cum_prev, n, j.j AS j,
+        |         (n // 5) * j.j + least(j.j, n % 5) AS t
+        |  FROM t CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+        |)
+        |SELECT CAST(j AS INT) AS j, CAST(t AS BIGINT) AS boundary_rank,
+        |       CAST(bin AS INT) AS bin,
+        |       CAST(bin AS DOUBLE) / 100.0 AS err_lo,
+        |       CAST(bin + 1 AS DOUBLE) / 100.0 AS err_hi
+        |FROM x WHERE t > cum_prev AND t <= cum ORDER BY j""".stripMargin,
     "pr_curve_state" ->
       """WITH e AS (
         |  SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0) AS v,
