@@ -447,10 +447,15 @@ object SimilarityOps {
       minCos: Double,
       bands: Int,
       planesPerBand: Int,
-      dim: Int): DataFrame = {
-    val e = corpus(embeddings)
-    nearDupVerify(lshCandidates(e, bands, planesPerBand, dim), e, minCos)
-  }
+      dim: Int): DataFrame =
+    // session-memoized like DedupOps.jaccardPairs: the pair relation is
+    // tiny and several consumers (dedup_embedding_lsh, the semantic
+    // split-leakage audit) read the same (corpus, config) result
+    DedupOps.sessionRelation(
+      embeddings, s"nearDupPairsLsh:$minCos:$bands:$planesPerBand:$dim") {
+      val e = corpus(embeddings)
+      nearDupVerify(lshCandidates(e, bands, planesPerBand, dim), e, minCos)
+    }
 
   /** Distinct candidate id pairs from the banded sign-bit buckets —
     * public so stress tools can measure candidate volume against n²/2.
