@@ -742,7 +742,14 @@ object EventsQueries {
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_c"))
         .orderBy(col("channel"))
-    }))
+    }),
+    // Per-user truncated EWMA (α=1/2, 8-lag window) of the value series —
+    // the smoothed "current spend level" a monitoring pipeline keys alerts
+    // off. Integer-cents dyadic weights keep num/den exact BIGINTs; one
+    // window per user (millions of bounded partitions at scale), O(1)
+    // state per row. See TimeSeriesOps.ewmaLast.
+    "events_ewma" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.ewmaLast(Tables.events(s, dir))))
 
   val oracle: Map[String, String] = Map(
     "ab_test" ->
@@ -1605,5 +1612,34 @@ object EventsQueries {
         |       CAST(count(*) AS BIGINT) AS n_purchases,
         |       CAST(sum(cents) AS BIGINT) AS rev_c
         |FROM e WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY channel""".stripMargin)
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "events_ewma" -> {
+      val K = 8
+      val lagCols = (0 until K)
+        .map(j => s"lag(cents, $j) OVER w AS l$j")
+        .mkString(",\n        |         ")
+      val num = (0 until K)
+        .map(j => s"CASE WHEN l$j IS NOT NULL THEN l$j * ${1L << (K - 1 - j)} ELSE 0 END")
+        .mkString("(", "\n        |          + ", ")")
+      val den = (0 until K)
+        .map(j => s"CASE WHEN l$j IS NOT NULL THEN ${1L << (K - 1 - j)} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |         CAST(trunc(value * 100.0) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |), l AS (
+         |  SELECT user_id,
+         |         $lagCols,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY ts_us DESC, event_id DESC) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |)
+         |SELECT user_id, n AS n_events, l0 AS last_cents,
+         |       round(CAST($num AS DOUBLE)
+         |             / CAST($den AS DOUBLE), 6) AS ewma_cents
+         |FROM l WHERE rn = 1 ORDER BY user_id""".stripMargin
+    })
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+
+/** TimeSeriesOps.ewmaLast: truncated-EWMA recurrence checked against a
+  * driver-side sequential fold, plus the contract edges (short series,
+  * NaN filtering, exact dyadic arithmetic).
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, Double)]) =
+    rows
+      .toDF("user_id", "event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** Reference: the same K-lag weighted mean, folded sequentially. */
+  private def refEwma(values: Seq[Double], k: Int = 8): Double = {
+    val cents = values.map(v => (v * 100.0).toLong)
+    val window = cents.takeRight(k).reverse // j=0 is the newest
+    val num = window.zipWithIndex.map { case (c, j) => c << (k - 1 - j) }.sum
+    val den = window.zipWithIndex.map { case (_, j) => 1L << (k - 1 - j) }.sum
+    num.toDouble / den.toDouble
+  }
+
+  test("ewmaLast matches a sequential fold on a multi-user series") {
+    val rows = for {
+      u <- 1L to 5L
+      i <- 1L to 20L
+    } yield (u, u * 100 + i, i * 1000000L, (u * 7 + i * 3 % 11).toDouble + 0.25)
+    val got = TimeSeriesOps
+      .ewmaLast(eventsDf(rows))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    for (u <- 1L to 5L) {
+      val vals = rows.filter(_._1 == u).sortBy(_._3).map(_._4)
+      val (n, ewma) = got(u)
+      assert(n == 20)
+      assert(math.abs(ewma - refEwma(vals)) < 1e-6, s"user $u")
+    }
+  }
+
+  test("series shorter than the lookback uses only the available lags") {
+    val rows = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0), (1L, 3L, 3L, 40.0))
+    val r = TimeSeriesOps.ewmaLast(eventsDf(rows)).collect()(0)
+    // weights newest-first: 128, 64, 32 on cents 4000, 2000, 1000
+    val expect = (4000L * 128 + 2000L * 64 + 1000L * 32).toDouble / (128 + 64 + 32).toDouble
+    assert(r.getLong(1) == 3)
+    assert(r.getLong(2) == 4000L)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-9)
+  }
+
+  test("null and NaN values are filtered before lagging") {
+    val rows = eventsDf(Seq((1L, 1L, 1L, 10.0), (1L, 3L, 3L, 30.0)))
+      .unionByName(
+        Seq((1L, 2L, 2L)).toDF("user_id", "event_id", "ts_us")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withColumn("value", lit(Double.NaN)))
+    val r = TimeSeriesOps.ewmaLast(rows).collect()(0)
+    assert(r.getLong(1) == 2) // the NaN row is gone
+    val expect = (3000L * 128 + 1000L * 64).toDouble / (128 + 64).toDouble
+    assert(math.abs(r.getDouble(3) - expect) < 1e-6) // output is round(·, 6)
+  }
+
+  test("single-event series: ewma equals the value itself") {
+    val r = TimeSeriesOps.ewmaLast(eventsDf(Seq((9L, 1L, 5L, 12.34)))).collect()(0)
+    assert(r.getLong(2) == 1234L)
+    assert(r.getDouble(3) == 1234.0)
+  }
+}
