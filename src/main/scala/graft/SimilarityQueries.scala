@@ -149,7 +149,42 @@ object SimilarityQueries {
     // integer micro² distances, deterministic seed + tie-breaks) — the
     // diverse-subset picker for labeling/inspection budgets.
     "coreset_kcenter" -> ((s, dir) =>
-      graft.operators.TrainsetOps.kcenterCoreset(Tables.embeddings(s, dir), k = CoresetK)))
+      graft.operators.TrainsetOps.kcenterCoreset(Tables.embeddings(s, dir), k = CoresetK)),
+    // Split-conformal selective classification at α=0.1: score = cosine
+    // to the calibration-positives' exact integer-micro centroid
+    // (truncated-mean components, the label_outliers arithmetic),
+    // calibration = even vec_ids, test = odd. EvalOps.conformalCoverage
+    // sets the finite-sample (1−α) cutoff on the calibration positives
+    // and reports positive-class test coverage — the ≥ 0.9 marginal
+    // guarantee readout. Scale: the only ORDER BY runs over calibration
+    // positives (sampled-small by construction); scoring is one
+    // broadcast-centroid codegen projection.
+    "conformal_threshold" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val vl = graft.operators.KMeansOps
+        .quantize(e)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val cent = vl
+        .filter(col("vec_id") % 2 === 0 && col("label") === 1)
+        .select(posexplode(col("vi")))
+        .groupBy(col("pos"))
+        .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
+        .agg(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("comp")))),
+            x => x.getField("comp")).as("ci"))
+        .withColumn("cc", graft.functions.GraftFunctions.dot(col("ci"), col("ci")))
+      val scored = vl
+        .crossJoin(broadcast(cent))
+        .select(
+          round(
+            graft.functions.GraftFunctions.dot(col("vi"), col("ci"))
+              / (sqrt(col("vv")) * sqrt(col("cc"))) * lit(1000000000.0))
+            .cast("bigint").as("score_nano"),
+          col("label"),
+          (col("vec_id") % 2 === 0).as("is_calib"))
+      graft.operators.EvalOps.conformalCoverage(scored, alphaNum = 1L, alphaDen = 10L)
+    }))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -168,6 +203,56 @@ object SimilarityQueries {
          |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "conformal_threshold" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+         |), l AS (
+         |  SELECT w.vec_id, w.vi, w.vv, e.label
+         |  FROM w JOIN embeddings e USING (vec_id)
+         |), m AS (
+         |  SELECT g.i AS pos,
+         |         CAST(CAST(trunc(sum(vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+         |  FROM l CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  WHERE vec_id % 2 = 0 AND label = 1
+         |  GROUP BY 1
+         |), c AS (
+         |  SELECT list(comp ORDER BY pos) AS ci FROM m
+         |), sc AS (
+         |  SELECT l.vec_id,
+         |         CAST(round(list_dot_product(l.vi, c.ci)
+         |              / (sqrt(l.vv) * sqrt(list_dot_product(c.ci, c.ci)))
+         |              * 1000000000.0) AS BIGINT) AS score_nano,
+         |         l.label, l.vec_id % 2 = 0 AS is_calib
+         |  FROM l, c
+         |), cal AS (
+         |  SELECT score_nano AS s FROM sc WHERE is_calib AND label = 1
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_calib FROM cal
+         |), r AS (
+         |  SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal
+         |), kq AS (
+         |  SELECT n_calib, (9 * (n_calib + 1) + 9) // 10 AS k FROM st
+         |), th AS (
+         |  SELECT kq.n_calib,
+         |         max(CASE WHEN r.rn = kq.n_calib - kq.k + 1 THEN r.s END) AS thr_nano
+         |  FROM r CROSS JOIN kq GROUP BY kq.n_calib
+         |), te AS (
+         |  SELECT th.n_calib, th.thr_nano,
+         |         CAST(count(*) AS BIGINT) AS n_test,
+         |         CAST(sum(CASE WHEN th.thr_nano IS NULL
+         |                            OR sc.score_nano >= th.thr_nano
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+         |  FROM sc CROSS JOIN th
+         |  WHERE NOT sc.is_calib AND sc.label = 1
+         |  GROUP BY 1, 2
+         |)
+         |SELECT n_calib, thr_nano, n_test, n_covered,
+         |       round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+         |FROM te""".stripMargin,
     "lsh_tuning" -> {
       val bit = (p: Int) =>
         s"CASE WHEN round(list_dot_product(emb, ${planeSqlLiteral(p)}), 6) > 0 " +

@@ -1333,4 +1333,63 @@ object EvalOps {
           round(dbl(col("n_fp")) / dbl(col("n") - col("n_pos")), 6)).as("fpr"))
       .orderBy(col("grp").asc_nulls_first)
   }
+
+  /** Split-conformal coverage readout (Vovk/Angelopoulos split-conformal):
+    * from a scored relation `(score_nano BIGINT, label, is_calib)`, take
+    * the positive-class calibration scores, set the score cutoff at the
+    * `ceil((n+1)·(1−α))`-th smallest nonconformity `s = −score` (the
+    * finite-sample-corrected (1−α) quantile), and report how many
+    * positive TEST rows the set `{score ≥ cutoff}` covers — the marginal
+    * ≥ 1−α guarantee a selective classifier is deployed on.
+    *
+    * α enters as the exact rational `alphaNum/alphaDen`, so the order
+    * statistic index is pure integer arithmetic. If the index exceeds n
+    * (tiny calibration sets) the cutoff is −∞ — the set covers
+    * everything — reported as a NULL threshold.
+    *
+    * Scale shape: the one ORDER BY window runs over calibration
+    * POSITIVES only — calibration sets are sampled small by construction
+    * (thousands of rows against a 100 TB corpus), the same
+    * bounded-window discipline as the decile queries; the test side is a
+    * single map-side-combinable conditional aggregate, never sorted.
+    * Output: one row `(n_calib, thr_nano, n_test, n_covered, coverage)`.
+    */
+  def conformalCoverage(
+      scored: DataFrame,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val dbl = (c: Column) => c.cast("double")
+    val calib = scored
+      .filter(col("is_calib") && col("label") === 1)
+      .select(col("score_nano").as("s"))
+    val wS = Window.orderBy(col("s").asc) // calib-positives only: bounded
+    val thr = calib
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n_calib", count(lit(1)).over(Window.partitionBy()))
+      // k-th smallest nonconformity −s  ==  k-th LARGEST score
+      .withColumn(
+        "k",
+        expr(s"(($alphaDen - $alphaNum) * (n_calib + 1) + $alphaDen - 1) DIV $alphaDen"))
+      .agg(
+        max(col("n_calib")).as("n_calib"),
+        max(when(col("rn") === col("n_calib") - col("k") + 1, col("s")))
+          .as("thr_nano"))
+    val test = scored
+      .filter(!col("is_calib") && col("label") === 1)
+      .crossJoin(broadcast(thr))
+      .agg(
+        max(col("n_calib")).as("n_calib"),
+        max(col("thr_nano")).as("thr_nano"),
+        count(lit(1)).as("n_test"),
+        sum(
+          when(col("thr_nano").isNull.or(col("score_nano") >= col("thr_nano")), 1L)
+            .otherwise(0L)).as("n_covered"))
+    test.select(
+      col("n_calib"),
+      col("thr_nano"),
+      col("n_test"),
+      col("n_covered"),
+      round(dbl(col("n_covered")) / dbl(col("n_test")), 6).as("coverage"))
+  }
 }

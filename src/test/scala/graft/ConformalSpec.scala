@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EvalOps
+
+/** EvalOps.conformalCoverage: order-statistic cutoff, tiny-calibration
+  * −∞ edge, and the split-conformal marginal guarantee on an exchangeable
+  * synthetic score distribution.
+  */
+class ConformalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scored(rows: Seq[(Long, Int, Boolean)]) =
+    rows.toDF("score_nano", "label", "is_calib")
+
+  test("cutoff is the ceil((n+1)(1-alpha))-th smallest nonconformity") {
+    // 9 calib positives with scores 10..90: n=9, alpha=0.1 → k=ceil(10*0.9)=9
+    // → 9th smallest nonconformity = smallest score = 10.
+    val calib = (1 to 9).map(i => (i * 10L, 1, true))
+    val test = Seq((5L, 1, false), (10L, 1, false), (95L, 1, false))
+    val r = EvalOps.conformalCoverage(scored(calib ++ test)).collect()(0)
+    assert(r.getLong(0) == 9) // n_calib
+    assert(r.getLong(1) == 10L) // thr = k-th largest score
+    assert(r.getLong(2) == 3 && r.getLong(3) == 2) // 10 and 95 covered, 5 not
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("alpha=1/4 moves the cutoff up the ladder") {
+    // n=7, k=ceil(8*3/4)=6 → thr = 6th largest of 10..70 = 20.
+    val calib = (1 to 7).map(i => (i * 10L, 1, true))
+    val test = Seq((15L, 1, false), (20L, 1, false), (70L, 1, false))
+    val r = EvalOps
+      .conformalCoverage(scored(calib ++ test), alphaNum = 1L, alphaDen = 4L)
+      .collect()(0)
+    assert(r.getLong(1) == 20L)
+    assert(r.getLong(3) == 2)
+  }
+
+  test("calibration smaller than 1/alpha yields a null cutoff covering all") {
+    // n=3, alpha=0.1 → k=ceil(4*0.9)=4 > n → thr NULL, everything covered.
+    val calib = Seq((10L, 1, true), (20L, 1, true), (30L, 1, true))
+    val test = Seq((-999L, 1, false), (1L, 1, false))
+    val r = EvalOps.conformalCoverage(scored(calib ++ test)).collect()(0)
+    assert(r.isNullAt(1))
+    assert(r.getLong(3) == 2)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("marginal guarantee holds on an exchangeable split") {
+    // Deterministic pseudo-scores; even index → calib, odd → test. Same
+    // distribution on both sides, so coverage ≈ 0.9 and never below
+    // 1 - alpha - O(1/n) for this fixed sample.
+    val rows = (0 until 2000).map { i =>
+      val score = ((i * 2654435761L) % 100003L) - 50000L
+      (score, 1, i % 2 == 0)
+    }
+    val r = EvalOps.conformalCoverage(scored(rows)).collect()(0)
+    assert(r.getLong(0) == 1000)
+    val cov = r.getDouble(4)
+    assert(cov >= 0.88 && cov <= 0.93, s"coverage $cov outside [0.88, 0.93]")
+  }
+
+  test("negative labels never enter calibration or the test count") {
+    val calib = (1 to 9).map(i => (i * 10L, 1, true)) ++ Seq((1L, 0, true))
+    val test = Seq((50L, 1, false), (50L, 0, false))
+    val r = EvalOps.conformalCoverage(scored(calib ++ test)).collect()(0)
+    assert(r.getLong(0) == 9 && r.getLong(2) == 1)
+  }
+}
