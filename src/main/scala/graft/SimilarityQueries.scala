@@ -184,6 +184,22 @@ object SimilarityQueries {
           col("label"),
           (col("vec_id") % 2 === 0).as("is_calib"))
       graft.operators.EvalOps.conformalCoverage(scored, alphaNum = 1L, alphaDen = 10L)
+    }),
+    // Hybrid retrieval: reciprocal-rank fusion (k0=60) of the lexical
+    // BM25 top-20 (fixed term bag, CurationOps.bm25) and the dense
+    // cosine top-20 around probe vector 0 — the calibration-free
+    // lexical+dense hybrid every RAG retrieval stack ships. Only ranks
+    // cross the fusion boundary; contributions are exact nano-quantized
+    // integers (RankOps.rrfFuse).
+    "hybrid_rrf" -> ((s, dir) => {
+      val bm = graft.operators.CurationOps
+        .bm25(Tables.documents(s, dir), CurationQueries.Bm25Terms, topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val e = SimilarityOps.corpus(Tables.embeddings(s, dir))
+      val kn = SimilarityOps
+        .knnBruteForce(e.filter(col("vec_id") === 0), e, k = 20)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      graft.operators.RankOps.rrfFuse(Seq(bm, kn), k0 = 60, topK = 20)
     }))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
@@ -253,6 +269,39 @@ object SimilarityQueries {
          |SELECT n_calib, thr_nano, n_test, n_covered,
          |       round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
          |FROM te""".stripMargin,
+    "hybrid_rrf" -> {
+      val contribOf = (rankExpr: String) =>
+        s"CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + CAST($rankExpr AS DOUBLE))) AS BIGINT)"
+      s"""WITH bm AS (
+         |  ${CurationQueries.oracle("bm25_search")}
+         |), e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), qv AS (
+         |  SELECT emb AS q_emb FROM e WHERE vec_id = 0
+         |), kn0 AS (
+         |  SELECT e.vec_id AS doc_id, ${cosSql("q_emb", "e.emb")} AS cos
+         |  FROM e, qv WHERE e.vec_id <> 0
+         |), kn AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank
+         |    FROM kn0) WHERE rank <= 20
+         |), u AS (
+         |  SELECT doc_id, ${contribOf("rank")} AS c FROM bm
+         |  UNION ALL
+         |  SELECT doc_id, ${contribOf("rank")} AS c FROM kn
+         |), f AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |         CAST(sum(c) AS BIGINT) AS rrf_nano
+         |  FROM u GROUP BY 1
+         |), r AS (
+         |  SELECT doc_id, n_lists, rrf_nano,
+         |         CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
+         |  FROM f
+         |)
+         |SELECT doc_id, n_lists, rrf_nano, rank FROM r WHERE rank <= 20
+         |ORDER BY rank""".stripMargin
+    },
     "lsh_tuning" -> {
       val bit = (p: Int) =>
         s"CASE WHEN round(list_dot_product(emb, ${planeSqlLiteral(p)}), 6) > 0 " +

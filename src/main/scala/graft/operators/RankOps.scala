@@ -837,4 +837,37 @@ object RankOps {
       .filter(col("gr_pos") > col("gr_cut"))
       .drop("gr_bin", "gr_rk", "gr_cum_prev", "gr_cut")
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of N ranked
+    * lists: each list contributes `1/(k0 + rank)` per member and the
+    * fused ordering is by the summed contribution. The standard way to
+    * hybridize lexical (BM25) and dense (embedding-cosine) retrieval
+    * without score calibration — only RANKS cross the fusion boundary,
+    * so incomparable score scales never mix.
+    *
+    * Determinism: contributions are quantized to `round(10^9/(k0+rank))`
+    * BIGINT before the sum, so fused scores and the final ordering are
+    * exact integers; ties break on `doc_id`.
+    *
+    * Scale shape: inputs are already top-k lists (bounded — the expensive
+    * retrieval happened upstream); fusion is a union of tiny relations, a
+    * keyed sum, and a window over ≤ N·k rows. Output:
+    * `(doc_id, n_lists, rrf_nano, rank)` for the fused top `topK`.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val contrib = lists
+      .map(_.select(
+        col("doc_id"),
+        round(lit(1e9) / (lit(k0).cast("double") + col("rank").cast("double")))
+          .cast("long").as("c")))
+      .reduce(_ unionByName _)
+    val w = Window.orderBy(col("rrf_nano").desc, col("doc_id"))
+    contrib
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("c")).as("rrf_nano"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy(col("rank"))
+  }
 }
