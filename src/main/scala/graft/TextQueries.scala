@@ -155,7 +155,12 @@ object TextQueries {
     // train/val/test split boundaries (decontamination semantics).
     "split_leakage" -> ((s, dir) => TextOps.splitLeakage(Tables.documents(s, dir))),
     // Per-doc top-3 TF-IDF keywords (integer nano-log scores).
-    "doc_keywords" -> ((s, dir) => TextOps.docKeywords(Tables.documents(s, dir))))
+    "doc_keywords" -> ((s, dir) => TextOps.docKeywords(Tables.documents(s, dir))),
+    // Frequent-bigram mining via the sample-then-verify scale pattern:
+    // deterministic 1/8 occurrence sample → candidate bigrams → one
+    // exact count of candidates only (SketchOps.heavyHittersSampled).
+    "heavy_hitters" -> ((s, dir) =>
+      graft.operators.SketchOps.heavyHittersSampled(Tables.documents(s, dir))))
 
   private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -211,6 +216,33 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "heavy_hitters" -> {
+      val sampleHash = graft.functions.PortableHash.hash60Sql(
+        "'hh:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), bg0 AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 1),
+         |           i -> struct_pack(pos := i - 1, tok := t[i] || ' ' || t[i + 1])) AS l
+         |  FROM tk
+         |), bg AS (
+         |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+         |  FROM (SELECT doc_id, unnest(l) AS u FROM bg0)
+         |), cand AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n_sample
+         |  FROM bg WHERE ($sampleHash) % 8 = 0
+         |  GROUP BY 1 HAVING count(*) >= 3
+         |), x AS (
+         |  SELECT bg.tok, max(cand.n_sample) AS n_sample,
+         |         CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM bg JOIN cand USING (tok)
+         |  GROUP BY 1 HAVING count(*) >= 40
+         |)
+         |SELECT tok, n_sample, n_exact,
+         |       CAST(row_number() OVER (ORDER BY n_exact DESC, tok) AS INT) AS rank
+         |FROM x ORDER BY rank""".stripMargin
+    },
     "cms_terms" -> cmsOracle,
     "vocab_growth" ->
       s"""WITH t AS (

@@ -460,4 +460,62 @@ object SketchOps {
             (col("n_est") - col("n_exact")).cast("double") / col("n_exact").cast("double"),
             6)).as("rel_over"))
   }
+
+  /** Two-pass sampled heavy hitters over adjacent token bigrams — the
+    * sample-then-verify pattern for frequent-item mining when the key
+    * space is too large to group exactly (billions of distinct n-grams at
+    * corpus scale):
+    *
+    *  1. CANDIDATES: a deterministic 1/`sampleDen` occurrence sample
+    *     (portable hash of `doc_id:pos` — position-based, so a hot
+    *     bigram cannot dodge the sample) is grouped exactly; bigrams
+    *     with ≥ `candMin` sampled occurrences survive.
+    *  2. VERIFY: one exact count of ONLY the candidates (broadcast semi
+    *     join), filtered to true count ≥ `threshold`.
+    *
+    * The full-cardinality groupBy never happens: pass 1 groups 1/8 of
+    * the occurrences, pass 2 groups a candidate-pruned stream. Recall is
+    * 1 − P[Binom(f, 1/sampleDen) < candMin] per bigram of true count f —
+    * ≥ 99.9 % at `threshold`/`sampleDen` ≥ 2·`candMin` — and precision
+    * is exact (pass 2 is a true count). Both passes are deterministic
+    * (hash sample, no RNG), so the oracle reproduces the result
+    * bit-for-bit, including any sampling miss.
+    *
+    * At extreme candidate volumes swap the broadcast for a shuffle
+    * semi-join; the candidate relation is bounded by
+    * `sample_volume / candMin`, far below the raw key space.
+    *
+    * Output: `(tok, n_sample, n_exact, rank)` for candidates with
+    * `n_exact ≥ threshold`, ranked by `(n_exact desc, tok)`.
+    */
+  def heavyHittersSampled(
+      docs: DataFrame,
+      sampleDen: Long = 8L,
+      candMin: Long = 3L,
+      threshold: Long = 40L): DataFrame = {
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bg = tk
+      .select(
+        col("doc_id"),
+        posexplode(
+          zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val h = PortableHash.hash60(
+      concat_ws(":", lit("hh"), col("doc_id"), col("pos")))
+    val cand = bg
+      .filter(pmod(h, lit(sampleDen)) === 0L)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_sample"))
+      .filter(col("n_sample") >= candMin)
+    val w = Window.orderBy(col("n_exact").desc, col("tok"))
+    bg.join(broadcast(cand), Seq("tok"))
+      .groupBy(col("tok"))
+      .agg(max(col("n_sample")).as("n_sample"), count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= threshold)
+      .withColumn("rank", row_number().over(w))
+      .orderBy(col("rank"))
+  }
 }
