@@ -749,7 +749,21 @@ object EventsQueries {
     // window per user (millions of bounded partitions at scale), O(1)
     // state per row. See TimeSeriesOps.ewmaLast.
     "events_ewma" -> ((s, dir) =>
-      graft.operators.TimeSeriesOps.ewmaLast(Tables.events(s, dir))))
+      graft.operators.TimeSeriesOps.ewmaLast(Tables.events(s, dir))),
+    // Revenue by event_type through the two-stage SALTED aggregation
+    // (SkewOps.saltedSum, 16 shards): event_type is the canonical
+    // hot-key column — a handful of distinct values over billions of
+    // rows — so the partial groupBy(key, salt) spreads each hot reduce
+    // key across 16 combiners before the tiny final combine. Exact
+    // integer cents, so the two-stage addition order cannot show.
+    "skew_spend" -> ((s, dir) =>
+      graft.operators.SkewOps
+        .saltedSum(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull && !isnan(col("value")))
+            .select(col("event_type"), (col("value") * lit(100.0)).cast("bigint").as("cents")),
+          "event_type", "cents", salt = 16, sumName = "spend_c")
+        .orderBy(col("event_type"))))
 
   val oracle: Map[String, String] = Map(
     "ab_test" ->
@@ -1641,5 +1655,11 @@ object EventsQueries {
          |       round(CAST($num AS DOUBLE)
          |             / CAST($den AS DOUBLE), 6) AS ewma_cents
          |FROM l WHERE rn = 1 ORDER BY user_id""".stripMargin
-    })
+    },
+    "skew_spend" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS spend_c
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)
 }
