@@ -200,6 +200,37 @@ object SimilarityQueries {
         .knnBruteForce(e.filter(col("vec_id") === 0), e, k = 20)
         .select(col("c_id").as("doc_id"), col("rank"))
       graft.operators.RankOps.rrfFuse(Seq(bm, kn), k0 = 60, topK = 20)
+    }),
+    // Mondrian (class-conditional) conformal: each vector scored against
+    // its OWN label's calibration centroid, one α=0.1 cutoff per label,
+    // per-label test coverage — the slice-conditional guarantee
+    // (EvalOps.conformalCoverageBy). Calibration = even vec_ids.
+    "conformal_by_label" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val vl = graft.operators.KMeansOps
+        .quantize(e)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val cents = vl
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("label"), posexplode(col("vi")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
+        .groupBy(col("label"))
+        .agg(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("comp")))),
+            x => x.getField("comp")).as("ci"))
+        .withColumn("cc", graft.functions.GraftFunctions.dot(col("ci"), col("ci")))
+      val scored = vl
+        .join(broadcast(cents), Seq("label"))
+        .select(
+          col("label").as("grp"),
+          round(
+            graft.functions.GraftFunctions.dot(col("vi"), col("ci"))
+              / (sqrt(col("vv")) * sqrt(col("cc"))) * lit(1000000000.0))
+            .cast("bigint").as("score_nano"),
+          (col("vec_id") % 2 === 0).as("is_calib"))
+      graft.operators.EvalOps.conformalCoverageBy(scored, alphaNum = 1L, alphaDen = 10L)
     }))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
@@ -269,6 +300,63 @@ object SimilarityQueries {
          |SELECT n_calib, thr_nano, n_test, n_covered,
          |       round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
          |FROM te""".stripMargin,
+    "conformal_by_label" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+         |), l AS (
+         |  SELECT w.vec_id, w.vi, w.vv, e.label
+         |  FROM w JOIN embeddings e USING (vec_id)
+         |), m AS (
+         |  SELECT label, g.i AS pos,
+         |         CAST(CAST(trunc(sum(vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+         |  FROM l CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  WHERE vec_id % 2 = 0
+         |  GROUP BY 1, 2
+         |), c AS (
+         |  SELECT label, list(comp ORDER BY pos) AS ci,
+         |         list_dot_product(list(comp ORDER BY pos),
+         |                          list(comp ORDER BY pos)) AS cc
+         |  FROM m GROUP BY 1
+         |), sc AS (
+         |  SELECT l.label AS grp,
+         |         CAST(round(list_dot_product(l.vi, c.ci)
+         |              / (sqrt(l.vv) * sqrt(c.cc))
+         |              * 1000000000.0) AS BIGINT) AS score_nano,
+         |         l.vec_id % 2 = 0 AS is_calib
+         |  FROM l JOIN c ON c.label = l.label
+         |), cal AS (
+         |  SELECT grp, score_nano AS s,
+         |         row_number() OVER (PARTITION BY grp ORDER BY score_nano) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_calib
+         |  FROM sc WHERE is_calib
+         |), th AS (
+         |  SELECT grp, max(n_calib) AS n_calib,
+         |         max(CASE WHEN rn = n_calib - ((9 * (n_calib + 1) + 9) // 10) + 1
+         |                  THEN s END) AS thr_nano
+         |  FROM cal GROUP BY 1
+         |), te AS (
+         |  SELECT sc.grp,
+         |         CAST(count(*) AS BIGINT) AS n_test,
+         |         CAST(sum(CASE WHEN th.thr_nano IS NULL
+         |                            OR sc.score_nano >= th.thr_nano
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+         |  FROM sc LEFT JOIN th ON th.grp = sc.grp
+         |  WHERE NOT sc.is_calib
+         |  GROUP BY 1
+         |)
+         |SELECT coalesce(th.grp, te.grp) AS grp,
+         |       coalesce(th.n_calib, 0) AS n_calib, th.thr_nano,
+         |       coalesce(te.n_test, 0) AS n_test,
+         |       coalesce(te.n_covered, 0) AS n_covered,
+         |       CASE WHEN coalesce(te.n_test, 0) > 0
+         |            THEN round(CAST(te.n_covered AS DOUBLE)
+         |                       / CAST(te.n_test AS DOUBLE), 6) END AS coverage
+         |FROM th FULL OUTER JOIN te ON th.grp = te.grp
+         |ORDER BY grp""".stripMargin,
     "hybrid_rrf" -> {
       val contribOf = (rankExpr: String) =>
         s"CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + CAST($rankExpr AS DOUBLE))) AS BIGINT)"

@@ -1392,4 +1392,65 @@ object EvalOps {
       col("n_covered"),
       round(dbl(col("n_covered")) / dbl(col("n_test")), 6).as("coverage"))
   }
+
+  /** Mondrian (group-conditional) split conformal: [[conformalCoverage]]
+    * with one cutoff PER GROUP — the class-/slice-conditional guarantee
+    * (coverage ≥ 1−α within every group, not just marginally), the form
+    * deployed when groups have different score distributions. Callers
+    * pre-filter to the class of interest and tag rows
+    * `(grp, score_nano, is_calib)`; the group key is typically the label
+    * (class-conditional) or a data slice (per-source monitoring).
+    *
+    * Scale shape: the order-statistic window is PARTITIONED by group
+    * over calibration rows only (bounded per group by construction);
+    * the test side is one keyed conditional aggregate joined to the
+    * per-group cutoff relation — broadcastable (rows = #groups).
+    * Output: `(grp, n_calib, thr_nano, n_test, n_covered, coverage)`
+    * ordered by group; a group with no calibration rows covers all its
+    * test rows (NULL cutoff), a group with no test rows reports n_test 0.
+    */
+  def conformalCoverageBy(
+      scored: DataFrame,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val dbl = (c: Column) => c.cast("double")
+    val wS = Window.partitionBy(col("grp")).orderBy(col("s").asc)
+    val wN = Window.partitionBy(col("grp"))
+    val thr = scored
+      .filter(col("is_calib"))
+      .select(col("grp"), col("score_nano").as("s"))
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n_calib", count(lit(1)).over(wN))
+      .withColumn(
+        "k",
+        expr(s"(($alphaDen - $alphaNum) * (n_calib + 1) + $alphaDen - 1) DIV $alphaDen"))
+      .groupBy(col("grp"))
+      .agg(
+        max(col("n_calib")).as("n_calib"),
+        max(when(col("rn") === col("n_calib") - col("k") + 1, col("s")))
+          .as("thr_nano"))
+    val testAgg = scored
+      .filter(!col("is_calib"))
+      .join(broadcast(thr), Seq("grp"), "left")
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(
+          when(col("thr_nano").isNull.or(col("score_nano") >= col("thr_nano")), 1L)
+            .otherwise(0L)).as("n_covered"))
+    thr
+      .join(testAgg, Seq("grp"), "full_outer")
+      .select(
+        col("grp"),
+        coalesce(col("n_calib"), lit(0L)).as("n_calib"),
+        col("thr_nano"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .select(
+        col("grp"), col("n_calib"), col("thr_nano"), col("n_test"), col("n_covered"),
+        when(col("n_test") > 0L, round(dbl(col("n_covered")) / dbl(col("n_test")), 6))
+          .as("coverage"))
+      .orderBy(col("grp"))
+  }
 }

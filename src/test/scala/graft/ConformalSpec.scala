@@ -67,4 +67,43 @@ class ConformalSpec extends SparkSpec {
     val r = EvalOps.conformalCoverage(scored(calib ++ test)).collect()(0)
     assert(r.getLong(0) == 9 && r.getLong(2) == 1)
   }
+
+  private def groupScored(rows: Seq[(String, Long, Boolean)]) =
+    rows.toDF("grp", "score_nano", "is_calib")
+
+  test("grouped form: each group gets its own cutoff") {
+    // group a: scores 10..90 → thr 10; group b: scores 110..190 → thr 110.
+    val calib = (1 to 9).flatMap(i => Seq(("a", i * 10L, true), ("b", 100L + i * 10L, true)))
+    val test = Seq(("a", 5L, false), ("a", 10L, false), ("b", 105L, false), ("b", 110L, false))
+    val out = EvalOps.conformalCoverageBy(groupScored(calib ++ test)).collect()
+    val byGrp = out.map(r => r.getString(0) -> r).toMap
+    assert(byGrp("a").getLong(2) == 10L && byGrp("b").getLong(2) == 110L)
+    assert(byGrp("a").getLong(4) == 1 && byGrp("b").getLong(4) == 1)
+    // a's 105-score row would be covered under b's cutoff — but it isn't here
+    assert(math.abs(byGrp("a").getDouble(5) - 0.5) < 1e-6)
+  }
+
+  test("grouped form: calib-only and test-only groups both surface") {
+    val rows = Seq(
+      ("conly", 10L, true), ("conly", 20L, true),
+      ("tonly", 42L, false))
+    val out = EvalOps.conformalCoverageBy(groupScored(rows)).collect()
+    val byGrp = out.map(r => r.getString(0) -> r).toMap
+    assert(byGrp("conly").getLong(3) == 0 && byGrp("conly").isNullAt(5))
+    // no calibration → NULL cutoff → covers all its test rows
+    assert(byGrp("tonly").getLong(1) == 0 && byGrp("tonly").isNullAt(2))
+    assert(byGrp("tonly").getLong(4) == 1 && byGrp("tonly").getDouble(5) == 1.0)
+  }
+
+  test("grouped form agrees with the ungrouped operator on a single group") {
+    val calib = (1 to 50).map(i => (i * 7L, 1, true))
+    val test = (1 to 30).map(i => (i * 11L, 1, false))
+    val single = EvalOps.conformalCoverage(scored(calib ++ test)).collect()(0)
+    val grouped = EvalOps
+      .conformalCoverageBy(groupScored((calib ++ test).map(t => ("g", t._1, t._3))))
+      .collect()(0)
+    assert(grouped.getLong(1) == single.getLong(0))
+    assert(grouped.getLong(2) == single.getLong(1))
+    assert(grouped.getLong(4) == single.getLong(3))
+  }
 }
