@@ -585,4 +585,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "geo dims must broadcast")
     assert(!p.contains("SortMergeJoin"), "no SMJ for fixed-size dims")
   }
+
+  test("events_ewma: join-free, windows share one user_id partitioning") {
+    val p = plan("events_ewma")
+    assert(!p.contains("Join"), "EWMA is one keyed window pass, no join")
+    // both windows partition by user_id: one hash exchange, plus the final
+    // rangepartitioning for orderBy — never a third
+    val exchanges = """(?m)^\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"one user_id hash + one final range, got $exchanges:\n$p")
+  }
+
+  test("heavy_hitters: candidate verify joins by broadcast, never SMJ/cartesian") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "bounded candidate set must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fusion/conformal queries: bounded relations broadcast, no cartesian") {
+    for (q <- Seq("hybrid_rrf", "conformal_threshold", "conformal_by_label", "skew_spend")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: bounded relations must broadcast")
+    }
+  }
+
+  test("skew_spend: two-stage salted aggregation is join-free") {
+    val p = plan("skew_spend")
+    assert(!p.contains("Join"))
+    val aggs = """(?m)^\(\d+\) HashAggregate""".r.findAllIn(p).length
+    assert(aggs >= 3, s"partial+final per stage expected, got $aggs")
+  }
 }
