@@ -763,7 +763,13 @@ object EventsQueries {
             .filter(col("value").isNotNull && !isnan(col("value")))
             .select(col("event_type"), (col("value") * lit(100.0)).cast("bigint").as("cents")),
           "event_type", "cents", salt = 16, sumName = "spend_c")
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+    // 7-day revenue forecast: Holt double-exponential smoothing as two
+    // truncated dyadic EWMAs (level over daily totals, trend over
+    // day-over-day diffs) off the bounded day grid —
+    // TimeSeriesOps.holtForecast.
+    "revenue_forecast" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.holtForecast(Tables.events(s, dir))))
 
   val oracle: Map[String, String] = Map(
     "ab_test" ->
@@ -1661,5 +1667,48 @@ object EventsQueries {
         |       CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS spend_c
         |FROM events
         |WHERE value IS NOT NULL AND NOT isnan(value)
-        |GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "revenue_forecast" -> {
+      val K = 8
+      val lagCols = (0 until K)
+        .map(j => s"lag(rev_c, $j) OVER w AS lv$j,\n        |         lag(diff_c, $j) OVER w AS tr$j")
+        .mkString(",\n        |         ")
+      def num(p: String) = (0 until K)
+        .map(j => s"CASE WHEN $p$j IS NOT NULL THEN $p$j * ${1L << (K - 1 - j)} ELSE 0 END")
+        .mkString("(", "\n        |            + ", ")")
+      def den(p: String) = (0 until K)
+        .map(j => s"CASE WHEN $p$j IS NOT NULL THEN ${1L << (K - 1 - j)} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |         CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY 1
+         |), wd AS (
+         |  SELECT day, rev_c,
+         |         rev_c - lag(rev_c, 1) OVER (ORDER BY day) AS diff_c
+         |  FROM d
+         |), lg AS (
+         |  SELECT day,
+         |         $lagCols,
+         |         row_number() OVER (ORDER BY day DESC) AS rn
+         |  FROM wd
+         |  WINDOW w AS (ORDER BY day)
+         |), lt AS (
+         |  SELECT CAST(${num("lv")} AS DOUBLE) AS num_l,
+         |         CAST(${den("lv")} AS DOUBLE) AS den_l,
+         |         CAST(${num("tr")} AS DOUBLE) AS num_t,
+         |         CAST(${den("tr")} AS DOUBLE) AS den_t
+         |  FROM lg WHERE rn = 1
+         |)
+         |SELECT CAST(hs.h AS INT) AS h,
+         |       round(num_l / den_l, 6) AS level_c,
+         |       CASE WHEN den_t > 0.0 THEN round(num_t / den_t, 6) END AS trend_c,
+         |       round(num_l / den_l
+         |             + CAST(hs.h AS DOUBLE)
+         |               * (CASE WHEN den_t > 0.0 THEN num_t / den_t ELSE 0.0 END),
+         |             6) AS forecast_c
+         |FROM lt CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hs
+         |ORDER BY h""".stripMargin
+    })
 }

@@ -69,4 +69,64 @@ object TimeSeriesOps {
           .as("ewma_cents"))
       .orderBy(col("user_id"))
   }
+
+  /** Holt-style linear forecast off the daily revenue series: LEVEL is
+    * the truncated EWMA of the last `lookback` daily totals, TREND the
+    * truncated EWMA of the last `lookback` day-over-day differences, and
+    * the h-step forecast is `level + h·trend` for h = 1..`horizon` — the
+    * classic double-exponential-smoothing readout re-expressed as two
+    * finite dyadic windows (the same exactness contract as [[ewmaLast]]:
+    * all numerators/denominators are BIGINT, floats appear only in the
+    * final three-term projection, evaluated in one fixed order).
+    *
+    * Scale shape: one keyed aggregation reduces the corpus to the daily
+    * grid (bounded — days, not rows), and every window runs over that
+    * grid; the horizon explode emits `horizon` rows. Output:
+    * `(h, level_c, trend_c, forecast_c)` ordered by `h`.
+    */
+  def holtForecast(events: DataFrame, lookback: Int = 8, horizon: Int = 7): DataFrame = {
+    require(lookback >= 1 && lookback <= 62, "lookback must fit a Long shift")
+    val daily = events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(value * 100.0 AS BIGINT)")).as("rev_c"))
+    val w = Window.orderBy(col("day")) // bounded day grid — decile pattern
+    val weightOf = (j: Int) => lit(1L << (lookback - 1 - j))
+    val withDiff = daily.withColumn("diff_c", col("rev_c") - lag(col("rev_c"), 1).over(w))
+    val lagsL = (0 until lookback).map(j => lag(col("rev_c"), j).over(w).as(s"_lv$j"))
+    val lagsT = (0 until lookback).map(j => lag(col("diff_c"), j).over(w).as(s"_tr$j"))
+    val lagged = withDiff.select(col("day") +: (lagsL ++ lagsT): _*)
+    def pair(prefix: String) = {
+      val num = (0 until lookback)
+        .map(j => when(col(s"$prefix$j").isNotNull, col(s"$prefix$j") * weightOf(j)).otherwise(lit(0L)))
+        .reduceLeft(_ + _)
+      val den = (0 until lookback)
+        .map(j => when(col(s"$prefix$j").isNotNull, weightOf(j)).otherwise(lit(0L)))
+        .reduceLeft(_ + _)
+      (num, den)
+    }
+    val (numL, denL) = pair("_lv")
+    val (numT, denT) = pair("_tr")
+    val wLast = Window.orderBy(col("day").desc)
+    val last = lagged
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") === 1)
+      .select(
+        numL.cast("double").as("num_l"), denL.cast("double").as("den_l"),
+        numT.cast("double").as("num_t"), denT.cast("double").as("den_t"))
+    last
+      .select(
+        explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("num_l"), col("den_l"), col("num_t"), col("den_t"))
+      .select(
+        col("h"),
+        round(col("num_l") / col("den_l"), 6).as("level_c"),
+        when(col("den_t") > 0.0, round(col("num_t") / col("den_t"), 6)).as("trend_c"),
+        round(
+          col("num_l") / col("den_l") +
+            col("h").cast("double") *
+              when(col("den_t") > 0.0, col("num_t") / col("den_t")).otherwise(lit(0.0)),
+          6).as("forecast_c"))
+      .orderBy(col("h"))
+  }
 }

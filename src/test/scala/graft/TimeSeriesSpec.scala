@@ -70,4 +70,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(2) == 1234L)
     assert(r.getDouble(3) == 1234.0)
   }
+
+  private def dailyDf(revByDay: Seq[(Int, Double)]) =
+    revByDay.zipWithIndex
+      .map { case ((d, v), i) =>
+        (1L, i.toLong, d.toLong * 86400L * 1000000L, v)
+      }
+      .toDF("user_id", "event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  test("holtForecast on a perfectly linear series extrapolates the line") {
+    // daily revenue 100, 200, ..., 1000 cents: every diff is 100 → trend
+    // EWMA = 100 exactly; level EWMA of last 8 of a linear ramp.
+    val days = (1 to 10).map(d => d -> d.toDouble) // d dollars = 100d cents
+    val out = TimeSeriesOps.holtForecast(dailyDf(days)).collect()
+    assert(out.length == 7)
+    val levels = (0 until 8).map(j => (10 - j) * 100L) // newest-first cents
+    val num = levels.zipWithIndex.map { case (c, j) => c << (7 - j) }.sum
+    val level = num.toDouble / 255.0
+    out.foreach { r =>
+      val h = r.getInt(0)
+      assert(r.getDouble(2) == 100.0, "trend must be exactly the slope")
+      assert(math.abs(r.getDouble(1) - level) < 1e-6)
+      assert(math.abs(r.getDouble(3) - (level + h * 100.0)) < 1e-6, s"h=$h")
+    }
+  }
+
+  test("holtForecast single-day series: null trend, forecast equals level") {
+    val out = TimeSeriesOps.holtForecast(dailyDf(Seq(3 -> 5.0))).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(2))
+      assert(r.getDouble(1) == 500.0 && r.getDouble(3) == 500.0)
+    }
+  }
+
+  test("holtForecast on a constant series: zero trend, level equals the constant") {
+    val out = TimeSeriesOps.holtForecast(dailyDf((1 to 20).map(d => d -> 7.0))).collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) == 0.0)
+      assert(r.getDouble(3) == 700.0)
+    }
+  }
 }
