@@ -769,7 +769,12 @@ object EventsQueries {
     // day-over-day diffs) off the bounded day grid —
     // TimeSeriesOps.holtForecast.
     "revenue_forecast" -> ((s, dir) =>
-      graft.operators.TimeSeriesOps.holtForecast(Tables.events(s, dir))))
+      graft.operators.TimeSeriesOps.holtForecast(Tables.events(s, dir))),
+    // Robust daily-revenue trend: Theil–Sen median pairwise slope +
+    // median-residual intercept over the bounded day grid — the
+    // outlier-resistant complement to volume_trend's OLS.
+    "revenue_theilsen" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.theilSen(Tables.events(s, dir))))
 
   val oracle: Map[String, String] = Map(
     "ab_test" ->
@@ -1710,5 +1715,37 @@ object EventsQueries {
          |             6) AS forecast_c
          |FROM lt CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hs
          |ORDER BY h""".stripMargin
-    })
+    },
+    "revenue_theilsen" ->
+      """WITH d0 AS (
+        |  SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) // 86400000000 AS xd,
+        |         CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT xd - (SELECT min(xd) FROM d0) AS x, y FROM d0
+        |), p AS (
+        |  SELECT CAST(round(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |              * 1000000000.0) AS BIGINT) AS s_nano
+        |  FROM d a JOIN d b ON a.x < b.x
+        |), sm AS (
+        |  SELECT s_nano, row_number() OVER (ORDER BY s_nano) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM p
+        |), sl AS (
+        |  SELECT m AS n_pairs, s_nano AS slope_nano FROM sm WHERE rn = (m + 1) // 2
+        |), r AS (
+        |  SELECT sl.n_pairs, sl.slope_nano,
+        |         d.y * 1000000000 - sl.slope_nano * d.x AS r_nano
+        |  FROM d CROSS JOIN sl
+        |), rm AS (
+        |  SELECT n_pairs, slope_nano, r_nano,
+        |         row_number() OVER (ORDER BY r_nano) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_days
+        |  FROM r
+        |)
+        |SELECT n_days, n_pairs, slope_nano,
+        |       round(CAST(slope_nano AS DOUBLE) / 1000000000.0, 6) AS slope_c_per_day,
+        |       round(CAST(r_nano AS DOUBLE) / 1000000000.0, 6) AS intercept_c
+        |FROM rm WHERE rn = (n_days + 1) // 2""".stripMargin)
 }

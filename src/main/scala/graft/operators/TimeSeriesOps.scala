@@ -129,4 +129,63 @@ object TimeSeriesOps {
           6).as("forecast_c"))
       .orderBy(col("h"))
   }
+
+  /** Theil–Sen robust trend of the daily revenue series: the MEDIAN of
+    * all pairwise slopes `(y_j − y_i)/(x_j − x_i)` over the day grid
+    * (x = epoch days, so calendar gaps weight correctly), plus the
+    * matching median-residual intercept — the outlier-resistant
+    * complement to the OLS `volume_trend` (one corrupted day moves OLS
+    * arbitrarily; Theil–Sen tolerates up to 29 % corruption).
+    *
+    * Determinism: slopes and residuals are nano-quantized
+    * (`round(1e9·Δy/Δx)` BIGINT) before the order-statistic median
+    * (lower median at even counts), so selection compares exact
+    * integers. Scale shape: the corpus reduces to the BOUNDED day grid
+    * first; the pairwise self-join is days² over that grid (a few
+    * thousand rows for a year), never over raw events.
+    *
+    * Output: one row `(n_days, n_pairs, slope_nano, slope_c_per_day,
+    * intercept_c)`.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily0 = events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(value * 100.0 AS BIGINT)")).as("y"))
+      .select(expr("unix_micros(day) DIV 86400000000").as("xd"), col("y"))
+    // rebase x to days-since-first so the intercept sits at the series
+    // start and slope_nano·x stays far from int64 range
+    val daily = daily0
+      .withColumn("x", col("xd") - min(col("xd")).over(Window.partitionBy()))
+      .drop("xd")
+    val a = daily.select(col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("x").as("x2"), col("y").as("y2"))
+    val pairs = a
+      .join(broadcast(b), col("x1") < col("x2"))
+      .select(
+        round(
+          (col("y2") - col("y1")).cast("double") / (col("x2") - col("x1")).cast("double")
+            * lit(1000000000.0)).cast("bigint").as("s_nano"))
+    val wS = Window.orderBy(col("s_nano").asc) // bounded: days² rows
+    val slope = pairs
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(m + 1) DIV 2"))
+      .select(col("m").as("n_pairs"), col("s_nano").as("slope_nano"))
+    val wR = Window.orderBy(col("r_nano").asc) // bounded: days rows
+    val resid = daily
+      .crossJoin(broadcast(slope))
+      .select(
+        col("n_pairs"), col("slope_nano"),
+        (col("y") * lit(1000000000L) - col("slope_nano") * col("x")).as("r_nano"))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(n_days + 1) DIV 2"))
+    resid.select(
+      col("n_days"),
+      col("n_pairs"),
+      col("slope_nano"),
+      round(col("slope_nano").cast("double") / lit(1e9), 6).as("slope_c_per_day"),
+      round(col("r_nano").cast("double") / lit(1e9), 6).as("intercept_c"))
+  }
 }

@@ -111,4 +111,27 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getDouble(3) == 700.0)
     }
   }
+
+  test("theilSen recovers the exact slope of a linear series") {
+    // 5 cents/day ramp over 15 days: every pairwise slope is 500 nano-scaled
+    val r = TimeSeriesOps.theilSen(dailyDf((1 to 15).map(d => d -> (5.0 * d)))).collect()(0)
+    assert(r.getLong(0) == 15 && r.getLong(1) == 15 * 14 / 2)
+    assert(r.getLong(2) == 500L * 1000000000L / 1000000000L * 1000000000L || r.getLong(2) == 500000000000L)
+    assert(r.getDouble(3) == 500.0)
+    assert(r.getDouble(4) == 500.0) // intercept at x=0 (first day) = first value
+  }
+
+  test("theilSen shrugs off a single corrupted day (OLS would not)") {
+    val clean = (1 to 20).map(d => d -> (2.0 * d))
+    val dirty = clean.updated(9, 10 -> 100000.0) // one wild outlier
+    val r = TimeSeriesOps.theilSen(dailyDf(dirty)).collect()(0)
+    assert(r.getDouble(3) == 200.0, s"median slope must stay 200, got ${r.getDouble(3)}")
+  }
+
+  test("theilSen handles calendar gaps by true day distance") {
+    // days 1 and 11, values 0 and 100 dollars: slope = 1000 cents/day
+    val r = TimeSeriesOps.theilSen(dailyDf(Seq(1 -> 0.0, 11 -> 100.0))).collect()(0)
+    assert(r.getLong(1) == 1)
+    assert(r.getDouble(3) == 1000.0)
+  }
 }
