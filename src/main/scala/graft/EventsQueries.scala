@@ -774,7 +774,14 @@ object EventsQueries {
     // median-residual intercept over the bounded day grid — the
     // outlier-resistant complement to volume_trend's OLS.
     "revenue_theilsen" -> ((s, dir) =>
-      graft.operators.TimeSeriesOps.theilSen(Tables.events(s, dir))))
+      graft.operators.TimeSeriesOps.theilSen(Tables.events(s, dir))),
+    // Self-excluding EWMA-band anomaly days: revenue outside 3× the
+    // prior-window mean absolute deviation around the prior-window EWMA;
+    // the verdict is cross-multiplied exact integers (TimeSeriesOps
+    // .ewmaAnomalies) — the value-level companion to events_anomaly's
+    // count z-score.
+    "revenue_anomaly" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.ewmaAnomalies(Tables.events(s, dir))))
 
   val oracle: Map[String, String] = Map(
     "ab_test" ->
@@ -1747,5 +1754,53 @@ object EventsQueries {
         |SELECT n_days, n_pairs, slope_nano,
         |       round(CAST(slope_nano AS DOUBLE) / 1000000000.0, 6) AS slope_c_per_day,
         |       round(CAST(r_nano AS DOUBLE) / 1000000000.0, 6) AS intercept_c
-        |FROM rm WHERE rn = (n_days + 1) // 2""".stripMargin)
+        |FROM rm WHERE rn = (n_days + 1) // 2""".stripMargin,
+    "revenue_anomaly" -> {
+      val K = 8
+      val lagCols = (1 to K)
+        .map(j => s"lag(y, $j) OVER w AS p$j")
+        .mkString(",\n        |         ")
+      val num = (1 to K)
+        .map(j => s"CASE WHEN p$j IS NOT NULL THEN p$j * ${1L << (K - j)} ELSE 0 END")
+        .mkString("(", "\n        |          + ", ")")
+      val den = (1 to K)
+        .map(j => s"CASE WHEN p$j IS NOT NULL THEN ${1L << (K - j)} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val devSum = (1 to K)
+        .map(j =>
+          s"CASE WHEN p$j IS NOT NULL THEN abs(CAST(p$j AS HUGEINT) * den - num) " +
+            "ELSE CAST(0 AS HUGEINT) END")
+        .mkString("(", "\n        |          + ", ")")
+      val nPrior = (1 to K)
+        .map(j => s"CASE WHEN p$j IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |         CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY 1
+         |), lg AS (
+         |  SELECT day, y,
+         |         $lagCols
+         |  FROM d WINDOW w AS (ORDER BY day)
+         |), b AS (
+         |  SELECT day, y, ${(1 to K).map(j => s"p$j").mkString(", ")},
+         |         $num AS num,
+         |         $den AS den
+         |  FROM lg
+         |), f AS (
+         |  SELECT day, y, num, den,
+         |         $devSum AS dev_sum,
+         |         $nPrior AS n_prior
+         |  FROM b WHERE den > 0
+         |)
+         |SELECT day, y AS rev_c,
+         |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma_prev_c,
+         |       round(CAST(dev_sum AS DOUBLE)
+         |             / (CAST(den AS DOUBLE) * CAST(n_prior AS DOUBLE)), 6) AS dev_prev_c
+         |FROM f
+         |WHERE n_prior >= 3
+         |  AND abs(CAST(y AS HUGEINT) * den - num) * n_prior > dev_sum * 3
+         |ORDER BY day""".stripMargin
+    })
 }

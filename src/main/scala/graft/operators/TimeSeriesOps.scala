@@ -188,4 +188,80 @@ object TimeSeriesOps {
       round(col("slope_nano").cast("double") / lit(1e9), 6).as("slope_c_per_day"),
       round(col("r_nano").cast("double") / lit(1e9), 6).as("intercept_c"))
   }
+
+  /** EWMA-band anomaly days: a day is anomalous when its revenue leaves
+    * the `bandNum/bandDen`-scaled mean-absolute-deviation band around the
+    * PRIOR days' truncated EWMA (both smoothers exclude the day under
+    * test, so an outlier cannot defend itself by inflating its own
+    * baseline). The level uses the dyadic [[ewmaLast]] arithmetic over
+    * lags 1..`lookback`; the deviation scale is the plain mean |y −
+    * level| over the same prior window.
+    *
+    * Float discipline: the flag is decided on CROSS-MULTIPLIED integers —
+    * `|y·den − num|·n_prior·bandDen > (Σ_j |y_j·den − num|)·bandNum`
+    * (each side carries exactly one ×den factor, so the level division
+    * never happens) — the anomaly/normal verdict can never flip on an
+    * ulp. DECIMAL(38,0) carries the products (y·den alone is ~2^54).
+    *
+    * Scale shape: one keyed reduction to the bounded day grid, one
+    * ordered window over it. Output: anomalous days
+    * `(day, rev_c, ewma_prev_c, dev_prev_c)` ordered by day.
+    */
+  def ewmaAnomalies(
+      events: DataFrame,
+      lookback: Int = 8,
+      bandNum: Long = 3L,
+      bandDen: Long = 1L,
+      minPrior: Int = 3): DataFrame = {
+    require(lookback >= 1 && lookback <= 20, "lookback bounded by the dec38 product budget")
+    val daily = events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(value * 100.0 AS BIGINT)")).as("y"))
+    val w = Window.orderBy(col("day")) // bounded day grid
+    val weightOf = (j: Int) => lit(1L << (lookback - j)) // lags 1..K
+    val lags = (1 to lookback).map(j => lag(col("y"), j).over(w).as(s"_p$j"))
+    val lagged = daily.select(col("day") +: col("y") +: lags: _*)
+    val num = (1 to lookback)
+      .map(j => when(col(s"_p$j").isNotNull, col(s"_p$j") * weightOf(j)).otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+    val den = (1 to lookback)
+      .map(j => when(col(s"_p$j").isNotNull, weightOf(j)).otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = lagged
+      .withColumn("_num", num)
+      .withColumn("_den", den)
+      .filter(col("_den") > 0L) // first day has no prior baseline
+    // mean |y_prior − level| kept ×den·n (never divided): the flag
+    // compares |y·den − num|·n·bandDen > Σ_j|y_j·den − num|·bandNum
+    val devSum = (1 to lookback)
+      .map(j =>
+        when(
+          col(s"_p$j").isNotNull,
+          abs(dec(col(s"_p$j")) * dec(col("_den")) - dec(col("_num")))).otherwise(dec(lit(0L))))
+      .reduceLeft(_ + _)
+    val nPrior = (1 to lookback)
+      .map(j => when(col(s"_p$j").isNotNull, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    base
+      .withColumn("_dev_sum", devSum)
+      .withColumn("_n_prior", nPrior)
+      // a 1-2 day baseline has a degenerate (near-zero) MAD — withhold
+      // the verdict until minPrior days back the band
+      .filter(col("_n_prior") >= minPrior.toLong)
+      .filter(
+        abs(dec(col("y")) * dec(col("_den")) - dec(col("_num"))) * dec(col("_n_prior")) *
+          dec(lit(bandDen)) >
+          col("_dev_sum") * dec(lit(bandNum)))
+      .select(
+        col("day"),
+        col("y").as("rev_c"),
+        round(col("_num").cast("double") / col("_den").cast("double"), 6).as("ewma_prev_c"),
+        round(
+          col("_dev_sum").cast("double") /
+            (col("_den").cast("double") * col("_n_prior").cast("double")),
+          6).as("dev_prev_c"))
+      .orderBy(col("day"))
+  }
 }

@@ -134,4 +134,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(1) == 1)
     assert(r.getDouble(3) == 1000.0)
   }
+
+  test("ewmaAnomalies flags an injected spike and nothing else on noisy-flat data") {
+    // alternating 100/102 dollars, one 500-dollar day in the middle
+    val days = (1 to 30).map(d => d -> (if (d == 20) 500.0 else if (d % 2 == 0) 102.0 else 100.0))
+    val out = TimeSeriesOps.ewmaAnomalies(dailyDf(days)).collect()
+    val flagged = out.map(_.getTimestamp(0).toInstant.getEpochSecond / 86400).toSet
+    assert(flagged.contains(20L), s"spike day must be flagged, got $flagged")
+    assert(!flagged.contains(10L) && !flagged.contains(25L))
+    // day 21 may legitimately flag too (the spike inflated its baseline
+    // deviation but also shifted the level); the spike itself must be first
+    assert(out.head.getLong(1) == 50000L)
+  }
+
+  test("ewmaAnomalies on a constant series: zero deviation, zero anomalies") {
+    val out = TimeSeriesOps.ewmaAnomalies(dailyDf((1 to 15).map(d => d -> 7.0))).collect()
+    assert(out.isEmpty) // |y·den − num| = 0 is never > 0 = dev_sum
+  }
+
+  test("ewmaAnomalies: first day has no baseline and cannot flag") {
+    val out = TimeSeriesOps.ewmaAnomalies(dailyDf(Seq(1 -> 9999.0, 2 -> 1.0, 3 -> 1.0))).collect()
+    val flagged = out.map(_.getTimestamp(0).toInstant.getEpochSecond / 86400).toSet
+    assert(!flagged.contains(1L))
+  }
 }
