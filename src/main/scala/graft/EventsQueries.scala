@@ -781,7 +781,12 @@ object EventsQueries {
     // .ewmaAnomalies) — the value-level companion to events_anomaly's
     // count z-score.
     "revenue_anomaly" -> ((s, dir) =>
-      graft.operators.TimeSeriesOps.ewmaAnomalies(Tables.events(s, dir))))
+      graft.operators.TimeSeriesOps.ewmaAnomalies(Tables.events(s, dir))),
+    // Walk-forward forecast QA: 1-step MAE of naive / seasonal-naive /
+    // Holt over the day grid, each day forecast from its priors only;
+    // MASE < 1 is the ship gate — TimeSeriesOps.forecastBacktest.
+    "forecast_backtest" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.forecastBacktest(Tables.events(s, dir))))
 
   val oracle: Map[String, String] = Map(
     "ab_test" ->
@@ -1717,7 +1722,7 @@ object EventsQueries {
          |       round(num_l / den_l, 6) AS level_c,
          |       CASE WHEN den_t > 0.0 THEN round(num_t / den_t, 6) END AS trend_c,
          |       round(num_l / den_l
-         |             + CAST(hs.h AS DOUBLE)
+         |             + (247.0 / 255.0 + CAST(hs.h AS DOUBLE))
          |               * (CASE WHEN den_t > 0.0 THEN num_t / den_t ELSE 0.0 END),
          |             6) AS forecast_c
          |FROM lt CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hs
@@ -1802,5 +1807,68 @@ object EventsQueries {
          |WHERE n_prior >= 3
          |  AND abs(CAST(y AS HUGEINT) * den - num) * n_prior > dev_sum * 3
          |ORDER BY day""".stripMargin
+    },
+    "forecast_backtest" -> {
+      val K = 8
+      val lagCols = (1 to K)
+        .map(j => s"lag(y, $j) OVER w AS y$j,\n        |         lag(d1, $j) OVER w AS d$j")
+        .mkString(",\n        |         ")
+      def num(p: String) = (1 to K)
+        .map(j => s"CASE WHEN $p$j IS NOT NULL THEN $p$j * ${1L << (K - j)} ELSE 0 END")
+        .mkString("(", "\n        |            + ", ")")
+      def den(p: String) = (1 to K)
+        .map(j => s"CASE WHEN $p$j IS NOT NULL THEN ${1L << (K - j)} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |         CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY 1
+         |), wd AS (
+         |  SELECT day, y, y - lag(y, 1) OVER (ORDER BY day) AS d1 FROM d
+         |), lg AS (
+         |  SELECT day, y, lag(y, 7) OVER w AS ys,
+         |         $lagCols
+         |  FROM wd WINDOW w AS (ORDER BY day)
+         |), f AS (
+         |  SELECT y, ys, y1,
+         |         ${num("y")} AS num_l,
+         |         ${den("y")} AS den_l,
+         |         ${num("d")} AS num_t,
+         |         ${den("d")} AS den_t
+         |  FROM lg WHERE ys IS NOT NULL
+         |), e AS (
+         |  SELECT CAST(round(abs(CAST(y - y1 AS DOUBLE)) * 1000000000.0) AS BIGINT)
+         |           AS e_naive,
+         |         CAST(round(abs(CAST(y - ys AS DOUBLE)) * 1000000000.0) AS BIGINT)
+         |           AS e_seasonal,
+         |         CAST(round(abs(CAST(y AS DOUBLE)
+         |              - (CAST(num_l AS DOUBLE) / CAST(den_l AS DOUBLE)
+         |                 + (502.0 / 255.0)
+         |                   * (CASE WHEN den_t > 0
+         |                           THEN CAST(num_t AS DOUBLE) / CAST(den_t AS DOUBLE)
+         |                           ELSE 0.0 END))) * 1000000000.0) AS BIGINT) AS e_holt
+         |  FROM f
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |         CAST(sum(e_naive) AS BIGINT) AS s_naive,
+         |         CAST(sum(e_seasonal) AS BIGINT) AS s_seasonal,
+         |         CAST(sum(e_holt) AS BIGINT) AS s_holt
+         |  FROM e
+         |)
+         |SELECT n_eval,
+         |       round(CAST(s_naive AS DOUBLE)
+         |             / (CAST(n_eval AS DOUBLE) * 1000000000.0), 6) AS mae_naive_c,
+         |       round(CAST(s_seasonal AS DOUBLE)
+         |             / (CAST(n_eval AS DOUBLE) * 1000000000.0), 6) AS mae_seasonal_c,
+         |       round(CAST(s_holt AS DOUBLE)
+         |             / (CAST(n_eval AS DOUBLE) * 1000000000.0), 6) AS mae_holt_c,
+         |       CASE WHEN s_naive > 0
+         |            THEN round(CAST(s_holt AS DOUBLE) / CAST(s_naive AS DOUBLE), 6)
+         |       END AS mase_holt,
+         |       CASE WHEN s_naive > 0
+         |            THEN round(CAST(s_seasonal AS DOUBLE) / CAST(s_naive AS DOUBLE), 6)
+         |       END AS mase_seasonal
+         |FROM g""".stripMargin
     })
 }

@@ -73,19 +73,34 @@ object TimeSeriesOps {
   /** Holt-style linear forecast off the daily revenue series: LEVEL is
     * the truncated EWMA of the last `lookback` daily totals, TREND the
     * truncated EWMA of the last `lookback` day-over-day differences, and
-    * the h-step forecast is `level + h·trend` for h = 1..`horizon` — the
-    * classic double-exponential-smoothing readout re-expressed as two
-    * finite dyadic windows (the same exactness contract as [[ewmaLast]]:
-    * all numerators/denominators are BIGINT, floats appear only in the
-    * final three-term projection, evaluated in one fixed order).
+    * the h-step forecast is `level + (c + h)·trend` for h = 1..`horizon`
+    * — the double-exponential-smoothing readout re-expressed as two
+    * finite dyadic windows. `c = Σ_j w_j·j / Σ_j w_j` (an exact dyadic
+    * rational, [[centerOffset]]) is the window's center of mass: the
+    * weighted average of lagged values sits `c` days behind the series
+    * head, so the drift correction makes the forecast EXACT on any
+    * linear series (pinned in TimeSeriesSpec) instead of lagging it by
+    * ~2 slopes.
     *
-    * Scale shape: one keyed aggregation reduces the corpus to the daily
-    * grid (bounded — days, not rows), and every window runs over that
-    * grid; the horizon explode emits `horizon` rows. Output:
+    * Exactness contract as [[ewmaLast]]: all numerators/denominators
+    * are BIGINT; floats appear only in the final projection, evaluated
+    * in one fixed order. Scale shape: one keyed aggregation reduces the
+    * corpus to the bounded day grid; every window runs over that grid;
+    * the horizon explode emits `horizon` rows. Output:
     * `(h, level_c, trend_c, forecast_c)` ordered by `h`.
     */
+  /** Center of mass of the dyadic lag window `startJ .. startJ+K−1`
+    * with weights `2^(K−1−(j−startJ))`: `(num, den)` exact integers —
+    * e.g. lags 0..7 → (247, 255), lags 1..8 → (502, 255).
+    */
+  def centerOffset(lookback: Int, startJ: Int): (Long, Long) = {
+    val terms = (0 until lookback).map(i => (1L << (lookback - 1 - i)) * (startJ + i))
+    (terms.sum, (1L << lookback) - 1L)
+  }
+
   def holtForecast(events: DataFrame, lookback: Int = 8, horizon: Int = 7): DataFrame = {
     require(lookback >= 1 && lookback <= 62, "lookback must fit a Long shift")
+    val (cNum, cDen) = centerOffset(lookback, startJ = 0)
     val daily = events
       .filter(col("value").isNotNull && !isnan(col("value")))
       .groupBy(date_trunc("day", col("ts")).as("day"))
@@ -124,7 +139,7 @@ object TimeSeriesOps {
         when(col("den_t") > 0.0, round(col("num_t") / col("den_t"), 6)).as("trend_c"),
         round(
           col("num_l") / col("den_l") +
-            col("h").cast("double") *
+            (lit(cNum.toDouble) / lit(cDen.toDouble) + col("h").cast("double")) *
               when(col("den_t") > 0.0, col("num_t") / col("den_t")).otherwise(lit(0.0)),
           6).as("forecast_c"))
       .orderBy(col("h"))
@@ -263,5 +278,78 @@ object TimeSeriesOps {
             (col("_den").cast("double") * col("_n_prior").cast("double")),
           6).as("dev_prev_c"))
       .orderBy(col("day"))
+  }
+
+  /** Walk-forward 1-step forecast backtest over the daily revenue grid:
+    * every day with ≥ `season` prior rows is forecast three ways using
+    * ONLY its prior days — naive (yesterday), seasonal-naive (`season`
+    * rows back), and Holt (prior-window dyadic level + trend, the
+    * [[holtForecast]] arithmetic shifted one day) — and scored by
+    * absolute error. The headline is MASE (MAE ratio vs naive): < 1
+    * means the model earns its keep, the standard go/no-go gate before
+    * a forecast ships.
+    *
+    * Errors are nano-quantized per day (`round(1e9·|y − f|)` BIGINT) so
+    * the cross-day sums are exact; the two MAE divisions and the MASE
+    * ratio are the only floats. One keyed reduction to the bounded day
+    * grid; every window runs over it.
+    *
+    * Output: one row `(n_eval, mae_naive_c, mae_seasonal_c, mae_holt_c,
+    * mase_holt, mase_seasonal)`.
+    */
+  def forecastBacktest(events: DataFrame, lookback: Int = 8, season: Int = 7): DataFrame = {
+    require(lookback >= 1 && lookback <= 62, "lookback must fit a Long shift")
+    val daily = events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(value * 100.0 AS BIGINT)")).as("y"))
+    val w = Window.orderBy(col("day")) // bounded day grid
+    val weightOf = (j: Int) => lit(1L << (lookback - j)) // prior lags 1..K
+    val withDiff = daily.withColumn("d1", col("y") - lag(col("y"), 1).over(w))
+    val lagsY = (1 to lookback).map(j => lag(col("y"), j).over(w).as(s"_y$j"))
+    val lagsD = (1 to lookback).map(j => lag(col("d1"), j).over(w).as(s"_d$j"))
+    val seas = lag(col("y"), season).over(w).as("_ys")
+    val lagged = withDiff.select(col("day") +: col("y") +: seas +: (lagsY ++ lagsD): _*)
+    def pair(prefix: String) = {
+      val num = (1 to lookback)
+        .map(j => when(col(s"$prefix$j").isNotNull, col(s"$prefix$j") * weightOf(j)).otherwise(lit(0L)))
+        .reduceLeft(_ + _)
+      val den = (1 to lookback)
+        .map(j => when(col(s"$prefix$j").isNotNull, weightOf(j)).otherwise(lit(0L)))
+        .reduceLeft(_ + _)
+      (num, den)
+    }
+    val (numL, denL) = pair("_y")
+    val (numT, denT) = pair("_d")
+    // the prior-lag level sits `c` days behind the forecast target (lags
+    // start at 1, so c already includes the 1-step gap); the `c·trend`
+    // drift correction makes the forecast exact on linear series
+    val (cNum, cDen) = centerOffset(lookback, startJ = 1)
+    val holtF = numL.cast("double") / denL.cast("double") +
+      (lit(cNum.toDouble) / lit(cDen.toDouble)) *
+        when(denT > 0L, numT.cast("double") / denT.cast("double")).otherwise(lit(0.0))
+    val nano = (e: Column) => round(e * lit(1000000000.0)).cast("bigint")
+    val scoredDays = lagged
+      .filter(col("_ys").isNotNull) // ≥ season prior rows → all forecasts defined
+      .select(
+        nano(abs((col("y") - col("_y1")).cast("double"))).as("e_naive"),
+        nano(abs((col("y") - col("_ys")).cast("double"))).as("e_seasonal"),
+        nano(abs(col("y").cast("double") - holtF)).as("e_holt"))
+    val dbl = (c: Column) => c.cast("double")
+    scoredDays
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(col("e_naive")).as("s_naive"),
+        sum(col("e_seasonal")).as("s_seasonal"),
+        sum(col("e_holt")).as("s_holt"))
+      .select(
+        col("n_eval"),
+        round(dbl(col("s_naive")) / (dbl(col("n_eval")) * lit(1e9)), 6).as("mae_naive_c"),
+        round(dbl(col("s_seasonal")) / (dbl(col("n_eval")) * lit(1e9)), 6).as("mae_seasonal_c"),
+        round(dbl(col("s_holt")) / (dbl(col("n_eval")) * lit(1e9)), 6).as("mae_holt_c"),
+        when(col("s_naive") > 0L, round(dbl(col("s_holt")) / dbl(col("s_naive")), 6))
+          .as("mase_holt"),
+        when(col("s_naive") > 0L, round(dbl(col("s_seasonal")) / dbl(col("s_naive")), 6))
+          .as("mase_seasonal"))
   }
 }

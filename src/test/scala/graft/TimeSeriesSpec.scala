@@ -79,9 +79,10 @@ class TimeSeriesSpec extends SparkSpec {
       .toDF("user_id", "event_id", "ts_us", "value")
       .withColumn("ts", timestamp_micros(col("ts_us")))
 
-  test("holtForecast on a perfectly linear series extrapolates the line") {
+  test("holtForecast on a perfectly linear series extrapolates the line EXACTLY") {
     // daily revenue 100, 200, ..., 1000 cents: every diff is 100 → trend
-    // EWMA = 100 exactly; level EWMA of last 8 of a linear ramp.
+    // EWMA = 100 exactly; the center-of-mass drift correction makes the
+    // h-step forecast the true line continuation 1000 + 100·h.
     val days = (1 to 10).map(d => d -> d.toDouble) // d dollars = 100d cents
     val out = TimeSeriesOps.holtForecast(dailyDf(days)).collect()
     assert(out.length == 7)
@@ -92,8 +93,14 @@ class TimeSeriesSpec extends SparkSpec {
       val h = r.getInt(0)
       assert(r.getDouble(2) == 100.0, "trend must be exactly the slope")
       assert(math.abs(r.getDouble(1) - level) < 1e-6)
-      assert(math.abs(r.getDouble(3) - (level + h * 100.0)) < 1e-6, s"h=$h")
+      assert(math.abs(r.getDouble(3) - (1000.0 + h * 100.0)) < 1e-6, s"h=$h")
     }
+  }
+
+  test("centerOffset: exact dyadic centers for the two lag layouts") {
+    assert(TimeSeriesOps.centerOffset(8, 0) == (247L, 255L))
+    assert(TimeSeriesOps.centerOffset(8, 1) == (502L, 255L))
+    assert(TimeSeriesOps.centerOffset(1, 0) == (0L, 1L))
   }
 
   test("holtForecast single-day series: null trend, forecast equals level") {
@@ -156,5 +163,32 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeriesOps.ewmaAnomalies(dailyDf(Seq(1 -> 9999.0, 2 -> 1.0, 3 -> 1.0))).collect()
     val flagged = out.map(_.getTimestamp(0).toInstant.getEpochSecond / 86400).toSet
     assert(!flagged.contains(1L))
+  }
+
+  test("forecastBacktest: constant series → all models perfect, MASE null (0/0)") {
+    val r = TimeSeriesOps.forecastBacktest(dailyDf((1 to 20).map(d => d -> 5.0))).collect()(0)
+    assert(r.getLong(0) == 13) // 20 days − 7 warmup
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("forecastBacktest: on a linear ramp Holt beats naive (MASE < 1)") {
+    val r = TimeSeriesOps
+      .forecastBacktest(dailyDf((1 to 30).map(d => d -> (10.0 * d))))
+      .collect()(0)
+    assert(r.getLong(0) == 23)
+    // naive is off by the slope every day; Holt tracks the line exactly
+    // once the window fills (the one warmup day with 7 of 8 lags carries
+    // the full residual MAE)
+    assert(r.getDouble(1) == 1000.0, s"naive MAE ${r.getDouble(1)}")
+    assert(r.getDouble(3) < 2.0, s"holt MAE ${r.getDouble(3)}")
+    assert(r.getDouble(4) < 0.005, s"mase_holt ${r.getDouble(4)}")
+    // seasonal-naive is off by 7 slopes
+    assert(r.getDouble(5) > 6.9 && r.getDouble(5) < 7.1)
+  }
+
+  test("forecastBacktest: fewer than season+1 days → empty eval set") {
+    val r = TimeSeriesOps.forecastBacktest(dailyDf((1 to 7).map(d => d -> 1.0))).collect()(0)
+    assert(r.getLong(0) == 0)
   }
 }
