@@ -27,6 +27,9 @@ object SimilarityQueries {
   private val KmIters = 2
   private val RerankC = 50
   private val CoresetK = 8
+  private val PqM = 4 // PQ subspaces (16 dims each)
+  private val PqKsub = 16 // PQ codebook size per subspace
+  private val PqIters = 2 // PQ Lloyd iterations per subspace
 
   private def queriesAndCorpus(s: SparkSession, dir: String) = {
     val e = SimilarityOps.corpus(Tables.embeddings(s, dir))
@@ -231,7 +234,15 @@ object SimilarityQueries {
             .cast("bigint").as("score_nano"),
           (col("vec_id") % 2 === 0).as("is_calib"))
       graft.operators.EvalOps.conformalCoverageBy(scored, alphaNum = 1L, alphaDen = 10L)
-    }))
+    }),
+    // Product-quantization ADC: 4 subspaces × 16-centroid integer-micro
+    // codebooks, corpus encoded to 4 codes/vector, probe queries answered
+    // by exact distance-table sums — the memory-bound ANN regime
+    // (SimilarityOps.knnPq) completing the brute/LSH/IVF/SQ8 ladder.
+    "knn_pq" -> ((s, dir) =>
+      SimilarityOps.knnPq(
+        Tables.embeddings(s, dir),
+        k = 10, m = PqM, ksub = PqKsub, iters = PqIters, probeEvery = 50, dim = Dim)))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -249,7 +260,84 @@ object SimilarityQueries {
       s"""round(list_dot_product($a, $b)
          |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
 
+  /** Per-subspace PQ CTE chain (seeds → one Lloyd update → codes +
+    * query distance table), mirroring SimilarityOps.knnPq bit-for-bit.
+    */
+  private lazy val pqOracle: String = {
+    val seedHash = PortableHash.hash60Sql("'km:' || CAST(vec_id AS VARCHAR)")
+    val dsub = Dim / PqM
+    def subChain(s: Int): String = {
+      val lo = s * dsub + 1
+      val hi = (s + 1) * dsub
+      s"""w$s AS (
+         |  SELECT vec_id, vi[$lo:$hi] AS vi,
+         |         list_dot_product(vi[$lo:$hi], vi[$lo:$hi]) AS vv
+         |  FROM v
+         |), c${s}_0 AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cid, vi[$lo:$hi] AS ci
+         |  FROM seed WHERE rn <= $PqKsub
+         |), a${s}_1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT w.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY w.vec_id ORDER BY
+         |             w.vv + list_dot_product(c.ci, c.ci)
+         |               - 2 * list_dot_product(w.vi, c.ci), c.cid) AS rn
+         |    FROM w$s w CROSS JOIN c${s}_0 c) WHERE rn = 1
+         |), m${s}_1 AS (
+         |  SELECT a.cid, g.i AS pos,
+         |         CAST(CAST(trunc(sum(w.vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+         |  FROM a${s}_1 a JOIN w$s w ON a.vec_id = w.vec_id
+         |  CROSS JOIN generate_series(1, $dsub) AS g(i)
+         |  GROUP BY 1, 2
+         |), c${s}_1 AS (
+         |  SELECT cid, list(comp ORDER BY pos) AS ci FROM m${s}_1 GROUP BY cid
+         |), aF$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT w.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY w.vec_id ORDER BY
+         |             w.vv + list_dot_product(c.ci, c.ci)
+         |               - 2 * list_dot_product(w.vi, c.ci), c.cid) AS rn
+         |    FROM w$s w CROSS JOIN c${s}_1 c) WHERE rn = 1
+         |), qt$s AS (
+         |  SELECT w.vec_id AS q_id, c.cid,
+         |         CAST(w.vv + list_dot_product(c.ci, c.ci)
+         |              - 2 * list_dot_product(w.vi, c.ci) AS BIGINT) AS d
+         |  FROM w$s w CROSS JOIN c${s}_1 c WHERE w.vec_id % 50 = 0
+         |)""".stripMargin
+    }
+    val codesUnion = (0 until PqM)
+      .map(s => s"SELECT vec_id AS c_id, $s AS s, cid FROM aF$s")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    val dtUnion = (0 until PqM)
+      .map(s => s"SELECT q_id, $s AS s, cid, d FROM qt$s")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+       |  FROM embeddings
+       |), seed AS (
+       |  SELECT vec_id, vi, row_number() OVER (ORDER BY $seedHash, vec_id) AS rn FROM v
+       |), ${(0 until PqM).map(subChain).mkString(", ")}, codes AS (
+       |  $codesUnion
+       |), dt AS (
+       |  $dtUnion
+       |), p AS (
+       |  SELECT dt.q_id, codes.c_id, CAST(sum(dt.d) AS BIGINT) AS adist
+       |  FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+       |  WHERE dt.q_id <> codes.c_id
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT q_id, c_id, adist,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS INT)
+       |           AS rank
+       |  FROM p
+       |)
+       |SELECT q_id, c_id, rank, adist FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "knn_pq" -> pqOracle,
     "conformal_threshold" ->
       s"""WITH v AS (
          |  SELECT vec_id,

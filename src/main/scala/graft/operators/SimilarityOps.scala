@@ -655,4 +655,78 @@ object SimilarityOps {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Product-quantization ANN (Jégou et al.): split each vector into `m`
+    * subspaces, learn a `ksub`-centroid codebook per subspace with the
+    * deterministic integer-micro Lloyd fit ([[KMeansOps]] seeds/assign/
+    * update reused on sliced frames), encode the corpus as `m` byte-ish
+    * codes, and answer queries by ASYMMETRIC DISTANCE (ADC): the exact
+    * per-subspace distance table `d(q_s, centroid)` (|Q|·m·ksub rows,
+    * broadcast) is summed over the corpus codes — so each query·corpus
+    * pair costs `m` table lookups instead of a `dim`-wide dot product,
+    * and the corpus representation is `m` small ints per vector instead
+    * of `dim` floats: the memory-bound regime where 100 TB of raw
+    * vectors compress to the codes + one codebook per subspace.
+    *
+    * All arithmetic is exact: micro-integer subvectors, integer micro²
+    * distances, BIGINT ADC sums — the oracle reproduces codebooks,
+    * codes, and rankings bit-for-bit. Completes the ANN ladder next to
+    * brute force (exact), LSH (bucketed), IVF (probe lists), and SQ8
+    * rerank (scalar compression).
+    *
+    * Output: `(q_id, c_id, rank, adist)` — top `k` per probe query by
+    * `(ADC distance asc, c_id)`, `adist` in micro² units.
+    */
+  def knnPq(
+      embeddings: DataFrame,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      probeEvery: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    require(iters >= 1)
+    val dsub = dim / m
+    val v = KMeansOps.quantize(embeddings)
+    val parts = (0 until m).map { s =>
+      val sub = v
+        .select(col("vec_id"), slice(col("vi"), s * dsub + 1, dsub).as("vi"))
+        .withColumn("vv", GraftFunctions.dot(col("vi"), col("vi")))
+      var cents = KMeansOps.seeds(sub, ksub)
+      for (_ <- 1 until iters)
+        cents = KMeansOps.update(sub, KMeansOps.assign(sub, cents))
+      // the codebook feeds both the corpus encode and the query table —
+      // materialize its ≤ksub rows once
+      val cb = DedupOps.registerCache(
+        cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      cb.count()
+      val codes = KMeansOps
+        .assign(sub, cb)
+        .select(col("vec_id").as("c_id"), lit(s).as("s"), col("cid"))
+      val cbd = broadcast(cb.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+      val dtable = sub
+        .filter(col("vec_id") % probeEvery === 0)
+        .crossJoin(cbd)
+        .select(
+          col("vec_id").as("q_id"),
+          lit(s).as("s"),
+          col("cid"),
+          (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
+            .cast("bigint").as("d"))
+      (codes, dtable)
+    }
+    val codes = parts.map(_._1).reduce(_ unionByName _)
+    val dtab = parts.map(_._2).reduce(_ unionByName _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id"))
+    codes
+      .join(broadcast(dtab), Seq("s", "cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("adist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

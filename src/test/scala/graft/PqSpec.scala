@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** SimilarityOps.knnPq: the ADC identity in the exact-codebook
+  * degenerate, determinism, and output contract.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic integer-ish embeddings: dim 8, values in [-1, 1]
+  private def embDf(n: Int) =
+    (0L until n.toLong)
+      .map { i =>
+        val v = (0 until 8).map(d => (((i * 31 + d * 17) % 19).toDouble - 9.0) / 10.0)
+        (i, v)
+      }
+      .toDF("vec_id", "embedding")
+
+  test("codebook covering the corpus makes ADC the exact squared L2 ranking") {
+    // ksub = n and iters = 1: every corpus subvector IS a centroid, each
+    // vector encodes to itself, so the ADC sum equals the true distance.
+    val n = 20
+    val df = embDf(n)
+    val got = SimilarityOps
+      .knnPq(df, k = 5, m = 2, ksub = n, iters = 1, probeEvery = 10, dim = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+    // brute-force exact micro² L2 on the driver
+    val vecs = (0L until n.toLong)
+      .map(i => i -> (0 until 8).map(d => math.round(((((i * 31 + d * 17) % 19).toDouble - 9.0) / 10.0) * 1e6)))
+      .toMap
+    for (q <- Seq(0L, 10L)) {
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(c => c -> vecs(q).zip(vecs(c)).map { case (a, b) => (a - b) * (a - b) }.sum)
+        .sortBy { case (c, d) => (d, c) }
+        .take(5)
+      want.zipWithIndex.foreach { case ((c, _), i) =>
+        assert(got((q, i + 1)) == c, s"q=$q rank ${i + 1}")
+      }
+    }
+  }
+
+  test("adist is nonnegative and ranks are dense 1..k per query") {
+    val out = SimilarityOps
+      .knnPq(embDf(40), k = 7, m = 4, ksub = 8, iters = 2, probeEvery = 20, dim = 8)
+      .collect()
+    assert(out.forall(_.getLong(3) >= 0L))
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 7))
+    }
+  }
+
+  test("deterministic across runs") {
+    val a = SimilarityOps
+      .knnPq(embDf(30), k = 5, m = 2, ksub = 4, iters = 2, probeEvery = 15, dim = 8)
+      .collect().toSeq
+    val b = SimilarityOps
+      .knnPq(embDf(30), k = 5, m = 2, ksub = 4, iters = 2, probeEvery = 15, dim = 8)
+      .collect().toSeq
+    assert(a == b)
+  }
+}
