@@ -609,6 +609,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("knn_pq: codebooks and distance tables broadcast into the code stream") {
+    val p = plan("knn_pq")
+    assert(p.contains("BroadcastHashJoin"), "ADC lookup must be a broadcast hash join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "nothing in PQ justifies a sort-merge")
+  }
+
+  test("time-series queries: day-grid reductions, no cartesian, no SMJ") {
+    for (q <- Seq("revenue_forecast", "revenue_theilsen", "revenue_anomaly", "forecast_backtest")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q")
+      assert(!p.contains("SortMergeJoin"), s"$q: bounded day grid must broadcast")
+    }
+  }
+
   test("skew_spend: two-stage salted aggregation is join-free") {
     val p = plan("skew_spend")
     assert(!p.contains("Join"))
