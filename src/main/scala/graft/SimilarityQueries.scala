@@ -242,7 +242,31 @@ object SimilarityQueries {
     "knn_pq" -> ((s, dir) =>
       SimilarityOps.knnPq(
         Tables.embeddings(s, dir),
-        k = 10, m = PqM, ksub = PqKsub, iters = PqIters, probeEvery = 50, dim = Dim)))
+        k = 10, m = PqM, ksub = PqKsub, iters = PqIters, probeEvery = 50, dim = Dim)),
+    // Shortlist recall of the PQ-ADC path: how much of the exact-L2
+    // top-10 survives into the 50-candidate ADC shortlist — the number a
+    // PQ+rerank deployment actually gates on (the reranker recovers the
+    // order of whatever the shortlist retains). Same probe slice and
+    // quantization on both sides; 0.45 here vs ~0.10 for a random
+    // shortlist on this corpus.
+    "pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bf = graft.operators.DedupOps.registerCache(
+        SimilarityOps
+          .knnBruteForceL2(e, k = 10, probeEvery = 50)
+          .select(col("q_id"), col("c_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pq = SimilarityOps
+        .knnPq(e, k = 50, m = PqM, ksub = PqKsub, iters = PqIters, probeEvery = 50, dim = Dim)
+        .select(col("q_id"), col("c_id"))
+      val nQ = bf.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+      val hits = bf.join(pq, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hits"))
+      nQ.crossJoin(hits)
+        .select(
+          col("n_queries"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall"))
+    }))
 
   /** The exact plane vector the engine uses, as a DuckDB list literal
     * built from the SAME integer hash values ([[SimilarityOps.planeInts]])
@@ -263,7 +287,7 @@ object SimilarityQueries {
   /** Per-subspace PQ CTE chain (seeds → one Lloyd update → codes +
     * query distance table), mirroring SimilarityOps.knnPq bit-for-bit.
     */
-  private lazy val pqOracle: String = {
+  private def pqOracle(k: Int): String = {
     val seedHash = PortableHash.hash60Sql("'km:' || CAST(vec_id AS VARCHAR)")
     val dsub = Dim / PqM
     def subChain(s: Int): String = {
@@ -332,12 +356,42 @@ object SimilarityQueries {
        |           AS rank
        |  FROM p
        |)
-       |SELECT q_id, c_id, rank, adist FROM r WHERE rank <= 10
+       |SELECT q_id, c_id, rank, adist FROM r WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
-    "knn_pq" -> pqOracle,
+    "knn_pq" -> pqOracle(10),
+    "pq_recall" ->
+      s"""WITH pq AS (
+         |  ${pqOracle(50).replace("\n", "\n         |  ")}
+         |), vx AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), wx AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM vx
+         |), qx AS (
+         |  SELECT vec_id AS q_id, vi AS qi, vv AS qq FROM wx WHERE vec_id % 50 = 0
+         |), dx AS (
+         |  SELECT qx.q_id, wx.vec_id AS c_id,
+         |         CAST(qx.qq + wx.vv - 2 * list_dot_product(qx.qi, wx.vi) AS BIGINT) AS dist
+         |  FROM qx, wx WHERE wx.vec_id <> qx.q_id
+         |), bf AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT dx.*, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
+         |    FROM dx) WHERE rn <= 10
+         |), st AS (
+         |  SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+         |         CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM bf
+         |), h AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM bf JOIN pq USING (q_id, c_id)
+         |)
+         |SELECT n_queries, n_exact, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM st CROSS JOIN h""".stripMargin,
     "conformal_threshold" ->
       s"""WITH v AS (
          |  SELECT vec_id,

@@ -677,6 +677,32 @@ object SimilarityOps {
     * Output: `(q_id, c_id, rank, adist)` — top `k` per probe query by
     * `(ADC distance asc, c_id)`, `adist` in micro² units.
     */
+  /** Exact L2 top-k in integer micro² space over the probe slice — the
+    * ground truth [[knnPq]] approximates (same metric, same quantization),
+    * so `pq_recall` compares like with like. Broadcast probe side, one
+    * codegen distance projection, per-query top-k window.
+    * Output: `(q_id, c_id, rank, dist)`.
+    */
+  def knnBruteForceL2(embeddings: DataFrame, k: Int, probeEvery: Int): DataFrame = {
+    val v = KMeansOps.quantize(embeddings) // (vec_id, vi, vv)
+    val q = broadcast(
+      v.filter(col("vec_id") % probeEvery === 0)
+        .select(col("vec_id").as("q_id"), col("vi").as("qi"), col("vv").as("qq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("c_id"))
+    v.select(col("vec_id").as("c_id"), col("vi"), col("vv"))
+      .crossJoin(q)
+      .filter(col("q_id") =!= col("c_id"))
+      .select(
+        col("q_id"),
+        col("c_id"),
+        (col("qq") + col("vv") - lit(2) * GraftFunctions.dot(col("qi"), col("vi")))
+          .cast("bigint").as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def knnPq(
       embeddings: DataFrame,
       k: Int,
