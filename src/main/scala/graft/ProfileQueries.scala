@@ -216,6 +216,16 @@ object ProfileQueries {
         (col("n_chars").cast("double") /
           (col("n_chars").cast("double") + lit(200.0)) * lit(1000000.0)).cast("bigint"),
         when(col("lang") === "en", 1L).otherwise(0L))),
+    // Isotonic (PAV) calibration of the same forecaster via the minimax
+    // identity — max_{i≤k} min_{j≥k} mean(i..j) over the 16-bin grid:
+    // two bounded windows + a group-max instead of the sequential
+    // pooling loop; the monotone probability map a calibrated deployment
+    // applies (EvalOps.isotonicFromBins).
+    "score_isotonic" -> ((s, dir) =>
+      EvalOps.isotonicCalibration(Tables.documents(s, dir),
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(200.0)) * lit(1000000.0)).cast("bigint"),
+        when(col("lang") === "en", 1L).otherwise(0L))),
     // Murphy decomposition of the Brier score for the same calibration
     // probability/outcome pair: exact MSE + reliability/resolution/
     // uncertainty, with the binning-resolution residual (Var_b(p) −
@@ -1274,6 +1284,44 @@ object ProfileQueries {
         |       CASE WHEN n_pos > 1 AND n_neg > 1 AND var_d > 0
         |            THEN round((a1r - a2r) / sqrt(var_d), 6) END AS z
         |FROM f""".stripMargin,
+    "score_isotonic" ->
+      """WITH e AS (
+        |  SELECT CAST(trunc(CAST(n_chars AS DOUBLE)
+        |                    / (CAST(n_chars AS DOUBLE) + 200.0) * 1000000.0) AS BIGINT)
+        |           AS pm,
+        |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents
+        |), g AS (
+        |  SELECT least(pm // 62500, 15) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM e GROUP BY 1
+        |), p AS (
+        |  SELECT bin, n, n_pos,
+        |         CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |         CAST(sum(n_pos) OVER w AS BIGINT) AS cp
+        |  FROM g
+        |  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), cells AS (
+        |  SELECT a.bin AS i, b.bin AS j,
+        |         CAST(round(1000000000.0
+        |              * CAST(b.cp - (a.cp - a.n_pos) AS DOUBLE)
+        |              / CAST(b.cn - (a.cn - a.n) AS DOUBLE)) AS BIGINT) AS m_nano
+        |  FROM p a JOIN p b ON a.bin <= b.bin
+        |), sm AS (
+        |  SELECT i, j,
+        |         min(m_nano) OVER (PARTITION BY i ORDER BY j DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suf
+        |  FROM cells
+        |), iso AS (
+        |  SELECT j AS bin, CAST(max(suf) AS BIGINT) AS iso_nano FROM sm GROUP BY 1
+        |)
+        |SELECT g.bin, g.n, g.n_pos,
+        |       round(CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS raw_rate,
+        |       iso.iso_nano,
+        |       round(CAST(iso.iso_nano AS DOUBLE) / 1000000000.0, 6) AS iso_rate
+        |FROM g JOIN iso USING (bin) ORDER BY bin""".stripMargin,
     "score_calibration" ->
       """WITH e AS (
         |  SELECT CAST(trunc(CAST(n_chars AS DOUBLE)

@@ -1453,4 +1453,82 @@ object EvalOps {
           .as("coverage"))
       .orderBy(col("grp"))
   }
+
+  /** Isotonic calibration (pool-adjacent-violators) of a binned
+    * forecaster, via the MINIMAX identity instead of the sequential
+    * pooling loop: `iso(k) = max_{i≤k} min_{j≥k} mean(y, bins i..j)` —
+    * the closed form of the weighted PAV fit, which turns an inherently
+    * sequential algorithm into two bounded windows and a group-max:
+    *
+    *  - interval means from exclusive prefix sums (`≤ bins²` cells,
+    *    broadcast non-equi self-join of the bin relation);
+    *  - `min_{j≥k}` as a per-`i` suffix-min window;
+    *  - `max_{i≤k}` as a plain group-max (the suffix relation carries
+    *    exactly the `i ≤ k` rows).
+    *
+    * Means are nano-quantized BIGINTs before the min/max ladder, so the
+    * fit is cross-engine exact; monotonicity survives quantization (the
+    * max-min of ANY matrix is nondecreasing in `k`). Everything runs on
+    * the ≤`bins`-row relation — the corpus is touched once, by the
+    * binning aggregate.
+    *
+    * Output: `(bin, n, n_pos, raw_rate, iso_nano, iso_rate)` ordered by
+    * bin; `iso_rate` is the monotone calibrated probability PAV would
+    * produce, weight = bin count.
+    */
+  def isotonicFromBins(g: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val wAsc = Window
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤ bins rows
+    val p = g.select(
+      col("bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(wAsc).as("cn"),
+      sum(col("n_pos")).over(wAsc).as("cp"))
+    val lo = p.select(
+      col("bin").as("i"),
+      (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("n_pos")).as("cp0"))
+    val hi = p.select(col("bin").as("j"), col("cn").as("cnj"), col("cp").as("cpj"))
+    val cells = lo
+      .join(broadcast(hi), col("i") <= col("j"))
+      .select(
+        col("i"), col("j"),
+        round(
+          lit(1000000000.0) * dbl(col("cpj") - col("cp0")) / dbl(col("cnj") - col("cn0")))
+          .cast("bigint").as("m_nano"))
+    val wSuf = Window
+      .partitionBy(col("i"))
+      .orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = cells
+      .withColumn("sm", min(col("m_nano")).over(wSuf))
+      .groupBy(col("j").as("bin"))
+      .agg(max(col("sm")).as("iso_nano"))
+    g.join(broadcast(iso), Seq("bin"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        round(dbl(col("n_pos")) / dbl(col("n")), 6).as("raw_rate"),
+        col("iso_nano"),
+        round(dbl(col("iso_nano")) / lit(1e9), 6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  /** [[isotonicFromBins]] over the standard probability binning (the
+    * [[prCurve]] grid): `probMicro` in [0, 10^6], `bins` equal-width
+    * cells, `posFlag` outcomes.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      probMicro: Column,
+      posFlag: Column,
+      bins: Int = 16): DataFrame = {
+    val width = 1000000L / bins
+    val g = df
+      .select(probMicro.cast("bigint").as("pm"), posFlag.cast("bigint").as("y"))
+      .select(least(expr(s"pm DIV $width"), lit((bins - 1).toLong)).as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    isotonicFromBins(g)
+  }
 }
