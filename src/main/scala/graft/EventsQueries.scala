@@ -786,7 +786,29 @@ object EventsQueries {
     // Holt over the day grid, each day forecast from its priors only;
     // MASE < 1 is the ship gate — TimeSeriesOps.forecastBacktest.
     "forecast_backtest" -> ((s, dir) =>
-      graft.operators.TimeSeriesOps.forecastBacktest(Tables.events(s, dir))))
+      graft.operators.TimeSeriesOps.forecastBacktest(Tables.events(s, dir))),
+    // CUPED variance-reduced A/B readout (EvalOps.cuped): per-user spend
+    // split at the time midpoint into pre (covariate) and post (metric),
+    // θ pooled across the user-parity arms, adjusted delta + ρ² noise
+    // reduction — the experimentation-stack companion to ab_test.
+    "ab_cuped" -> ((s, dir) => {
+      val ev = Tables
+        .events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(
+          col("user_id"),
+          col("ts_us"),
+          (col("value") * lit(100.0)).cast("bigint").as("cents"))
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2 AS mid"))
+      val perUser = ev
+        .crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts_us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("ts_us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"), col("x"), col("y"))
+      graft.operators.EvalOps.cuped(perUser)
+    }))
 
   val oracle: Map[String, String] = Map(
     "ab_test" ->
@@ -1870,5 +1892,50 @@ object EventsQueries {
          |            THEN round(CAST(s_seasonal AS DOUBLE) / CAST(s_naive AS DOUBLE), 6)
          |       END AS mase_seasonal
          |FROM g""".stripMargin
-    })
+    },
+    "ab_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), m AS (
+        |  SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM e
+        |), u AS (
+        |  SELECT user_id % 2 AS arm,
+        |         CAST(sum(CASE WHEN ts_us < (SELECT mid FROM m)
+        |                       THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN ts_us >= (SELECT mid FROM m)
+        |                       THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM e GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 0 ELSE y END) AS BIGINT) AS sy_b,
+        |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 0 ELSE x END) AS BIGINT) AS sx_b,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM u
+        |), t AS (
+        |  SELECT n_a, n_b,
+        |         CAST((n_a + n_b) * sxy
+        |              - CAST(sx_a + sx_b AS HUGEINT) * (sy_a + sy_b) AS DOUBLE) AS covn,
+        |         CAST((n_a + n_b) * sxx
+        |              - CAST(sx_a + sx_b AS HUGEINT) * (sx_a + sx_b) AS DOUBLE) AS varxn,
+        |         CAST((n_a + n_b) * syy
+        |              - CAST(sy_a + sy_b AS HUGEINT) * (sy_a + sy_b) AS DOUBLE) AS varyn,
+        |         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |           - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diffraw,
+        |         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |           - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diffx
+        |  FROM g
+        |)
+        |SELECT n_a, n_b,
+        |       round(covn / varxn, 6) AS theta,
+        |       round(diffraw, 6) AS diff_raw_c,
+        |       round(diffraw - covn / varxn * diffx, 6) AS diff_cuped_c,
+        |       round(covn * covn / (varxn * varyn), 6) AS var_reduction
+        |FROM t""".stripMargin)
 }

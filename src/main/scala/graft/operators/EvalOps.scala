@@ -1514,6 +1514,53 @@ object EvalOps {
       .orderBy(col("bin"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013): the
+    * post-period metric `y` is adjusted by the pre-period covariate `x`
+    * (`y_adj = y − θ·x`, θ = Cov(x,y)/Var(x) pooled across arms — the
+    * variance-minimizing coefficient), shrinking the A/B delta's noise
+    * by the pre/post correlation² without biasing it (randomization
+    * makes x independent of assignment).
+    *
+    * Input: one row per unit `(arm ∈ {0,1}, x, y)` in exact integer
+    * cents. One aggregation computes every sufficient statistic —
+    * DECIMAL(38,0) carries the cross-products so 100 TB-scale cents²
+    * sums cannot overflow — and the one-row projection derives θ, the
+    * raw and adjusted deltas, and the variance-reduction factor ρ²;
+    * floats appear only there, in a fixed order. Output:
+    * `(n_a, n_b, theta, diff_raw_c, diff_cuped_c, var_reduction)`.
+    */
+  def cuped(perUnit: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val a = col("arm") === 0L
+    val g = perUnit.agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(a, 0L).otherwise(1L)).as("n_b"),
+      sum(when(a, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(a, 0L).otherwise(col("y"))).as("sy_b"),
+      sum(when(a, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(a, 0L).otherwise(col("x"))).as("sx_b"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val n = col("n_a") + col("n_b")
+    val sx = col("sx_a") + col("sx_b")
+    val sy = col("sy_a") + col("sy_b")
+    val covN = dbl(dec(n) * col("sxy") - dec(sx) * dec(sy)) // n·Sxy − Sx·Sy
+    val varXN = dbl(dec(n) * col("sxx") - dec(sx) * dec(sx))
+    val varYN = dbl(dec(n) * col("syy") - dec(sy) * dec(sy))
+    val theta = covN / varXN
+    val diffRaw = dbl(col("sy_a")) / dbl(col("n_a")) - dbl(col("sy_b")) / dbl(col("n_b"))
+    val diffX = dbl(col("sx_a")) / dbl(col("n_a")) - dbl(col("sx_b")) / dbl(col("n_b"))
+    g.select(
+      col("n_a"),
+      col("n_b"),
+      round(theta, 6).as("theta"),
+      round(diffRaw, 6).as("diff_raw_c"),
+      round(diffRaw - theta * diffX, 6).as("diff_cuped_c"),
+      round(covN * covN / (varXN * varYN), 6).as("var_reduction"))
+  }
+
   /** [[isotonicFromBins]] over the standard probability binning (the
     * [[prCurve]] grid): `probMicro` in [0, 10^6], `bins` equal-width
     * cells, `posFlag` outcomes.
