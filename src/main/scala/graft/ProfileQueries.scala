@@ -531,6 +531,27 @@ object ProfileQueries {
           lit(0L).as("ev"))
       EvalOps.kmSurvival(gaps.unionAll(tails), col("b"), col("ev"))
     }),
+    // Mantel–Cox log-rank test on the same reorder-gap durations: do
+    // even- and odd-key customer cohorts reorder at different rates?
+    // Hypergeometric E/V terms nano-quantized over the bounded week
+    // grid (EvalOps.logRank) — the inference companion to the KM curve.
+    "survival_logrank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+        col("o_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("ts"), col("o_orderkey"))
+      val gaps = o.withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr("((ts - prev) DIV 86400000000) DIV 7").as("b"),
+          lit(1L).as("ev"), pmod(col("o_custkey"), lit(2L)).as("g"))
+      val mx = o.agg(max(col("ts")).as("mts"))
+      val tails = o.groupBy(col("o_custkey")).agg(max(col("ts")).as("lts"))
+        .crossJoin(broadcast(mx))
+        .select(expr("((mts - lts) DIV 86400000000) DIV 7").as("b"),
+          lit(0L).as("ev"), pmod(col("o_custkey"), lit(2L)).as("g"))
+      EvalOps.logRank(gaps.unionAll(tails), col("b"), col("ev"), col("g"))
+    }),
     // Sample autocorrelation of daily order revenue at lags 1..7 —
     // integer n-scaled deviations, one lead-window pass over the bounded
     // day grid (is there memory for the changepoint/seasonal gauges to
@@ -2109,6 +2130,71 @@ object ProfileQueries {
         |             / CAST(sum(n_customers) OVER (PARTITION BY from_q) AS DOUBLE), 6)
         |         AS row_share
         |FROM m ORDER BY from_q, to_q""".stripMargin,
+    "survival_logrank" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS ts, o_orderkey FROM orders
+        |), g AS (
+        |  SELECT o_custkey % 2 AS g,
+        |         ((ts - lag(ts) OVER (PARTITION BY o_custkey
+        |                              ORDER BY ts, o_orderkey))
+        |          // 86400000000) // 7 AS b
+        |  FROM o
+        |), ev AS (
+        |  SELECT b, CAST(1 AS BIGINT) AS ev, g FROM g WHERE b IS NOT NULL
+        |  UNION ALL
+        |  SELECT (((SELECT max(ts) FROM o) - lts) // 86400000000) // 7 AS b,
+        |         CAST(0 AS BIGINT), ck % 2
+        |  FROM (SELECT o_custkey AS ck, max(ts) AS lts FROM o GROUP BY o_custkey)
+        |), cg AS (
+        |  SELECT b AS t,
+        |         CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+        |         CAST(sum(CASE WHEN g = 1 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+        |         CAST(sum(CASE WHEN g = 0 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c0
+        |  FROM ev GROUP BY 1
+        |), wg AS (
+        |  SELECT t, d1, d0,
+        |         CAST(sum(d1 + c1) OVER ()
+        |              - coalesce(sum(d1 + c1) OVER (ORDER BY t
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS n1t,
+        |         CAST(sum(d0 + c0) OVER ()
+        |              - coalesce(sum(d0 + c0) OVER (ORDER BY t
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS n0t
+        |  FROM cg
+        |), tm AS (
+        |  SELECT d1,
+        |         CAST(round(1e9 * CAST(d1 + d0 AS DOUBLE) * CAST(n1t AS DOUBLE)
+        |                    / CAST(n1t + n0t AS DOUBLE)) AS BIGINT) AS e1n,
+        |         CASE WHEN n1t + n0t > 1 THEN
+        |           CAST(round(1e9 * CAST(d1 + d0 AS DOUBLE) * CAST(n1t AS DOUBLE)
+        |                      * CAST(n0t AS DOUBLE)
+        |                      * CAST(n1t + n0t - (d1 + d0) AS DOUBLE)
+        |                      / (CAST(n1t + n0t AS DOUBLE) * CAST(n1t + n0t AS DOUBLE)
+        |                         * CAST(n1t + n0t - 1 AS DOUBLE))) AS BIGINT)
+        |         ELSE 0 END AS vn
+        |  FROM wg WHERE d1 + d0 > 0
+        |), ag AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(e1n) AS BIGINT) AS e1n,
+        |         CAST(sum(vn) AS BIGINT) AS vn
+        |  FROM tm
+        |), sz AS (
+        |  SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM ev
+        |)
+        |SELECT n1, n0, o1,
+        |       round(CAST(e1n AS DOUBLE) / 1e9, 6) AS e1,
+        |       CASE WHEN vn > 0 THEN
+        |         round((CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)
+        |               * (CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)
+        |               / (CAST(vn AS DOUBLE) / 1e9), 6) END AS chi2,
+        |       CASE WHEN vn > 0 THEN
+        |         (CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)
+        |           * (CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)
+        |           / (CAST(vn AS DOUBLE) / 1e9) > 3.841 END AS significant
+        |FROM ag CROSS JOIN sz""".stripMargin,
     "order_gap_survival" ->
       """WITH o AS (
         |  SELECT o_custkey, epoch_us(o_orderdate) AS ts, o_orderkey FROM orders

@@ -1514,6 +1514,76 @@ object EvalOps {
       .orderBy(col("bin"))
   }
 
+  /** Two-sample log-rank test (Mantel–Cox): does group 1's survival
+    * curve differ from group 0's? At every event-time bucket the
+    * observed group-1 deaths are compared with the hypergeometric
+    * expectation `d·n1/n` given the at-risk sets, and
+    * `χ² = (O1 − E1)² / V` with the standard variance
+    * `V = Σ d·n1·n0·(n−d) / (n²·(n−1))` — the companion inference step
+    * to [[kmSurvival]]'s curves.
+    *
+    * Same bounded shape as the KM fit: one keyed aggregation to the
+    * duration grid (conditional per-group death/censor sums — no
+    * densify join needed), at-risk counts as suffix sums over that
+    * grid, per-bucket E/V terms nano-quantized BIGINTs so the sums are
+    * exact, and a one-row readout. Output: `(n1, n0, o1, e1, chi2,
+    * significant)` (χ² vs the 3.841 = χ²₁,₀.₀₅ line).
+    */
+  def logRank(
+      df: DataFrame,
+      durQ: Column,
+      eventFlag: Column,
+      grpFlag: Column): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val e = df.select(
+      durQ.cast("long").as("t"),
+      eventFlag.cast("long").as("ev"),
+      grpFlag.cast("long").as("g"))
+    val cells = e
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("g") === 1L, col("ev")).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 1L, lit(1L) - col("ev")).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 0L, col("ev")).otherwise(0L)).as("d0"),
+        sum(when(col("g") === 0L, lit(1L) - col("ev")).otherwise(0L)).as("c0"))
+    val ord = Window.orderBy(col("t")) // bounded duration grid
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def atRisk(d: String, c: String) =
+      sum(col(d) + col(c)).over(all) -
+        coalesce(sum(col(d) + col(c)).over(prev), lit(0L))
+    val w = cells.select(
+      col("t"), col("d1"), col("d0"),
+      atRisk("d1", "c1").as("n1t"),
+      atRisk("d0", "c0").as("n0t"))
+    val d = col("d1") + col("d0")
+    val n = col("n1t") + col("n0t")
+    val e1Term = round(lit(1e9) * dbl(d) * dbl(col("n1t")) / dbl(n)).cast("bigint")
+    val vTerm = when(
+      n > 1L,
+      round(
+        lit(1e9) * dbl(d) * dbl(col("n1t")) * dbl(col("n0t")) * dbl(n - d) /
+          (dbl(n) * dbl(n) * dbl(n - lit(1L)))).cast("bigint")).otherwise(lit(0L))
+    val agg = w
+      .filter(d > 0L)
+      .agg(
+        sum(col("d1")).as("o1"),
+        sum(e1Term).as("e1n"),
+        sum(vTerm).as("vn"))
+      .crossJoin(broadcast(
+        e.agg(
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"))))
+    val e1d = dbl(col("e1n")) / lit(1e9)
+    val vd = dbl(col("vn")) / lit(1e9)
+    val chi2 = (dbl(col("o1")) - e1d) * (dbl(col("o1")) - e1d) / vd
+    agg.select(
+      col("n1"), col("n0"), col("o1"),
+      round(e1d, 6).as("e1"),
+      when(col("vn") > 0L, round(chi2, 6)).as("chi2"),
+      when(col("vn") > 0L, chi2 > lit(3.841)).as("significant"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al. 2013): the
     * post-period metric `y` is adjusted by the pre-period covariate `x`
     * (`y_adj = y − θ·x`, θ = Cov(x,y)/Var(x) pooled across arms — the
