@@ -26,6 +26,20 @@ object TpchQueries {
     // that stays inside [0,1] at small n, unlike the normal
     // approximation. Counts are exact integers; the interval is one
     // double chain per brand row.
+    // Empirical-Bayes shrunk per-brand return rates: the beta-binomial
+    // MoM prior pulls small brands toward the pooled rate exactly as far
+    // as the data's overdispersion warrants (EvalOps.ebShrinkRates) —
+    // the ranking-stable companion to return_rates' Wilson intervals.
+    "return_rates_eb" -> ((s, dir) => {
+      val j = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      graft.operators.EvalOps.ebShrinkRates(
+        j.groupBy(col("p_brand").as("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("x")))
+    }),
     "return_rates" -> ((s, dir) => {
       val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
       val j = Tables.lineitem(s, dir)
@@ -1051,6 +1065,53 @@ object TpchQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "return_rates_eb" ->
+      """WITH j AS (
+        |  SELECT p.p_brand AS grp,
+        |         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |), g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS x
+        |  FROM j GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(n) AS BIGINT) AS tn, CAST(sum(x) AS BIGINT) AS tx,
+        |         CAST(sum(CAST(round(1e9 * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+        |                       AS BIGINT)) AS BIGINT) AS sr_n,
+        |         CAST(sum(CAST(round(1e9 * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |                                    * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))))
+        |                       AS BIGINT)) AS BIGINT) AS srr_n,
+        |         CAST(sum(CAST(round(1e12 / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT)
+        |           AS sinv_p
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+        |         CASE WHEN k > 1 THEN
+        |           (CAST(srr_n AS DOUBLE) / 1e9
+        |            - CAST(sr_n AS DOUBLE) / 1e9
+        |              * (CAST(sr_n AS DOUBLE) / 1e9 / CAST(k AS DOUBLE)))
+        |           / (CAST(k AS DOUBLE) - 1.0) END AS s2,
+        |         CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+        |           * (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+        |           * (CAST(sinv_p AS DOUBLE) / 1e12 / CAST(k AS DOUBLE)) AS binom
+        |  FROM s
+        |), pr AS (
+        |  SELECT m,
+        |         CASE WHEN s2 IS NOT NULL AND s2 > binom
+        |              THEN m * (1.0 - m) / (s2 - binom) - 1.0 END AS prior_m
+        |  FROM t
+        |)
+        |SELECT g.grp, g.n, g.x,
+        |       round(CAST(g.x AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS raw_rate,
+        |       round(CASE
+        |         WHEN pr.prior_m IS NOT NULL AND pr.prior_m > 0.0 THEN
+        |           (CAST(g.x AS DOUBLE) + pr.prior_m * pr.m)
+        |             / (CAST(g.n AS DOUBLE) + pr.prior_m)
+        |         WHEN pr.prior_m IS NOT NULL THEN CAST(g.x AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |         ELSE pr.m END, 6) AS shrunk_rate,
+        |       round(pr.m, 6) AS pooled_rate,
+        |       round(pr.prior_m, 6) AS prior_m
+        |FROM g CROSS JOIN pr ORDER BY grp""".stripMargin,
     "return_rates" ->
       """WITH j AS (
         |  SELECT p_brand, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r

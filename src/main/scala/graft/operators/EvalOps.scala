@@ -1584,6 +1584,65 @@ object EvalOps {
       when(col("vn") > 0L, chi2 > lit(3.841)).as("significant"))
   }
 
+  /** Empirical-Bayes shrinkage of per-group binomial rates (beta-binomial
+    * method of moments): small groups' raw rates are noisy, so each is
+    * pulled toward the pooled mean with strength estimated FROM the data —
+    * `τ² = max(0, s² − m(1−m)·mean(1/n_g))` (the excess of the observed
+    * between-group variance over what binomial sampling alone explains),
+    * prior pseudo-count `M = m(1−m)/τ² − 1`, posterior
+    * `(x + M·m)/(n + M)`. When the groups are binomially consistent
+    * (τ² ≤ 0) the output pools completely (`shrunk = m`, M null) — the
+    * correct degenerate, not an error.
+    *
+    * Scale shape: one keyed aggregation to the group relation, a 1-row
+    * moment aggregate over it (groups are bounded — brands, sources),
+    * and a broadcast projection back. Floats appear in a fixed
+    * expression order; output rounded to 6. Output per group:
+    * `(grp, n, x, raw_rate, shrunk_rate, pooled_rate, prior_m)`.
+    */
+  def ebShrinkRates(groups: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val g = groups.select(col("grp"), col("n").cast("long").as("n"), col("x").cast("long").as("x"))
+    // per-group moment terms are nano/pico-quantized BIGINTs before the
+    // sum, so the cross-group accumulation is exact and merge-order-free
+    val stats = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("tn"),
+      sum(col("x")).as("tx"),
+      sum(round(lit(1e9) * (dbl(col("x")) / dbl(col("n")))).cast("bigint")).as("sr_n"),
+      sum(round(lit(1e9) * (dbl(col("x")) / dbl(col("n")) * (dbl(col("x")) / dbl(col("n")))))
+        .cast("bigint")).as("srr_n"),
+      sum(round(lit(1e12) / dbl(col("n"))).cast("bigint")).as("sinv_p"))
+    val m = dbl(col("tx")) / dbl(col("tn"))
+    val sr = dbl(col("sr_n")) / lit(1e9)
+    val srr = dbl(col("srr_n")) / lit(1e9)
+    val sinv = dbl(col("sinv_p")) / lit(1e12)
+    val rbar = sr / dbl(col("k"))
+    val s2 = when(col("k") > 1L, (srr - sr * rbar) / (dbl(col("k")) - lit(1.0)))
+    val binom = m * (lit(1.0) - m) * (sinv / dbl(col("k")))
+    val tau2 = when(s2.isNotNull && s2 > binom, s2 - binom)
+    val priorM = when(tau2.isNotNull, m * (lit(1.0) - m) / tau2 - lit(1.0))
+    val st = broadcast(stats.select(m.as("m"), priorM.as("prior_m")))
+    g.crossJoin(st)
+      .select(
+        col("grp"),
+        col("n"),
+        col("x"),
+        round(dbl(col("x")) / dbl(col("n")), 6).as("raw_rate"),
+        round(
+          when(
+            col("prior_m").isNotNull && col("prior_m") > 0.0,
+            (dbl(col("x")) + col("prior_m") * col("m")) / (dbl(col("n")) + col("prior_m")))
+            // τ² ≥ m(1−m): groups are maximally dispersed — no pooling
+            .when(col("prior_m").isNotNull, dbl(col("x")) / dbl(col("n")))
+            // no detectable overdispersion: pool completely
+            .otherwise(col("m")),
+          6).as("shrunk_rate"),
+        round(col("m"), 6).as("pooled_rate"),
+        round(col("prior_m"), 6).as("prior_m"))
+      .orderBy(col("grp"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al. 2013): the
     * post-period metric `y` is adjusted by the pre-period covariate `x`
     * (`y_adj = y − θ·x`, θ = Cov(x,y)/Var(x) pooled across arms — the
