@@ -791,6 +791,36 @@ object EventsQueries {
     // split at the time midpoint into pre (covariate) and post (metric),
     // θ pooled across the user-parity arms, adjusted delta + ρ² noise
     // reduction — the experimentation-stack companion to ab_test.
+    // Experiment sizing readout: with the arms as they are, what's the
+    // smallest true lift the ab_test z-gate would detect at 80 % power
+    // (MDE = (z_{α/2}+z_β)·sqrt(s²_a/n_a + s²_b/n_b))? Variances from
+    // the same exact integer-cents sums as ab_test; the two z constants
+    // are literals spelled identically in the oracle.
+    "ab_power" -> ((s, dir) => {
+      val c = (col("value") * lit(100.0)).cast("bigint")
+      val isA = pmod(col("user_id"), lit(2L)) === 0L
+      val agg = Tables
+        .events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(when(isA, 1L).otherwise(0L).as("a"), c.as("c"))
+        .agg(
+          sum(col("a")).as("n_a"),
+          sum(lit(1L) - col("a")).as("n_b"),
+          sum(col("a") * col("c")).as("s_a"),
+          sum((lit(1L) - col("a")) * col("c")).as("s_b"),
+          sum(col("a") * col("c") * col("c")).as("q_a"),
+          sum((lit(1L) - col("a")) * col("c") * col("c")).as("q_b"))
+      val dbl = (name: String) => col(name).cast("double")
+      val va = (dbl("q_a") - dbl("s_a") * dbl("s_a") / dbl("n_a")) / (dbl("n_a") - lit(1.0))
+      val vb = (dbl("q_b") - dbl("s_b") * dbl("s_b") / dbl("n_b")) / (dbl("n_b") - lit(1.0))
+      val se = sqrt(va / dbl("n_a") + vb / dbl("n_b"))
+      val mde = lit(1.959964 + 0.841621) * se
+      agg.select(
+        col("n_a"), col("n_b"),
+        round(se, 6).as("se_c"),
+        round(mde, 6).as("mde_c"),
+        round(mde / (dbl("s_a") / dbl("n_a")), 6).as("mde_rel"))
+    }),
     "ab_cuped" -> ((s, dir) => {
       val ev = Tables
         .events(s, dir)
@@ -1893,6 +1923,36 @@ object EventsQueries {
          |       END AS mase_seasonal
          |FROM g""".stripMargin
     },
+    "ab_power" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), g AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |         CAST(sum(a * c) AS BIGINT) AS s_a,
+        |         CAST(sum((1 - a) * c) AS BIGINT) AS s_b,
+        |         CAST(sum(a * c * c) AS BIGINT) AS q_a,
+        |         CAST(sum((1 - a) * c * c) AS BIGINT) AS q_b
+        |  FROM e
+        |), t AS (
+        |  SELECT n_a, n_b, s_a,
+        |         sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |                / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |               / CAST(n_a AS DOUBLE)
+        |              + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |                  / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |                / CAST(n_b AS DOUBLE)) AS se
+        |  FROM g
+        |)
+        |SELECT n_a, n_b,
+        |       round(se, 6) AS se_c,
+        |       round((1.959964 + 0.841621) * se, 6) AS mde_c,
+        |       round((1.959964 + 0.841621) * se
+        |             / (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6) AS mde_rel
+        |FROM t""".stripMargin,
     "ab_cuped" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
