@@ -791,6 +791,45 @@ object EventsQueries {
     // split at the time midpoint into pre (covariate) and post (metric),
     // θ pooled across the user-parity arms, adjusted delta + ρ² noise
     // reduction — the experimentation-stack companion to ab_test.
+    // FDR-controlled slice testing: one Welch z per event type (the
+    // ab_test algebra grouped), p-values via the Zelen–Severo Φ
+    // polynomial (identical expression tree in the oracle), then
+    // Benjamini–Hochberg at α=0.1 on EXACT integers
+    // (EvalOps.bhReject) — the multiple-testing gate a per-slice
+    // monitoring pipeline needs before acting on "significant" slices.
+    "ab_fdr" -> ((s, dir) => {
+      val c = (col("value") * lit(100.0)).cast("bigint")
+      val isA = pmod(col("user_id"), lit(2L)) === 0L
+      val g = Tables
+        .events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"), when(isA, 1L).otherwise(0L).as("a"), c.as("c"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("a")).as("n_a"),
+          sum(lit(1L) - col("a")).as("n_b"),
+          sum(col("a") * col("c")).as("s_a"),
+          sum((lit(1L) - col("a")) * col("c")).as("s_b"),
+          sum(col("a") * col("c") * col("c")).as("q_a"),
+          sum((lit(1L) - col("a")) * col("c") * col("c")).as("q_b"))
+        .filter(col("n_a") > 1L && col("n_b") > 1L)
+      val dbl = (name: String) => col(name).cast("double")
+      val va = (dbl("q_a") - dbl("s_a") * dbl("s_a") / dbl("n_a")) / (dbl("n_a") - lit(1.0))
+      val vb = (dbl("q_b") - dbl("s_b") * dbl("s_b") / dbl("n_b")) / (dbl("n_b") - lit(1.0))
+      val az = abs(
+        (dbl("s_a") / dbl("n_a") - dbl("s_b") / dbl("n_b")) /
+          sqrt(va / dbl("n_a") + vb / dbl("n_b")))
+      val pdf = exp(az * az / lit(-2.0)) * lit(0.3989422804014327)
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+      val p = lit(2.0) * (pdf * poly)
+      graft.operators.EvalOps.bhReject(
+        g.select(
+          col("event_type").as("grp"),
+          round(p * lit(1e9)).cast("bigint").as("p_nano")),
+        alphaNum = 1L, alphaDen = 10L)
+    }),
     // Experiment sizing readout: with the arms as they are, what's the
     // smallest true lift the ab_test z-gate would detect at 80 % power
     // (MDE = (z_{α/2}+z_β)·sqrt(s²_a/n_a + s²_b/n_b))? Variances from
@@ -1923,6 +1962,59 @@ object EventsQueries {
          |       END AS mase_seasonal
          |FROM g""".stripMargin
     },
+    "ab_fdr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), g AS (
+        |  SELECT event_type,
+        |         CAST(sum(a) AS BIGINT) AS n_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |         CAST(sum(a * c) AS BIGINT) AS s_a,
+        |         CAST(sum((1 - a) * c) AS BIGINT) AS s_b,
+        |         CAST(sum(a * c * c) AS BIGINT) AS q_a,
+        |         CAST(sum((1 - a) * c * c) AS BIGINT) AS q_b
+        |  FROM e GROUP BY 1
+        |  HAVING sum(a) > 1 AND sum(1 - a) > 1
+        |), zt AS (
+        |  SELECT event_type,
+        |         abs((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |             / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |                      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |                    / CAST(n_a AS DOUBLE)
+        |                    + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |                        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |                    / CAST(n_b AS DOUBLE))) AS az
+        |  FROM g
+        |), pt AS (
+        |  SELECT event_type AS grp,
+        |         CAST(round(2.0 * ((exp(az * az / -2.0) * 0.3989422804014327)
+        |              * ((1.0 / (1.0 + 0.2316419 * az))
+        |                 * (0.319381530 + (1.0 / (1.0 + 0.2316419 * az))
+        |                    * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * az))
+        |                       * (1.781477937 + (1.0 / (1.0 + 0.2316419 * az))
+        |                          * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * az))
+        |                             * 1.330274429)))))) * 1e9) AS BIGINT) AS p_nano
+        |  FROM zt
+        |), r AS (
+        |  SELECT grp, p_nano,
+        |         CAST(row_number() OVER (ORDER BY p_nano, grp) AS INT) AS rank,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pt
+        |), x AS (
+        |  SELECT r.*,
+        |         max(CASE WHEN p_nano * 10 * m <= CAST(1000000000 AS BIGINT) * 1 * rank
+        |                  THEN rank END) OVER () AS max_i
+        |  FROM r
+        |)
+        |SELECT grp, p_nano,
+        |       round(CAST(p_nano AS DOUBLE) / 1e9, 6) AS p_value,
+        |       rank, rank <= coalesce(max_i, 0) AS rejected
+        |FROM x ORDER BY rank""".stripMargin,
     "ab_power" ->
       """WITH e AS (
         |  SELECT CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)

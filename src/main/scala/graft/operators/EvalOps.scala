@@ -1584,6 +1584,42 @@ object EvalOps {
       when(col("vn") > 0L, chi2 > lit(3.841)).as("significant"))
   }
 
+  /** Benjamini–Hochberg FDR control over a family of tests: given
+    * per-group nano-quantized p-values, reject the `i` smallest where
+    * `p_(i) ≤ α·i/m` — the step-up procedure that bounds the expected
+    * false-discovery RATE (not the per-test error), the correct gate
+    * when a pipeline fires one test per slice and acts on the batch.
+    *
+    * The decision is exact integer arithmetic: with α = aNum/aDen the
+    * comparison is `p_nano·aDen·m ≤ 10^9·aNum·rank` (all BIGINT —
+    * p_nano ≤ 10^9 and the family is bounded, so no overflow), so a
+    * borderline rejection can never flip on a float ulp. The family
+    * relation is bounded (one row per slice); every window runs on it.
+    *
+    * Output: `(grp, p_nano, p_value, rank, rejected)` ordered by rank.
+    */
+  def bhReject(tests: DataFrame, alphaNum: Long = 1L, alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val dbl = (c: Column) => c.cast("double")
+    val wR = Window.orderBy(col("p_nano").asc, col("grp")) // bounded family
+    val all = wR.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = tests
+      .select(col("grp"), col("p_nano").cast("long").as("p_nano"))
+      .withColumn("rank", row_number().over(wR))
+      .withColumn("m", count(lit(1)).over(all))
+    val pass = col("p_nano") * lit(alphaDen) * col("m") <=
+      lit(1000000000L) * lit(alphaNum) * col("rank")
+    ranked
+      .withColumn("max_i", max(when(pass, col("rank"))).over(all))
+      .select(
+        col("grp"),
+        col("p_nano"),
+        round(dbl(col("p_nano")) / lit(1e9), 6).as("p_value"),
+        col("rank"),
+        (col("rank") <= coalesce(col("max_i"), lit(0))).as("rejected"))
+      .orderBy(col("rank"))
+  }
+
   /** Empirical-Bayes shrinkage of per-group binomial rates (beta-binomial
     * method of moments): small groups' raw rates are noisy, so each is
     * pulled toward the pooled mean with strength estimated FROM the data —
