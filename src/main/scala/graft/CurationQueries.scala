@@ -32,6 +32,15 @@ object CurationQueries {
     // Efraimidis–Spirakis weighted sampling (weight = n_chars), nano-exact keys.
     "weighted_sample" -> ((s, dir) =>
       graft.operators.TrainsetOps.weightedSample(Tables.documents(s, dir))),
+    // 5-fold hash assignment + stratification audit (per fold × lang
+    // share deviation) — the pre-flight check on a CV estimate.
+    "kfold_audit" -> ((s, dir) =>
+      graft.operators.TrainsetOps.kfoldAudit(Tables.documents(s, dir), "lang", k = 5)),
+    // Nested subsample ladder (2/16..16/16 hash thresholds, smaller ⊂
+    // larger by construction) with realized doc/token shares — the
+    // scaling-law run layout.
+    "sample_ladder" -> ((s, dir) =>
+      graft.operators.TrainsetOps.sampleLadder(Tables.documents(s, dir))),
     // α=0.5 temperature-weighted mixture weights per source.
     "source_mixture" -> ((s, dir) => CurationOps.sourceMixture(Tables.documents(s, dir))),
     // Token-budget allocation: α=0.5 weights over AVAILABLE tokens plus the
@@ -91,6 +100,50 @@ object CurationQueries {
     graft.operators.TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "kfold_audit" -> {
+      val foldHash = graft.functions.PortableHash
+        .hash60Sql("'fold:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT ($foldHash) % 5 AS fold, lang AS stratum FROM documents
+         |), c AS (
+         |  SELECT fold, stratum, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
+         |), x AS (
+         |  SELECT fold, stratum, n,
+         |         CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT) AS fold_n,
+         |         CAST(sum(n) OVER () AS BIGINT) AS total,
+         |         CAST(sum(n) OVER (PARTITION BY stratum) AS BIGINT) AS strat_n
+         |  FROM c
+         |)
+         |SELECT fold, stratum, n, fold_n,
+         |       round(CAST(n AS DOUBLE) / CAST(fold_n AS DOUBLE), 6) AS share_in_fold,
+         |       round(CAST(strat_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_overall,
+         |       round(CAST(n AS DOUBLE) / CAST(fold_n AS DOUBLE)
+         |             - CAST(strat_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS dev
+         |FROM x ORDER BY fold, stratum""".stripMargin
+    },
+    "sample_ladder" -> {
+      val ladderHash = graft.functions.PortableHash
+        .hash60Sql("'ladder:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH b AS (
+         |  SELECT ($ladderHash) % 16 AS u16,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |), l AS (
+         |  SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS keep16
+         |), p AS (
+         |  SELECT l.keep16, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(b.toks) AS BIGINT) AS n_tokens
+         |  FROM l JOIN b ON b.u16 < l.keep16 GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS t_docs,
+         |         CAST(sum(toks) AS BIGINT) AS t_tokens
+         |  FROM b
+         |)
+         |SELECT keep16, n_docs, n_tokens,
+         |       round(CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE), 6) AS doc_share,
+         |       round(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6) AS token_share
+         |FROM p CROSS JOIN t ORDER BY keep16""".stripMargin
+    },
     "dedup_spans" -> {
       val h = PortableHash.hash60Sql("s")
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

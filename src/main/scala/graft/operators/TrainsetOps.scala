@@ -270,4 +270,81 @@ object TrainsetOps {
         round(GraftFunctions.cosine(col("emb"), col("n_emb")), 6).as("cos_an"))
       .orderBy(col("anchor_id"))
   }
+
+  /** K-fold assignment + stratification audit: folds are deterministic
+    * portable-hash buckets of `doc_id` (the dataset_split discipline —
+    * any worker assigns any doc without coordination), and the output
+    * audits how well hashing balanced the strata: per (fold, stratum)
+    * counts with the fold-internal share next to the corpus-wide share
+    * and their deviation — the check run before trusting a
+    * cross-validation estimate. One keyed aggregation; the audit joins
+    * are over the bounded (fold × stratum) grid.
+    *
+    * Output: `(fold, stratum, n, fold_n, share_in_fold, share_overall,
+    * dev)` ordered by (fold, stratum).
+    */
+  def kfoldAudit(docs: DataFrame, stratumCol: String, k: Int = 5): DataFrame = {
+    val fold = pmod(
+      graft.functions.PortableHash
+        .hash60(concat(lit("fold:"), col("doc_id").cast("string"))),
+      lit(k.toLong))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val cells = docs
+      .select(fold.as("fold"), col(stratumCol).as("stratum"))
+      .groupBy(col("fold"), col("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val wF = Window.partitionBy(col("fold"))
+    val wAll = Window.partitionBy()
+    val wS = Window.partitionBy(col("stratum"))
+    cells
+      .withColumn("fold_n", sum(col("n")).over(wF))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("strat_n", sum(col("n")).over(wS))
+      .select(
+        col("fold"), col("stratum"), col("n"), col("fold_n"),
+        round(dbl(col("n")) / dbl(col("fold_n")), 6).as("share_in_fold"),
+        round(dbl(col("strat_n")) / dbl(col("total")), 6).as("share_overall"),
+        round(
+          dbl(col("n")) / dbl(col("fold_n")) - dbl(col("strat_n")) / dbl(col("total")),
+          6).as("dev"))
+      .orderBy(col("fold"), col("stratum"))
+  }
+
+  /** Nested subsample ladder for scaling-law / learning-curve runs:
+    * level `t` keeps docs whose 16-bucket hash is `< t`, so every level
+    * is a SUPERSET of the smaller ones by construction (the property a
+    * scaling study needs — a bigger run trains on everything the
+    * smaller one saw). Per level: docs, whitespace tokens, and realized
+    * shares. One tokenize pass; the ladder explode multiplies only the
+    * bounded per-doc row by |levels|.
+    *
+    * Output: `(keep16, n_docs, n_tokens, doc_share, token_share)`
+    * ordered by level.
+    */
+  def sampleLadder(docs: DataFrame, levels: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    require(levels.nonEmpty && levels.forall(l => l >= 1 && l <= 16))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val u = pmod(
+      graft.functions.PortableHash
+        .hash60(concat(lit("ladder:"), col("doc_id").cast("string"))),
+      lit(16L))
+    val base = docs.select(
+      u.as("u16"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val lvl = explode(array(levels.map(l => lit(l.toLong)): _*)).as("keep16")
+    val perLevel = base
+      .select(lvl, col("u16"), col("toks"))
+      .filter(col("u16") < col("keep16"))
+      .groupBy(col("keep16"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val totals = base.agg(
+      count(lit(1)).as("t_docs"), sum(col("toks")).as("t_tokens"))
+    perLevel
+      .crossJoin(broadcast(totals))
+      .select(
+        col("keep16"), col("n_docs"), col("n_tokens"),
+        round(dbl(col("n_docs")) / dbl(col("t_docs")), 6).as("doc_share"),
+        round(dbl(col("n_tokens")) / dbl(col("t_tokens")), 6).as("token_share"))
+      .orderBy(col("keep16"))
+  }
 }
