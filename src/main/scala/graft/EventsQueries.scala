@@ -791,6 +791,18 @@ object EventsQueries {
     // split at the time midpoint into pre (covariate) and post (metric),
     // θ pooled across the user-parity arms, adjusted delta + ρ² noise
     // reduction — the experimentation-stack companion to ab_test.
+    // Post-stratified A/B delta: per-event-type strata re-weighted to
+    // their pooled shares (EvalOps.postStratifiedDiff) — strips the
+    // composition noise of a chance stratum tilt from the raw diff.
+    "ab_stratified" -> ((s, dir) =>
+      graft.operators.EvalOps.postStratifiedDiff(
+        Tables
+          .events(s, dir)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .select(
+            pmod(col("user_id"), lit(2L)).as("arm"),
+            col("event_type").as("stratum"),
+            (col("value") * lit(100.0)).cast("bigint").as("cents")))),
     // FDR-controlled slice testing: one Welch z per event type (the
     // ab_test algebra grouped), p-values via the Zelen–Severo Φ
     // polynomial (identical expression tree in the oracle), then
@@ -1962,6 +1974,43 @@ object EventsQueries {
          |       END AS mase_seasonal
          |FROM g""".stripMargin
     },
+    "ab_stratified" ->
+      """WITH e AS (
+        |  SELECT user_id % 2 AS arm, event_type AS stratum,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |), c AS (
+        |  SELECT stratum,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+        |         CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm <> 0 THEN cents ELSE 0 END) AS BIGINT) AS s_b
+        |  FROM e GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_a + n_b) AS BIGINT) AS n_tot,
+        |         CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+        |         CAST(sum(s_a) AS BIGINT) AS sa, CAST(sum(s_b) AS BIGINT) AS sb
+        |  FROM c
+        |), k AS (
+        |  SELECT t.ta AS n_a, t.tb AS n_b,
+        |         CAST(sum(CASE WHEN c.n_a > 0 AND c.n_b > 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_strata,
+        |         CAST(sum(CASE WHEN c.n_a > 0 AND c.n_b > 0 THEN 0 ELSE 1 END)
+        |              AS BIGINT) AS n_skipped,
+        |         max(CAST(t.sa AS DOUBLE) / CAST(t.ta AS DOUBLE)
+        |             - CAST(t.sb AS DOUBLE) / CAST(t.tb AS DOUBLE)) AS raw,
+        |         CAST(sum(CASE WHEN c.n_a > 0 AND c.n_b > 0 THEN
+        |           CAST(round(1e9
+        |                * (CAST(c.n_a + c.n_b AS DOUBLE) / CAST(t.n_tot AS DOUBLE))
+        |                * (CAST(c.s_a AS DOUBLE) / CAST(c.n_a AS DOUBLE)
+        |                   - CAST(c.s_b AS DOUBLE) / CAST(c.n_b AS DOUBLE)))
+        |                AS BIGINT) ELSE 0 END) AS BIGINT) AS strat_n
+        |  FROM c CROSS JOIN t GROUP BY 1, 2
+        |)
+        |SELECT n_a, n_b, n_strata, n_skipped,
+        |       round(raw, 6) AS diff_raw_c,
+        |       round(CAST(strat_n AS DOUBLE) / 1e9, 6) AS diff_strat_c
+        |FROM k""".stripMargin,
     "ab_fdr" ->
       """WITH e AS (
         |  SELECT event_type,

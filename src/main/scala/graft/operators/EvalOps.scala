@@ -1584,6 +1584,56 @@ object EvalOps {
       when(col("vn") > 0L, chi2 > lit(3.841)).as("significant"))
   }
 
+  /** Post-stratified A/B estimate: the arm delta re-weighted so every
+    * stratum contributes its POOLED share `w_s = n_s/N` instead of its
+    * (possibly imbalanced) per-arm share — removing the composition
+    * noise a chance stratum tilt injects into the raw difference, the
+    * stratification counterpart to [[cuped]]'s covariate adjustment.
+    *
+    * Per-stratum contributions `w_s·(ȳ_{A,s} − ȳ_{B,s})` are
+    * nano-quantized BIGINTs before the cross-stratum sum (exact,
+    * merge-order-free); strata with a missing arm are excluded and
+    * counted. One keyed aggregation to the (arm × stratum) grid; all
+    * downstream joins are over that bounded relation. Output: one row
+    * `(n_a, n_b, n_strata, n_skipped, diff_raw_c, diff_strat_c)`.
+    */
+  def postStratifiedDiff(rows: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val cells = rows
+      .select(col("arm"), col("stratum"), col("cents"))
+      .groupBy(col("stratum"))
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("cents")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") =!= 0L, col("cents")).otherwise(0L)).as("s_b"))
+    val tot = broadcast(cells.agg(
+      sum(col("n_a") + col("n_b")).as("n_tot"),
+      sum(col("n_a")).as("ta"),
+      sum(col("n_b")).as("tb"),
+      sum(col("s_a")).as("sa"),
+      sum(col("s_b")).as("sb")))
+    val usable = col("n_a") > 0L && col("n_b") > 0L
+    val contribNano = round(
+      lit(1e9) * (dbl(col("n_a") + col("n_b")) / dbl(col("n_tot"))) *
+        (dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))))
+      .cast("bigint")
+    cells
+      .crossJoin(tot)
+      .agg(
+        max(col("ta")).as("n_a"),
+        max(col("tb")).as("n_b"),
+        sum(when(usable, 1L).otherwise(0L)).as("n_strata"),
+        sum(when(usable, 0L).otherwise(1L)).as("n_skipped"),
+        max(dbl(col("sa")) / dbl(col("ta")) - dbl(col("sb")) / dbl(col("tb")))
+          .as("_raw"),
+        sum(when(usable, contribNano).otherwise(0L)).as("_strat_n"))
+      .select(
+        col("n_a"), col("n_b"), col("n_strata"), col("n_skipped"),
+        round(col("_raw"), 6).as("diff_raw_c"),
+        round(dbl(col("_strat_n")) / lit(1e9), 6).as("diff_strat_c"))
+  }
+
   /** Benjamini–Hochberg FDR control over a family of tests: given
     * per-group nano-quantized p-values, reject the `i` smallest where
     * `p_(i) ≤ α·i/m` — the step-up procedure that bounds the expected

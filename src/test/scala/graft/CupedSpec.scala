@@ -41,6 +41,36 @@ class CupedSpec extends SparkSpec {
     assert(r.getDouble(5) > 0.99, s"rho2 ${r.getDouble(5)}")
   }
 
+  test("postStratifiedDiff: pure composition noise is removed entirely") {
+    // within every stratum both arms average the same; arm 0 just has
+    // more "high" stratum rows → raw diff > 0, stratified diff = 0
+    val rows =
+      Seq.fill(80)((0L, "high", 1000L)) ++ Seq.fill(20)((0L, "low", 100L)) ++
+        Seq.fill(20)((1L, "high", 1000L)) ++ Seq.fill(80)((1L, "low", 100L))
+    val r = EvalOps.postStratifiedDiff(rows.toDF("arm", "stratum", "cents")).collect()(0)
+    assert(r.getLong(2) == 2 && r.getLong(3) == 0)
+    assert(r.getDouble(4) > 500.0, s"raw ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5)) < 1e-6, s"stratified ${r.getDouble(5)}")
+  }
+
+  test("postStratifiedDiff: a real within-stratum effect survives") {
+    val rows =
+      Seq.fill(50)((0L, "s1", 150L)) ++ Seq.fill(50)((1L, "s1", 100L)) ++
+        Seq.fill(50)((0L, "s2", 250L)) ++ Seq.fill(50)((1L, "s2", 200L))
+    val r = EvalOps.postStratifiedDiff(rows.toDF("arm", "stratum", "cents")).collect()(0)
+    assert(math.abs(r.getDouble(4) - 50.0) < 1e-6)
+    assert(math.abs(r.getDouble(5) - 50.0) < 1e-6)
+  }
+
+  test("postStratifiedDiff: one-armed strata are skipped and counted") {
+    val rows = Seq.fill(30)((0L, "both", 100L)) ++ Seq.fill(30)((1L, "both", 80L)) ++
+      Seq.fill(10)((0L, "aonly", 999L))
+    val r = EvalOps.postStratifiedDiff(rows.toDF("arm", "stratum", "cents")).collect()(0)
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1)
+    // stratified estimate uses only the usable stratum, weighted by its pooled share
+    assert(math.abs(r.getDouble(5) - (60.0 / 70.0) * 20.0) < 1e-6)
+  }
+
   test("uncorrelated covariate: theta ~ 0, adjustment leaves the delta alone") {
     val rows = (1 to 200).map { i =>
       val arm = (i % 2).toLong
