@@ -65,6 +65,48 @@ object ProfileQueries {
         graft.streaming.StreamingQuantiles.binCountsBy(df, spec, Seq("event_type")),
         spec, 4, Seq("event_type"))
     }),
+    // Right-to-be-forgotten audit: a deterministic 1/20 hash sample of
+    // customers is "deleted"; count the residual surface per table —
+    // direct rows (customer, events by user hash) and the FK cascade
+    // (orders of deleted customers, lineitems of those orders). The
+    // verification a deletion pipeline runs after the purge: every
+    // share here must drop to 0.
+    "delete_audit" -> ((s, dir) => {
+      val delOf = (c: org.apache.spark.sql.Column) =>
+        pmod(
+          graft.functions.PortableHash.hash60(concat(lit("del:"), c.cast("string"))),
+          lit(20L)) === 0L
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val delCust = Tables.customer(s, dir)
+        .filter(delOf(col("c_custkey")))
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val delOrd = ord
+        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      def tallied(tbl: String, df: org.apache.spark.sql.DataFrame,
+          hit: org.apache.spark.sql.Column) =
+        df.agg(
+          lit(tbl).as("tbl"),
+          count(lit(1)).as("n_rows"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_affected"))
+      val cu = tallied("customer", Tables.customer(s, dir), delOf(col("c_custkey")))
+      val or = tallied("orders",
+        ord.join(broadcast(delCust.withColumn("_h", lit(1))),
+          col("o_custkey") === col("c_custkey"), "left"),
+        col("_h").isNotNull)
+      val li = tallied("lineitem",
+        Tables.lineitem(s, dir).select(col("l_orderkey"))
+          .join(delOrd.withColumn("_h", lit(1))
+              .withColumnRenamed("o_orderkey", "_ok"),
+            col("l_orderkey") === col("_ok"), "left"),
+        col("_h").isNotNull)
+      val ev = tallied("events", Tables.events(s, dir), delOf(col("user_id")))
+      cu.unionByName(or).unionByName(li).unionByName(ev)
+        .select(col("tbl"), col("n_rows"), col("n_affected"),
+          round(dbl(col("n_affected")) / dbl(col("n_rows")), 6).as("share"))
+        .orderBy(col("tbl"))
+    }),
     // Z-order (Morton) cell occupancy over (l_partkey, l_suppkey).
     "zorder_cells" -> ((s, dir) =>
       LayoutOps.zCells(Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
@@ -2130,6 +2172,39 @@ object ProfileQueries {
         |             / CAST(sum(n_customers) OVER (PARTITION BY from_q) AS DOUBLE), 6)
         |         AS row_share
         |FROM m ORDER BY from_q, to_q""".stripMargin,
+    "delete_audit" -> {
+      val h = (inner: String) =>
+        graft.functions.PortableHash.hash60Sql(s"'del:' || CAST($inner AS VARCHAR)")
+      s"""WITH del AS (
+         |  SELECT c_custkey FROM customer WHERE (${h("c_custkey")}) % 20 = 0
+         |), delord AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM del)
+         |), u AS (
+         |  SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(CASE WHEN (${h("c_custkey")}) % 20 = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_affected
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'orders', CAST(count(*) AS BIGINT),
+         |         CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM del)
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+         |         CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM delord)
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'events', CAST(count(*) AS BIGINT),
+         |         CAST(sum(CASE WHEN (${h("user_id")}) % 20 = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT)
+         |  FROM events
+         |)
+         |SELECT tbl, n_rows, n_affected,
+         |       round(CAST(n_affected AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share
+         |FROM u ORDER BY tbl""".stripMargin
+    },
     "survival_logrank" ->
       """WITH o AS (
         |  SELECT o_custkey, epoch_us(o_orderdate) AS ts, o_orderkey FROM orders
