@@ -243,6 +243,12 @@ object SimilarityQueries {
       SimilarityOps.knnPq(
         Tables.embeddings(s, dir),
         k = 10, m = PqM, ksub = PqKsub, iters = PqIters, probeEvery = 50, dim = Dim)),
+    // TwoNN intrinsic-dimension estimate over a 1/5 probe slice: does
+    // the 64-dim embedding carry 64 dimensions of signal? d̂ = n/Σln(r2/r1)
+    // on squared integer-micro distances (no sqrt needed) — the
+    // embedding-quality gauge before sizing PQ/LSH configs.
+    "embed_intrinsic_dim" -> ((s, dir) =>
+      SimilarityOps.intrinsicDim(Tables.embeddings(s, dir), probeEvery = 5)),
     // Shortlist recall of the PQ-ADC path: how much of the exact-L2
     // top-10 survives into the 50-candidate ADC shortlist — the number a
     // PQ+rerank deployment actually gates on (the reranker recovers the
@@ -362,6 +368,42 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "knn_pq" -> pqOracle(10),
+    "embed_intrinsic_dim" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+         |), q AS (
+         |  SELECT vec_id AS q_id, vi AS qi, vv AS qq FROM w WHERE vec_id % 5 = 0
+         |), dx AS (
+         |  SELECT q.q_id, w.vec_id AS c_id,
+         |         CAST(q.qq + w.vv - 2 * list_dot_product(q.qi, w.vi) AS BIGINT) AS dist
+         |  FROM q, w WHERE w.vec_id <> q.q_id
+         |), r AS (
+         |  SELECT q_id, dist,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
+         |  FROM dx
+         |), p AS (
+         |  SELECT q_id,
+         |         max(CASE WHEN rn = 1 THEN dist END) AS d1,
+         |         max(CASE WHEN rn = 2 THEN dist END) AS d2
+         |  FROM r WHERE rn <= 2 GROUP BY 1
+         |  HAVING max(CASE WHEN rn = 2 THEN dist END) IS NOT NULL
+         |), a AS (
+         |  SELECT CAST(sum(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_probes,
+         |         CAST(sum(CASE WHEN d1 > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_probes,
+         |         CAST(sum(CASE WHEN d1 > 0 THEN
+         |           CAST(round(1e9 * (0.5 * ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))))
+         |                AS BIGINT) ELSE 0 END) AS BIGINT) AS s_nano
+         |  FROM p
+         |)
+         |SELECT n_probes, n_dup_probes,
+         |       CASE WHEN s_nano > 0 THEN
+         |         round(CAST(n_probes AS DOUBLE) / (CAST(s_nano AS DOUBLE) / 1e9), 6)
+         |       END AS id_hat
+         |FROM a""".stripMargin,
     "pq_recall" ->
       s"""WITH pq AS (
          |  ${pqOracle(50).replace("\n", "\n         |  ")}

@@ -703,6 +703,48 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    * probe the ratio of its 2nd to 1st nearest-neighbor distance follows
+    * a Pareto law with shape = the data's intrinsic dimension, so
+    * `d̂ = n / Σ ln(r₂/r₁)` — the embedding-quality gauge that tells a
+    * pipeline whether 64 stored dimensions carry 64 dimensions of
+    * signal (random noise → d̂ ≈ ambient; manifold data → d̂ ≪ ambient).
+    *
+    * Works on squared integer-micro distances: `ln(r₂/r₁) = ½·ln(d₂/d₁)`
+    * needs no square roots. Per-probe log terms are nano-quantized
+    * BIGINTs before the sum (exact, merge-order-free); probes with a
+    * zero first distance (exact duplicates) are excluded and counted.
+    * The probe slice bounds the work at `|probes|·n` distances — the
+    * estimator is statistically a subsample anyway.
+    *
+    * Output: one row `(n_probes, n_dup_probes, id_hat)`.
+    */
+  def intrinsicDim(embeddings: DataFrame, probeEvery: Int): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val top2 = knnBruteForceL2(embeddings, k = 2, probeEvery = probeEvery)
+    val paired = top2
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("rank") === 1, col("dist"))).as("d1"),
+        max(when(col("rank") === 2, col("dist"))).as("d2"))
+      .filter(col("d2").isNotNull)
+    val termNano = round(
+      lit(1e9) * (lit(0.5) * log(dbl(col("d2")) / dbl(col("d1")))))
+      .cast("bigint")
+    paired
+      .agg(
+        sum(when(col("d1") > 0L, 1L).otherwise(0L)).as("n_probes"),
+        sum(when(col("d1") > 0L, 0L).otherwise(1L)).as("n_dup_probes"),
+        sum(when(col("d1") > 0L, termNano).otherwise(0L)).as("s_nano"))
+      .select(
+        col("n_probes"),
+        col("n_dup_probes"),
+        when(
+          col("s_nano") > 0L,
+          round(dbl(col("n_probes")) / (dbl(col("s_nano")) / lit(1e9)), 6))
+          .as("id_hat"))
+  }
+
   def knnPq(
       embeddings: DataFrame,
       k: Int,
