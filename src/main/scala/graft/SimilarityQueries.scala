@@ -243,6 +243,22 @@ object SimilarityQueries {
       SimilarityOps.knnPq(
         Tables.embeddings(s, dir),
         k = 10, m = PqM, ksub = PqKsub, iters = PqIters, probeEvery = 50, dim = Dim)),
+    // Newman modularity of the SEMANTIC partition over the NEAR-DUP
+    // graph: do the k-means clusters concentrate the cosine-0.4 pair
+    // edges (Q > 0 → SemDeDup's within-cluster pruning is seeing most
+    // of the duplication; Q ≈ 0 → near-dups cross clusters and the
+    // pruning leaks)? Exact integer edge/degree sums; one double
+    // projection. The cross-family audit tying the dedup and
+    // clustering surfaces together.
+    "semantic_modularity" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = graft.operators.KMeansOps
+        .fitAssign(e, k = KmK, iters = KmIters)
+        .select(col("vec_id").as("node"), col("cid"))
+      graft.operators.ClusterOps.modularity(
+        SimilarityOps.nearDupPairs(e, minCos = 0.4).select(col("a_id"), col("b_id")),
+        a)
+    }),
     // TwoNN intrinsic-dimension estimate over a 1/5 probe slice: does
     // the 64-dim embedding carry 64 dimensions of signal? d̂ = n/Σln(r2/r1)
     // on squared integer-micro distances (no sqrt needed) — the
@@ -368,6 +384,41 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "knn_pq" -> pqOracle(10),
+    "semantic_modularity" ->
+      s"""$kmeansWithChain, ee AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), pp AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM ee a, ee b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND round(list_dot_product(a.emb, b.emb)
+         |              / (sqrt(list_dot_product(a.emb, a.emb))
+         |                 * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
+         |), lab AS (
+         |  SELECT pp.a_id, pp.b_id, ca.cid AS ca, cb.cid AS cb
+         |  FROM pp
+         |  JOIN aF ca ON ca.vec_id = pp.a_id
+         |  JOIN aF cb ON cb.vec_id = pp.b_id
+         |), mm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS within_edges
+         |  FROM lab
+         |), dg AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT ca AS cid FROM lab UNION ALL SELECT cb FROM lab)
+         |  GROUP BY 1
+         |), sq AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(sum(CAST(deg AS HUGEINT) * deg) AS BIGINT) AS sdeg2
+         |  FROM dg
+         |)
+         |SELECT m, n_clusters, within_edges,
+         |       round(CAST(within_edges AS DOUBLE) / CAST(m AS DOUBLE)
+         |             - CAST(sdeg2 AS DOUBLE)
+         |               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+         |         AS q_modularity
+         |FROM mm CROSS JOIN sq""".stripMargin,
     "embed_intrinsic_dim" ->
       s"""WITH v AS (
          |  SELECT vec_id,

@@ -264,4 +264,47 @@ object ClusterOps {
         (count(lit(1)) - 1).as("n_removed"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Newman modularity of a node partition over an undirected edge list:
+    * `Q = within/m − Σ_c deg_c² / (4m²)` — how much more of the edge
+    * mass falls inside the clusters than a degree-preserving random
+    * graph would put there. Q > 0: the partition captures the graph's
+    * structure (e.g. semantic clusters concentrating near-dup edges);
+    * Q ≈ 0: edges ignore the partition.
+    *
+    * `edges` is one row per undirected edge `(a_id, b_id)`; `labels`
+    * maps node → `cid`. Exact integer edge/degree sums (DECIMAL(38,0)
+    * for the squared degrees); the Q projection is the only float.
+    * Scale shape: two broadcast label joins onto the edge stream, one
+    * keyed degree aggregation bounded by the cluster count. Output: one
+    * row `(m, n_clusters, within_edges, q_modularity)`.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val lab = DedupOps.registerCache(
+      edges
+        .select(col("a_id"), col("b_id"))
+        .join(broadcast(labels.select(col("node").as("a_id"), col("cid").as("ca"))), Seq("a_id"))
+        .join(broadcast(labels.select(col("node").as("b_id"), col("cid").as("cb"))), Seq("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val mw = lab.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("within_edges"))
+    val sq = lab
+      .select(col("ca").as("cid"))
+      .unionByName(lab.select(col("cb").as("cid")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("deg"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("deg").cast("decimal(38,0)") * col("deg").cast("decimal(38,0)"))
+          .cast("bigint").as("sdeg2"))
+    mw.crossJoin(broadcast(sq))
+      .select(
+        col("m"), col("n_clusters"), col("within_edges"),
+        round(
+          dbl(col("within_edges")) / dbl(col("m")) -
+            dbl(col("sdeg2")) / (lit(4.0) * dbl(col("m")) * dbl(col("m"))),
+          6).as("q_modularity"))
+  }
 }
