@@ -243,6 +243,11 @@ object SimilarityQueries {
       SimilarityOps.knnPq(
         Tables.embeddings(s, dir),
         k = 10, m = PqM, ksub = PqKsub, iters = PqIters, probeEvery = 50, dim = Dim)),
+    // Retrieval-quality readout of the exact kNN index: NDCG@10 + MRR
+    // with label-match relevance over the probe slice — the graded IR
+    // metric beside the recall gates (SimilarityOps.knnRankingQuality).
+    "knn_ndcg" -> ((s, dir) =>
+      SimilarityOps.knnRankingQuality(Tables.embeddings(s, dir), k = 10, probeEvery = 50)),
     // Newman modularity of the SEMANTIC partition over the NEAR-DUP
     // graph: do the k-means clusters concentrate the cosine-0.4 pair
     // edges (Q > 0 → SemDeDup's within-cluster pruning is seeing most
@@ -384,6 +389,57 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "knn_pq" -> pqOracle(10),
+    "knn_ndcg" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0
+         |), p0 AS (
+         |  SELECT q_id, e.vec_id AS c_id, ${cosSql("q_emb", "e.emb")} AS cos
+         |  FROM q, e WHERE e.vec_id <> q.q_id
+         |), r0 AS (
+         |  SELECT q_id, c_id, rank FROM (
+         |    SELECT q_id, c_id,
+         |           CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, c_id) AS INT) AS rank
+         |    FROM p0) WHERE rank <= 10
+         |), rl AS (
+         |  SELECT r0.q_id, r0.rank,
+         |         CASE WHEN la.label = lb.label THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS rel,
+         |         CAST(round(1e9 * (ln(2.0) / ln(CAST(r0.rank AS DOUBLE) + 1.0)))
+         |              AS BIGINT) AS dn
+         |  FROM r0
+         |  JOIN embeddings la ON la.vec_id = r0.q_id
+         |  JOIN embeddings lb ON lb.vec_id = r0.c_id
+         |), w AS (
+         |  SELECT q_id, rank, rel, dn,
+         |         CAST(sum(rel) OVER (PARTITION BY q_id) AS BIGINT) AS r_tot
+         |  FROM rl
+         |), pq AS (
+         |  SELECT q_id, CAST(max(r_tot) AS BIGINT) AS r,
+         |         CAST(sum(rel * dn) AS BIGINT) AS dcg_n,
+         |         CAST(sum(CASE WHEN rank <= r_tot THEN dn ELSE 0 END) AS BIGINT)
+         |           AS idcg_n,
+         |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+         |  FROM w GROUP BY 1
+         |), sc AS (
+         |  SELECT r,
+         |         CASE WHEN r > 0 THEN
+         |           CAST(round(1e9 * (CAST(dcg_n AS DOUBLE) / CAST(idcg_n AS DOUBLE)))
+         |                AS BIGINT) ELSE 0 END AS nd,
+         |         CASE WHEN first_rel IS NOT NULL THEN
+         |           CAST(round(1e9 / CAST(first_rel AS DOUBLE)) AS BIGINT)
+         |         ELSE 0 END AS rr
+         |  FROM pq
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_rel,
+         |       round(CAST(sum(nd) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9), 6)
+         |         AS mean_ndcg,
+         |       round(CAST(sum(rr) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9), 6)
+         |         AS mrr
+         |FROM sc""".stripMargin,
     "semantic_modularity" ->
       s"""$kmeansWithChain, ee AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -703,6 +703,69 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Graded retrieval quality of a top-k ranking: NDCG@k and MRR@k with
+    * binary relevance = "candidate shares the query's label" — the IR
+    * metrics that judge a kNN index as a RETRIEVER (complementing
+    * recall gates, which only compare against another ranking).
+    *
+    * Discounts `1/log₂(i+1)` are nano-quantized per rank IN THE ENGINE
+    * (the oracle evaluates the same `ln(2)/ln(i+1)` expression, so both
+    * sides share any final-ulp), per-query DCG/IDCG are exact integer
+    * sums of those constants, and per-query NDCG/RR are re-quantized
+    * before the cross-query mean — merge-order-free end to end. IDCG
+    * places the query's R relevant hits at ranks 1..R (binary-relevance
+    * ideal). Queries with zero relevant hits score 0 and are counted.
+    *
+    * Output: one row `(n_queries, n_zero_rel, mean_ndcg, mrr)`.
+    */
+  def knnRankingQuality(
+      embeddings: DataFrame,
+      k: Int,
+      probeEvery: Int): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val e = corpus(embeddings)
+    val top = knnBruteForce(e.filter(col("vec_id") % probeEvery === 0), e, k)
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val rel = top
+      .join(broadcast(lab.select(col("vec_id").as("q_id"), col("label").as("ql"))), Seq("q_id"))
+      .join(broadcast(lab.select(col("vec_id").as("c_id"), col("label").as("cl"))), Seq("c_id"))
+      .select(
+        col("q_id"), col("rank"),
+        when(col("ql") === col("cl"), 1L).otherwise(0L).as("rel"))
+    // nano discount per rank, evaluated as an expression in both engines
+    val dn = round(
+      lit(1e9) * (log(lit(2.0)) / log(col("rank").cast("double") + lit(1.0))))
+      .cast("bigint")
+    val perQ = rel
+      .withColumn("dn", dn)
+      .withColumn("r_tot", sum(col("rel")).over(Window.partitionBy(col("q_id"))))
+      .groupBy(col("q_id"))
+      .agg(
+        max(col("r_tot")).as("r"),
+        sum(col("rel") * col("dn")).as("dcg_n"),
+        // ideal: the R relevant hits at ranks 1..R — sum the first R discounts
+        sum(when(col("rank") <= col("r_tot"), col("dn")).otherwise(0L)).as("idcg_n"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
+    val ndcgNano = when(col("r") > 0L,
+      round(lit(1e9) * (dbl(col("dcg_n")) / dbl(col("idcg_n")))).cast("bigint"))
+      .otherwise(lit(0L))
+    val rrNano = when(col("first_rel").isNotNull,
+      round(lit(1e9) / col("first_rel").cast("double")).cast("bigint"))
+      .otherwise(lit(0L))
+    perQ
+      .select(col("r"), ndcgNano.as("nd"), rrNano.as("rr"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("r") === 0L, 1L).otherwise(0L)).as("n_zero_rel"),
+        sum(col("nd")).as("snd"),
+        sum(col("rr")).as("srr"))
+      .select(
+        col("n_queries"),
+        col("n_zero_rel"),
+        round(dbl(col("snd")) / (dbl(col("n_queries")) * lit(1e9)), 6).as("mean_ndcg"),
+        round(dbl(col("srr")) / (dbl(col("n_queries")) * lit(1e9)), 6).as("mrr"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
     * probe the ratio of its 2nd to 1st nearest-neighbor distance follows
     * a Pareto law with shape = the data's intrinsic dimension, so
