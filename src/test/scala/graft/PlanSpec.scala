@@ -630,4 +630,15 @@ class PlanSpec extends SparkSpec {
     val aggs = """(?m)^\(\d+\) HashAggregate""".r.findAllIn(p).length
     assert(aggs >= 3, s"partial+final per stage expected, got $aggs")
   }
+
+  test("decision/governance/retrieval wave: bounded relations broadcast, no cartesian") {
+    for (q <- Seq(
+        "ab_cuped", "ab_power", "ab_fdr", "ab_stratified", "score_isotonic",
+        "survival_logrank", "return_rates_eb", "kfold_audit", "sample_ladder",
+        "delete_audit", "knn_ndcg", "semantic_modularity", "embed_intrinsic_dim",
+        "pq_recall")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: bounded relations must broadcast")
+    }
+  }
 }
