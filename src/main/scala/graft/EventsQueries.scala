@@ -770,6 +770,12 @@ object EventsQueries {
     // TimeSeriesOps.holtForecast.
     "revenue_forecast" -> ((s, dir) =>
       graft.operators.TimeSeriesOps.holtForecast(Tables.events(s, dir))),
+    // Seasonal Holt forecast: the revenue_forecast line plus the
+    // MA7-detrended additive weekday index per target day — the
+    // Holt–Winters shape off the same bounded day grid
+    // (TimeSeriesOps.holtSeasonalForecast).
+    "revenue_forecast_seasonal" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.holtSeasonalForecast(Tables.events(s, dir))),
     // Robust daily-revenue trend: Theil–Sen median pairwise slope +
     // median-residual intercept over the bounded day grid — the
     // outlier-resistant complement to volume_trend's OLS.
@@ -1829,6 +1835,64 @@ object EventsQueries {
          |               * (CASE WHEN den_t > 0.0 THEN num_t / den_t ELSE 0.0 END),
          |             6) AS forecast_c
          |FROM lt CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hs
+         |ORDER BY h""".stripMargin
+    },
+    "revenue_forecast_seasonal" -> {
+      val K = 8
+      val lagCols = (0 until K)
+        .map(j => s"lag(rev_c, $j) OVER w AS lv$j,\n        |         lag(diff_c, $j) OVER w AS tr$j")
+        .mkString(",\n        |         ")
+      def num(p: String) = (0 until K)
+        .map(j => s"CASE WHEN $p$j IS NOT NULL THEN $p$j * ${1L << (K - 1 - j)} ELSE 0 END")
+        .mkString("(", "\n        |            + ", ")")
+      def den(p: String) = (0 until K)
+        .map(j => s"CASE WHEN $p$j IS NOT NULL THEN ${1L << (K - 1 - j)} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val fc = "num_l / den_l + (247.0 / 255.0 + CAST(h AS DOUBLE)) " +
+        "* (CASE WHEN den_t > 0.0 THEN num_t / den_t ELSE 0.0 END)"
+      s"""WITH d AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |         CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY 1
+         |), wd AS (
+         |  SELECT day, rev_c,
+         |         rev_c - lag(rev_c, 1) OVER (ORDER BY day) AS diff_c
+         |  FROM d
+         |), lg AS (
+         |  SELECT day,
+         |         $lagCols,
+         |         row_number() OVER (ORDER BY day DESC) AS rn
+         |  FROM wd
+         |  WINDOW w AS (ORDER BY day)
+         |), lt AS (
+         |  SELECT day AS last_day,
+         |         CAST(${num("lv")} AS DOUBLE) AS num_l,
+         |         CAST(${den("lv")} AS DOUBLE) AS den_l,
+         |         CAST(${num("tr")} AS DOUBLE) AS num_t,
+         |         CAST(${den("tr")} AS DOUBLE) AS den_t
+         |  FROM lg WHERE rn = 1
+         |), det AS (
+         |  SELECT CAST(isodow(day) AS INT) AS iso_dow,
+         |         7 * rev_c - sum(rev_c) OVER (ORDER BY day
+         |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS d7,
+         |         count(*) OVER (ORDER BY day
+         |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+         |  FROM d
+         |), idx AS (
+         |  SELECT iso_dow,
+         |         CAST(sum(d7) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 7.0) AS idx_c
+         |  FROM det WHERE c7 = 7 GROUP BY 1
+         |), hz AS (
+         |  SELECT CAST(hs.h AS INT) AS h, lt.num_l, lt.den_l, lt.num_t, lt.den_t,
+         |         CAST(isodow(lt.last_day + CAST(hs.h AS INTEGER)) AS INT) AS iso_dow
+         |  FROM lt CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hs
+         |)
+         |SELECT h, iso_dow,
+         |       round($fc, 6) AS forecast_c,
+         |       round(coalesce(idx.idx_c, 0.0), 6) AS seasonal_c,
+         |       round($fc + coalesce(idx.idx_c, 0.0), 6) AS forecast_seasonal_c
+         |FROM hz LEFT JOIN idx USING (iso_dow)
          |ORDER BY h""".stripMargin
     },
     "revenue_theilsen" ->

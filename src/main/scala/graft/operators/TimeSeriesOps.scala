@@ -145,6 +145,82 @@ object TimeSeriesOps {
       .orderBy(col("h"))
   }
 
+  /** Holt forecast with an additive weekday seasonal (the Holt–Winters
+    * shape on the bounded day grid): the [[holtForecast]] level+trend
+    * line plus the MA7-detrended mean weekday deviation (the
+    * `seasonal_decompose` index, kept in cents) for each target day's
+    * ISO weekday. Horizon days whose weekday never completed a centered
+    * 7-day window fall back to the unadjusted line (index 0).
+    *
+    * Same exactness/scale contract as the parts: integer cents
+    * everywhere, one keyed reduction to the day grid, windows over it,
+    * a 7-row broadcast index join. Output:
+    * `(h, iso_dow, forecast_c, seasonal_c, forecast_seasonal_c)`.
+    */
+  def holtSeasonalForecast(
+      events: DataFrame,
+      lookback: Int = 8,
+      horizon: Int = 7): DataFrame = {
+    require(lookback >= 1 && lookback <= 62, "lookback must fit a Long shift")
+    val (cNum, cDen) = centerOffset(lookback, startJ = 0)
+    val daily = events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr("CAST(value * 100.0 AS BIGINT)")).as("rev_c"))
+    val w = Window.orderBy(col("day")) // bounded day grid
+    val weightOf = (j: Int) => lit(1L << (lookback - 1 - j))
+    val withDiff = daily.withColumn("diff_c", col("rev_c") - lag(col("rev_c"), 1).over(w))
+    val lagsL = (0 until lookback).map(j => lag(col("rev_c"), j).over(w).as(s"_lv$j"))
+    val lagsT = (0 until lookback).map(j => lag(col("diff_c"), j).over(w).as(s"_tr$j"))
+    val lagged = withDiff.select(col("day") +: (lagsL ++ lagsT): _*)
+    def pair(prefix: String) = {
+      val num = (0 until lookback)
+        .map(j => when(col(s"$prefix$j").isNotNull, col(s"$prefix$j") * weightOf(j)).otherwise(lit(0L)))
+        .reduceLeft(_ + _)
+      val den = (0 until lookback)
+        .map(j => when(col(s"$prefix$j").isNotNull, weightOf(j)).otherwise(lit(0L)))
+        .reduceLeft(_ + _)
+      (num, den)
+    }
+    val (numL, denL) = pair("_lv")
+    val (numT, denT) = pair("_tr")
+    val last = lagged
+      .withColumn("_rn", row_number().over(Window.orderBy(col("day").desc)))
+      .filter(col("_rn") === 1)
+      .select(
+        col("day").as("last_day"),
+        numL.cast("double").as("num_l"), denL.cast("double").as("den_l"),
+        numT.cast("double").as("num_t"), denT.cast("double").as("den_t"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val idx = daily
+      .select(
+        (weekday(col("day")) + lit(1)).as("iso_dow"),
+        (lit(7L) * col("rev_c") - sum(col("rev_c")).over(w7)).as("d7"),
+        count(lit(1)).over(w7).as("c7"))
+      .filter(col("c7") === 7)
+      .groupBy(col("iso_dow"))
+      .agg(count(lit(1)).as("n7"), sum(col("d7")).as("sd7"))
+      .select(
+        col("iso_dow"),
+        (col("sd7").cast("double") / (col("n7").cast("double") * lit(7.0))).as("idx_c"))
+    val fc = col("num_l") / col("den_l") +
+      (lit(cNum.toDouble) / lit(cDen.toDouble) + col("h").cast("double")) *
+        when(col("den_t") > 0.0, col("num_t") / col("den_t")).otherwise(lit(0.0))
+    last
+      .select(
+        explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("last_day"), col("num_l"), col("den_l"), col("num_t"), col("den_t"))
+      .withColumn("iso_dow", weekday(expr("date_add(last_day, h)")) + lit(1))
+      .join(broadcast(idx), Seq("iso_dow"), "left")
+      .select(
+        col("h"),
+        col("iso_dow"),
+        round(fc, 6).as("forecast_c"),
+        round(coalesce(col("idx_c"), lit(0.0)), 6).as("seasonal_c"),
+        round(fc + coalesce(col("idx_c"), lit(0.0)), 6).as("forecast_seasonal_c"))
+      .orderBy(col("h"))
+  }
+
   /** Theil–Sen robust trend of the daily revenue series: the MEDIAN of
     * all pairwise slopes `(y_j − y_i)/(x_j − x_i)` over the day grid
     * (x = epoch days, so calendar gaps weight correctly), plus the

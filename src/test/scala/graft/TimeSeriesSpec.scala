@@ -191,4 +191,38 @@ class TimeSeriesSpec extends SparkSpec {
     val r = TimeSeriesOps.forecastBacktest(dailyDf((1 to 7).map(d => d -> 1.0))).collect()(0)
     assert(r.getLong(0) == 0)
   }
+
+  test("holtSeasonalForecast recovers injected weekday offsets exactly") {
+    // constant 100-dollar base + a zero-sum weekday pattern over 6 weeks:
+    // the MA7 detrend isolates the offsets, so seasonal_c == offset(dow)
+    val offs = Map(1 -> 6.0, 2 -> -2.0, 3 -> 1.0, 4 -> -4.0, 5 -> 3.0, 6 -> -5.0, 7 -> 1.0)
+    val days = (0 until 42).map { i =>
+      val epochDay = 19000 + i // day 19000 epoch; dow = ((19000+i)+3) % 7 + 1
+      val dow = ((epochDay + 3) % 7 + 1).toInt
+      (epochDay, 100.0 + offs(dow))
+    }
+    val df = days.zipWithIndex.map { case ((d, v), ix) =>
+      (1L, ix.toLong, d.toLong * 86400L * 1000000L, v)
+    }.toDF("user_id", "event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = TimeSeriesOps.holtSeasonalForecast(df).collect()
+    assert(out.length == 7)
+    out.foreach { r =>
+      val dow = r.getInt(1)
+      assert(math.abs(r.getDouble(3) - offs(dow) * 100.0) < 1e-4,
+        s"dow $dow seasonal ${r.getDouble(3)} vs ${offs(dow) * 100.0}")
+      // additivity of the adjusted forecast
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) + r.getDouble(3))) < 2e-6)
+    }
+  }
+
+  test("holtSeasonalForecast on a constant series: zero index, flat forecast") {
+    val out = TimeSeriesOps
+      .holtSeasonalForecast(dailyDf((1 to 30).map(d => d -> 42.0)))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(3) == 0.0)
+      assert(r.getDouble(4) == 4200.0)
+    }
+  }
 }
