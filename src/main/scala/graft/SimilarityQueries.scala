@@ -403,24 +403,28 @@ object SimilarityQueries {
          |           CAST(row_number() OVER (PARTITION BY q_id
          |             ORDER BY cos DESC, c_id) AS INT) AS rank
          |    FROM p0) WHERE rank <= 10
+         |), lc AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_lbl FROM embeddings GROUP BY 1
          |), rl AS (
          |  SELECT r0.q_id, r0.rank,
          |         CASE WHEN la.label = lb.label THEN CAST(1 AS BIGINT)
          |              ELSE CAST(0 AS BIGINT) END AS rel,
+         |         lc.n_lbl - 1 AS r_corpus,
          |         CAST(round(1e9 * (ln(2.0) / ln(CAST(r0.rank AS DOUBLE) + 1.0)))
          |              AS BIGINT) AS dn
          |  FROM r0
          |  JOIN embeddings la ON la.vec_id = r0.q_id
          |  JOIN embeddings lb ON lb.vec_id = r0.c_id
+         |  JOIN lc ON lc.label = la.label
          |), w AS (
-         |  SELECT q_id, rank, rel, dn,
+         |  SELECT q_id, rank, rel, r_corpus, dn,
          |         CAST(sum(rel) OVER (PARTITION BY q_id) AS BIGINT) AS r_tot
          |  FROM rl
          |), pq AS (
          |  SELECT q_id, CAST(max(r_tot) AS BIGINT) AS r,
          |         CAST(sum(rel * dn) AS BIGINT) AS dcg_n,
-         |         CAST(sum(CASE WHEN rank <= r_tot THEN dn ELSE 0 END) AS BIGINT)
-         |           AS idcg_n,
+         |         CAST(sum(CASE WHEN rank <= least(r_corpus, 10) THEN dn ELSE 0 END)
+         |              AS BIGINT) AS idcg_n,
          |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
          |  FROM w GROUP BY 1
          |), sc AS (

@@ -200,6 +200,13 @@ object DedupOps {
     * any lock (putIfAbsent publication): a racing duplicate compute is
     * idempotent and strictly cheaper than serializing every memo user
     * behind one global lock while Spark jobs run.
+    *
+    * Contract notes: `compute` must not return null (rejected eagerly with
+    * a descriptive error — ConcurrentHashMap can't hold null values); the
+    * data-version fingerprint covers FILE-BACKED leaf relations only
+    * (HadoopFsRelation), so a non-file source (in-memory test frames,
+    * JDBC) keys on the canonicalized plan alone and a mid-session mutation
+    * of such a source would not invalidate the memo.
     */
   private[graft] def sessionValue[T](source: DataFrame, tag: String)(compute: => T): T = {
     val key = (source.sparkSession, source.queryExecution.analyzed.canonicalized,
@@ -208,6 +215,7 @@ object DedupOps {
     if (cached != null) cached.asInstanceOf[T]
     else {
       val v = compute
+      require(v != null, s"sessionValue compute for tag '$tag' returned null")
       val prev = sessionValues.putIfAbsent(key, v)
       (if (prev != null) prev else v).asInstanceOf[T]
     }

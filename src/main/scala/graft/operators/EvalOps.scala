@@ -1385,12 +1385,17 @@ object EvalOps {
         sum(
           when(col("thr_nano").isNull.or(col("score_nano") >= col("thr_nano")), 1L)
             .otherwise(0L)).as("n_covered"))
+    // degenerate-input guards (mirrors conformalCoverageBy): an empty test
+    // partition must not divide by zero (ANSI mode would turn the silent
+    // null into a failure), and an empty calibration set reports n_calib 0
+    // rather than null
     test.select(
-      col("n_calib"),
+      coalesce(col("n_calib"), lit(0L)).as("n_calib"),
       col("thr_nano"),
       col("n_test"),
-      col("n_covered"),
-      round(dbl(col("n_covered")) / dbl(col("n_test")), 6).as("coverage"))
+      coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+      when(col("n_test") > 0L, round(dbl(col("n_covered")) / dbl(col("n_test")), 6))
+        .as("coverage"))
   }
 
   /** Mondrian (group-conditional) split conformal: [[conformalCoverage]]

@@ -94,6 +94,66 @@ object KMeansOps {
           sort_array(collect_list(struct(col("pos"), col("comp")))),
           s => s.getField("comp")).as("ci"))
 
+  /** KEYED seeds: [[seeds]] independently within every `s` group of one
+    * relation — `ksub` seed vectors per key from a single window pass
+    * (Spark rewrites the rank-limit filter to WindowGroupLimit, so map
+    * tasks pre-prune to k rows per key before the exchange). Because the
+    * seed order is `(hash60("km:" vec_id), vec_id)` — independent of `s` —
+    * the per-key seeds are bit-identical to running [[seeds]] on each key's
+    * slice separately. Input `(vec_id, s, vi)`; output `(s, cid, ci)`.
+    */
+  def seedsBy(vecs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s"))
+      .orderBy(col("hk"), col("vec_id"))
+    vecs
+      .withColumn(
+        "hk",
+        PortableHash.hash60(concat(lit("km:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("s"), (col("rn") - 1).as("cid"), col("vi").as("ci"))
+  }
+
+  /** KEYED assignment: [[assign]] within every `s` group in ONE pass — the
+    * centroid relation `(s, cid, ci)` carries all keys' codebooks (≤ keys·k
+    * rows, broadcast), the join is an equi-join on `s`, and the arg-min
+    * groups by `(vec_id, s)`. Identical math per key to the unkeyed form.
+    * Input `(vec_id, s, vi, vv)`; output `(vec_id, s, cid, dist)`.
+    */
+  def assignBy(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val c = broadcast(
+      cents.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+    vecs
+      .join(c, Seq("s"))
+      .select(
+        col("vec_id"),
+        col("s"),
+        col("cid"),
+        (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
+          .as("dist"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+  }
+
+  /** KEYED centroid update: [[update]] within every `s` group in ONE
+    * keyed aggregation (`(s, cid, pos)` grouping — same truncated integer
+    * mean). Input vecs `(vec_id, s, vi)`, best `(vec_id, s, cid)`; output
+    * `(s, cid, ci)`.
+    */
+  def updateBy(vecs: DataFrame, best: DataFrame): DataFrame =
+    vecs
+      .join(best.select(col("vec_id"), col("s"), col("cid")), Seq("vec_id", "s"))
+      .select(col("s"), col("cid"), posexplode(col("vi")))
+      .groupBy(col("s"), col("cid"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
+      .groupBy(col("s"), col("cid"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("ci"))
+
   /** Run `iters` Lloyd iterations (assign → update, final pass assign
     * only) and return the final assignment `(vec_id, cid, dist)`.
     * Centroid relations are materialized per round (k rows) so iteration

@@ -209,8 +209,12 @@ object SimilarityOps {
       zip_with(emb, sequence(lit(1), lit(stats.size)), (x, i) => {
         val mn = element_at(mins, i)
         val rg = element_at(rngs, i)
+        // clamp BOTH ends: stats come from the candidate corpus, so an
+        // out-of-distribution query component below the per-dim min would
+        // otherwise produce a negative code outside the uint8 domain
         val code =
-          when(rg === 0.0, 0.0).otherwise(least(lit(255.0), floor((x - mn) * 255.0 / rg)))
+          when(rg === 0.0, 0.0)
+            .otherwise(greatest(lit(0.0), least(lit(255.0), floor((x - mn) * 255.0 / rg))))
         mn + (code + lit(0.5)) * rg / lit(255.0)
       })
     val shortlist = broadcast(q.select(col("q_id"), recon(col("q_emb")).as("qc")))
@@ -712,9 +716,13 @@ object SimilarityOps {
     * (the oracle evaluates the same `ln(2)/ln(i+1)` expression, so both
     * sides share any final-ulp), per-query DCG/IDCG are exact integer
     * sums of those constants, and per-query NDCG/RR are re-quantized
-    * before the cross-query mean — merge-order-free end to end. IDCG
-    * places the query's R relevant hits at ranks 1..R (binary-relevance
-    * ideal). Queries with zero relevant hits score 0 and are counted.
+    * before the cross-query mean — merge-order-free end to end. IDCG is
+    * the STANDARD @k ideal: the first `min(R_corpus, k)` discounts,
+    * where R_corpus counts ALL corpus vectors sharing the query's label
+    * (self excluded) — so a query that retrieves 1 of its 40 relevant
+    * neighbors at rank 1 scores DCG(1)/IDCG(10), not a self-satisfied
+    * 1.0 (the label-count relation is bounded — one broadcast join).
+    * Queries with zero relevant hits retrieved score 0 and are counted.
     *
     * Output: one row `(n_queries, n_zero_rel, mean_ndcg, mrr)`.
     */
@@ -726,12 +734,16 @@ object SimilarityOps {
     val e = corpus(embeddings)
     val top = knnBruteForce(e.filter(col("vec_id") % probeEvery === 0), e, k)
     val lab = embeddings.select(col("vec_id"), col("label"))
+    // total relevant per label in the WHOLE corpus — the IDCG normalizer
+    val labCnt = lab.groupBy(col("label")).agg(count(lit(1)).as("n_lbl"))
     val rel = top
       .join(broadcast(lab.select(col("vec_id").as("q_id"), col("label").as("ql"))), Seq("q_id"))
       .join(broadcast(lab.select(col("vec_id").as("c_id"), col("label").as("cl"))), Seq("c_id"))
+      .join(broadcast(labCnt.select(col("label").as("ql"), col("n_lbl"))), Seq("ql"))
       .select(
         col("q_id"), col("rank"),
-        when(col("ql") === col("cl"), 1L).otherwise(0L).as("rel"))
+        when(col("ql") === col("cl"), 1L).otherwise(0L).as("rel"),
+        (col("n_lbl") - lit(1L)).as("r_corpus")) // exclude the query itself
     // nano discount per rank, evaluated as an expression in both engines
     val dn = round(
       lit(1e9) * (log(lit(2.0)) / log(col("rank").cast("double") + lit(1.0))))
@@ -743,8 +755,9 @@ object SimilarityOps {
       .agg(
         max(col("r_tot")).as("r"),
         sum(col("rel") * col("dn")).as("dcg_n"),
-        // ideal: the R relevant hits at ranks 1..R — sum the first R discounts
-        sum(when(col("rank") <= col("r_tot"), col("dn")).otherwise(0L)).as("idcg_n"),
+        // ideal@k: all min(R_corpus, k) relevant at the top ranks
+        sum(when(col("rank") <= least(col("r_corpus"), lit(k.toLong)), col("dn"))
+          .otherwise(0L)).as("idcg_n"),
         min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
     val ndcgNano = when(col("r") > 0L,
       round(lit(1e9) * (dbl(col("dcg_n")) / dbl(col("idcg_n")))).cast("bigint"))
@@ -816,48 +829,75 @@ object SimilarityOps {
       iters: Int,
       probeEvery: Int,
       dim: Int): DataFrame = {
-    require(dim % m == 0, "dim must split evenly into m subspaces")
-    require(iters >= 1)
-    val dsub = dim / m
-    val v = KMeansOps.quantize(embeddings)
-    val parts = (0 until m).map { s =>
-      val sub = v
-        .select(col("vec_id"), slice(col("vi"), s * dsub + 1, dsub).as("vi"))
-        .withColumn("vv", GraftFunctions.dot(col("vi"), col("vi")))
-      var cents = KMeansOps.seeds(sub, ksub)
-      for (_ <- 1 until iters)
-        cents = KMeansOps.update(sub, KMeansOps.assign(sub, cents))
-      // the codebook feeds both the corpus encode and the query table —
-      // materialize its ≤ksub rows once
-      val cb = DedupOps.registerCache(
-        cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      cb.count()
-      val codes = KMeansOps
-        .assign(sub, cb)
-        .select(col("vec_id").as("c_id"), lit(s).as("s"), col("cid"))
-      val cbd = broadcast(cb.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
-      val dtable = sub
-        .filter(col("vec_id") % probeEvery === 0)
-        .crossJoin(cbd)
-        .select(
-          col("vec_id").as("q_id"),
-          lit(s).as("s"),
-          col("cid"),
-          (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
-            .cast("bigint").as("d"))
-      (codes, dtable)
-    }
-    val codes = parts.map(_._1).reduce(_ unionByName _)
-    val dtab = parts.map(_._2).reduce(_ unionByName _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id"))
-    codes
-      .join(broadcast(dtab), Seq("s", "cid"))
-      .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("d")).as("adist"))
+    pqAdc(embeddings, m, ksub, iters, probeEvery, dim)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), col("adist"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The full ADC distance relation `(q_id, c_id, adist)` behind
+    * [[knnPq]], session-memoized on (corpus, PQ config) — `knn_pq` (k=10)
+    * and `pq_recall`'s 50-candidate shortlist differ only in the final
+    * top-k window, so the codebook fit + encode + ADC sum runs once per
+    * session, not once per consumer (the LSH pair-relation pattern).
+    *
+    * Training is FUSED across subspaces (round-10 verdict #3): one
+    * `(vec_id, s, vi, vv)` relation carries all `m` sliced subvectors,
+    * and each Lloyd round is ONE keyed assign + ONE keyed update fitting
+    * all m codebooks together ([[KMeansOps.seedsBy]]/[[KMeansOps.assignBy]]/
+    * [[KMeansOps.updateBy]]) — m× fewer job barriers than per-subspace
+    * chains, bit-identical math (the seed order is independent of `s`).
+    */
+  def pqAdc(
+      embeddings: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      probeEvery: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    require(iters >= 1)
+    val dsub = dim / m
+    DedupOps.sessionRelation(
+      embeddings, s"pqAdc:$m:$ksub:$iters:$probeEvery:$dim") {
+      val v = KMeansOps.quantize(embeddings)
+      // one relation, all subspaces: (vec_id, s, vi=slice s, vv=<vi,vi>)
+      val sub = DedupOps.registerCache(
+        v.select(
+          col("vec_id"),
+          posexplode(array((0 until m).map(s =>
+            slice(col("vi"), s * dsub + 1, dsub)): _*)))
+          .select(col("vec_id"), col("pos").as("s"), col("col").as("vi"))
+          .withColumn("vv", GraftFunctions.dot(col("vi"), col("vi")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      var cents = KMeansOps.seedsBy(sub, ksub)
+      for (_ <- 1 until iters)
+        cents = KMeansOps.updateBy(sub, KMeansOps.assignBy(sub, cents))
+      // all m codebooks in one ≤m·ksub-row relation — materialize once;
+      // it feeds both the corpus encode and the query distance tables
+      val cb = DedupOps.registerCache(
+        cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      cb.count()
+      val codes = KMeansOps
+        .assignBy(sub, cb)
+        .select(col("vec_id").as("c_id"), col("s"), col("cid"))
+      val cbd = broadcast(cb.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+      val dtab = sub
+        .filter(col("vec_id") % probeEvery === 0)
+        .join(cbd, Seq("s"))
+        .select(
+          col("vec_id").as("q_id"),
+          col("s"),
+          col("cid"),
+          (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
+            .cast("bigint").as("d"))
+      codes
+        .join(broadcast(dtab), Seq("s", "cid"))
+        .filter(col("q_id") =!= col("c_id"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("d")).as("adist"))
+    }
   }
 }

@@ -49,4 +49,22 @@ class NdcgSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - want) < 1e-6, s"ndcg ${r.getDouble(2)} vs $want")
     assert(r.getDouble(3) == 0.5)
   }
+
+  test("IDCG normalizes by corpus-wide relevant count, not retrieved hits") {
+    // probe 0 (label 7) has THREE relevant corpus vectors but k=2 retrieves
+    // only the one at rank 1 — standard NDCG@2 = dn(1)/(dn(1)+dn(2)), NOT
+    // the self-satisfied 1.0 a retrieved-only ideal would report
+    val df = Seq(
+      (0L, Seq(1.0, 0.0), 7),
+      (1L, Seq(0.999, 0.04), 7), // rank 1, relevant
+      (2L, Seq(0.99, 0.1), 1), // rank 2, not
+      (3L, Seq(-1.0, 0.2), 7), // missed relevant (far)
+      (4L, Seq(-1.0, 0.3), 7) // missed relevant (far)
+    ).toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.knnRankingQuality(df, k = 2, probeEvery = 5).collect()(0)
+    assert(r.getLong(0) == 1 && r.getLong(1) == 0)
+    val want = 1.0 / (1.0 + math.log(2.0) / math.log(3.0))
+    assert(math.abs(r.getDouble(2) - want) < 1e-5, s"ndcg ${r.getDouble(2)} vs $want")
+    assert(r.getDouble(3) == 1.0)
+  }
 }
