@@ -409,13 +409,13 @@ object SimilarityQueries {
          |  SELECT r0.q_id, r0.rank,
          |         CASE WHEN la.label = lb.label THEN CAST(1 AS BIGINT)
          |              ELSE CAST(0 AS BIGINT) END AS rel,
-         |         lc.n_lbl - 1 AS r_corpus,
+         |         coalesce(lc.n_lbl, 1) - 1 AS r_corpus,
          |         CAST(round(1e9 * (ln(2.0) / ln(CAST(r0.rank AS DOUBLE) + 1.0)))
          |              AS BIGINT) AS dn
          |  FROM r0
          |  JOIN embeddings la ON la.vec_id = r0.q_id
          |  JOIN embeddings lb ON lb.vec_id = r0.c_id
-         |  JOIN lc ON lc.label = la.label
+         |  LEFT JOIN lc ON lc.label = la.label
          |), w AS (
          |  SELECT q_id, rank, rel, r_corpus, dn,
          |         CAST(sum(rel) OVER (PARTITION BY q_id) AS BIGINT) AS r_tot
@@ -838,7 +838,8 @@ object SimilarityQueries {
          |), cd AS (
          |  SELECT vec_id,
          |         list(mn + ((CASE WHEN rg = 0 THEN 0.0
-         |                     ELSE least(255.0, floor((emb[dim] - mn) * 255.0 / rg)) END)
+         |                     ELSE greatest(0.0, least(255.0,
+         |                            floor((emb[dim] - mn) * 255.0 / rg))) END)
          |                    + 0.5) * rg / 255.0
          |              ORDER BY dim) AS cc
          |  FROM e CROSS JOIN st GROUP BY vec_id

@@ -1375,21 +1375,23 @@ object EvalOps {
         max(col("n_calib")).as("n_calib"),
         max(when(col("rn") === col("n_calib") - col("k") + 1, col("s")))
           .as("thr_nano"))
-    val test = scored
+    // the per-row thr comparison aggregates to ONE row even on an empty
+    // test partition (agg over an empty frame), and the threshold relation
+    // is re-attached to the AGGREGATE (1 row × 1 row) rather than read
+    // through it — so an empty test set reports the real n_calib/thr_nano
+    // instead of dropping them with the vanished rows, and an empty
+    // calibration set reports n_calib 0 / NULL cutoff (cover-all), never a
+    // divide-by-zero under ANSI (mirrors conformalCoverageBy's
+    // full-outer-join guarantee)
+    val testCov = scored
       .filter(!col("is_calib") && col("label") === 1)
       .crossJoin(broadcast(thr))
       .agg(
-        max(col("n_calib")).as("n_calib"),
-        max(col("thr_nano")).as("thr_nano"),
         count(lit(1)).as("n_test"),
         sum(
           when(col("thr_nano").isNull.or(col("score_nano") >= col("thr_nano")), 1L)
             .otherwise(0L)).as("n_covered"))
-    // degenerate-input guards (mirrors conformalCoverageBy): an empty test
-    // partition must not divide by zero (ANSI mode would turn the silent
-    // null into a failure), and an empty calibration set reports n_calib 0
-    // rather than null
-    test.select(
+    thr.crossJoin(testCov).select(
       coalesce(col("n_calib"), lit(0L)).as("n_calib"),
       col("thr_nano"),
       col("n_test"),

@@ -536,32 +536,95 @@ object SimilarityOps {
       .filter(col("cos") >= lit(minCos))
       .orderBy(col("a_id"), col("b_id"))
 
-  def nearDupPairs(embeddings: DataFrame, minCos: Double, blocks: Int = 0): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  /** Above this plan-time vector-count estimate, [[nearDupPairs]] refuses
+    * the Θ(n²) exact kernel and routes to the banded-LSH prefilter + exact
+    * verify instead. 10⁵ vectors ≈ 5·10⁹ cosine evaluations — the point
+    * where exact all-pairs stops being a "small corpus" convenience (tens
+    * of seconds on one 32-core host, unpayable at cluster data sizes)
+    * while the LSH candidate join is still early in its sub-quadratic
+    * divergence. Overridable per call for stress tools and for callers who
+    * KNOW they want exact output at larger n (pass `Long.MaxValue`).
+    */
+  val MaxExactVectors: Long = 100000L
+
+  // routed-path banding — dedup_embedding_lsh's documented config (recall
+  // trade analyzed in the nearDupPairsLsh scaladoc)
+  private val RouteBands = 20
+  private val RoutePlanes = 6
+
+  /** All near-dup pairs `(a_id, b_id, cos)` with cosine ≥ `minCos`.
+    *
+    * SIZE-ROUTED (round-11 verdict #1): when the plan-time vector-count
+    * estimate (Catalyst stats — same read as [[autoBlocks]], no extra
+    * scan) exceeds `maxExactVectors`, the call routes to
+    * [[nearDupPairsLsh]] — banded sign-bit candidate generation + exact
+    * cosine verify — instead of the exact blocked kernel, so a large
+    * corpus can never enter the Θ(n²) path by default. The routed output
+    * is the LSH-verified SUBSET of the exact pairs (identical rows where
+    * emitted; the recall trade is documented and measured in the
+    * nearDupPairsLsh scaladoc / EmbedScaleStress). Passing `blocks > 0`
+    * is an explicit exact-path override and always runs blocked-exact.
+    */
+  def nearDupPairs(
+      embeddings: DataFrame,
+      minCos: Double,
+      blocks: Int = 0,
+      maxExactVectors: Long = MaxExactVectors): DataFrame = {
     val e = corpus(embeddings)
-    // blocks <= 0 → auto-size from Catalyst's size estimate (same
-    // plan-time stats knnAuto consults — no extra scan): aim for tiles of
-    // ~256k cosine evaluations (B ~ n/512) — big enough that per-task
-    // scheduling is noise, small enough that a 32-core host sees real
-    // parallelism at 2k vectors (the fixed B=16 paid 17× replication for
-    // nothing at that size; B=1 serialized the whole kernel into one
-    // task). B is capped so the broadcast block-pair relation stays tiny;
-    // beyond the cap tiles grow past the target, which only means more
-    // work per task, never more replication than B+1 rows per vector.
-    val B = if (blocks > 0) blocks else autoBlocks(e)
-    nearDupPairsBlocked(e, minCos, B)
+    if (blocks <= 0 && shouldRouteLsh(e, maxExactVectors)) {
+      val dim = embDim(e)
+      nearDupPairsLsh(embeddings, minCos, RouteBands, RoutePlanes, dim)
+    } else {
+      // blocks <= 0 → auto-size from Catalyst's size estimate (same
+      // plan-time stats knnAuto consults — no extra scan): aim for tiles of
+      // ~256k cosine evaluations (B ~ n/512) — big enough that per-task
+      // scheduling is noise, small enough that a 32-core host sees real
+      // parallelism at 2k vectors (the fixed B=16 paid 17× replication for
+      // nothing at that size; B=1 serialized the whole kernel into one
+      // task). B is capped so the broadcast block-pair relation stays tiny;
+      // beyond the cap tiles grow past the target, which only means more
+      // work per task, never more replication than B+1 rows per vector.
+      val B = if (blocks > 0) blocks else autoBlocks(e)
+      nearDupPairsBlocked(e, minCos, B)
+    }
   }
+
+  /** The routing decision behind [[nearDupPairs]] (public so stress tools
+    * and plan pins can report/assert it): true when the plan-time stats
+    * estimate says the corpus is too large for the exact kernel.
+    */
+  def shouldRouteLsh(corpusRel: DataFrame, maxExactVectors: Long = MaxExactVectors): Boolean =
+    estimatedVectors(corpusRel) > maxExactVectors.toDouble
+
+  /** Plan-time vector-count estimate from Catalyst's size-in-bytes stats
+    * (file footer size for parquet sources — no data scan). The row-size
+    * divisor assumes the 64-dim double corpus layout; a wrong dim guess
+    * shifts the estimate by a constant factor, which both consumers
+    * ([[autoBlocks]] tile sizing, [[shouldRouteLsh]] routing) tolerate —
+    * the block count is a granularity knob and the route threshold has
+    * order-of-magnitude slack on both sides.
+    */
+  def estimatedVectors(corpusRel: DataFrame): Double = {
+    val bytes = corpusRel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rowSize = 8 + 8 * 64 // id + 64-dim double vector
+    (bytes / rowSize).toDouble.max(1.0)
+  }
+
+  /** Embedding dimensionality — a memoized 1-row limit scan (the only
+    * place the routed LSH path needs a runtime value the plan can't
+    * provide; empty corpus → 0, any dim is vacuously fine there).
+    */
+  private def embDim(corpusRel: DataFrame): Int =
+    DedupOps.sessionValue(corpusRel, "embDim") {
+      corpusRel.select(size(col("emb")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    }
 
   /** The block count [[nearDupPairs]] auto-derives from plan-time stats
     * (public so stress tools can report the decision alongside timings).
     */
-  def autoBlocks(corpusRel: DataFrame): Int = {
-    val bytes = corpusRel.queryExecution.optimizedPlan.stats.sizeInBytes
-    val rowSize = 8 + 8 * 64 // id + 64-dim double vector
-    val nEst = (bytes / rowSize).toDouble.max(1.0)
-    math.min(256, math.max(1, math.ceil(nEst / 512.0).toInt))
-  }
+  def autoBlocks(corpusRel: DataFrame): Int =
+    math.min(256, math.max(1, math.ceil(estimatedVectors(corpusRel) / 512.0).toInt))
 
   private def nearDupPairsBlocked(e: DataFrame, minCos: Double, blocks: Int): DataFrame = {
     val spark = e.sparkSession
@@ -739,11 +802,14 @@ object SimilarityOps {
     val rel = top
       .join(broadcast(lab.select(col("vec_id").as("q_id"), col("label").as("ql"))), Seq("q_id"))
       .join(broadcast(lab.select(col("vec_id").as("c_id"), col("label").as("cl"))), Seq("c_id"))
-      .join(broadcast(labCnt.select(col("label").as("ql"), col("n_lbl"))), Seq("ql"))
+      // LEFT join: a NULL-labeled probe never equi-matches the label-count
+      // relation — it must survive as a zero-relevance query (r_corpus 0),
+      // not silently drop out of the n_queries/mean_ndcg/mrr denominators
+      .join(broadcast(labCnt.select(col("label").as("ql"), col("n_lbl"))), Seq("ql"), "left")
       .select(
         col("q_id"), col("rank"),
         when(col("ql") === col("cl"), 1L).otherwise(0L).as("rel"),
-        (col("n_lbl") - lit(1L)).as("r_corpus")) // exclude the query itself
+        (coalesce(col("n_lbl"), lit(1L)) - lit(1L)).as("r_corpus")) // exclude the query itself
     // nano discount per rank, evaluated as an expression in both engines
     val dn = round(
       lit(1e9) * (log(lit(2.0)) / log(col("rank").cast("double") + lit(1.0))))
@@ -849,6 +915,15 @@ object SimilarityOps {
     * all m codebooks together ([[KMeansOps.seedsBy]]/[[KMeansOps.assignBy]]/
     * [[KMeansOps.updateBy]]) — m× fewer job barriers than per-subspace
     * chains, bit-identical math (the seed order is independent of `s`).
+    *
+    * BROADCAST BOUND (round-11 verdict #3): the query distance table has
+    * |probes|·m·ksub rows and |probes| = n/probeEvery grows with the
+    * corpus, so the broadcast hint on the ADC join is applied only while
+    * the plan-time row estimate stays under [[MaxAdcBroadcastRows]]
+    * (~128 MB at 32 B/row); above it the hint is dropped and the
+    * (s, cid) equi-join shuffles both sides — AQE may still choose to
+    * broadcast if runtime stats allow, but nothing FORCES an unbounded
+    * relation onto every executor.
     */
   def pqAdc(
       embeddings: DataFrame,
@@ -893,11 +968,27 @@ object SimilarityOps {
           col("cid"),
           (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
             .cast("bigint").as("d"))
+      val dtabSide =
+        if (adcDtabBroadcastable(estimatedVectors(corpus(embeddings)), m, ksub, probeEvery))
+          broadcast(dtab)
+        else dtab
       codes
-        .join(broadcast(dtab), Seq("s", "cid"))
+        .join(dtabSide, Seq("s", "cid"))
         .filter(col("q_id") =!= col("c_id"))
         .groupBy(col("q_id"), col("c_id"))
         .agg(sum(col("d")).as("adist"))
     }
   }
+
+  /** Row ceiling for broadcasting the ADC query distance table — ~2²² rows
+    * ≈ 128 MB at the 32 B/row layout, the conventional "still cheap to
+    * replicate to every executor" bound.
+    */
+  val MaxAdcBroadcastRows: Long = 1L << 22
+
+  /** The [[pqAdc]] broadcast decision, factored pure so specs can pin both
+    * branches without constructing a corpus whose stats exceed the bound.
+    */
+  def adcDtabBroadcastable(nEst: Double, m: Int, ksub: Int, probeEvery: Int): Boolean =
+    (nEst / probeEvery) * m * ksub <= MaxAdcBroadcastRows.toDouble
 }

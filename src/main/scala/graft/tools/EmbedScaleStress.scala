@@ -16,10 +16,12 @@ import graft.operators.{DedupOps, KMeansOps, SimilarityOps}
   * Usage: runMain graft.tools.EmbedScaleStress
   */
 object EmbedScaleStress {
-  def t(l: String)(f: => Long): Unit = {
+  def t(l: String)(f: => Long): Double = {
     val t0 = System.nanoTime()
     val n = f
-    println(f"  $l: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"  $l: $sec%.2f s ($n rows)")
+    sec
   }
 
   def main(args: Array[String]): Unit = {
@@ -37,6 +39,10 @@ object EmbedScaleStress {
     // warm-up
     KMeansOps.fitSummary(graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"), 8, 2).count()
     DedupOps.releaseAllCaches()
+    // (factor, n, exact s, lsh s) per sweep point — the exact-vs-LSH
+    // crossover evidence behind nearDupPairs' size route
+    val crossover = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val lshTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (factor <- Seq(1, 4, 16)) {
       val path = s"target/stress/emb_x$factor.parquet"
       if (!new java.io.File(path).exists()) {
@@ -60,8 +66,20 @@ object EmbedScaleStress {
       // collapses to the cheap plan at 2k; the blocked equi-join must
       // engage at 4×+) while wall time tracks n²/cores, not replication
       val autoB = SimilarityOps.autoBlocks(SimilarityOps.corpus(emb))
-      t(s"nearDupPairs cos>=0.4 autoB=$autoB")(SimilarityOps.nearDupPairs(emb, 0.4).count())
+      val routeHere = SimilarityOps.shouldRouteLsh(SimilarityOps.corpus(emb))
+      println(s"  size-route decision at default threshold " +
+        s"(${SimilarityOps.MaxExactVectors}): routeLsh=$routeHere")
+      val tExact = t(s"nearDupPairs cos>=0.4 autoB=$autoB (exact kernel)")(
+        SimilarityOps.nearDupPairs(emb, 0.4, blocks = autoB).count())
       DedupOps.releaseAllCaches()
+      // the auto-route firing: a forced-low threshold must hand back the
+      // session-memoized LSH relation, never the quadratic kernel
+      val routed = SimilarityOps.nearDupPairs(emb, 0.4, maxExactVectors = 100)
+      val directLsh = SimilarityOps.nearDupPairsLsh(emb, 0.4, 20, 6, 64)
+      require(routed eq directLsh, "auto-route must land on the LSH relation")
+      println("  auto-route (threshold=100): routed to nearDupPairsLsh — OK")
+      DedupOps.releaseAllCaches()
+      crossover += ((factor, emb.count(), tExact))
       // the SemDeDup scale path: k grows with the corpus (target ~n/256
       // per cluster) so the intra-cluster quadratic kernel stays bounded —
       // wall time should track n·(n/k), i.e. ~linear when k scales, vs the
@@ -82,7 +100,7 @@ object EmbedScaleStress {
         .count()
       println(f"  lshCandidates b=20 r=6 (low-threshold regime): $candN%d of $allPairs%d " +
         f"all-pairs (${100.0 * candN / allPairs}%.1f%%)")
-      t("nearDupPairsLsh cos>=0.4")(
+      lshTimes += t("nearDupPairsLsh cos>=0.4")(
         SimilarityOps.nearDupPairsLsh(emb, 0.4, bands = 20, planesPerBand = 6, dim = 64).count())
       DedupOps.releaseAllCaches()
       // the FAVORABLE regime the path defaults for — real near-dups
@@ -112,6 +130,11 @@ object EmbedScaleStress {
       t("nearDupPairsLsh cos>=0.9 planted")(
         SimilarityOps.nearDupPairsLsh(dupCorpus, 0.9, bands = 12, planesPerBand = 10, dim = 64).count())
       DedupOps.releaseAllCaches()
+    }
+    println("\nexact-vs-LSH crossover (low-threshold regime, cos>=0.4):")
+    println("  factor |      n | exact s | lsh s | exact/lsh")
+    crossover.zip(lshTimes).foreach { case ((f, n, te), tl) =>
+      println(f"  $f%6d | $n%6d | $te%7.2f | $tl%5.2f | ${te / tl}%9.2fx")
     }
     spark.stop()
   }

@@ -61,6 +61,19 @@ class ConformalSpec extends SparkSpec {
     assert(cov >= 0.88 && cov <= 0.93, s"coverage $cov outside [0.88, 0.93]")
   }
 
+  test("empty test partition preserves n_calib and the cutoff") {
+    // the threshold relation must be re-attached to the test AGGREGATE,
+    // not read through the (vanished) test rows: a non-empty calibration
+    // set with zero test rows still reports its real n_calib / thr_nano
+    // (mirrors conformalCoverageBy's full-outer-join behavior)
+    val calib = (1 to 9).map(i => (i * 10L, 1, true))
+    val r = EvalOps.conformalCoverage(scored(calib)).collect()(0)
+    assert(r.getLong(0) == 9, "n_calib must survive an empty test set")
+    assert(r.getLong(1) == 10L, "thr_nano must survive an empty test set")
+    assert(r.getLong(2) == 0 && r.getLong(3) == 0)
+    assert(r.isNullAt(4), "coverage undefined with no test rows")
+  }
+
   test("negative labels never enter calibration or the test count") {
     val calib = (1 to 9).map(i => (i * 10L, 1, true)) ++ Seq((1L, 0, true))
     val test = Seq((50L, 1, false), (50L, 0, false))

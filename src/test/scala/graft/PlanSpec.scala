@@ -95,6 +95,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), "codegen'd kernel must run inside the join")
   }
 
+  test("dedup_embedding large-n route: banded candidate join, no all-pairs block kernel") {
+    // above the size threshold nearDupPairs must route to the LSH
+    // prefilter: the plan carries NO block-pair replication join (the
+    // exact kernel's `pk` key never appears) and no cartesian/BNLJ —
+    // candidate generation is the (band, bucket) equi-join
+    import graft.operators.SimilarityOps
+    import graft.sources.Tables
+    val routed = SimilarityOps.nearDupPairs(
+      Tables.embeddings(spark, TestSpark.sf0001), minCos = 0.4, maxExactVectors = 10)
+    val p = routed.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("pk#"), "block-pair all-pairs key in the routed plan")
+    assert(!p.contains("CartesianProduct"), "cartesian in the routed plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "BNLJ in the routed plan")
+  }
+
   test("dedup_exact: map-side partial aggregation before the exchange") {
     val p = plan("dedup_exact")
     val firstAgg = p.indexOf("HashAggregate")

@@ -55,12 +55,28 @@ class PqSpec extends SparkSpec {
   }
 
   test("deterministic across runs") {
-    val a = SimilarityOps
+    val r1 = SimilarityOps
       .knnPq(embDf(30), k = 5, m = 2, ksub = 4, iters = 2, probeEvery = 15, dim = 8)
       .collect().toSeq
-    val b = SimilarityOps
+    // drop the session-memoized ADC relation so the second call actually
+    // re-fits the codebooks — without this the memo hands back the same
+    // cached relation and the test compares it to itself
+    graft.operators.DedupOps.releaseAllCaches()
+    val r2 = SimilarityOps
       .knnPq(embDf(30), k = 5, m = 2, ksub = 4, iters = 2, probeEvery = 15, dim = 8)
       .collect().toSeq
-    assert(a == b)
+    assert(r1 == r2)
+  }
+
+  test("ADC dtab broadcast decision: bounded at sf scale, dropped at corpus scale") {
+    // bench config (n=2000, probeEvery=50, m=8, ksub=256): 40 probes →
+    // ~82k dtab rows — well under the 2^22-row broadcast ceiling
+    assert(SimilarityOps.adcDtabBroadcastable(2000, 8, 256, 50))
+    // 10^9-vector corpus at the same probeEvery: 2·10^7 probes →
+    // ~4·10^10 dtab rows — the hint MUST be dropped (round-11 verdict #3)
+    assert(!SimilarityOps.adcDtabBroadcastable(1e9, 8, 256, 50))
+    // the bound is on dtab rows, not corpus rows: a huge corpus with a
+    // proportionally sparse probe slice still broadcasts
+    assert(SimilarityOps.adcDtabBroadcastable(1e9, 8, 256, 1000000))
   }
 }

@@ -168,6 +168,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearDupPairs: size-routes to the LSH path above the vector-count threshold") {
+    val raw = Tables.embeddings(spark, TestSpark.sf0001)
+    // sf0.001 = 500 vectors: far under the 10^5 default → exact path
+    assert(!SimilarityOps.shouldRouteLsh(SimilarityOps.corpus(raw)),
+      "500-vector corpus must stay on the exact kernel at the default threshold")
+    // forced-low threshold → the routing estimate exceeds it → LSH route.
+    // The routed call must return the IDENTICAL session-memoized relation a
+    // direct nearDupPairsLsh call at the documented route config returns —
+    // reference equality pins that the route really is the LSH path, not a
+    // lookalike.
+    assert(SimilarityOps.shouldRouteLsh(SimilarityOps.corpus(raw), maxExactVectors = 10))
+    val routed = SimilarityOps.nearDupPairs(raw, minCos = 0.4, maxExactVectors = 10)
+    val direct = SimilarityOps.nearDupPairsLsh(raw, minCos = 0.4,
+      bands = 20, planesPerBand = 6, dim = 64)
+    assert(routed eq direct, "route must land on the shared LSH relation")
+    // explicit blocks > 0 overrides the route: exact blocked output
+    val exact = SimilarityOps.nearDupPairs(raw, minCos = 0.4, blocks = 4,
+      maxExactVectors = 10).count()
+    assert(routed.count() <= exact, "LSH route must be a subset of exact")
+  }
+
   test("nearDupPairsLsh: subset of exact pairs, lossless on planted near-dups") {
     val raw = Tables.embeddings(spark, TestSpark.sf0001)
     // plant two near-identical copies of vector 0 (tiny perturbation →
