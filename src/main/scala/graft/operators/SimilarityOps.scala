@@ -547,10 +547,21 @@ object SimilarityOps {
     */
   val MaxExactVectors: Long = 100000L
 
-  // routed-path banding — dedup_embedding_lsh's documented config (recall
-  // trade analyzed in the nearDupPairsLsh scaladoc)
-  private val RouteBands = 20
-  private val RoutePlanes = 6
+  /** Routed-path banding, chosen by threshold (public so stress tools can
+    * report it). Banding amplification collides random pairs at
+    * ~bands·2^−planes regardless of the threshold, so the SHARPNESS has to
+    * come from the recall side: at real near-dup thresholds (cos ≥ 0.7,
+    * per-plane agreement p = 1−θ/π ≥ 0.75) a sharp 12×10 banding keeps
+    * recall (≥0.94 at exactly cos 0.7-0.9, →1 as cos→1) while passing
+    * ~1.2 % of random pairs — the regime EmbedScaleStress measures at
+    * >200× under the exact kernel. Below 0.7 a sharp banding would gut
+    * recall, so the wide 20×6 config applies — its ~31 % background
+    * collision rate is the documented low-threshold trade (a ~3× constant
+    * reduction, the best an LSH prefilter offers that far into the random
+    * cosine tail).
+    */
+  def routeBanding(minCos: Double): (Int, Int) =
+    if (minCos >= 0.7) (12, 10) else (20, 6)
 
   /** All near-dup pairs `(a_id, b_id, cos)` with cosine ≥ `minCos`.
     *
@@ -573,7 +584,8 @@ object SimilarityOps {
     val e = corpus(embeddings)
     if (blocks <= 0 && shouldRouteLsh(e, maxExactVectors)) {
       val dim = embDim(e)
-      nearDupPairsLsh(embeddings, minCos, RouteBands, RoutePlanes, dim)
+      val (bands, planes) = routeBanding(minCos)
+      nearDupPairsLsh(embeddings, minCos, bands, planes, dim)
     } else {
       // blocks <= 0 → auto-size from Catalyst's size estimate (same
       // plan-time stats knnAuto consults — no extra scan): aim for tiles of

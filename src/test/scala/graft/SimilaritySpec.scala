@@ -187,6 +187,14 @@ class SimilaritySpec extends SparkSpec {
     val exact = SimilarityOps.nearDupPairs(raw, minCos = 0.4, blocks = 4,
       maxExactVectors = 10).count()
     assert(routed.count() <= exact, "LSH route must be a subset of exact")
+    // banding adapts to the threshold: sharp at near-dup thresholds
+    // (~1 % background collisions), wide below (recall-preserving)
+    assert(SimilarityOps.routeBanding(0.4) == (20, 6))
+    assert(SimilarityOps.routeBanding(0.9) == (12, 10))
+    val routedHi = SimilarityOps.nearDupPairs(raw, minCos = 0.9, maxExactVectors = 10)
+    val directHi = SimilarityOps.nearDupPairsLsh(raw, minCos = 0.9,
+      bands = 12, planesPerBand = 10, dim = 64)
+    assert(routedHi eq directHi, "high-threshold route must use the sharp banding")
   }
 
   test("nearDupPairsLsh: subset of exact pairs, lossless on planted near-dups") {
