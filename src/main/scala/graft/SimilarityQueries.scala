@@ -36,6 +36,44 @@ object SimilarityQueries {
     (e.filter(col("vec_id") % 50 === 0), e)
   }
 
+  // conformal_state bin grid: value = cos + 1 ∈ [0, 2] → 200 linear bins
+  // (nonnegative domain — the trunc-toward-zero quantize contract,
+  // StreamingConformal scaladoc)
+  private val ConfStateSpec =
+    graft.core.BinSpec(0, 200, 0.0, graft.core.BinMethod.Linear)
+
+  /** Shared scored relation behind `conformal_threshold` /
+    * `conformal_by_label`'s marginal sibling and `conformal_state`:
+    * score = cosine to the calibration-positives' exact integer-micro
+    * centroid (truncated-mean components), calibration = even vec_ids.
+    * Output: `(score_nano, label, is_calib)`.
+    */
+  private def conformalScored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val vl = graft.operators.KMeansOps
+      .quantize(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cent = vl
+      .filter(col("vec_id") % 2 === 0 && col("label") === 1)
+      .select(posexplode(col("vi")))
+      .groupBy(col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("ci"))
+      .withColumn("cc", graft.functions.GraftFunctions.dot(col("ci"), col("ci")))
+    vl
+      .crossJoin(broadcast(cent))
+      .select(
+        round(
+          graft.functions.GraftFunctions.dot(col("vi"), col("ci"))
+            / (sqrt(col("vv")) * sqrt(col("cc"))) * lit(1000000000.0))
+          .cast("bigint").as("score_nano"),
+        col("label"),
+        (col("vec_id") % 2 === 0).as("is_calib"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_cosine" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
@@ -162,31 +200,29 @@ object SimilarityQueries {
     // guarantee readout. Scale: the only ORDER BY runs over calibration
     // positives (sampled-small by construction); scoring is one
     // broadcast-centroid codegen projection.
-    "conformal_threshold" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val vl = graft.operators.KMeansOps
-        .quantize(e)
-        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
-      val cent = vl
-        .filter(col("vec_id") % 2 === 0 && col("label") === 1)
-        .select(posexplode(col("vi")))
-        .groupBy(col("pos"))
-        .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
-        .agg(
-          transform(
-            sort_array(collect_list(struct(col("pos"), col("comp")))),
-            x => x.getField("comp")).as("ci"))
-        .withColumn("cc", graft.functions.GraftFunctions.dot(col("ci"), col("ci")))
-      val scored = vl
-        .crossJoin(broadcast(cent))
+    "conformal_threshold" -> ((s, dir) =>
+      graft.operators.EvalOps.conformalCoverage(
+        conformalScored(s, dir), alphaNum = 1L, alphaDen = 10L)),
+    // Streaming twin of conformal_threshold: the same scored relation,
+    // folded into two StreamingQuantiles bin-count states (calibration
+    // positives / test positives; value = cos + 1 — the nonnegative
+    // domain the trunc-toward-zero quantize requires) and read back as a
+    // one-row cutoff + coverage BRACKET (StreamingConformal). The batch
+    // thr_nano provably lies in [thr_lo, thr_hi) and batch n_covered in
+    // [n_cov_lo, n_cov_hi] — StreamingConformalSpec pins both; this
+    // query oracles the state readout itself.
+    "conformal_state" -> ((s, dir) => {
+      val scored = conformalScored(s, dir)
         .select(
-          round(
-            graft.functions.GraftFunctions.dot(col("vi"), col("ci"))
-              / (sqrt(col("vv")) * sqrt(col("cc"))) * lit(1000000000.0))
-            .cast("bigint").as("score_nano"),
-          col("label"),
-          (col("vec_id") % 2 === 0).as("is_calib"))
-      graft.operators.EvalOps.conformalCoverage(scored, alphaNum = 1L, alphaDen = 10L)
+          (col("score_nano").cast("double") / lit(1000000000.0) + lit(1.0)).as("value"),
+          col("label"), col("is_calib"))
+        .filter(col("label") === 1)
+      graft.streaming.StreamingConformal.coverageFromState(
+        graft.streaming.StreamingQuantiles.binCounts(
+          scored.filter(col("is_calib")).select(col("value")), ConfStateSpec),
+        graft.streaming.StreamingQuantiles.binCounts(
+          scored.filter(!col("is_calib")).select(col("value")), ConfStateSpec),
+        ConfStateSpec, alphaNum = 1L, alphaDen = 10L)
     }),
     // Hybrid retrieval: reciprocal-rank fusion (k0=60) of the lexical
     // BM25 top-20 (fixed term bag, CurationOps.bm25) and the dense
@@ -595,6 +631,78 @@ object SimilarityQueries {
          |SELECT n_calib, thr_nano, n_test, n_covered,
          |       round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
          |FROM te""".stripMargin,
+    "conformal_state" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+         |), l AS (
+         |  SELECT w.vec_id, w.vi, w.vv, e.label
+         |  FROM w JOIN embeddings e USING (vec_id)
+         |), m AS (
+         |  SELECT g.i AS pos,
+         |         CAST(CAST(trunc(sum(vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+         |  FROM l CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  WHERE vec_id % 2 = 0 AND label = 1
+         |  GROUP BY 1
+         |), c AS (
+         |  SELECT list(comp ORDER BY pos) AS ci FROM m
+         |), sc AS (
+         |  SELECT l.vec_id,
+         |         CAST(round(list_dot_product(l.vi, c.ci)
+         |              / (sqrt(l.vv) * sqrt(list_dot_product(c.ci, c.ci)))
+         |              * 1000000000.0) AS BIGINT) AS score_nano,
+         |         l.label, l.vec_id % 2 = 0 AS is_calib
+         |  FROM l, c
+         |), sv AS (
+         |  -- value = cos + 1 (nonnegative domain), linear quantize ×100
+         |  -- (trunc toward zero), numpy range semantics on [0, 200]
+         |  SELECT CAST(trunc((CAST(score_nano AS DOUBLE) / 1000000000.0 + 1.0) * 100)
+         |              AS BIGINT) AS code,
+         |         is_calib
+         |  FROM sc WHERE label = 1
+         |), sb AS (
+         |  SELECT CASE WHEN code = 200 THEN 199 ELSE code END AS bin, is_calib
+         |  FROM sv WHERE code BETWEEN 0 AND 200
+         |), gc AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM sb WHERE is_calib GROUP BY 1
+         |), gt AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM sb WHERE NOT is_calib GROUP BY 1
+         |), rc AS (
+         |  SELECT bin, cnt,
+         |         sum(cnt) OVER (ORDER BY bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(cnt) OVER () AS n
+         |  FROM gc
+         |), loc AS (
+         |  SELECT max(bin) AS thr_bin FROM (
+         |    SELECT bin, cum, cum - cnt AS cum_prev,
+         |           n - ((9 * (n + 1) + 9) // 10) + 1 AS r
+         |    FROM rc) x
+         |  WHERE r >= 1 AND r > cum_prev AND r <= cum
+         |), nc AS (
+         |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_calib FROM gc
+         |), ta AS (
+         |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_test,
+         |         CAST(coalesce(sum(CASE WHEN loc.thr_bin IS NULL OR gt.bin > loc.thr_bin
+         |                                THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_cov_lo,
+         |         CAST(coalesce(sum(CASE WHEN loc.thr_bin IS NULL OR gt.bin >= loc.thr_bin
+         |                                THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_cov_hi
+         |  FROM gt CROSS JOIN loc
+         |)
+         |SELECT nc.n_calib, CAST(loc.thr_bin AS INT) AS thr_bin,
+         |       CAST(loc.thr_bin AS DOUBLE) / 100.0 AS thr_lo,
+         |       CAST(loc.thr_bin + 1 AS DOUBLE) / 100.0 AS thr_hi,
+         |       ta.n_test, ta.n_cov_lo, ta.n_cov_hi,
+         |       CASE WHEN ta.n_test > 0
+         |            THEN round(CAST(ta.n_cov_lo AS DOUBLE) / CAST(ta.n_test AS DOUBLE), 6)
+         |       END AS cov_lo,
+         |       CASE WHEN ta.n_test > 0
+         |            THEN round(CAST(ta.n_cov_hi AS DOUBLE) / CAST(ta.n_test AS DOUBLE), 6)
+         |       END AS cov_hi
+         |FROM nc CROSS JOIN loc CROSS JOIN ta""".stripMargin,
     "conformal_by_label" ->
       s"""WITH v AS (
          |  SELECT vec_id,

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.BinSpec
+import graft.operators.HistogramOps
+
+/** Streaming twin of [[graft.operators.EvalOps.conformalCoverage]]
+  * (round-11 verdict #4): maintain the calibration scores' HISTOGRAM
+  * STATE incrementally ([[StreamingQuantiles.binCounts]] — the same
+  * mergeable per-bin `count` aggregate every monitor in this package
+  * folds) and read the split-conformal cutoff off it at any time — no
+  * re-sorting of calibration history, ever.
+  *
+  * The batch operator takes the k-th largest calibration score with
+  * k = ⌈(1−α)(n+1)⌉ — an order statistic, which the bin-count state
+  * answers at BIN RESOLUTION exactly like the ntile cuts: the true
+  * cutoff provably lies in the located bin's value interval
+  * `[thr_lo, thr_hi)`, so every output row carries the bracket, and the
+  * DETERMINISTIC streaming threshold `thr_lo` (the bin's lower edge) is
+  * ≤ the exact cutoff — coverage under the streaming threshold can only
+  * be HIGHER than batch, so the (1−α) marginal guarantee survives the
+  * quantization (the conservative direction; StreamingConformalSpec pins
+  * bracket + bound against the exact batch operator). The test side is
+  * a second bin-count state, read as a covered-count bracket:
+  * `n_cov_lo` counts test rows in bins strictly above the cutoff bin
+  * (certainly ≥ the exact cutoff), `n_cov_hi` adds the cutoff bin
+  * itself; batch `n_covered` lies in `[n_cov_lo, n_cov_hi]`.
+  *
+  * Value-domain contract: scores must be mapped to a NONNEGATIVE value
+  * domain before binning (e.g. `cos + 1`). The linear quantize truncates
+  * toward zero (reference `int()` semantics, main.py:197), so bins
+  * below zero hold `(edge(b−1), edge(b)]` instead of `[edge(b),
+  * edge(b+1))` and the one-bin bracket would not hold across zero.
+  *
+  * State size: ≤ `spec.bins` rows per side — bounded by a constant; the
+  * readout windows run over the aggregated state, never over data.
+  */
+object StreamingConformal {
+
+  /** One-row conformal cutoff read from a calibration bin-count state
+    * `(bin, cnt)`: `(n_calib, thr_bin, thr_lo, thr_hi)`. `thr_bin` is
+    * NULL when k > n (calibration smaller than 1/α — cover-everything,
+    * the batch operator's same edge), with NULL edges.
+    */
+  def thresholdFromState(
+      calibState: DataFrame,
+      spec: BinSpec,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val wOrd = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // k-th LARGEST score = (n−k+1)-th smallest: locate the bin holding
+    // rank r in the cumulative counts — a window over ≤ bins state rows
+    val located = calibState
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn(
+        "k",
+        expr(s"(($alphaDen - $alphaNum) * (n + 1) + $alphaDen - 1) DIV $alphaDen"))
+      .withColumn("r", col("n") - col("k") + 1)
+      .filter(col("r") >= 1 && col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+      .agg(max(col("bin")).as("thr_bin")) // 1 row always; NULL when no bin matched
+    calibState
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_calib"))
+      .crossJoin(broadcast(located))
+      .select(
+        col("n_calib"),
+        col("thr_bin").cast("int").as("thr_bin"),
+        HistogramOps.binEdge(col("thr_bin"), spec).as("thr_lo"),
+        HistogramOps.binEdge(col("thr_bin") + 1, spec).as("thr_hi"))
+  }
+
+  /** Full conformal readout from calibration + test bin-count states:
+    * one row `(n_calib, thr_bin, thr_lo, thr_hi, n_test, n_cov_lo,
+    * n_cov_hi, cov_lo, cov_hi)`. A NULL cutoff covers every test row
+    * (`n_cov_lo = n_cov_hi = n_test`); an empty test state reports
+    * n_test 0 with NULL coverage — the batch operator's guards.
+    */
+  def coverageFromState(
+      calibState: DataFrame,
+      testState: DataFrame,
+      spec: BinSpec,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val thr = thresholdFromState(calibState, spec, alphaNum, alphaDen)
+    val cov = testState
+      .crossJoin(broadcast(thr.select(col("thr_bin").as("tb"))))
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("n_test"),
+        coalesce(
+          sum(when(col("tb").isNull || col("bin") > col("tb"), col("cnt")).otherwise(0L)),
+          lit(0L)).as("n_cov_lo"),
+        coalesce(
+          sum(when(col("tb").isNull || col("bin") >= col("tb"), col("cnt")).otherwise(0L)),
+          lit(0L)).as("n_cov_hi"))
+    thr.crossJoin(cov).select(
+      col("n_calib"), col("thr_bin"), col("thr_lo"), col("thr_hi"),
+      col("n_test"), col("n_cov_lo"), col("n_cov_hi"),
+      when(col("n_test") > 0L, round(dbl(col("n_cov_lo")) / dbl(col("n_test")), 6))
+        .as("cov_lo"),
+      when(col("n_test") > 0L, round(dbl(col("n_cov_hi")) / dbl(col("n_test")), 6))
+        .as("cov_hi"))
+  }
+}
