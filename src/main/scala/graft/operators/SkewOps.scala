@@ -51,6 +51,12 @@ object SkewOps {
     * dimension is exploded `salt`× with every salt value, and the join key
     * becomes (key, salt) — splitting each hot key's rows across `salt`
     * tasks. Only sensible when `dim` is small enough to replicate.
+    *
+    * Determinism: the position-derived salt only selects WHICH of `salt`
+    * identical dim replicas a fact row meets, so the joined output (after
+    * `_salt` drops) is the same multiset as the unsalted join under any
+    * repartitioning — row ids being unstable across layouts cannot reach
+    * the result (pinned in SkewSpec).
     */
   def saltedBroadcastJoin(
       fact: DataFrame,

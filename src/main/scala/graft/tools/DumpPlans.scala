@@ -17,7 +17,7 @@ object DumpPlans {
     "knn_cosine" -> "Broadcast nested-loop of the tiny query side; the native graft_cosine expression inside the projection; WindowGroupLimit prunes to top-k before the rank window.",
     "events_sessions" -> "One shuffle on user_id shared by both window passes (lag + running sum) and the session aggregation.",
     "dedup_ngram_jaccard" -> "Cached shingle relation, prefix-filtered candidate equi-join (df-sorted prefixes), then exact-verify join over full sets — no unbounded hot-key fan-out.",
-    "dedup_embedding" -> "Exact all-pairs as a balanced block-pair EQUI-join (block count auto-sized from plan-time stats: ~256k cosine evals per tile, B+1-row replication ceiling; broadcast of the tiny block-pair relation, shuffled join on the pair key) — no CartesianProduct/BNLJ node; graft_cosine runs inside the join projection.",
+    "dedup_embedding" -> "SIZE-ROUTED: above a plan-time vector-count estimate of 1e5 the call routes to the banded-LSH prefilter + exact verify (threshold-adaptive banding); below it, exact all-pairs as a balanced block-pair EQUI-join (block count auto-sized from plan-time stats: ~256k cosine evals per tile, B+1-row replication ceiling; broadcast of the tiny block-pair relation, shuffled join on the pair key) — no CartesianProduct/BNLJ node on either route; graft_cosine runs inside the join projection.",
     "decontaminate" -> "Contamination check as a map-side broadcast hash probe: the held-out side's distinct n-gram hashes broadcast; the training corpus never shuffles.",
     "embed_kmeans" -> "Assignment = broadcast NLJ against the k-row centroid relation, projected to thin (vec_id, cid, dist) rows before the exchange; arg-min is a map-side-combinable min(struct); the vectors themselves never shuffle.",
     "dedup_spans" -> "Span-level dedup: both exchanges (count aggregate + join-back) keyed on the 8-byte span hash of the cached span relation — text never shuffles.",

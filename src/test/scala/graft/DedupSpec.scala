@@ -17,6 +17,32 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.exactSurvivors(docs).count() == groups.count())
   }
 
+  test("sessionValue contract: file version invalidates, plan-keyed memo persists") {
+    // round-11 verdict #7: the documented memo-invalidation contract,
+    // enforced. File-backed sources carry a (path, length, mtime)
+    // fingerprint — rewriting the files MUST recompute; non-file sources
+    // key on the canonicalized plan alone, so an identical plan serves
+    // the existing memo even when a fresh compute would differ (the
+    // documented staleness under the driver's parquet-only contract).
+    val dir = java.nio.file.Files.createTempDirectory("svspec").toFile.getAbsolutePath
+    val path = s"$dir/t.parquet"
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(path)
+    var calls = 0
+    def memo(df: org.apache.spark.sql.DataFrame): Int =
+      DedupOps.sessionValue(df, "svSpecFile") { calls += 1; calls }
+    assert(memo(spark.read.parquet(path)) == 1)
+    assert(memo(spark.read.parquet(path)) == 1, "unchanged files must memo-hit")
+    Seq((2L, "b"), (3L, "c")).toDF("id", "s").write.mode("overwrite").parquet(path)
+    assert(memo(spark.read.parquet(path)) == 2, "rewritten files must recompute")
+
+    val mem = Seq((1L, "x")).toDF("id", "s")
+    var c2 = 0
+    def memo2(df: org.apache.spark.sql.DataFrame): Int =
+      DedupOps.sessionValue(df, "svSpecMem") { c2 += 1; c2 }
+    assert(memo2(mem) == 1)
+    assert(memo2(mem) == 1, "identical non-file plan must serve the memo (documented staleness)")
+  }
+
   test("incrementalStatus golden: exact / near / new classified against the base") {
     val df = Seq(
       (1L, "x y z w q r s t"), // base
