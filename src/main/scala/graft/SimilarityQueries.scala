@@ -74,6 +74,37 @@ object SimilarityQueries {
         (col("vec_id") % 2 === 0).as("is_calib"))
   }
 
+  /** Per-label sibling of [[conformalScored]] (conformal_by_label /
+    * conformal_state_by): each vector scored against its OWN label's
+    * calibration centroid. Output: `(grp, score_nano, is_calib)`.
+    */
+  private def conformalScoredBy(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val vl = graft.operators.KMeansOps
+      .quantize(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cents = vl
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("label"), posexplode(col("vi")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
+      .groupBy(col("label"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("ci"))
+      .withColumn("cc", graft.functions.GraftFunctions.dot(col("ci"), col("ci")))
+    vl
+      .join(broadcast(cents), Seq("label"))
+      .select(
+        col("label").as("grp"),
+        round(
+          graft.functions.GraftFunctions.dot(col("vi"), col("ci"))
+            / (sqrt(col("vv")) * sqrt(col("cc"))) * lit(1000000000.0))
+          .cast("bigint").as("score_nano"),
+        (col("vec_id") % 2 === 0).as("is_calib"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_cosine" -> ((s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
@@ -244,32 +275,28 @@ object SimilarityQueries {
     // its OWN label's calibration centroid, one α=0.1 cutoff per label,
     // per-label test coverage — the slice-conditional guarantee
     // (EvalOps.conformalCoverageBy). Calibration = even vec_ids.
-    "conformal_by_label" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val vl = graft.operators.KMeansOps
-        .quantize(e)
-        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
-      val cents = vl
-        .filter(col("vec_id") % 2 === 0)
-        .select(col("label"), posexplode(col("vi")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("col")) / count(lit(1))).cast("long").cast("double").as("comp"))
-        .groupBy(col("label"))
-        .agg(
-          transform(
-            sort_array(collect_list(struct(col("pos"), col("comp")))),
-            x => x.getField("comp")).as("ci"))
-        .withColumn("cc", graft.functions.GraftFunctions.dot(col("ci"), col("ci")))
-      val scored = vl
-        .join(broadcast(cents), Seq("label"))
+    "conformal_by_label" -> ((s, dir) =>
+      graft.operators.EvalOps.conformalCoverageBy(
+        conformalScoredBy(s, dir), alphaNum = 1L, alphaDen = 10L)),
+    // Mondrian streaming twin: the same per-label scored relation folded
+    // into GROUPED StreamingQuantiles states (grp = label) and read back
+    // as one cutoff + coverage bracket per label
+    // (StreamingConformal.coverageFromStateBy) — the class-conditional
+    // monitor form of conformal_state.
+    "conformal_state_by" -> ((s, dir) => {
+      val scored = conformalScoredBy(s, dir)
         .select(
-          col("label").as("grp"),
-          round(
-            graft.functions.GraftFunctions.dot(col("vi"), col("ci"))
-              / (sqrt(col("vv")) * sqrt(col("cc"))) * lit(1000000000.0))
-            .cast("bigint").as("score_nano"),
-          (col("vec_id") % 2 === 0).as("is_calib"))
-      graft.operators.EvalOps.conformalCoverageBy(scored, alphaNum = 1L, alphaDen = 10L)
+          col("grp"),
+          (col("score_nano").cast("double") / lit(1000000000.0) + lit(1.0)).as("value"),
+          col("is_calib"))
+      graft.streaming.StreamingConformal.coverageFromStateBy(
+        graft.streaming.StreamingQuantiles.binCountsBy(
+          scored.filter(col("is_calib")).select(col("grp"), col("value")),
+          ConfStateSpec, Seq("grp")),
+        graft.streaming.StreamingQuantiles.binCountsBy(
+          scored.filter(!col("is_calib")).select(col("grp"), col("value")),
+          ConfStateSpec, Seq("grp")),
+        ConfStateSpec, alphaNum = 1L, alphaDen = 10L)
     }),
     // Product-quantization ADC: 4 subspaces × 16-centroid integer-micro
     // codebooks, corpus encoded to 4 codes/vector, probe queries answered
@@ -759,6 +786,92 @@ object SimilarityQueries {
          |            THEN round(CAST(te.n_covered AS DOUBLE)
          |                       / CAST(te.n_test AS DOUBLE), 6) END AS coverage
          |FROM th FULL OUTER JOIN te ON th.grp = te.grp
+         |ORDER BY grp""".stripMargin,
+    "conformal_state_by" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS vi
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT vec_id, vi, list_dot_product(vi, vi) AS vv FROM v
+         |), l AS (
+         |  SELECT w.vec_id, w.vi, w.vv, e.label
+         |  FROM w JOIN embeddings e USING (vec_id)
+         |), m AS (
+         |  SELECT label, g.i AS pos,
+         |         CAST(CAST(trunc(sum(vi[g.i]) / count(*)) AS BIGINT) AS DOUBLE) AS comp
+         |  FROM l CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  WHERE vec_id % 2 = 0
+         |  GROUP BY 1, 2
+         |), c AS (
+         |  SELECT label, list(comp ORDER BY pos) AS ci,
+         |         list_dot_product(list(comp ORDER BY pos),
+         |                          list(comp ORDER BY pos)) AS cc
+         |  FROM m GROUP BY 1
+         |), sc AS (
+         |  SELECT l.label AS grp,
+         |         CAST(round(list_dot_product(l.vi, c.ci)
+         |              / (sqrt(l.vv) * sqrt(c.cc))
+         |              * 1000000000.0) AS BIGINT) AS score_nano,
+         |         l.vec_id % 2 = 0 AS is_calib
+         |  FROM l JOIN c ON c.label = l.label
+         |), sv AS (
+         |  SELECT grp,
+         |         CAST(trunc((CAST(score_nano AS DOUBLE) / 1000000000.0 + 1.0) * 100)
+         |              AS BIGINT) AS code,
+         |         is_calib
+         |  FROM sc
+         |), sb AS (
+         |  SELECT grp, CASE WHEN code = 200 THEN 199 ELSE code END AS bin, is_calib
+         |  FROM sv WHERE code BETWEEN 0 AND 200
+         |), gc AS (
+         |  SELECT grp, bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM sb WHERE is_calib GROUP BY 1, 2
+         |), gt AS (
+         |  SELECT grp, bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM sb WHERE NOT is_calib GROUP BY 1, 2
+         |), rc AS (
+         |  SELECT grp, bin, cnt,
+         |         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(cnt) OVER (PARTITION BY grp) AS n
+         |  FROM gc
+         |), loc AS (
+         |  SELECT grp, max(bin) AS thr_bin FROM (
+         |    SELECT grp, bin, cum, cum - cnt AS cum_prev,
+         |           n - ((9 * (n + 1) + 9) // 10) + 1 AS r
+         |    FROM rc) x
+         |  WHERE r >= 1 AND r > cum_prev AND r <= cum
+         |  GROUP BY 1
+         |), nc AS (
+         |  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_calib FROM gc GROUP BY 1
+         |), thr AS (
+         |  SELECT nc.grp, nc.n_calib, CAST(loc.thr_bin AS INT) AS thr_bin,
+         |         CAST(loc.thr_bin AS DOUBLE) / 100.0 AS thr_lo,
+         |         CAST(loc.thr_bin + 1 AS DOUBLE) / 100.0 AS thr_hi
+         |  FROM nc LEFT JOIN loc ON loc.grp = nc.grp
+         |), ta AS (
+         |  SELECT gt.grp, CAST(sum(cnt) AS BIGINT) AS n_test,
+         |         CAST(sum(CASE WHEN thr.thr_bin IS NULL OR gt.bin > thr.thr_bin
+         |                       THEN cnt ELSE 0 END) AS BIGINT) AS n_cov_lo,
+         |         CAST(sum(CASE WHEN thr.thr_bin IS NULL OR gt.bin >= thr.thr_bin
+         |                       THEN cnt ELSE 0 END) AS BIGINT) AS n_cov_hi
+         |  FROM gt LEFT JOIN thr ON thr.grp = gt.grp
+         |  GROUP BY 1
+         |)
+         |SELECT coalesce(thr.grp, ta.grp) AS grp,
+         |       coalesce(thr.n_calib, 0) AS n_calib,
+         |       thr.thr_bin, thr.thr_lo, thr.thr_hi,
+         |       coalesce(ta.n_test, 0) AS n_test,
+         |       coalesce(ta.n_cov_lo, 0) AS n_cov_lo,
+         |       coalesce(ta.n_cov_hi, 0) AS n_cov_hi,
+         |       CASE WHEN coalesce(ta.n_test, 0) > 0
+         |            THEN round(CAST(ta.n_cov_lo AS DOUBLE)
+         |                       / CAST(ta.n_test AS DOUBLE), 6) END AS cov_lo,
+         |       CASE WHEN coalesce(ta.n_test, 0) > 0
+         |            THEN round(CAST(ta.n_cov_hi AS DOUBLE)
+         |                       / CAST(ta.n_test AS DOUBLE), 6) END AS cov_hi
+         |FROM thr FULL OUTER JOIN ta ON ta.grp = thr.grp
          |ORDER BY grp""".stripMargin,
     "hybrid_rrf" -> {
       val contribOf = (rankExpr: String) =>

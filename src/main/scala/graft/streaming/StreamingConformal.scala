@@ -75,6 +75,83 @@ object StreamingConformal {
         HistogramOps.binEdge(col("thr_bin") + 1, spec).as("thr_hi"))
   }
 
+  /** Per-group [[thresholdFromState]] — the Mondrian
+    * (group-conditional) streaming twin, mirroring
+    * [[graft.operators.EvalOps.conformalCoverageBy]]: one cutoff per
+    * `grp` from a grouped bin-count state
+    * ([[StreamingQuantiles.binCountsBy]], `(grp, bin, cnt)`). Both
+    * windows partition by group over ≤ bins-per-group state rows.
+    * Output: `(grp, n_calib, thr_bin, thr_lo, thr_hi)`; a group whose
+    * rank lands nowhere (k > n) keeps a NULL cutoff.
+    */
+  def thresholdFromStateBy(
+      calibState: DataFrame,
+      spec: BinSpec,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("grp"))
+    val located = calibState
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn(
+        "k",
+        expr(s"(($alphaDen - $alphaNum) * (n + 1) + $alphaDen - 1) DIV $alphaDen"))
+      .withColumn("r", col("n") - col("k") + 1)
+      .filter(col("r") >= 1 && col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+      .groupBy(col("grp"))
+      .agg(max(col("bin")).as("thr_bin"))
+    calibState
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_calib"))
+      .join(located, Seq("grp"), "left")
+      .select(
+        col("grp"),
+        col("n_calib"),
+        col("thr_bin").cast("int").as("thr_bin"),
+        HistogramOps.binEdge(col("thr_bin"), spec).as("thr_lo"),
+        HistogramOps.binEdge(col("thr_bin") + 1, spec).as("thr_hi"))
+  }
+
+  /** Per-group [[coverageFromState]]: full-outer join of the per-group
+    * cutoff relation with the per-group test aggregate, so a group with
+    * no calibration rows covers all its test rows (NULL cutoff) and a
+    * group with no test rows reports n_test 0 — conformalCoverageBy's
+    * exact edge contract. Ordered by group.
+    */
+  def coverageFromStateBy(
+      calibState: DataFrame,
+      testState: DataFrame,
+      spec: BinSpec,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val thr = thresholdFromStateBy(calibState, spec, alphaNum, alphaDen)
+    val cov = testState
+      .join(broadcast(thr.select(col("grp"), col("thr_bin").as("tb"))), Seq("grp"), "left")
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("cnt")).as("n_test"),
+        sum(when(col("tb").isNull || col("bin") > col("tb"), col("cnt")).otherwise(0L))
+          .as("n_cov_lo"),
+        sum(when(col("tb").isNull || col("bin") >= col("tb"), col("cnt")).otherwise(0L))
+          .as("n_cov_hi"))
+    thr.join(cov, Seq("grp"), "full_outer").select(
+      col("grp"),
+      coalesce(col("n_calib"), lit(0L)).as("n_calib"),
+      col("thr_bin"), col("thr_lo"), col("thr_hi"),
+      coalesce(col("n_test"), lit(0L)).as("n_test"),
+      coalesce(col("n_cov_lo"), lit(0L)).as("n_cov_lo"),
+      coalesce(col("n_cov_hi"), lit(0L)).as("n_cov_hi"),
+      when(col("n_test") > 0L, round(dbl(col("n_cov_lo")) / dbl(col("n_test")), 6))
+        .as("cov_lo"),
+      when(col("n_test") > 0L, round(dbl(col("n_cov_hi")) / dbl(col("n_test")), 6))
+        .as("cov_hi"))
+      .orderBy(col("grp"))
+  }
+
   /** Full conformal readout from calibration + test bin-count states:
     * one row `(n_calib, thr_bin, thr_lo, thr_hi, n_test, n_cov_lo,
     * n_cov_hi, cov_lo, cov_hi)`. A NULL cutoff covers every test row

@@ -89,6 +89,48 @@ class StreamingConformalSpec extends SparkSpec {
     assert(r.getLong(4) == 0 && r.isNullAt(7) && r.isNullAt(8))
   }
 
+  test("grouped form: per-group cutoffs bracket conformalCoverageBy; edge groups match") {
+    // group a: 9 calib scores 0.1..0.9, 3 test; group b: 2 calib (k > n
+    // -> NULL cutoff); group c: test-only (no calib -> cover all);
+    // group d: calib-only (n_test 0)
+    val calib = (1 to 9).map(v => ("a", v / 10.0)) ++
+      Seq(("b", 0.5), ("b", 0.6)) ++ Seq(("d", 0.3))
+    val test = Seq(("a", 0.05), ("a", 0.1), ("a", 0.95), ("b", 0.01), ("c", 0.7))
+    def st(rows: Seq[(String, Double)]) = StreamingQuantiles.binCountsBy(
+      rows.toDF("grp", "value"), spec, Seq("grp"))
+    val got = StreamingConformal
+      .coverageFromStateBy(st(calib), st(test), spec)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val batch = EvalOps.conformalCoverageBy(
+      (calib.map { case (g, v) => (g, math.round(v * 1e9), true) } ++
+        test.map { case (g, v) => (g, math.round(v * 1e9), false) })
+        .toDF("grp", "score_nano", "is_calib"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b", "c", "d") && got.keySet == batch.keySet)
+    for (g <- got.keySet) {
+      assert(got(g).getLong(1) == batch(g).getLong(1), s"n_calib $g")
+      assert(got(g).getLong(5) == batch(g).getLong(3), s"n_test $g")
+      if (batch(g).isNullAt(2)) assert(got(g).isNullAt(2), s"NULL cutoff $g")
+      else {
+        val exact = batch(g).getLong(2) / 1e9
+        assert(got(g).getDouble(3) <= exact && exact < got(g).getDouble(4), s"bracket $g")
+      }
+      assert(got(g).getLong(6) <= batch(g).getLong(4) &&
+        batch(g).getLong(4) <= got(g).getLong(7), s"covered bracket $g")
+    }
+    // the single-group slice equals the ungrouped readout, column for column
+    val aOnly = StreamingConformal.coverageFromState(
+      StreamingQuantiles.binCounts(
+        calib.filter(_._1 == "a").map(_._2).toDF("value"), spec),
+      StreamingQuantiles.binCounts(
+        test.filter(_._1 == "a").map(_._2).toDF("value"), spec),
+      spec).collect()(0)
+    val aGrouped = got("a")
+    assert((1 to 9).forall(i =>
+      (aOnly.isNullAt(i - 1) && aGrouped.isNullAt(i)) ||
+        aOnly.get(i - 1) == aGrouped.get(i)))
+  }
+
   test("incremental state across micro-batches == batch state; readout identical") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
