@@ -60,6 +60,15 @@ object TextQueries {
         Tables.documents(s, dir).select(explode(TextOps.tokens(col("text"))).as("tok")),
         col("tok"),
         CmsTerms)),
+    // Deterministic-guarantee heavy hitters: Misra–Gries 48-counter
+    // candidate pass (typed Aggregator, ≤ k state per task) + exact
+    // verify of only the candidates — the MG merge guarantee makes the
+    // output EXACTLY the terms with frequency > n/49, independent of
+    // partitioning, with no full-cardinality groupBy.
+    "heavy_hitters_mg" -> ((s, dir) =>
+      graft.operators.SketchOps.heavyHittersMg(
+        Tables.documents(s, dir).select(explode(TextOps.tokens(col("text"))).as("tok")),
+        col("tok"), k = 48)),
     // Gopher-style repetition quality signals per document.
     "doc_repetition" -> ((s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir))),
     // Power-of-two sequence-length histogram + padding overhead at a
@@ -244,6 +253,22 @@ object TextQueries {
          |FROM x ORDER BY rank""".stripMargin
     },
     "cms_terms" -> cmsOracle,
+    // the MG candidate set is a guaranteed superset of terms with
+    // freq > n/(k+1), and the engine exact-verifies candidates — so the
+    // oracle is simply the exact frequency filter (no sketch replay)
+    "heavy_hitters_mg" ->
+      """WITH c AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), n AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_term FROM c GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM c
+        |)
+        |SELECT term, n_term, n_total,
+        |       round(CAST(n_term AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS frac
+        |FROM n CROSS JOIN t
+        |WHERE n_term * 49 > n_total
+        |ORDER BY n_term DESC, term""".stripMargin,
     "vocab_growth" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

@@ -518,4 +518,50 @@ object SketchOps {
       .withColumn("rank", row_number().over(w))
       .orderBy(col("rank"))
   }
+
+  /** DETERMINISTIC-GUARANTEE heavy hitters via a Misra–Gries candidate
+    * pass + exact verify — the third member of the candidate-generation
+    * ladder beside [[heavyHittersSampled]] (probabilistic recall) and
+    * [[cmsEstimate]] (point queries only, can't enumerate):
+    *
+    *  1. CANDIDATES: ONE typed aggregation folds the key stream (as
+    *     portable 60-bit hashes — 8 bytes each, never the strings) into
+    *     a ≤ `k`-counter [[graft.functions.MisraGries]] summary. The MG
+    *     merge guarantee makes the candidate set a SUPERSET of every key
+    *     with true frequency > n/(k+1), under any partitioning.
+    *  2. VERIFY: exact count of only the candidates (≤ k-row broadcast
+    *     semi-join), filtered to `n_key · (k+1) > n_total` — so the
+    *     output is EXACTLY the true heavy-hitter set with exact counts,
+    *     deterministic even though the MG counters themselves are
+    *     merge-order-dependent (MgSpec pins both).
+    *
+    * The full-cardinality groupBy never happens; state is k counters per
+    * task. Output: `(term, n_term, n_total, frac)` ordered by
+    * `(n_term desc, term)`.
+    */
+  def heavyHittersMg(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(key.cast("string").as("term"))
+      .withColumn("h", PortableHash.hash60(col("term")))
+    val mg = new graft.functions.MisraGries(k)
+    val candidates = toks
+      .select(col("h"))
+      .as[Long]
+      .select(mg.toColumn)
+      .toDF("cands")
+      .select(explode(col("cands")).as("h"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(candidates), Seq("h"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_term"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_term") * lit(k.toLong + 1L) > col("n_total"))
+      .select(
+        col("term"), col("n_term"), col("n_total"),
+        round(col("n_term").cast("double") / col("n_total").cast("double"), 6)
+          .as("frac"))
+      .orderBy(col("n_term").desc, col("term"))
+  }
 }

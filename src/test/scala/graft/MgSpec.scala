@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+import graft.operators.SketchOps
+
+/** MisraGries summary + heavyHittersMg: the superset guarantee under
+  * adversarial merge orders, the underestimate bound, and the
+  * determinism of the verified output despite merge-order-dependent
+  * counters.
+  */
+class MgSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed stream: key i repeated freq(i) times
+  private def stream(freqs: Map[Long, Int], seed: Int): Seq[Long] = {
+    val flat = freqs.toSeq.flatMap { case (k, f) => Seq.fill(f)(k) }
+    new scala.util.Random(seed).shuffle(flat)
+  }
+
+  test("driver replay: every key above n/(k+1) survives any merge tree; counts underestimate") {
+    val mg = new MisraGries(4)
+    val freqs = Map(1L -> 400, 2L -> 300, 3L -> 150, 4L -> 40, 5L -> 40,
+      6L -> 30, 7L -> 20, 8L -> 20)
+    val n = freqs.values.sum // 1000; threshold n/(k+1) = 200
+    for (seed <- 1 to 5) {
+      val data = stream(freqs, seed)
+      // adversarial merge tree: fold in uneven chunks, merge pairwise
+      val chunks = data.grouped(37).toSeq.map(_.foldLeft(mg.zero)(mg.reduce))
+      val merged = chunks.reduce(mg.merge)
+      assert(merged.size <= 4, s"state bound violated: ${merged.size}")
+      for ((k, f) <- freqs if f * 5 > n) {
+        assert(merged.contains(k), s"true heavy hitter $k lost (seed $seed)")
+        assert(merged(k) <= f, s"MG counter must underestimate (key $k)")
+        assert(merged(k) >= f - n / 5, s"underestimate bound violated (key $k)")
+      }
+    }
+  }
+
+  test("heavyHittersMg: exact deterministic output under different partitionings") {
+    val freqs = Map(1L -> 400, 2L -> 300, 3L -> 150, 4L -> 40, 5L -> 40,
+      6L -> 30, 7L -> 20, 8L -> 20)
+    val df = stream(freqs, 9).toDF("v")
+    def run(parts: Int) = SketchOps
+      .heavyHittersMg(df.repartition(parts), col("v"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(2)
+    // exactly the true > n/5 set, with exact counts
+    assert(a == Seq(("1", 400L, 1000L), ("2", 300L, 1000L)))
+    assert(run(7) == a && run(31) == a, "verified output must be layout-independent")
+  }
+
+  test("heavyHittersMg: empty result when nothing crosses the threshold") {
+    val df = (1L to 200L).toDF("v") // all frequencies 1, k=4 -> threshold 40
+    assert(SketchOps.heavyHittersMg(df, col("v"), k = 4).count() == 0)
+  }
+}
