@@ -48,7 +48,12 @@ object SimilarityQueries {
     * centroid (truncated-mean components), calibration = even vec_ids.
     * Output: `(score_nano, label, is_calib)`.
     */
-  private def conformalScored(s: SparkSession, dir: String): DataFrame = {
+  private def conformalScored(s: SparkSession, dir: String): DataFrame =
+    // session-memoized: conformal_threshold and conformal_state consume
+    // the identical scored relation — one centroid fit + scoring pass per
+    // session (the pqAdc sharing pattern)
+    graft.operators.DedupOps.sessionRelation(
+      Tables.embeddings(s, dir), "conformalScored") {
     val e = Tables.embeddings(s, dir)
     val vl = graft.operators.KMeansOps
       .quantize(e)
@@ -72,13 +77,17 @@ object SimilarityQueries {
           .cast("bigint").as("score_nano"),
         col("label"),
         (col("vec_id") % 2 === 0).as("is_calib"))
-  }
+    }
 
   /** Per-label sibling of [[conformalScored]] (conformal_by_label /
     * conformal_state_by): each vector scored against its OWN label's
     * calibration centroid. Output: `(grp, score_nano, is_calib)`.
     */
-  private def conformalScoredBy(s: SparkSession, dir: String): DataFrame = {
+  private def conformalScoredBy(s: SparkSession, dir: String): DataFrame =
+    // session-memoized like conformalScored: conformal_by_label and
+    // conformal_state_by share one per-label centroid fit + scoring pass
+    graft.operators.DedupOps.sessionRelation(
+      Tables.embeddings(s, dir), "conformalScoredBy") {
     val e = Tables.embeddings(s, dir)
     val vl = graft.operators.KMeansOps
       .quantize(e)
@@ -103,7 +112,7 @@ object SimilarityQueries {
             / (sqrt(col("vv")) * sqrt(col("cc"))) * lit(1000000000.0))
           .cast("bigint").as("score_nano"),
         (col("vec_id") % 2 === 0).as("is_calib"))
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_cosine" -> ((s, dir) => {
