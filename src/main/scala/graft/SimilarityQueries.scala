@@ -307,6 +307,14 @@ object SimilarityQueries {
           ConfStateSpec, Seq("grp")),
         ConfStateSpec, alphaNum = 1L, alphaDen = 10L)
     }),
+    // IVF with the TRAINED coarse quantizer (Lloyd centroids, k=8 lists,
+    // probe 4) — the production IVF beside knn_ivf's hash-sampled
+    // quantizer; assignment/probe/scoring all in the exact integer-micro²
+    // k-means metric, oracle reuses the unrolled Lloyd chain.
+    "knn_ivf_trained" -> ((s, dir) =>
+      SimilarityOps.knnIvfTrained(
+        Tables.embeddings(s, dir),
+        k = 10, nlist = KmK, iters = KmIters, nprobe = 4, probeEvery = 50)),
     // Product-quantization ADC: 4 subspaces × 16-centroid integer-micro
     // codebooks, corpus encoded to 4 codes/vector, probe queries answered
     // by exact distance-table sums — the memory-bound ANN regime
@@ -1204,6 +1212,34 @@ object SimilarityQueries {
          |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
          |       CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia
          |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin,
+    // aF IS the trained-IVF corpus assignment (same argmin, same
+    // tie-break); c{iters-1} is the trained codebook the probes rank
+    "knn_ivf_trained" ->
+      s"""$kmeansWithChain, qp AS (
+         |  SELECT vec_id AS q_id, vi AS qi, vv AS qq FROM w WHERE vec_id % 50 = 0
+         |), qd AS (
+         |  SELECT q_id, qi, qq, c.cid,
+         |         qq + list_dot_product(c.ci, c.ci)
+         |           - 2 * list_dot_product(qi, c.ci) AS qd
+         |  FROM qp CROSS JOIN c${KmIters - 1} c
+         |), pr AS (
+         |  SELECT q_id, qi, qq, cid FROM (
+         |    SELECT qd.*, row_number() OVER (PARTITION BY q_id ORDER BY qd, cid) AS rn
+         |    FROM qd) WHERE rn <= 4
+         |), pairs AS (
+         |  SELECT pr.q_id, a.vec_id AS c_id,
+         |         CAST(pr.qq + w.vv - 2 * list_dot_product(pr.qi, w.vi) AS BIGINT) AS dist
+         |  FROM pr
+         |  JOIN aF a ON a.cid = pr.cid
+         |  JOIN w ON w.vec_id = a.vec_id
+         |  WHERE a.vec_id <> pr.q_id
+         |)
+         |SELECT q_id, c_id, rank, dist FROM (
+         |  SELECT pairs.*,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY dist, c_id) AS INT) AS rank
+         |  FROM pairs) WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
     "embed_prototypes" ->
       s"""$kmeansWithChain, r AS (
          |  SELECT vec_id, cid, dist,

@@ -176,6 +176,28 @@ object KMeansOps {
     best
   }
 
+  /** Final trained centroid relation `(cid, ci)` after `iters − 1` update
+    * rounds — the codebook [[fitAssign]]'s last pass assigns against,
+    * exposed for consumers that PROBE the trained quantizer (trained IVF:
+    * [[graft.operators.SimilarityOps.knnIvfTrained]]). Same caching
+    * discipline as the fit loops: each round's k-row relation persists so
+    * iteration lineage never re-evaluates prior assignments, and Spark's
+    * plan-keyed CacheManager shares the rounds with any concurrent fit
+    * over the same corpus/config.
+    */
+  def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val vecs = quantize(embeddings)
+    var cents = DedupOps.registerCache(seeds(vecs, k).persist(StorageLevel.MEMORY_AND_DISK))
+    cents.count()
+    for (_ <- 1 until iters) {
+      cents = DedupOps.registerCache(
+        update(vecs, assign(vecs, cents)).persist(StorageLevel.MEMORY_AND_DISK))
+      cents.count()
+    }
+    cents
+  }
+
   /** Simplified silhouette per cluster — cohesion vs separation with
     * CENTROID distances standing in for mean pairwise distances
     * (Hruschka et al.'s simplified silhouette: s = (b − a)/max(a, b)

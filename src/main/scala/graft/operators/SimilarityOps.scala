@@ -899,6 +899,77 @@ object SimilarityOps {
           .as("id_hat"))
   }
 
+  /** IVF with a TRAINED coarse quantizer — the production IVF shape
+    * ([[knnIvf]]'s scaladoc promises "a production system would k-means
+    * them"; this is that system): centroids come from the deterministic
+    * integer-micro Lloyd fit ([[KMeansOps.fitCentroids]]), corpus vectors
+    * join their nearest centroid's inverted list, probe queries search the
+    * `nprobe` nearest lists only. Everything — assignment, probing,
+    * candidate scoring — runs in ONE metric, the exact integer micro² L2
+    * the k-means fit itself uses, so the quantizer and the search agree
+    * about geometry and the whole pipeline is bit-reproducible
+    * cross-engine (the oracle reuses the unrolled Lloyd CTE chain).
+    *
+    * Scale shape: corpus assignment is the thin arg-min aggregate (no fat
+    * rank window — the knnIvf lesson), the k-row codebook broadcasts,
+    * probed candidates come through a `cid` equi-join, per-query cost
+    * O(N · nprobe / nlist). Output: `(q_id, c_id, rank, dist)`.
+    */
+  def knnIvfTrained(
+      embeddings: DataFrame,
+      k: Int,
+      nlist: Int,
+      iters: Int,
+      nprobe: Int,
+      probeEvery: Int): DataFrame = {
+    val v = KMeansOps.quantize(embeddings) // (vec_id, vi, vv)
+    val cents = broadcast(
+      KMeansOps.fitCentroids(embeddings, nlist, iters)
+        .withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+    // inverted lists: arg-min centroid per corpus vector (map-side
+    // combinable min(struct), distance/cid tie-break)
+    val lists = v
+      .crossJoin(cents)
+      .select(
+        col("vec_id").as("c_id"),
+        col("cid"),
+        (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
+          .as("cd"))
+      .groupBy(col("c_id"))
+      .agg(min(struct(col("cd"), col("cid"))).as("m"))
+      .select(col("c_id"), col("m.cid").as("cid"))
+    val q = v
+      .filter(col("vec_id") % probeEvery === 0)
+      .select(col("vec_id").as("q_id"), col("vi").as("qi"), col("vv").as("qq"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qd").asc, col("cid"))
+    val probes = q
+      .crossJoin(cents)
+      .select(
+        col("q_id"), col("qi"), col("qq"), col("cid"),
+        (col("qq") + col("cc") - lit(2) * GraftFunctions.dot(col("qi"), col("ci")))
+          .as("qd"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qi"), col("qq"), col("cid"))
+    // single-assignment lists are disjoint → each (q, c) pair appears at
+    // most once; no distinct needed
+    val cv = lists.join(
+      v.select(col("vec_id").as("c_id"), col("vi").as("cvi"), col("vv").as("cvv")),
+      Seq("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("c_id"))
+    probes
+      .join(cv, Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(
+        col("q_id"), col("c_id"),
+        (col("qq") + col("cvv") - lit(2) * GraftFunctions.dot(col("qi"), col("cvi")))
+          .cast("bigint").as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def knnPq(
       embeddings: DataFrame,
       k: Int,

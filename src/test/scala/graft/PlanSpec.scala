@@ -631,6 +631,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "nothing in PQ justifies a sort-merge")
   }
 
+  test("conformal_state/_by + heavy_hitters_mg: bounded state relations, no cartesian fan-out") {
+    // the streaming-state readouts window over <= bins-row bin-count
+    // relations and the MG verify joins a <= k-row candidate broadcast —
+    // nothing in these plans may fan out or sort raw data globally
+    for (q <- Seq("conformal_state", "conformal_state_by", "heavy_hitters_mg")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: bounded relations must broadcast")
+      assert(!p.contains("BroadcastNestedLoopJoin Inner"), s"$q")
+    }
+  }
+
   test("time-series queries: day-grid reductions, no cartesian, no SMJ") {
     for (q <- Seq("revenue_forecast", "revenue_theilsen", "revenue_anomaly", "forecast_backtest")) {
       val p = plan(q)

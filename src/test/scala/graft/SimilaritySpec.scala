@@ -168,6 +168,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnIvfTrained: probing every list == exact brute-force L2; partial probes recall") {
+    val raw = Tables.embeddings(spark, TestSpark.sf0001)
+    // nprobe = nlist searches the whole corpus in the exact metric → the
+    // trained-IVF pipeline must reproduce brute force row for row
+    val full = SimilarityOps
+      .knnIvfTrained(raw, k = 5, nlist = 8, iters = 2, nprobe = 8, probeEvery = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val brute = SimilarityOps.knnBruteForceL2(raw, k = 5, probeEvery = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(full == brute, "full-probe trained IVF must equal exact search")
+    // partial probes: dense ranks, nonneg distances, reasonable recall
+    val part = SimilarityOps
+      .knnIvfTrained(raw, k = 5, nlist = 8, iters = 2, nprobe = 4, probeEvery = 50)
+      .collect()
+    assert(part.forall(_.getLong(3) >= 0L))
+    part.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
+    }
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val hits = part.count(r => bruteSet((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.3, s"nprobe=4/8 recall $recall suspiciously low")
+  }
+
   test("nearDupPairs: size-routes to the LSH path above the vector-count threshold") {
     val raw = Tables.embeddings(spark, TestSpark.sf0001)
     // sf0.001 = 500 vectors: far under the 10^5 default → exact path
