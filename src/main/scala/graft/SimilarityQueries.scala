@@ -315,6 +315,29 @@ object SimilarityQueries {
       SimilarityOps.knnIvfTrained(
         Tables.embeddings(s, dir),
         k = 10, nlist = KmK, iters = KmIters, nprobe = 4, probeEvery = 50)),
+    // Recall gate for the trained quantizer: top-10 overlap of the
+    // nprobe=4 trained IVF against exact brute-force L2 in the SAME
+    // integer-micro² metric — the ann_recall/pq_recall sibling closing
+    // the recall-gate set over the whole ANN ladder.
+    "ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bf = graft.operators.DedupOps.registerCache(
+        SimilarityOps
+          .knnBruteForceL2(e, k = 10, probeEvery = 50)
+          .select(col("q_id"), col("c_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val ivf = SimilarityOps
+        .knnIvfTrained(e, k = 10, nlist = KmK, iters = KmIters, nprobe = 4, probeEvery = 50)
+        .select(col("q_id"), col("c_id"))
+      val nQ = bf.agg(
+        countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+      val hits = bf.join(ivf, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hits"))
+      nQ.crossJoin(hits)
+        .select(
+          col("n_queries"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall"))
+    }),
     // Product-quantization ADC: 4 subspaces × 16-centroid integer-micro
     // codebooks, corpus encoded to 4 codes/vector, probe queries answered
     // by exact distance-table sums — the memory-bound ANN regime
@@ -1212,6 +1235,49 @@ object SimilarityQueries {
          |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
          |       CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia
          |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivf_recall" ->
+      s"""$kmeansWithChain, qp AS (
+         |  SELECT vec_id AS q_id, vi AS qi, vv AS qq FROM w WHERE vec_id % 50 = 0
+         |), qd AS (
+         |  SELECT q_id, qi, qq, c.cid,
+         |         qq + list_dot_product(c.ci, c.ci)
+         |           - 2 * list_dot_product(qi, c.ci) AS qd
+         |  FROM qp CROSS JOIN c${KmIters - 1} c
+         |), prx AS (
+         |  SELECT q_id, qi, qq, cid FROM (
+         |    SELECT qd.*, row_number() OVER (PARTITION BY q_id ORDER BY qd, cid) AS rn
+         |    FROM qd) WHERE rn <= 4
+         |), pairs AS (
+         |  SELECT prx.q_id, a.vec_id AS c_id,
+         |         CAST(prx.qq + w.vv - 2 * list_dot_product(prx.qi, w.vi) AS BIGINT) AS dist
+         |  FROM prx
+         |  JOIN aF a ON a.cid = prx.cid
+         |  JOIN w ON w.vec_id = a.vec_id
+         |  WHERE a.vec_id <> prx.q_id
+         |), ivf AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT pairs.*, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, c_id) AS rn
+         |    FROM pairs) WHERE rn <= 10
+         |), dx AS (
+         |  SELECT qp.q_id, w.vec_id AS c_id,
+         |         CAST(qp.qq + w.vv - 2 * list_dot_product(qp.qi, w.vi) AS BIGINT) AS dist
+         |  FROM qp, w WHERE w.vec_id <> qp.q_id
+         |), bf AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT dx.*, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rn
+         |    FROM dx) WHERE rn <= 10
+         |), st AS (
+         |  SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+         |         CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM bf
+         |), h AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM bf JOIN ivf USING (q_id, c_id)
+         |)
+         |SELECT n_queries, n_exact, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM st CROSS JOIN h""".stripMargin,
     // aF IS the trained-IVF corpus assignment (same argmin, same
     // tie-break); c{iters-1} is the trained codebook the probes rank
     "knn_ivf_trained" ->
