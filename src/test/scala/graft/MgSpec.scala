@@ -51,6 +51,32 @@ class MgSpec extends SparkSpec {
     assert(run(7) == a && run(31) == a, "verified output must be layout-independent")
   }
 
+  test("streaming complete-mode MG aggregation keeps the superset guarantee") {
+    // the Aggregator doubles as mergeable STREAMING state: candidates
+    // after N micro-batches must still contain every key above n/(k+1)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val freqs = Map(1L -> 400, 2L -> 300, 3L -> 150, 4L -> 40, 5L -> 40,
+      6L -> 30, 7L -> 20, 8L -> 20)
+    val data = stream(freqs, 3)
+    val input = MemoryStream[Long]
+    val mg = new MisraGries(4)
+    val agg = input.toDS().groupByKey(_ => 0).agg(mg.toColumn.name("cands"))
+    val query = agg.writeStream
+      .format("memory").queryName("mg_state").outputMode("complete").start()
+    try {
+      input.addData(data.take(300)); query.processAllAvailable()
+      input.addData(data.slice(300, 700)); query.processAllAvailable()
+      input.addData(data.drop(700)); query.processAllAvailable()
+      val cands = spark.table("mg_state")
+        .select(explode(col("cands")).as("h")).collect().map(_.getLong(0)).toSet
+      assert(cands.size <= 4, s"state bound violated: $cands")
+      val n = freqs.values.sum
+      for ((k, f) <- freqs if f * 5 > n)
+        assert(cands(k), s"true heavy hitter $k lost across micro-batches")
+    } finally query.stop()
+  }
+
   test("heavyHittersMg: empty result when nothing crosses the threshold") {
     val df = (1L to 200L).toDF("v") // all frequencies 1, k=4 -> threshold 40
     assert(SketchOps.heavyHittersMg(df, col("v"), k = 4).count() == 0)
