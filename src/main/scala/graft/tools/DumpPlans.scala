@@ -68,7 +68,10 @@ object DumpPlans {
     "score_kendall" -> "Binned Kendall tau-b: ONE corpus aggregation to the cached 64² cell relation; the densify cross and both tie margins re-read the cache; chained exclusive prefix-sum windows (south-west / north-west orientation counts) run over ≤ 4096 cells — the O(N²) pair enumeration the exact statistic implies never happens.",
     "auc_compare" -> "Paired DeLong: ONE corpus pass to the cached ≤ 256² joint (b1, b2) cell relation; per-score margins, placement values and both U-statistics derive from the cache; the placement-covariance fold is cell-weighted with integer-nano terms — two scores compared with the same single-scan cost as one.",
     "drift_psi" -> "PSI drift: date-midpoint and value-range stats broadcast (two 1-row relations), one (bin × early) count aggregation, smoothed contributions as per-row double chains over the 16-row binned relation.",
-    "benford_audit" -> "Benford audit: first digit via integer string-length arithmetic inside the scan projection (column-pruned to the price), a 9-key aggregation, expectation and chi-square contributions per row over the 9-row digit relation.")
+    "benford_audit" -> "Benford audit: first digit via integer string-length arithmetic inside the scan projection (column-pruned to the price), a 9-key aggregation, expectation and chi-square contributions per row over the 9-row digit relation.",
+    "conformal_state" -> "Streaming conformal readout: the scored relation reduces to two ≤200-row bin-count states (one map-side-combinable aggregation each); the order-statistic window, cutoff locate, and coverage bracket all ride the aggregated states — calibration history is never re-sorted.",
+    "heavy_hitters_mg" -> "Misra-Gries heavy hitters: ONE typed-Aggregator pass (≤48 counters of state per task, ObjectHashAggregate partial/final) produces the candidate hash set; the exact verify is a ≤48-row broadcast semi-join + count — the full-cardinality term groupBy never happens.",
+    "knn_ivf_trained" -> "Trained IVF: the Lloyd codebook fits over cached k-row centroid relations; corpus list assignment is a thin map-side-combinable arg-min (no fat rank window); the codebook broadcasts into both the probe ranking and the candidate scoring; probed candidates arrive through a cid equi-join — per-query cost O(N*nprobe/nlist).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession

@@ -61,6 +61,14 @@ object EmbedScaleStress {
       val nlist = math.max(16, math.sqrt(emb.count().toDouble).toInt)
       t(s"knn_ivf nlist=$nlist")(SimilarityOps.knnIvf(q, c, 10, nlist, math.max(4, nlist / 16)).count())
       DedupOps.releaseAllCaches()
+      // trained quantizer at the same nlist: the Lloyd fit is the extra
+      // cost (O(n·nlist·d) per round), the search shape is identical —
+      // probeEvery scales with the corpus so |Q| stays fixed at ~50
+      val pe = math.max(1, (emb.count() / 50).toInt)
+      t(s"knn_ivf_trained nlist=$nlist (fit incl.)")(
+        SimilarityOps.knnIvfTrained(emb, 10, nlist, iters = 2,
+          nprobe = math.max(4, nlist / 16), probeEvery = pe).count())
+      DedupOps.releaseAllCaches()
       // the Θ(n²)-by-design exact all-pairs path: the interesting datapoint
       // is the auto-sizer ESCALATING the block count with the corpus (B=1
       // collapses to the cheap plan at 2k; the blocked equi-join must
