@@ -11,53 +11,85 @@ import org.apache.spark.sql.expressions.Aggregator
   * the CMS point sketch ([[graft.operators.SketchOps.cmsState]], which
   * cannot enumerate its keys).
   *
-  * Per-element update: increment a tracked key, insert while fewer than
-  * k tracked, otherwise decrement ALL counters (dropping zeros). Merge
-  * (Agarwal et al. 2012, "Mergeable Summaries" §3): counter-wise sum,
-  * then subtract the (k+1)-th largest counter from every survivor and
-  * drop non-positives — the summary stays ≤ k entries under ANY
-  * reduce/merge tree.
+  * State is `(base, counts)` with a key alive iff `count > base` — the
+  * DEBT-COUNTER form: the classic "decrement every counter" step on a
+  * non-tracked element is ONE `base += 1` instead of an O(k) rebuild,
+  * and dead entries are swept only when base moves. Each sweep consumes
+  * ≥ k increment-credits (every alive entry's excess drops by 1), and
+  * credits only enter via increments/insertions, so total sweep work is
+  * O(n/k · k) = O(n): amortized O(1) per element — the constant a
+  * 100 TB token stream actually meets, where the naive rebuild pays
+  * O(k) on every cold token. Effective counts are IDENTICAL to the
+  * textbook formulation (MgSpec replays both properties).
+  *
+  * Merge (Agarwal et al. 2012, "Mergeable Summaries" §3): sum the two
+  * sides' effective counts, then subtract the (k+1)-th largest from
+  * every survivor and drop non-positives — the summary stays ≤ k
+  * entries under ANY reduce/merge tree.
   *
   * GUARANTEE (merge-order-independent): every key with true frequency
-  * > n/(k+1) is present in the final summary, and each reported counter
-  * underestimates the true count by at most n/(k+1). The COUNTERS
-  * themselves depend on the merge order, so consumers must treat the
-  * summary as a CANDIDATE SET and exact-verify before exposing counts —
-  * [[graft.operators.SketchOps.heavyHittersMg]] does exactly that,
-  * which is why its output is deterministic even though this buffer
-  * is not (MgSpec pins both properties).
+  * > n/(k+1) is present in the final summary, and each effective
+  * counter underestimates the true count by at most n/(k+1). The
+  * counters themselves depend on the merge order, so consumers must
+  * treat the summary as a CANDIDATE SET and exact-verify before
+  * exposing counts — [[graft.operators.SketchOps.heavyHittersMg]] does
+  * exactly that, which is why its output is deterministic even though
+  * this buffer is not (MgSpec pins both properties).
   */
-class MisraGries(k: Int) extends Aggregator[Long, Map[Long, Long], Seq[Long]] {
+class MisraGries(k: Int) extends Aggregator[Long, (Long, Map[Long, Long]), Seq[Long]] {
   require(k >= 1, "need at least one counter")
 
-  override def zero: Map[Long, Long] = Map.empty
+  override def zero: (Long, Map[Long, Long]) = (0L, Map.empty)
 
-  override def reduce(st: Map[Long, Long], key: Long): Map[Long, Long] =
-    st.get(key) match {
-      case Some(c) => st.updated(key, c + 1L)
-      case None if st.size < k => st.updated(key, 1L)
-      case None =>
-        // decrement-all: the classic MG step — drops any counter hitting 0
-        st.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+  /** Effective (textbook-MG) counts of a buffer — alive keys only. */
+  def effective(st: (Long, Map[Long, Long])): Map[Long, Long] = {
+    val (base, m) = st
+    m.collect { case (t, c) if c > base => t -> (c - base) }
+  }
+
+  override def reduce(st: (Long, Map[Long, Long]), key: Long): (Long, Map[Long, Long]) = {
+    val (base, m) = st
+    m.get(key) match {
+      case Some(c) if c > base => (base, m.updated(key, c + 1L))
+      case _ if m.size < k =>
+        // dead entries (c ≤ base) are replaced on sight, so the map never
+        // holds more than k physical entries
+        (base, m.updated(key, base + 1L))
+      case _ =>
+        val deadKey = m.collectFirst { case (t, c) if c <= base => t }
+        deadKey match {
+          case Some(t) => (base, (m - t).updated(key, base + 1L))
+          case None =>
+            // all k tracked and alive: one base step ≡ decrement-all;
+            // sweep newly-dead entries now (amortized by the credits the
+            // sweep consumes — see scaladoc)
+            val nb = base + 1L
+            (nb, m.filter { case (_, c) => c > nb })
+        }
     }
+  }
 
-  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
-    val summed = b.foldLeft(a) { case (m, (t, c)) =>
+  override def merge(
+      a: (Long, Map[Long, Long]),
+      b: (Long, Map[Long, Long])): (Long, Map[Long, Long]) = {
+    val ea = effective(a)
+    val summed = effective(b).foldLeft(ea) { case (m, (t, c)) =>
       m.updated(t, m.getOrElse(t, 0L) + c)
     }
-    if (summed.size <= k) summed
+    if (summed.size <= k) (0L, summed)
     else {
       // subtract the (k+1)-th largest counter; ties keep the summary ≤ k
       // because every counter ≤ the cut drops to ≤ 0
       val cut = summed.values.toArray.sortBy(-_).apply(k)
-      summed.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+      (0L, summed.collect { case (t, c) if c > cut => t -> (c - cut) })
     }
   }
 
-  override def finish(st: Map[Long, Long]): Seq[Long] = st.keys.toSeq.sorted
+  override def finish(st: (Long, Map[Long, Long])): Seq[Long] =
+    effective(st).keys.toSeq.sorted
 
-  override def bufferEncoder: Encoder[Map[Long, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  override def bufferEncoder: Encoder[(Long, Map[Long, Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Map[Long, Long])]()
 
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()

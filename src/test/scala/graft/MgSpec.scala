@@ -28,13 +28,23 @@ class MgSpec extends SparkSpec {
       val data = stream(freqs, seed)
       // adversarial merge tree: fold in uneven chunks, merge pairwise
       val chunks = data.grouped(37).toSeq.map(_.foldLeft(mg.zero)(mg.reduce))
-      val merged = chunks.reduce(mg.merge)
+      val merged = mg.effective(chunks.reduce(mg.merge))
       assert(merged.size <= 4, s"state bound violated: ${merged.size}")
       for ((k, f) <- freqs if f * 5 > n) {
         assert(merged.contains(k), s"true heavy hitter $k lost (seed $seed)")
         assert(merged(k) <= f, s"MG counter must underestimate (key $k)")
         assert(merged(k) >= f - n / 5, s"underestimate bound violated (key $k)")
       }
+      // debt-counter form ≡ textbook decrement-all rebuild, state for state
+      val textbook = data.foldLeft(Map.empty[Long, Long]) { (m, key) =>
+        m.get(key) match {
+          case Some(c) => m.updated(key, c + 1L)
+          case None if m.size < 4 => m.updated(key, 1L)
+          case None => m.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+        }
+      }
+      val debt = mg.effective(data.foldLeft(mg.zero)(mg.reduce))
+      assert(debt == textbook, s"debt form diverged from textbook MG (seed $seed)")
     }
   }
 
