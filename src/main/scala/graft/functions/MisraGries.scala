@@ -11,10 +11,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * the CMS point sketch ([[graft.operators.SketchOps.cmsState]], which
   * cannot enumerate its keys).
   *
-  * State is `(base, counts)` with a key alive iff `count > base` — the
-  * DEBT-COUNTER form: the classic "decrement every counter" step on a
-  * non-tracked element is ONE `base += 1` instead of an O(k) rebuild,
-  * and dead entries are swept only when base moves. Each sweep consumes
+  * State is `(base, counts)` where every stored entry is alive
+  * (`count > base` — enforced on all paths) — the DEBT-COUNTER form:
+  * the classic "decrement every counter" step on a non-tracked element
+  * is ONE `base += 1` (with an immediate sweep of newly-dead entries)
+  * instead of an O(k) rebuild on every cold element. Each sweep consumes
   * ≥ k increment-credits (every alive entry's excess drops by 1), and
   * credits only enter via increments/insertions, so total sweep work is
   * O(n/k · k) = O(n): amortized O(1) per element — the constant a
@@ -48,24 +49,19 @@ class MisraGries(k: Int) extends Aggregator[Long, (Long, Map[Long, Long]), Seq[L
   }
 
   override def reduce(st: (Long, Map[Long, Long]), key: Long): (Long, Map[Long, Long]) = {
+    // invariant: every stored entry is ALIVE (c > base) — insertions
+    // store base+1, the base step sweeps immediately, and merge re-bases
+    // at 0 with positive counts only
     val (base, m) = st
     m.get(key) match {
-      case Some(c) if c > base => (base, m.updated(key, c + 1L))
-      case _ if m.size < k =>
-        // dead entries (c ≤ base) are replaced on sight, so the map never
-        // holds more than k physical entries
-        (base, m.updated(key, base + 1L))
-      case _ =>
-        val deadKey = m.collectFirst { case (t, c) if c <= base => t }
-        deadKey match {
-          case Some(t) => (base, (m - t).updated(key, base + 1L))
-          case None =>
-            // all k tracked and alive: one base step ≡ decrement-all;
-            // sweep newly-dead entries now (amortized by the credits the
-            // sweep consumes — see scaladoc)
-            val nb = base + 1L
-            (nb, m.filter { case (_, c) => c > nb })
-        }
+      case Some(c) => (base, m.updated(key, c + 1L))
+      case None if m.size < k => (base, m.updated(key, base + 1L))
+      case None =>
+        // k tracked, all alive: one base step ≡ decrement-all; sweep
+        // newly-dead entries now (amortized by the credits the sweep
+        // consumes — see scaladoc)
+        val nb = base + 1L
+        (nb, m.filter { case (_, c) => c > nb })
     }
   }
 

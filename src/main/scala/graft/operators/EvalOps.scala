@@ -1364,7 +1364,10 @@ object EvalOps {
       .filter(col("is_calib") && col("label") === 1)
       .select(col("score_nano").as("s"))
     val wS = Window.orderBy(col("s").asc) // calib-positives only: bounded
-    val thr = calib
+    // persisted: the 1-row cutoff is read by BOTH the per-row coverage
+    // comparison and the final re-attach — without the cache the
+    // calibration window would evaluate twice per action
+    val thr = graft.operators.DedupOps.registerCache(calib
       .withColumn("rn", row_number().over(wS))
       .withColumn("n_calib", count(lit(1)).over(Window.partitionBy()))
       // k-th smallest nonconformity −s  ==  k-th LARGEST score
@@ -1375,6 +1378,7 @@ object EvalOps {
         max(col("n_calib")).as("n_calib"),
         max(when(col("rn") === col("n_calib") - col("k") + 1, col("s")))
           .as("thr_nano"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the per-row thr comparison aggregates to ONE row even on an empty
     // test partition (agg over an empty frame), and the threshold relation
     // is re-attached to the AGGREGATE (1 row × 1 row) rather than read

@@ -159,22 +159,8 @@ object KMeansOps {
     * Centroid relations are materialized per round (k rows) so iteration
     * lineage never re-evaluates prior assignments.
     */
-  def fitAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(iters >= 1)
-    val vecs = quantize(embeddings)
-    var cents = DedupOps.registerCache(seeds(vecs, k).persist(StorageLevel.MEMORY_AND_DISK))
-    cents.count()
-    var best: DataFrame = null
-    for (i <- 1 to iters) {
-      best = assign(vecs, cents)
-      if (i < iters) {
-        cents = DedupOps.registerCache(
-          update(vecs, best).persist(StorageLevel.MEMORY_AND_DISK))
-        cents.count()
-      }
-    }
-    best
-  }
+  def fitAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(quantize(embeddings), fitCentroids(embeddings, k, iters))
 
   /** Final trained centroid relation `(cid, ci)` after `iters − 1` update
     * rounds — the codebook [[fitAssign]]'s last pass assigns against,
@@ -209,17 +195,10 @@ object KMeansOps {
     * mean_silhouette)`.
     */
   def silhouetteSummary(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(iters >= 1)
     val vecs = quantize(embeddings)
-    var cents = DedupOps.registerCache(seeds(vecs, k).persist(StorageLevel.MEMORY_AND_DISK))
-    cents.count()
-    for (i <- 1 until iters) {
-      cents = DedupOps.registerCache(
-        update(vecs, assign(vecs, cents)).persist(StorageLevel.MEMORY_AND_DISK))
-      cents.count()
-    }
     val c = broadcast(
-      cents.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+      fitCentroids(embeddings, k, iters)
+        .withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
     def dists = vecs.crossJoin(c).select(
       col("vec_id"), col("cid"),
       (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))

@@ -549,19 +549,25 @@ object SimilarityOps {
 
   /** Routed-path banding, chosen by threshold (public so stress tools can
     * report it). Banding amplification collides random pairs at
-    * ~bands·2^−planes regardless of the threshold, so the SHARPNESS has to
-    * come from the recall side: at real near-dup thresholds (cos ≥ 0.7,
-    * per-plane agreement p = 1−θ/π ≥ 0.75) a sharp 12×10 banding keeps
-    * recall (≥0.94 at exactly cos 0.7-0.9, →1 as cos→1) while passing
-    * ~1.2 % of random pairs — the regime EmbedScaleStress measures at
-    * >200× under the exact kernel. Below 0.7 a sharp banding would gut
-    * recall, so the wide 20×6 config applies — its ~31 % background
-    * collision rate is the documented low-threshold trade (a ~3× constant
-    * reduction, the best an LSH prefilter offers that far into the random
-    * cosine tail).
+    * ~bands·2^−planes regardless of the threshold, so sharpness trades
+    * directly against recall AT the threshold (per-pair recall at cosine
+    * c is 1−(1−p^r)^b with p = 1−arccos(c)/π, rising toward 1 as c→1).
+    * Three tiers, each sized so threshold-edge recall stays ≥ ~0.8 while
+    * the background rate is as low as that allows:
+    *  - minCos ≥ 0.9 → 12×10: recall 0.94 at exactly 0.9 (0.99 at 0.95),
+    *    background ~1.2 % — the production near-dup regime
+    *    EmbedScaleStress measures at >200× under the exact kernel.
+    *  - 0.7 ≤ minCos < 0.9 → 16×8: recall 0.80 at exactly 0.7 / 0.94 at
+    *    0.8, background ~6.3 %.
+    *  - minCos < 0.7 → 20×6: recall 0.93 at 0.6 down to 0.73 at 0.4,
+    *    background ~31 % — the documented low-threshold trade (a ~3×
+    *    constant reduction, the best an LSH prefilter offers that far
+    *    into the random cosine tail).
     */
   def routeBanding(minCos: Double): (Int, Int) =
-    if (minCos >= 0.7) (12, 10) else (20, 6)
+    if (minCos >= 0.9) (12, 10)
+    else if (minCos >= 0.7) (16, 8)
+    else (20, 6)
 
   /** All near-dup pairs `(a_id, b_id, cos)` with cosine ≥ `minCos`.
     *
@@ -575,6 +581,14 @@ object SimilarityOps {
     * emitted; the recall trade is documented and measured in the
     * nearDupPairsLsh scaladoc / EmbedScaleStress). Passing `blocks > 0`
     * is an explicit exact-path override and always runs blocked-exact.
+    *
+    * The route is CONFIRMED by an exact count before it fires: Catalyst's
+    * size estimate can be garbage-high for filtered/derived relations
+    * (a Filter inherits its child's sizeInBytes without CBO), and a bad
+    * estimate must never silently turn an exact operator into a lossy
+    * one — so an over-threshold ESTIMATE only triggers a memoized
+    * `count()` (one cheap scan, only ever paid when the estimate is
+    * large), and the LSH route needs the TRUE count over the threshold.
     */
   def nearDupPairs(
       embeddings: DataFrame,
@@ -582,7 +596,8 @@ object SimilarityOps {
       blocks: Int = 0,
       maxExactVectors: Long = MaxExactVectors): DataFrame = {
     val e = corpus(embeddings)
-    if (blocks <= 0 && shouldRouteLsh(e, maxExactVectors)) {
+    if (blocks <= 0 && shouldRouteLsh(e, maxExactVectors) &&
+        confirmedVectors(e) > maxExactVectors) {
       val dim = embDim(e)
       val (bands, planes) = routeBanding(minCos)
       nearDupPairsLsh(embeddings, minCos, bands, planes, dim)
@@ -621,6 +636,14 @@ object SimilarityOps {
     val rowSize = 8 + 8 * 64 // id + 64-dim double vector
     (bytes / rowSize).toDouble.max(1.0)
   }
+
+  /** Exact corpus row count, session-memoized — the route confirmation
+    * read (only consulted when the plan-time estimate already exceeds
+    * the threshold, so the scan is cheap relative to either kernel at
+    * that size and runs at most once per corpus per session).
+    */
+  private def confirmedVectors(corpusRel: DataFrame): Long =
+    DedupOps.sessionValue(corpusRel, "confirmedVectors") { corpusRel.count() }
 
   /** Embedding dimensionality — a memoized 1-row limit scan (the only
     * place the routed LSH path needs a runtime value the plan can't
@@ -926,18 +949,12 @@ object SimilarityOps {
     val cents = broadcast(
       KMeansOps.fitCentroids(embeddings, nlist, iters)
         .withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
-    // inverted lists: arg-min centroid per corpus vector (map-side
-    // combinable min(struct), distance/cid tie-break)
-    val lists = v
-      .crossJoin(cents)
-      .select(
-        col("vec_id").as("c_id"),
-        col("cid"),
-        (col("vv") + col("cc") - lit(2) * GraftFunctions.dot(col("vi"), col("ci")))
-          .as("cd"))
-      .groupBy(col("c_id"))
-      .agg(min(struct(col("cd"), col("cid"))).as("m"))
-      .select(col("c_id"), col("m.cid").as("cid"))
+    // inverted lists ARE the Lloyd fit's final assignment — one audited
+    // arg-min (distance/cid tie-break) shared with the kmeans family and
+    // the oracle's aF relation, reusing the fit's cached rounds
+    val lists = KMeansOps
+      .fitAssign(embeddings, nlist, iters)
+      .select(col("vec_id").as("c_id"), col("cid"))
     val q = v
       .filter(col("vec_id") % probeEvery === 0)
       .select(col("vec_id").as("q_id"), col("vi").as("qi"), col("vv").as("qq"))

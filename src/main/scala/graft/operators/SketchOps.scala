@@ -542,7 +542,11 @@ object SketchOps {
   def heavyHittersMg(df: DataFrame, key: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL keys drop before the typed aggregation: hash60 null-propagates
+    // and a Dataset[Long] cannot decode a null — and a NULL "term" is not
+    // a meaningful heavy hitter. n_total therefore counts non-null keys.
     val toks = df.select(key.cast("string").as("term"))
+      .filter(col("term").isNotNull)
       .withColumn("h", PortableHash.hash60(col("term")))
     val mg = new graft.functions.MisraGries(k)
     val candidates = toks

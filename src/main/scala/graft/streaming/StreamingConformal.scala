@@ -17,8 +17,11 @@ import graft.operators.HistogramOps
   * The batch operator takes the k-th largest calibration score with
   * k = ⌈(1−α)(n+1)⌉ — an order statistic, which the bin-count state
   * answers at BIN RESOLUTION exactly like the ntile cuts: the true
-  * cutoff provably lies in the located bin's value interval
-  * `[thr_lo, thr_hi)`, so every output row carries the bracket, and the
+  * cutoff provably lies in the located bin's value interval —
+  * `[thr_lo, thr_hi)` for every bin except the last, which is CLOSED
+  * `[thr_lo, thr_hi]` (a value exactly at the grid's upper edge clamps
+  * into bin hi−1, numpy range semantics) — so every output row carries
+  * the bracket, and the
   * DETERMINISTIC streaming threshold `thr_lo` (the bin's lower edge) is
   * ≤ the exact cutoff — coverage under the streaming threshold can only
   * be HIGHER than batch, so the (1−α) marginal guarantee survives the

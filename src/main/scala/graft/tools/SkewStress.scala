@@ -8,7 +8,7 @@ import graft.operators.SkewOps
 
 /** Hot-key stress for the skew-mitigation claims (round-11 verdict #5):
   * ONE key carries 50 % of all rows, the rest spread over 10⁶ cold keys,
-  * at 16×/64× the sf0.1 row scale (16 M / 64 M rows).
+  * at 16×/64×/256× the sf0.1 row scale (16 M / 64 M / 256 M rows).
   *
   * Three shapes measured per scale:
   *  - `plain sum`: `groupBy(key).sum` — Spark's two-level hash

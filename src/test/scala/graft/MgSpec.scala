@@ -91,4 +91,14 @@ class MgSpec extends SparkSpec {
     val df = (1L to 200L).toDF("v") // all frequencies 1, k=4 -> threshold 40
     assert(SketchOps.heavyHittersMg(df, col("v"), k = 4).count() == 0)
   }
+
+  test("heavyHittersMg: NULL keys drop instead of crashing the typed aggregation") {
+    val rows: Seq[Option[Long]] =
+      Seq.fill(50)(Some(7L)) ++ Seq.fill(30)(None) ++ (11L to 20L).map(Some(_))
+    val df = rows.toDF("v")
+    val got = SketchOps.heavyHittersMg(df, col("v"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // n_total counts the 60 non-null keys; 7 (50/60) is the only hitter
+    assert(got.toSeq == Seq(("7", 50L, 60L)))
+  }
 }

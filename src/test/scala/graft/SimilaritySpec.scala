@@ -212,8 +212,10 @@ class SimilaritySpec extends SparkSpec {
       maxExactVectors = 10).count()
     assert(routed.count() <= exact, "LSH route must be a subset of exact")
     // banding adapts to the threshold: sharp at near-dup thresholds
-    // (~1 % background collisions), wide below (recall-preserving)
+    // (~1 % background collisions), wider below so threshold-edge recall
+    // stays >= ~0.8 (tier analysis in the routeBanding scaladoc)
     assert(SimilarityOps.routeBanding(0.4) == (20, 6))
+    assert(SimilarityOps.routeBanding(0.75) == (16, 8))
     assert(SimilarityOps.routeBanding(0.9) == (12, 10))
     val routedHi = SimilarityOps.nearDupPairs(raw, minCos = 0.9, maxExactVectors = 10)
     val directHi = SimilarityOps.nearDupPairsLsh(raw, minCos = 0.9,

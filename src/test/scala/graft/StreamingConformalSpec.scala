@@ -45,8 +45,10 @@ class StreamingConformalSpec extends SparkSpec {
     assert(r.getLong(0) == b.getLong(0)) // n_calib
     val (thrLo, thrHi) = (r.getDouble(2), r.getDouble(3))
     val exactThr = b.getLong(1) / 1e9
-    assert(thrLo <= exactThr && exactThr < thrHi,
-      s"exact thr $exactThr outside [$thrLo, $thrHi)")
+    // half-open everywhere except the closed last bin (values at the
+    // grid's upper edge clamp into bin hi−1)
+    assert(thrLo <= exactThr && exactThr <= thrHi,
+      s"exact thr $exactThr outside [$thrLo, $thrHi]")
     assert(r.getLong(4) == b.getLong(2)) // n_test
     val (covLo, covHi) = (r.getLong(5), r.getLong(6))
     assert(covLo <= b.getLong(3) && b.getLong(3) <= covHi,
