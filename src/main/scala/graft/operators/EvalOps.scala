@@ -1428,7 +1428,10 @@ object EvalOps {
     val dbl = (c: Column) => c.cast("double")
     val wS = Window.partitionBy(col("grp")).orderBy(col("s").asc)
     val wN = Window.partitionBy(col("grp"))
-    val thr = scored
+    // persisted: the #groups-row cutoff relation is read by both the
+    // coverage join and the final full-outer re-attach — same
+    // evaluate-once discipline as the ungrouped form
+    val thr = graft.operators.DedupOps.registerCache(scored
       .filter(col("is_calib"))
       .select(col("grp"), col("score_nano").as("s"))
       .withColumn("rn", row_number().over(wS))
@@ -1441,6 +1444,7 @@ object EvalOps {
         max(col("n_calib")).as("n_calib"),
         max(when(col("rn") === col("n_calib") - col("k") + 1, col("s")))
           .as("thr_nano"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val testAgg = scored
       .filter(!col("is_calib"))
       .join(broadcast(thr), Seq("grp"), "left")

@@ -40,6 +40,12 @@ import graft.operators.HistogramOps
   *
   * State size: ≤ `spec.bins` rows per side — bounded by a constant; the
   * readout windows run over the aggregated state, never over data.
+  *
+  * Readout contract: the cutoff/coverage readouts reference each state
+  * relation more than once, so pass MATERIALIZED state (a streaming
+  * sink table, or a persisted/memoized relation — the oracled queries
+  * bin a session-memoized scored relation). That is the natural shape:
+  * the bin-count state IS the materialized summary the monitors own.
   */
 object StreamingConformal {
 
