@@ -725,6 +725,13 @@ object EventsQueries {
     // ignore-nulls last() over the per-user history — state bounded per
     // user, the sessionization shape, no self-join). Revenue stays in
     // exact cents; NaN purchases count as purchases with null revenue.
+    // Markov removal-effect attribution: journeys → absorbing-chain
+    // transition counts (distributed reduction), start→conv absorption
+    // probability by 12 exact integer-nano sweeps on the bounded count
+    // relation, per-channel credit = normalized removal effect
+    // (AttributionOps.markovRemoval — the model that replaced last-touch).
+    "attribution_markov" -> ((s, dir) =>
+      graft.operators.AttributionOps.markovRemoval(Tables.events(s, dir), iters = 12)),
     "attribution" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
@@ -1743,6 +1750,7 @@ object EventsQueries {
         |       CAST(sum(rev_c) OVER (ORDER BY day
         |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d
         |FROM g ORDER BY day""".stripMargin,
+    "attribution_markov" -> markovOracleSql,
     "attribution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
@@ -2203,4 +2211,106 @@ object EventsQueries {
         |       round(diffraw - covn / varxn * diffx, 6) AS diff_cuped_c,
         |       round(covn * covn / (varxn * varyn), 6) AS var_reduction
         |FROM t""".stripMargin)
+
+  /** attribution_markov oracle: the journey/transition CTEs mirror
+    * AttributionOps.transitionCounts; the chain solve is the engine's
+    * exact integer-nano fixed point UNROLLED — 12 sweeps × 5 variants
+    * (base + one per removed channel) over the pivoted ≤ 5×6 count
+    * columns, every product/floor-division in HUGEINT so each
+    * intermediate matches the driver's BigInt arithmetic bit-for-bit.
+    */
+  private lazy val markovOracleSql: String = {
+    val from = Seq("start", "click", "error", "signup", "view")
+    val to = Seq("click", "error", "signup", "view", "conv", "null")
+    val iters = 12
+    // pivoted counts + per-state out-totals, one row
+    val nCols = (for { f <- from; t <- to } yield
+      s"coalesce(sum(CASE WHEN f = '$f' AND t = '$t' THEN n END), 0) AS n_${f}_$t")
+      .mkString(",\n       ")
+    val totCols = from
+      .map(f => s"(${to.map(t => s"n_${f}_$t").mkString(" + ")}) AS tot_$f")
+      .mkString(",\n       ")
+    val carry = ((for { f <- from; t <- to } yield s"n_${f}_$t") ++
+      from.map(f => s"tot_$f")).mkString(", ")
+    // iteration 1 reads p_*_0 = 0 literals (no init CTE needed)
+    val variants: Seq[(String, Option[String])] = Seq(
+      ("b", None), ("rc", Some("click")), ("re", Some("error")),
+      ("rs", Some("signup")), ("rv", Some("view")))
+    def pNext(v: String, removed: Option[String], f: String, i: Int): String = {
+      val terms = to.map { t =>
+        val pt = t match {
+          case "conv" => "CAST(1000000000 AS HUGEINT)"
+          case "null" => "CAST(0 AS HUGEINT)"
+          case c if removed.contains(c) => "CAST(0 AS HUGEINT)"
+          case _ if i == 1 => "CAST(0 AS HUGEINT)"
+          case c => s"CAST(p${v}_${c}_${i - 1} AS HUGEINT)"
+        }
+        s"CAST(n_${f}_$t AS HUGEINT) * $pt"
+      }.mkString(" + ")
+      s"CASE WHEN tot_$f = 0 THEN 0 ELSE " +
+        s"CAST(($terms) // CAST(tot_$f AS HUGEINT) AS BIGINT) END AS p${v}_${f}_$i"
+    }
+    val iterCtes = (1 to iters).map { i =>
+      val cols = variants.flatMap { case (v, removed) =>
+        from.map(f => pNext(v, removed, f, i))
+      }.mkString(",\n       ")
+      s"""s$i AS (
+         |  SELECT $carry,
+         |       $cols
+         |  FROM s${i - 1}
+         |)"""
+    }.mkString(",\n")
+    val sumRe = Seq("rc", "re", "rs", "rv")
+      .map(v => s"(pb_start_$iters - p${v}_start_$iters)").mkString(" + ")
+    val outRows = Seq(("click", "rc"), ("error", "re"), ("signup", "rs"), ("view", "rv"))
+      .map { case (c, v) =>
+        s"""SELECT '$c' AS channel, pb_start_$iters AS p_conv_nano,
+           |       p${v}_start_$iters AS p_removed_nano,
+           |       CASE WHEN pb_start_$iters = 0 THEN NULL
+           |            ELSE round(CAST(pb_start_$iters - p${v}_start_$iters AS DOUBLE)
+           |                       / CAST(pb_start_$iters AS DOUBLE), 6) END AS removal_effect,
+           |       CASE WHEN ($sumRe) = 0 THEN NULL
+           |            ELSE round(CAST(pb_start_$iters - p${v}_start_$iters AS DOUBLE)
+           |                       / CAST($sumRe AS DOUBLE), 6) END AS credit
+           |FROM s$iters"""
+      }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+       |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+       |  FROM events
+       |), j AS (
+       |  SELECT user_id, ts_us, event_id,
+       |         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS t
+       |  FROM ev WHERE coalesce(prior, 0) = 0
+       |), pairs AS (
+       |  SELECT coalesce(lag(t) OVER (PARTITION BY user_id
+       |           ORDER BY ts_us, event_id), 'start') AS f, t
+       |  FROM j
+       |), oe AS (
+       |  SELECT f, 'null' AS t FROM (
+       |    SELECT t AS f,
+       |           row_number() OVER (PARTITION BY user_id
+       |             ORDER BY ts_us DESC, event_id DESC) AS rn,
+       |           max(CASE WHEN t = 'conv' THEN 1 ELSE 0 END)
+       |             OVER (PARTITION BY user_id) AS conv
+       |    FROM j) WHERE rn = 1 AND conv = 0
+       |), tc AS (
+       |  SELECT f, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT f, t FROM pairs UNION ALL SELECT f, t FROM oe)
+       |  GROUP BY 1, 2
+       |), sp AS (
+       |  SELECT $nCols
+       |  FROM tc
+       |), s0 AS (
+       |  SELECT sp.*,
+       |       $totCols
+       |  FROM sp
+       |),
+       |$iterCtes
+       |SELECT * FROM (
+       |$outRows
+       |) ORDER BY channel""".stripMargin
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AttributionOps
+
+/** AttributionOps: journey → transition-count golden, first-purchase
+  * truncation, removal monotonicity, credit normalization, and the
+  * no-touch degenerate.
+  */
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("user_id", "ts_us", "event_id", "event_type")
+
+  test("transition counts golden: start/conv/null edges, self-loops, truncation") {
+    val rows = Seq(
+      (1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),
+      (1L, 3L, 3L, "view"), // after first purchase -> outside the window
+      (2L, 1L, 4L, "view"), (2L, 2L, 5L, "view"), (2L, 3L, 6L, "purchase"),
+      (3L, 1L, 7L, "click"), // never converts -> click -> null
+      (4L, 1L, 8L, "purchase")) // direct conversion: start -> conv
+    val got = AttributionOps.transitionCounts(ev(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("start", "click") -> 2L, ("start", "view") -> 1L, ("start", "conv") -> 1L,
+      ("click", "conv") -> 1L, ("click", "null") -> 1L,
+      ("view", "view") -> 1L, ("view", "conv") -> 1L))
+  }
+
+  test("removal is monotone and credits normalize") {
+    val rows = Seq(
+      (1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "view"), (2L, 2L, 4L, "view"), (2L, 3L, 5L, "purchase"),
+      (3L, 1L, 6L, "click"),
+      (4L, 1L, 7L, "signup"), (4L, 2L, 8L, "click"), (4L, 3L, 9L, "purchase"),
+      (5L, 1L, 10L, "error"))
+    val out = AttributionOps.markovRemoval(ev(rows), iters = 12).collect()
+    assert(out.map(_.getString(0)).toSeq == AttributionOps.Channels)
+    val pBase = out.head.getLong(1)
+    assert(out.forall(_.getLong(1) == pBase), "base probability identical per row")
+    out.foreach { r =>
+      assert(r.getLong(2) <= pBase, s"removal must not raise conversion (${r.getString(0)})")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val creditSum = out.map(_.getDouble(4)).sum
+    assert(math.abs(creditSum - 1.0) < 1e-5, s"credits must normalize, got $creditSum")
+    // error never touches a converting journey: removing it changes nothing
+    val err = out.find(_.getString(0) == "error").get
+    assert(err.getLong(2) == pBase && err.getDouble(3) == 0.0)
+  }
+
+  test("direct-conversion-only corpus: zero removal effects, NULL credits") {
+    val rows = Seq((1L, 1L, 1L, "purchase"), (2L, 1L, 2L, "purchase"))
+    val out = AttributionOps.markovRemoval(ev(rows), iters = 12).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == 1000000000L && r.getLong(2) == 1000000000L)
+      assert(r.getDouble(3) == 0.0, "removal effect zero when no touches exist")
+      assert(r.isNullAt(4), "credit undefined when no channel has effect")
+    }
+  }
+}
