@@ -642,6 +642,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("attribution_markov: journey windows share one user_id partitioning, no cartesian") {
+    // the distributed leg is the transition reduction: truncation window +
+    // lag window + open-end aggregate all keyed on user_id; the chain
+    // solve consumes the bounded count relation on the driver
+    import graft.operators.AttributionOps
+    import graft.sources.Tables
+    val p = AttributionOps.transitionCounts(Tables.events(spark, TestSpark.sf0001))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = """(?m)^\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 3, s"user_id windows + final count agg only, got $exchanges:\n$p")
+  }
+
   test("time-series queries: day-grid reductions, no cartesian, no SMJ") {
     for (q <- Seq("revenue_forecast", "revenue_theilsen", "revenue_anomaly", "forecast_backtest")) {
       val p = plan(q)
