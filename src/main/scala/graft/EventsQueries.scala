@@ -732,6 +732,12 @@ object EventsQueries {
     // (AttributionOps.markovRemoval — the model that replaced last-touch).
     "attribution_markov" -> ((s, dir) =>
       graft.operators.AttributionOps.markovRemoval(Tables.events(s, dir), iters = 12)),
+    // Shapley-value attribution: the order-free coalition model beside
+    // the chain model — exact-touch-set conversion counts (16-row
+    // distributed reduction), subset-sum characteristic, factorially
+    // weighted marginals in exact integers (AttributionOps.shapley).
+    "attribution_shapley" -> ((s, dir) =>
+      graft.operators.AttributionOps.shapley(Tables.events(s, dir))),
     "attribution" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
@@ -1751,6 +1757,7 @@ object EventsQueries {
         |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d
         |FROM g ORDER BY day""".stripMargin,
     "attribution_markov" -> markovOracleSql,
+    "attribution_shapley" -> shapleyOracleSql,
     "attribution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
@@ -2212,6 +2219,76 @@ object EventsQueries {
         |       round(covn * covn / (varxn * varyn), 6) AS var_reduction
         |FROM t""".stripMargin)
 
+  /** Shared journey CTE prefix (ev → j) for the attribution oracles:
+    * first-purchase truncation + state mapping, mirroring
+    * AttributionOps' distributed journey scan.
+    */
+  private lazy val journeyCtes: String =
+    """ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      |  FROM events
+      |), j AS (
+      |  SELECT user_id, ts_us, event_id,
+      |         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS t
+      |  FROM ev WHERE coalesce(prior, 0) = 0
+      |)""".stripMargin
+
+  /** attribution_shapley oracle: exact-touch-mask conversion counts
+    * (16-row relation), subset-sum characteristic v(S), and the
+    * factorially-weighted Shapley sums UNROLLED over all coalitions —
+    * exact integers end to end; the only float is the credit share.
+    */
+  private lazy val shapleyOracleSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val full = 15
+    val maskExpr = channels.zipWithIndex
+      .map { case (c, i) =>
+        s"${1L << i} * max(CASE WHEN t = '$c' THEN 1 ELSE 0 END)"
+      }
+      .mkString(" + ")
+    val vCols = (0 to full)
+      .map(s2 =>
+        s"coalesce(sum(CASE WHEN (mask & $s2) = mask THEN n_conv END), 0) AS v_$s2")
+      .mkString(",\n       ")
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val phiCols = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      val terms = (0 to full).collect {
+        case s2 if (s2 & bit) == 0 =>
+          val w = fact(Integer.bitCount(s2)) * fact(3 - Integer.bitCount(s2))
+          s"$w * (v_${s2 | bit} - v_$s2)"
+      }.mkString(" + ")
+      s"CAST($terms AS BIGINT) AS phi_$c"
+    }.mkString(",\n       ")
+    val sumPhi = channels.map(c => s"phi_$c").mkString(" + ")
+    val outRows = channels.map { c =>
+      s"""SELECT '$c' AS channel, phi_$c AS phi24,
+         |       CASE WHEN ($sumPhi) = 0 THEN NULL
+         |            ELSE round(CAST(phi_$c AS DOUBLE)
+         |                       / CAST($sumPhi AS DOUBLE), 6) END AS credit
+         |FROM ph"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $journeyCtes, u AS (
+       |  SELECT user_id, CAST($maskExpr AS BIGINT) AS mask,
+       |         max(CASE WHEN t = 'conv' THEN 1 ELSE 0 END) AS conv
+       |  FROM j GROUP BY user_id
+       |), mk AS (
+       |  SELECT mask, CAST(sum(conv) AS BIGINT) AS n_conv FROM u GROUP BY 1
+       |), vv AS (
+       |  SELECT $vCols
+       |  FROM mk
+       |), ph AS (
+       |  SELECT $phiCols
+       |  FROM vv
+       |)
+       |SELECT * FROM (
+       |$outRows
+       |) ORDER BY channel""".stripMargin
+  }
+
   /** attribution_markov oracle: the journey/transition CTEs mirror
     * AttributionOps.transitionCounts; the chain solve is the engine's
     * exact integer-nano fixed point UNROLLED — 12 sweeps × 5 variants
@@ -2274,17 +2351,7 @@ object EventsQueries {
            |                       / CAST($sumRe AS DOUBLE), 6) END AS credit
            |FROM s$iters"""
       }.mkString("\nUNION ALL\n")
-    s"""WITH ev AS (
-       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-       |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-       |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
-       |  FROM events
-       |), j AS (
-       |  SELECT user_id, ts_us, event_id,
-       |         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS t
-       |  FROM ev WHERE coalesce(prior, 0) = 0
-       |), pairs AS (
+    s"""WITH $journeyCtes, pairs AS (
        |  SELECT coalesce(lag(t) OVER (PARTITION BY user_id
        |           ORDER BY ts_us, event_id), 'start') AS f, t
        |  FROM j

@@ -105,6 +105,86 @@ object AttributionOps {
     p
   }
 
+  /** Per-user journey reduced to (touch-set bitmask, converted) and
+    * aggregated to the ≤ 2^|channels|-row conversion-count relation —
+    * the distributed leg behind [[shapley]]. Mask bit i =
+    * [[Channels]](i) touched before the first purchase; `n_conv` counts
+    * converting users per EXACT touch set (direct conversions land on
+    * mask 0 and cancel in every Shapley marginal).
+    */
+  def touchSetCounts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val journey = events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn(
+        "prior_purch",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("prior_purch"), lit(0L)) === 0L)
+    journey
+      .groupBy(col("user_id"))
+      .agg(
+        Channels.zipWithIndex
+          .map { case (c, i) =>
+            max(when(col("event_type") === c, 1L << i).otherwise(0L))
+          }
+          .reduce(_ + _).as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .groupBy(col("mask"))
+      .agg(sum(col("conv")).as("n_conv"))
+  }
+
+  /** Shapley-value attribution (Shapley 1953; the order-free coalition
+    * model beside [[markovRemoval]]'s chain model — Zhao et al. 2018):
+    * the characteristic function is v(S) = conversions among users whose
+    * touch set ⊆ S, and channel c's value is the factorially-weighted
+    * mean marginal φ_c = Σ_{S∌c} |S|!(n−|S|−1)!/n! · (v(S∪c) − v(S)).
+    *
+    * With |channels| = 4 everything is EXACT integer arithmetic: the
+    * distributed leg is [[touchSetCounts]]'s ≤ 16-row mask relation
+    * (collected as a bounded stats read, session-memoized), v is a
+    * subset-sum over 16 masks, and φ·4! is an integer combination with
+    * weights 24·w ∈ {6, 2, 2, 6} — the oracle unrolls the identical
+    * sums, so the only float is the final 6-decimal credit share.
+    * Efficiency (Σφ = v(full) − v(∅)) is spec-pinned. Output per
+    * channel: `(channel, phi24, credit)` — `phi24` = 24·φ in
+    * conversion-count units; `credit` = φ / Σφ (NULL when no channel
+    * carries value).
+    */
+  def shapley(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val n = Channels.size
+    val full = (1 << n) - 1
+    val counts: Map[Int, Long] = DedupOps.sessionValue(events, "shapleyCounts") {
+      touchSetCounts(events).collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    }
+    def v(s: Int): Long =
+      (0 to full).collect { case t if (t & ~s & full) == 0 => counts.getOrElse(t, 0L) }.sum
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val phi24: Seq[Long] = Channels.indices.map { i =>
+      val bit = 1 << i
+      (0 to full).collect {
+        case s if (s & bit) == 0 =>
+          val size = Integer.bitCount(s)
+          fact(size) * fact(n - size - 1) * (v(s | bit) - v(s))
+      }.sum
+    }
+    val sumPhi = phi24.sum
+    val rows = Channels.zipWithIndex.map { case (c, i) =>
+      val credit =
+        if (sumPhi == 0L) null
+        else java.lang.Double.valueOf(
+          math.round(phi24(i).toDouble / sumPhi.toDouble * 1e6) / 1e6)
+      Row(c, phi24(i), credit)
+    }
+    val schema = StructType(Seq(
+      StructField("channel", StringType, nullable = false),
+      StructField("phi24", LongType, nullable = false),
+      StructField("credit", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** One row per channel: base start→conv probability, the probability
     * with the channel removed, the removal effect, and the normalized
     * credit (NULL when no channel has positive effect). `iters` sweeps,

@@ -51,6 +51,39 @@ class AttributionSpec extends SparkSpec {
     assert(err.getLong(2) == pBase && err.getDouble(3) == 0.0)
   }
 
+  test("shapley: axioms on a hand-built corpus — efficiency, symmetry, null player") {
+    // click and view appear in EXACTLY symmetric positions; error never
+    // touches a converting journey; user 5 converts with no touches
+    val rows = Seq(
+      (1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "view"), (2L, 2L, 4L, "purchase"),
+      (3L, 1L, 5L, "click"), (3L, 2L, 6L, "view"), (3L, 3L, 7L, "purchase"),
+      (4L, 1L, 8L, "error"), // unconverted
+      (5L, 1L, 9L, "purchase"))
+    val out = AttributionOps.shapley(ev(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // null player: error has zero value and zero credit
+    assert(out("error").getLong(1) == 0L && out("error").getDouble(2) == 0.0)
+    assert(out("signup").getLong(1) == 0L)
+    // symmetry: click and view are exchangeable
+    assert(out("click").getLong(1) == out("view").getLong(1))
+    assert(out("click").getDouble(2) == 0.5 && out("view").getDouble(2) == 0.5)
+    // efficiency: sum(phi) = 24 * (v(full) - v(empty)) = 24 * (4 - 1)
+    assert(out.values.map(_.getLong(1)).sum == 24L * 3L)
+  }
+
+  test("shapley touch-set counts golden: masks, truncation, direct conversions") {
+    val rows = Seq(
+      (1L, 1L, 1L, "click"), (1L, 2L, 2L, "view"), (1L, 3L, 3L, "purchase"),
+      (1L, 4L, 4L, "signup"), // after first purchase: excluded from the mask
+      (2L, 1L, 5L, "purchase"), // direct: mask 0
+      (3L, 1L, 6L, "error")) // unconverted: counted as 0 conversions
+    val got = AttributionOps.touchSetCounts(ev(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // click bit 1 + view bit 8 = 9; error mask 2 with conv 0
+    assert(got == Map(9L -> 1L, 0L -> 1L, 2L -> 0L))
+  }
+
   test("direct-conversion-only corpus: zero removal effects, NULL credits") {
     val rows = Seq((1L, 1L, 1L, "purchase"), (2L, 1L, 2L, "purchase"))
     val out = AttributionOps.markovRemoval(ev(rows), iters = 12).collect()
