@@ -725,6 +725,24 @@ object EventsQueries {
     // ignore-nulls last() over the per-user history — state bounded per
     // user, the sessionization shape, no self-join). Revenue stays in
     // exact cents; NaN purchases count as purchases with null revenue.
+    // Uplift (Qini) targeting evaluation: units = users, treatment = the
+    // ab_test hash split, outcome = converted, score = capped engagement
+    // count; cumulative incremental conversions best-score-first over the
+    // ≤33-row per-score relation (EvalOps.upliftQini).
+    "uplift_qini" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+          least(
+            sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)),
+            lit(32L)).as("score"))
+        .select(
+          col("score"),
+          when(pmod(col("user_id"), lit(2L)) === 0L, 1L).otherwise(0L).as("t"),
+          col("y"))
+      graft.operators.EvalOps.upliftQini(u)
+    }),
     // Markov removal-effect attribution: journeys → absorbing-chain
     // transition counts (distributed reduction), start→conv absorption
     // probability by 12 exact integer-nano sweeps on the bounded count
@@ -1758,6 +1776,38 @@ object EventsQueries {
         |FROM g ORDER BY day""".stripMargin,
     "attribution_markov" -> markovOracleSql,
     "attribution_shapley" -> shapleyOracleSql,
+    "uplift_qini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+        |         CAST(least(sum(CASE WHEN event_type IN ('click', 'view')
+        |                             THEN 1 ELSE 0 END), 32) AS BIGINT) AS score
+        |  FROM events GROUP BY 1
+        |), tt AS (
+        |  SELECT score, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t, y FROM u
+        |), g AS (
+        |  SELECT score,
+        |         CAST(sum(t) AS BIGINT) AS n_t,
+        |         CAST(sum(1 - t) AS BIGINT) AS n_c,
+        |         CAST(sum(t * y) AS BIGINT) AS y_t,
+        |         CAST(sum((1 - t) * y) AS BIGINT) AS y_c
+        |  FROM tt GROUP BY 1
+        |), c AS (
+        |  SELECT score, n_t, n_c, y_t, y_c,
+        |         CAST(sum(n_t) OVER w AS BIGINT) AS cum_nt,
+        |         CAST(sum(n_c) OVER w AS BIGINT) AS cum_nc,
+        |         CAST(sum(y_t) OVER w AS BIGINT) AS cum_yt,
+        |         CAST(sum(y_c) OVER w AS BIGINT) AS cum_yc
+        |  FROM g
+        |  WINDOW w AS (ORDER BY score DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT score, n_t, n_c, y_t, y_c, cum_nt, cum_nc, cum_yt, cum_yc,
+        |       CASE WHEN cum_nc > 0 THEN
+        |         round(CAST(cum_yt AS DOUBLE)
+        |               - CAST(cum_yc AS DOUBLE) * CAST(cum_nt AS DOUBLE)
+        |                 / CAST(cum_nc AS DOUBLE), 6) END AS qini
+        |FROM c ORDER BY score DESC""".stripMargin,
     "attribution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

@@ -1808,4 +1808,49 @@ object EvalOps {
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
     isotonicFromBins(g)
   }
+
+  /** Uplift (Qini) curve — the evaluation readout for incremental
+    * targeting (Radcliffe 2007): rank units by a targeting score, then
+    * at each cut report the INCREMENTAL conversions treatment earned
+    * over the control baseline scaled to the treated volume,
+    * Q = Y_t − Y_c · N_t / N_c (cumulative best-score-first). A useful
+    * score front-loads positive Q; a useless one hugs zero — the
+    * decision-layer gauge for "is this targeting model worth shipping".
+    *
+    * `units` carries one row per unit: `(score, t, y)` with an integer
+    * score already CAPPED to a bounded domain by the caller (the
+    * engine's bounded-relation discipline: per-score sufficient stats
+    * aggregate map-side, and the cumulative windows ride the ≤ |scores|
+    * row relation — never a global rank of raw units, which is the
+    * trap naive decile-based uplift tooling falls into at scale).
+    * Output per score (descending): the per-bucket and cumulative
+    * sufficient stats and `qini` (NULL until a control unit appears).
+    */
+  def upliftQini(units: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    val g = units
+      .groupBy(col("score"))
+      .agg(
+        sum(col("t")).as("n_t"),
+        sum(lit(1L) - col("t")).as("n_c"),
+        sum(col("t") * col("y")).as("y_t"),
+        sum((lit(1L) - col("t")) * col("y")).as("y_c"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.select(
+        col("score"), col("n_t"), col("n_c"), col("y_t"), col("y_c"),
+        sum(col("n_t")).over(wCum).as("cum_nt"),
+        sum(col("n_c")).over(wCum).as("cum_nc"),
+        sum(col("y_t")).over(wCum).as("cum_yt"),
+        sum(col("y_c")).over(wCum).as("cum_yc"))
+      .select(
+        col("score"), col("n_t"), col("n_c"), col("y_t"), col("y_c"),
+        col("cum_nt"), col("cum_nc"), col("cum_yt"), col("cum_yc"),
+        when(col("cum_nc") > 0L,
+          round(
+            dbl(col("cum_yt")) -
+              dbl(col("cum_yc")) * dbl(col("cum_nt")) / dbl(col("cum_nc")),
+            6)).as("qini"))
+      .orderBy(col("score").desc)
+  }
 }

@@ -84,6 +84,28 @@ class AttributionSpec extends SparkSpec {
     assert(got == Map(9L -> 1L, 0L -> 1L, 2L -> 0L))
   }
 
+  test("upliftQini: brute-force replay, NULL before the first control unit") {
+    // units: (score, t, y) — score 3 bucket has only treated units, so
+    // its cumulative row precedes any control and qini must be NULL
+    val units = Seq(
+      (3L, 1L, 1L), (3L, 1L, 0L),
+      (2L, 1L, 1L), (2L, 0L, 0L), (2L, 0L, 1L),
+      (1L, 1L, 0L), (1L, 0L, 0L), (1L, 0L, 0L), (1L, 1L, 1L))
+      .toDF("score", "t", "y")
+    val got = graft.operators.EvalOps.upliftQini(units).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L), "descending score order")
+    assert(got(0).isNullAt(9), "no control yet -> NULL qini")
+    // brute replay at score >= 2: Y_t=2, N_t=3, Y_c=1, N_c=2 -> 2 - 1*3/2
+    assert(got(1).getDouble(9) == 0.5)
+    // full population: Y_t=3, N_t=5, Y_c=1, N_c=4 -> 3 - 1*5/4
+    assert(got(2).getDouble(9) == 1.75)
+    // cumulative counts are monotone non-decreasing down the curve
+    val cums = got.map(r => (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(cums.sliding(2).forall { case Array(a, b) =>
+      b._1 >= a._1 && b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4
+    })
+  }
+
   test("direct-conversion-only corpus: zero removal effects, NULL credits") {
     val rows = Seq((1L, 1L, 1L, "purchase"), (2L, 1L, 2L, "purchase"))
     val out = AttributionOps.markovRemoval(ev(rows), iters = 12).collect()
