@@ -71,7 +71,9 @@ object DumpPlans {
     "benford_audit" -> "Benford audit: first digit via integer string-length arithmetic inside the scan projection (column-pruned to the price), a 9-key aggregation, expectation and chi-square contributions per row over the 9-row digit relation.",
     "conformal_state" -> "Streaming conformal readout: the scored relation reduces to two ≤200-row bin-count states (one map-side-combinable aggregation each); the order-statistic window, cutoff locate, and coverage bracket all ride the aggregated states — calibration history is never re-sorted.",
     "heavy_hitters_mg" -> "Misra-Gries heavy hitters: ONE typed-Aggregator pass (≤48 counters of state per task, ObjectHashAggregate partial/final) produces the candidate hash set; the exact verify is a ≤48-row broadcast semi-join + count — the full-cardinality term groupBy never happens.",
-    "knn_ivf_trained" -> "Trained IVF: the Lloyd codebook fits over cached k-row centroid relations; corpus list assignment is a thin map-side-combinable arg-min (no fat rank window); the codebook broadcasts into both the probe ranking and the candidate scoring; probed candidates arrive through a cid equi-join — per-query cost O(N*nprobe/nlist).")
+    "knn_ivf_trained" -> "Trained IVF: the Lloyd codebook fits over cached k-row centroid relations; corpus list assignment is a thin map-side-combinable arg-min (no fat rank window); the codebook broadcasts into both the probe ranking and the candidate scoring; probed candidates arrive through a cid equi-join — per-query cost O(N*nprobe/nlist).",
+    "attribution_markov" -> "Markov removal attribution: truncation + lag windows share ONE user_id partitioning, the open-end aggregate rides the same key, and everything reduces to the <= (states+1)^2-row transition relation; the absorbing-chain solve consumes that bounded stats read on the driver in exact integer-nano sweeps.",
+    "uplift_qini" -> "Qini uplift curve: one per-user aggregation (treatment hash, outcome flag, capped engagement score), one map-side-combinable per-score sufficient-stats aggregation, and the cumulative windows ride the <= 33-row score relation — no global rank of raw units.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession

@@ -106,6 +106,34 @@ class AttributionSpec extends SparkSpec {
     })
   }
 
+  test("upliftQini reads identically off incrementally-built state") {
+    // the per-score sufficient stats are a mergeable complete-mode
+    // aggregation: the curve read after N micro-batches equals batch
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(5)
+    val units = Seq.fill(400)((rnd.nextInt(8).toLong, rnd.nextInt(2).toLong, rnd.nextInt(2).toLong))
+    val input = MemoryStream[(Long, Long, Long)]
+    val state = input.toDF().toDF("score", "t", "y")
+      .groupBy(col("score"), col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("ys"))
+    val query = state.writeStream
+      .format("memory").queryName("qini_state").outputMode("complete").start()
+    try {
+      input.addData(units.take(150)); query.processAllAvailable()
+      input.addData(units.drop(150)); query.processAllAvailable()
+      // per-(score, t) sufficient stats from the incremental state equal
+      // the batch aggregation — everything upliftQini reads is mergeable
+      val batchStats = units.toDF("score", "t", "y")
+        .groupBy(col("score"), col("t"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("ys"))
+      val streamStats = spark.table("qini_state")
+      assert(streamStats.except(batchStats).isEmpty &&
+        batchStats.except(streamStats).isEmpty,
+        "incremental sufficient stats must equal batch")
+    } finally query.stop()
+  }
+
   test("direct-conversion-only corpus: zero removal effects, NULL credits") {
     val rows = Seq((1L, 1L, 1L, "purchase"), (2L, 1L, 2L, "purchase"))
     val out = AttributionOps.markovRemoval(ev(rows), iters = 12).collect()
