@@ -726,9 +726,10 @@ object EventsQueries {
     // user, the sessionization shape, no self-join). Revenue stays in
     // exact cents; NaN purchases count as purchases with null revenue.
     // Uplift (Qini) targeting evaluation: units = users, treatment = the
-    // ab_test hash split, outcome = converted, score = capped engagement
-    // count; cumulative incremental conversions best-score-first over the
-    // ≤33-row per-score relation (EvalOps.upliftQini).
+    // ab_test user-parity split (user_id % 2, matching ab_test/ab_cuped),
+    // outcome = converted, score = capped engagement count; cumulative
+    // incremental conversions best-score-first over the ≤33-row
+    // per-score relation (EvalOps.upliftQini).
     "uplift_qini" -> ((s, dir) => {
       val u = Tables.events(s, dir)
         .groupBy(col("user_id"))
@@ -2281,9 +2282,12 @@ object EventsQueries {
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
       |  FROM events
       |), j AS (
+      |  -- events outside the declared state domain are ignored, exactly
+      |  -- as the engine's journeys() restricts to Channels + purchase
       |  SELECT user_id, ts_us, event_id,
       |         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS t
       |  FROM ev WHERE coalesce(prior, 0) = 0
+      |    AND event_type IN ('click', 'error', 'signup', 'view', 'purchase')
       |)""".stripMargin
 
   /** attribution_shapley oracle: exact-touch-mask conversion counts

@@ -35,24 +35,37 @@ object AttributionOps {
   val Channels: Seq[String] = Seq("click", "error", "signup", "view")
   private val Nano = 1000000000L
 
-  /** Distributed journey → transition-count reduction:
-    * `(from_state, to_state, n)` with states `start`, the four channels,
-    * and absorbing `conv` (first purchase) / `null` (journey ends
-    * unconverted). Events after a user's first purchase are outside the
-    * attribution window and drop.
+  /** The shared attribution window: per-user events up to and including
+    * the FIRST purchase, restricted to the DECLARED state domain
+    * ([[Channels]] + purchase — an event type outside the model's state
+    * space must not silently become a state the oracle doesn't know;
+    * unknown touch types are ignored, exactly as the SQL twin's pivot
+    * ignores them). `to_state` maps purchase → `conv`.
     */
-  def transitionCounts(events: DataFrame): DataFrame = {
+  private def journeys(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val journey = events
+    events
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
       .withColumn(
         "prior_purch",
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .filter(coalesce(col("prior_purch"), lit(0L)) === 0L)
+      .filter(col("event_type").isin((Channels :+ "purchase"): _*))
       .withColumn(
         "to_state",
         when(col("event_type") === "purchase", lit("conv")).otherwise(col("event_type")))
+  }
+
+  /** Distributed journey → transition-count reduction:
+    * `(from_state, to_state, n)` with states `start`, the four channels,
+    * and absorbing `conv` (first purchase) / `null` (journey ends
+    * unconverted). Events after a user's first purchase are outside the
+    * attribution window and drop; event types outside the declared
+    * state domain are ignored (see [[journeys]]).
+    */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val journey = journeys(events)
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val pairs = journey
       .select(
@@ -112,16 +125,8 @@ object AttributionOps {
     * converting users per EXACT touch set (direct conversions land on
     * mask 0 and cancel in every Shapley marginal).
     */
-  def touchSetCounts(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val journey = events
-      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      .withColumn(
-        "prior_purch",
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .filter(coalesce(col("prior_purch"), lit(0L)) === 0L)
-    journey
+  def touchSetCounts(events: DataFrame): DataFrame =
+    journeys(events)
       .groupBy(col("user_id"))
       .agg(
         Channels.zipWithIndex
@@ -132,7 +137,6 @@ object AttributionOps {
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
       .groupBy(col("mask"))
       .agg(sum(col("conv")).as("n_conv"))
-  }
 
   /** Shapley-value attribution (Shapley 1953; the order-free coalition
     * model beside [[markovRemoval]]'s chain model — Zhao et al. 2018):

@@ -596,8 +596,8 @@ object SimilarityOps {
       blocks: Int = 0,
       maxExactVectors: Long = MaxExactVectors): DataFrame = {
     val e = corpus(embeddings)
-    if (blocks <= 0 && shouldRouteLsh(e, maxExactVectors) &&
-        confirmedVectors(e) > maxExactVectors) {
+    val estimateHigh = blocks <= 0 && shouldRouteLsh(e, maxExactVectors)
+    if (estimateHigh && confirmedVectors(e) > maxExactVectors) {
       val dim = embDim(e)
       val (bands, planes) = routeBanding(minCos)
       nearDupPairsLsh(embeddings, minCos, bands, planes, dim)
@@ -611,7 +611,13 @@ object SimilarityOps {
       // task). B is capped so the broadcast block-pair relation stays tiny;
       // beyond the cap tiles grow past the target, which only means more
       // work per task, never more replication than B+1 rows per vector.
-      val B = if (blocks > 0) blocks else autoBlocks(e)
+      // When the confirm-count just DISPROVED a garbage-high estimate,
+      // size the blocking from the true count too — not from the same
+      // estimate that was wrong a moment ago.
+      val B =
+        if (blocks > 0) blocks
+        else if (estimateHigh) blocksForCount(confirmedVectors(e).toDouble)
+        else autoBlocks(e)
       nearDupPairsBlocked(e, minCos, B)
     }
   }
@@ -659,7 +665,13 @@ object SimilarityOps {
     * (public so stress tools can report the decision alongside timings).
     */
   def autoBlocks(corpusRel: DataFrame): Int =
-    math.min(256, math.max(1, math.ceil(estimatedVectors(corpusRel) / 512.0).toInt))
+    blocksForCount(estimatedVectors(corpusRel))
+
+  /** Tile sizing from a vector count: ~256k cosine evaluations per tile
+    * (B ~ n/512), capped so the block-pair relation stays tiny.
+    */
+  private def blocksForCount(n: Double): Int =
+    math.min(256, math.max(1, math.ceil(n / 512.0).toInt))
 
   private def nearDupPairsBlocked(e: DataFrame, minCos: Double, blocks: Int): DataFrame = {
     val spark = e.sparkSession
@@ -946,14 +958,14 @@ object SimilarityOps {
       nprobe: Int,
       probeEvery: Int): DataFrame = {
     val v = KMeansOps.quantize(embeddings) // (vec_id, vi, vv)
+    // ONE Lloyd fit feeds both legs: the raw codebook assigns the
+    // inverted lists (the kmeans family's audited arg-min — the oracle's
+    // aF relation) and, with its norms attached, ranks the probes
+    val centsRaw = KMeansOps.fitCentroids(embeddings, nlist, iters)
     val cents = broadcast(
-      KMeansOps.fitCentroids(embeddings, nlist, iters)
-        .withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
-    // inverted lists ARE the Lloyd fit's final assignment — one audited
-    // arg-min (distance/cid tie-break) shared with the kmeans family and
-    // the oracle's aF relation, reusing the fit's cached rounds
+      centsRaw.withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
     val lists = KMeansOps
-      .fitAssign(embeddings, nlist, iters)
+      .assign(v, centsRaw)
       .select(col("vec_id").as("c_id"), col("cid"))
     val q = v
       .filter(col("vec_id") % probeEvery === 0)

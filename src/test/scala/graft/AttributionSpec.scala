@@ -29,6 +29,21 @@ class AttributionSpec extends SparkSpec {
       ("view", "view") -> 1L, ("view", "conv") -> 1L))
   }
 
+  test("event types outside the declared state domain are ignored, not new states") {
+    // a 'refund' between click and purchase must be invisible: the chain
+    // sees click -> conv directly (the oracle's pivot knows only the
+    // declared states, so an unknown type becoming a state would
+    // silently diverge engine from oracle)
+    val rows = Seq(
+      (1L, 1L, 1L, "click"), (1L, 2L, 2L, "refund"), (1L, 3L, 3L, "purchase"))
+    val got = AttributionOps.transitionCounts(ev(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("start", "click") -> 1L, ("click", "conv") -> 1L))
+    val masks = AttributionOps.touchSetCounts(ev(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(masks == Map(1L -> 1L)) // click bit only; refund contributes nothing
+  }
+
   test("removal is monotone and credits normalize") {
     val rows = Seq(
       (1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),

@@ -45,10 +45,11 @@ class StreamingConformalSpec extends SparkSpec {
     assert(r.getLong(0) == b.getLong(0)) // n_calib
     val (thrLo, thrHi) = (r.getDouble(2), r.getDouble(3))
     val exactThr = b.getLong(1) / 1e9
-    // half-open everywhere except the closed last bin (values at the
-    // grid's upper edge clamp into bin hi−1)
-    assert(thrLo <= exactThr && exactThr <= thrHi,
-      s"exact thr $exactThr outside [$thrLo, $thrHi]")
+    // half-open bracket for every interior bin; the equality case is
+    // legal ONLY for the grid's closed last bin (upper-edge clamp)
+    assert(thrLo <= exactThr, s"exact thr $exactThr below $thrLo")
+    assert(exactThr < thrHi || r.getInt(1) == spec.hi - 1,
+      s"exact thr $exactThr at/above $thrHi in interior bin ${r.getInt(1)}")
     assert(r.getLong(4) == b.getLong(2)) // n_test
     val (covLo, covHi) = (r.getLong(5), r.getLong(6))
     assert(covLo <= b.getLong(3) && b.getLong(3) <= covHi,
