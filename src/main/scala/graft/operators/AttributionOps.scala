@@ -35,14 +35,43 @@ object AttributionOps {
   val Channels: Seq[String] = Seq("click", "error", "signup", "view")
   private val Nano = 1000000000L
 
+  /** Transient-state ceiling for the Markov driver solve (round-12
+    * verdict #4, the RankOps `MaxDriverGroups = 64` pattern): the solve
+    * is (n+2)² map reads per sweep over a collected ≤ (n+2)²-row count
+    * relation — 64 channels keeps that a ≤ ~4.4k-entry map, still a
+    * trivial driver object, while refusing an event taxonomy wide enough
+    * to make "collect the transition counts" a real data movement.
+    */
+  val MaxMarkovChannels: Int = 64
+
+  /** Channel ceiling for the exact Shapley solve: the subset-sum DP and
+    * the marginal loop are O(2ⁿ·n) — 16 channels ≈ 1M integer ops, still
+    * instant, while 2ⁿ growth past that would silently turn the driver
+    * solve into the bottleneck the bounded-relation design forbids.
+    */
+  val MaxShapleyChannels: Int = 16
+
+  private val Reserved = Set("start", "conv", "null", "purchase")
+
+  private def checkChannels(channels: Seq[String], max: Int, what: String): Unit = {
+    require(channels.nonEmpty, s"$what: channel domain must be non-empty")
+    require(channels.distinct.size == channels.size,
+      s"$what: duplicate channels in ${channels.mkString(",")}")
+    require(channels.size <= max,
+      s"$what: ${channels.size} channels exceed the $max-state driver-solve bound — " +
+        "a wider taxonomy must be bucketed before attribution")
+    val bad = channels.filter(Reserved)
+    require(bad.isEmpty, s"$what: reserved state names used as channels: ${bad.mkString(",")}")
+  }
+
   /** The shared attribution window: per-user events up to and including
     * the FIRST purchase, restricted to the DECLARED state domain
-    * ([[Channels]] + purchase — an event type outside the model's state
+    * (`channels` + purchase — an event type outside the model's state
     * space must not silently become a state the oracle doesn't know;
     * unknown touch types are ignored, exactly as the SQL twin's pivot
     * ignores them). `to_state` maps purchase → `conv`.
     */
-  private def journeys(events: DataFrame): DataFrame = {
+  private def journeys(events: DataFrame, channels: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     events
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
@@ -51,7 +80,7 @@ object AttributionOps {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .filter(coalesce(col("prior_purch"), lit(0L)) === 0L)
-      .filter(col("event_type").isin((Channels :+ "purchase"): _*))
+      .filter(col("event_type").isin((channels :+ "purchase"): _*))
       .withColumn(
         "to_state",
         when(col("event_type") === "purchase", lit("conv")).otherwise(col("event_type")))
@@ -64,8 +93,9 @@ object AttributionOps {
     * attribution window and drop; event types outside the declared
     * state domain are ignored (see [[journeys]]).
     */
-  def transitionCounts(events: DataFrame): DataFrame = {
-    val journey = journeys(events)
+  def transitionCounts(events: DataFrame, channels: Seq[String] = Channels): DataFrame = {
+    checkChannels(channels, MaxMarkovChannels, "transitionCounts")
+    val journey = journeys(events, channels)
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val pairs = journey
       .select(
@@ -92,8 +122,9 @@ object AttributionOps {
   private def solve(
       counts: Map[(String, String), Long],
       iters: Int,
-      removed: Option[String]): Map[String, Long] = {
-    val transient = "start" +: Channels.filterNot(removed.contains)
+      removed: Option[String],
+      channels: Seq[String]): Map[String, Long] = {
+    val transient = "start" +: channels.filterNot(removed.contains)
     val outTotals: Map[String, Long] = transient.map { s =>
       s -> counts.collect { case ((f, _), n) if f == s => n }.sum
     }.toMap
@@ -125,11 +156,12 @@ object AttributionOps {
     * converting users per EXACT touch set (direct conversions land on
     * mask 0 and cancel in every Shapley marginal).
     */
-  def touchSetCounts(events: DataFrame): DataFrame =
-    journeys(events)
+  def touchSetCounts(events: DataFrame, channels: Seq[String] = Channels): DataFrame = {
+    checkChannels(channels, MaxShapleyChannels, "touchSetCounts")
+    journeys(events, channels)
       .groupBy(col("user_id"))
       .agg(
-        Channels.zipWithIndex
+        channels.zipWithIndex
           .map { case (c, i) =>
             max(when(col("event_type") === c, 1L << i).otherwise(0L))
           }
@@ -137,6 +169,7 @@ object AttributionOps {
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
       .groupBy(col("mask"))
       .agg(sum(col("conv")).as("n_conv"))
+  }
 
   /** Shapley-value attribution (Shapley 1953; the order-free coalition
     * model beside [[markovRemoval]]'s chain model — Zhao et al. 2018):
@@ -144,37 +177,54 @@ object AttributionOps {
     * touch set ⊆ S, and channel c's value is the factorially-weighted
     * mean marginal φ_c = Σ_{S∌c} |S|!(n−|S|−1)!/n! · (v(S∪c) − v(S)).
     *
-    * With |channels| = 4 everything is EXACT integer arithmetic: the
-    * distributed leg is [[touchSetCounts]]'s ≤ 16-row mask relation
-    * (collected as a bounded stats read, session-memoized), v is a
-    * subset-sum over 16 masks, and φ·4! is an integer combination with
-    * weights 24·w ∈ {6, 2, 2, 6} — the oracle unrolls the identical
-    * sums, so the only float is the final 6-decimal credit share.
-    * Efficiency (Σφ = v(full) − v(∅)) is spec-pinned. Output per
-    * channel: `(channel, phi24, credit)` — `phi24` = 24·φ in
-    * conversion-count units; `credit` = φ / Σφ (NULL when no channel
-    * carries value).
+    * Everything is EXACT integer arithmetic: the distributed leg is
+    * [[touchSetCounts]]'s ≤ 2ⁿ-row mask relation (collected as a bounded
+    * stats read, session-memoized), v comes from ONE sum-over-subsets DP
+    * (O(2ⁿ·n) — the generalized form of the 16-mask subset-sum), and
+    * φ·n! is an integer combination of factorially-weighted marginals
+    * accumulated in BigInt (overflow-checked back to long) — the oracle
+    * unrolls the identical sums, so the only float is the final
+    * 6-decimal credit share. Efficiency (Σφ = v(full) − v(∅)) is
+    * spec-pinned. Output per channel: `(channel, phi24, credit)` —
+    * `phi24` = n!·φ in conversion-count units (named for the default
+    * 4-channel domain's 4! = 24; the oracle schema keeps the name);
+    * `credit` = φ / Σφ (NULL when no channel carries value). The channel
+    * domain is caller-parameterized (round-12 verdict #4), guarded at
+    * [[MaxShapleyChannels]] so a wide taxonomy can't silently blow up
+    * the 2ⁿ driver solve.
     */
-  def shapley(events: DataFrame): DataFrame = {
+  def shapley(events: DataFrame, channels: Seq[String] = Channels): DataFrame = {
+    checkChannels(channels, MaxShapleyChannels, "shapley")
     val spark = events.sparkSession
-    val n = Channels.size
+    val n = channels.size
     val full = (1 << n) - 1
-    val counts: Map[Int, Long] = DedupOps.sessionValue(events, "shapleyCounts") {
-      touchSetCounts(events).collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    }
-    def v(s: Int): Long =
-      (0 to full).collect { case t if (t & ~s & full) == 0 => counts.getOrElse(t, 0L) }.sum
-    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
-    val phi24: Seq[Long] = Channels.indices.map { i =>
+    val counts: Map[Int, Long] =
+      DedupOps.sessionValue(events, s"shapleyCounts:${channels.mkString(",")}") {
+        touchSetCounts(events, channels).collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      }
+    // v(S) = conversions among touch sets ⊆ S: sum-over-subsets DP, one
+    // in-place sweep per channel bit — O(2ⁿ·n) and exact in Long (each
+    // entry is a partial sum of disjoint user counts).
+    val v = Array.tabulate(full + 1)(t => counts.getOrElse(t, 0L))
+    for (i <- 0 until n; s <- 0 to full)
+      if ((s & (1 << i)) != 0) v(s) += v(s ^ (1 << i))
+    def fact(x: Int): BigInt = (1 to x).foldLeft(BigInt(1))(_ * _)
+    val weight: Array[BigInt] =
+      Array.tabulate(n)(size => fact(size) * fact(n - size - 1))
+    val phi24: Seq[Long] = channels.indices.map { i =>
       val bit = 1 << i
-      (0 to full).collect {
-        case s if (s & bit) == 0 =>
-          val size = Integer.bitCount(s)
-          fact(size) * fact(n - size - 1) * (v(s | bit) - v(s))
-      }.sum
+      val phi = (0 to full).foldLeft(BigInt(0)) { (acc, s) =>
+        if ((s & bit) == 0)
+          acc + weight(Integer.bitCount(s)) * BigInt(v(s | bit) - v(s))
+        else acc
+      }
+      require(phi.isValidLong,
+        s"shapley: n!·φ overflows long at ${channels.size} channels — reduce the domain")
+      phi.toLong
     }
     val sumPhi = phi24.sum
-    val rows = Channels.zipWithIndex.map { case (c, i) =>
+    val rows = channels.zipWithIndex.map { case (c, i) =>
       val credit =
         if (sumPhi == 0L) null
         else java.lang.Double.valueOf(
@@ -194,17 +244,22 @@ object AttributionOps {
     * credit (NULL when no channel has positive effect). `iters` sweeps,
     * default 12 — part of the model's deterministic spec.
     */
-  def markovRemoval(events: DataFrame, iters: Int = 12): DataFrame = {
+  def markovRemoval(
+      events: DataFrame,
+      iters: Int = 12,
+      channels: Seq[String] = Channels): DataFrame = {
+    checkChannels(channels, MaxMarkovChannels, "markovRemoval")
     val spark = events.sparkSession
-    val tc = transitionCounts(events)
+    val tc = transitionCounts(events, channels)
     val counts: Map[(String, String), Long] =
-      DedupOps.sessionValue(events, s"markovCounts") {
+      DedupOps.sessionValue(events, s"markovCounts:${channels.mkString(",")}") {
         tc.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       }
-    val pBase = solve(counts, iters, None)("start")
-    val removed = Channels.map(c => c -> solve(counts, iters, Some(c))("start")).toMap
-    val sumRe = Channels.map(c => pBase - removed(c)).sum
-    val rows = Channels.map { c =>
+    val pBase = solve(counts, iters, None, channels)("start")
+    val removed =
+      channels.map(c => c -> solve(counts, iters, Some(c), channels)("start")).toMap
+    val sumRe = channels.map(c => pBase - removed(c)).sum
+    val rows = channels.map { c =>
       val re =
         if (pBase == 0L) null
         else java.lang.Double.valueOf(

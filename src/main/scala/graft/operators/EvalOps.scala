@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object EvalOps {
 
+  /** Distinct-score ceiling for [[upliftQini]]'s single-partition
+    * cumulative window — 2¹⁶ rows is far beyond any sane score binning
+    * (deciles/percentiles/micro-buckets) yet small enough that the
+    * unpartitioned window stays a trivial task.
+    */
+  val MaxQiniScores: Int = 65536
+
   /** Binned Mann-Whitney AUC of an integer-quantized score against a
     * binary label, on a fixed `bins`-cell grid.
     *
@@ -1825,16 +1832,33 @@ object EvalOps {
     * trap naive decile-based uplift tooling falls into at scale).
     * Output per score (descending): the per-bucket and cumulative
     * sufficient stats and `qini` (NULL until a control unit appears).
+    *
+    * ENFORCED (round-12 verdict #3): the caller contract is now checked
+    * in the operator. The grouped per-score relation is persisted and
+    * its cardinality confirmed (one session-memoized count over rows the
+    * window was about to scan anyway — the cache makes the check
+    * near-free); if it exceeds `maxScores`, the call fails loudly
+    * instead of handing the single-partition cumulative window an
+    * unbounded rank. SkewStress measured exactly this failure shape:
+    * windows, not aggregations, are where unbounded cardinality bites.
     */
-  def upliftQini(units: DataFrame): DataFrame = {
+  def upliftQini(units: DataFrame, maxScores: Int = MaxQiniScores): DataFrame = {
     val dbl = (c: Column) => c.cast("double")
-    val g = units
-      .groupBy(col("score"))
-      .agg(
-        sum(col("t")).as("n_t"),
-        sum(lit(1L) - col("t")).as("n_c"),
-        sum(col("t") * col("y")).as("y_t"),
-        sum((lit(1L) - col("t")) * col("y")).as("y_c"))
+    val g = DedupOps.registerCache(
+      units
+        .groupBy(col("score"))
+        .agg(
+          sum(col("t")).as("n_t"),
+          sum(lit(1L) - col("t")).as("n_c"),
+          sum(col("t") * col("y")).as("y_t"),
+          sum((lit(1L) - col("t")) * col("y")).as("y_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nScores = DedupOps.sessionValue(units, "qiniScoreCardinality") { g.count() }
+    require(
+      nScores <= maxScores,
+      s"upliftQini: $nScores distinct scores exceed maxScores=$maxScores — the cumulative " +
+        "window would rank an unbounded relation in one task; bin the score to a bounded " +
+        "domain (BinSpec / integer deciles) before calling")
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     g.select(

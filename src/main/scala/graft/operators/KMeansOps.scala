@@ -31,6 +31,71 @@ object KMeansOps {
 
   val Scale = 1e6
 
+  /** Corpus-size ceiling for FULL-corpus Lloyd training (round-12 verdict
+    * #1). Below it, [[fitCentroids]] fits on every vector — the exact,
+    * oracle-matched path. Above it (plan-time estimate AND memoized
+    * confirmed count, the [[SimilarityOps.nearDupPairs]] discipline), the
+    * fit runs on a deterministic hash-rate sample of ~[[SampleFactor]]·k
+    * vectors and only the FINAL assignment/encoding pays the full corpus —
+    * removing the O(n·k·d·iters) full-corpus build that was the engine's
+    * last superlinear index cost. 10⁵ matches [[SimilarityOps
+    * .MaxExactVectors]]: the same "no longer a small corpus" line, far
+    * above every oracle scale so routed and exact paths never mix there.
+    */
+  val MaxFullFitVectors: Long = 100000L
+
+  /** Sampled-fit size target per centroid: ~256 training vectors per
+    * cluster, the conventional k-means sample sizing used by IVF/PQ
+    * codebook trainers (Jégou et al. 2011 train on bounded samples; FAISS
+    * documents 39–256 points per centroid as the useful band). The fit
+    * cost becomes O(k²·256·d·iters) — independent of the corpus.
+    */
+  val SampleFactor: Int = 256
+
+  /** Training-sample row target for a k-centroid fit. */
+  def sampleTarget(k: Int): Long = SampleFactor.toLong * k
+
+  /** The sampled-fit routing decision, factored pure so specs can pin both
+    * branches without constructing a 10⁵-row corpus: route when the
+    * confirmed corpus count exceeds both the ceiling and the sample target
+    * (a "sample" as large as the corpus would be the full fit with extra
+    * steps).
+    */
+  def shouldSampleFit(nConfirmed: Long, k: Int, maxFullFit: Long = MaxFullFitVectors): Boolean =
+    nConfirmed > maxFullFit && nConfirmed > sampleTarget(k)
+
+  /** Deterministic hash-rate training sample over a quantized corpus:
+    * keep vectors whose portable hash lands in a 1-in-`every` residue
+    * class, `every = ⌊n / sampleTarget(k)⌋` — ONE codegen filter over the
+    * (already persisted) corpus, no top-k heap, no global sort, expected
+    * size ~[[sampleTarget]]. Membership depends only on `vec_id` and the
+    * confirmed count, so the routed fit is reproducible cross-run and
+    * cross-engine.
+    */
+  def trainingSample(vecs: DataFrame, k: Int, nConfirmed: Long): DataFrame = {
+    val every = math.max(1L, nConfirmed / sampleTarget(k))
+    vecs.filter(
+      pmod(
+        PortableHash.hash60(concat(lit("kms:"), col("vec_id").cast("string"))),
+        lit(every)) === 0)
+  }
+
+  /** Plan-time vector-count estimate from Catalyst's size-in-bytes stats
+    * (file footer size for parquet — no data scan); the cheap first read
+    * of the route, confirmed by an exact memoized count before any
+    * behavior changes (estimates can be garbage-high for derived
+    * relations, and a bad estimate must never silently swap the exact
+    * fit for a sampled one).
+    */
+  private def estimatedVectors(embeddings: DataFrame): Double = {
+    val bytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rowSize = 8 + 8 * 64
+    (bytes / rowSize).toDouble.max(1.0)
+  }
+
+  private def confirmedVectors(rel: DataFrame): Long =
+    DedupOps.sessionValue(rel, "kmConfirmedVectors") { rel.count() }
+
   /** Quantized corpus `(vec_id, vi: array<double> of exact micro-ints,
     * vv = <vi,vi>)`, persisted (read once per iteration).
     */
@@ -170,15 +235,47 @@ object KMeansOps {
     * iteration lineage never re-evaluates prior assignments, and Spark's
     * plan-keyed CacheManager shares the rounds with any concurrent fit
     * over the same corpus/config.
+    *
+    * SIZE-ROUTED (round-12 verdict #1): when the corpus exceeds
+    * `maxFullFitVectors` (plan-time estimate, then a memoized exact count
+    * confirms — a garbage-high estimate never reroutes), Lloyd trains on
+    * a deterministic ~[[sampleTarget]]-vector hash sample instead of the
+    * full corpus, so index BUILD cost is O(k²·[[SampleFactor]]·d·iters),
+    * corpus-independent. The returned codebook differs from the full fit
+    * (it is a trained quantizer either way — quality is gated by
+    * `ivf_recall`, not bit-equality), which is why the ceiling sits far
+    * above every oracle scale: below it the fit is bit-identical to the
+    * unrouted form. The route announces itself via
+    * [[graft.core.RouteLog.costRoute]].
     */
-  def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fitCentroids(
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int,
+      maxFullFitVectors: Long = MaxFullFitVectors): DataFrame = {
     require(iters >= 1)
     val vecs = quantize(embeddings)
-    var cents = DedupOps.registerCache(seeds(vecs, k).persist(StorageLevel.MEMORY_AND_DISK))
+    // SIZE-ROUTED TRAINING (round-12 verdict #1): an over-ceiling
+    // plan-time estimate triggers one memoized exact count; only a
+    // CONFIRMED over-ceiling corpus trains on the bounded hash sample.
+    // Consumers (knnIvfTrained list assignment, pqAdc encoding) still pay
+    // the full corpus exactly once — against the sample-trained codebook.
+    val fitVecs =
+      if (estimatedVectors(embeddings) > maxFullFitVectors.toDouble &&
+          shouldSampleFit(confirmedVectors(vecs), k, maxFullFitVectors)) {
+        val n = confirmedVectors(vecs)
+        graft.core.RouteLog.costRoute(
+          "fitCentroids.sampledFit",
+          s"n=$n > $maxFullFitVectors (k=$k) — training on ~${sampleTarget(k)}-vector " +
+            "hash sample; full corpus pays only the final assignment/encoding")
+        DedupOps.registerCache(
+          trainingSample(vecs, k, n).persist(StorageLevel.MEMORY_AND_DISK))
+      } else vecs
+    var cents = DedupOps.registerCache(seeds(fitVecs, k).persist(StorageLevel.MEMORY_AND_DISK))
     cents.count()
     for (_ <- 1 until iters) {
       cents = DedupOps.registerCache(
-        update(vecs, assign(vecs, cents)).persist(StorageLevel.MEMORY_AND_DISK))
+        update(fitVecs, assign(fitVecs, cents)).persist(StorageLevel.MEMORY_AND_DISK))
       cents.count()
     }
     cents

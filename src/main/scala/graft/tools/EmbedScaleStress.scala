@@ -43,6 +43,7 @@ object EmbedScaleStress {
     // crossover evidence behind nearDupPairs' size route
     val crossover = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     val lshTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val fitCost = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
     for (factor <- Seq(1, 4, 16)) {
       val path = s"target/stress/emb_x$factor.parquet"
       if (!new java.io.File(path).exists()) {
@@ -56,6 +57,20 @@ object EmbedScaleStress {
       println(s"factor $factor (${emb.count()} vectors):")
       t("kmeans k=8 x2 iters")(KMeansOps.fitSummary(emb, 8, 2).count())
       DedupOps.releaseAllCaches()
+      // r12 verdict #1 evidence: codebook TRAINING cost, full fit vs the
+      // sampled-fit route (bounded ~256·k training set). Full-fit cost is
+      // O(n·k·d·iters) and grows with the factor; the sampled fit must stay
+      // flat once the route fires (n > 256·k → factors 4/16 here; at
+      // factor 1 the corpus is under the sample target and the route
+      // correctly refuses — recorded as the full-fit time).
+      val kFit = 32 // sample target 256·32 = 8192: the route fires at 32k
+      val tFull = t(s"fitCentroids k=$kFit FULL fit (route disabled)")(
+        KMeansOps.fitCentroids(emb, kFit, 2, maxFullFitVectors = Long.MaxValue).count())
+      DedupOps.releaseAllCaches()
+      val tSampled = t(s"fitCentroids k=$kFit forced-ceiling (sampled when n>256k)")(
+        KMeansOps.fitCentroids(emb, kFit, 2, maxFullFitVectors = 100).count())
+      DedupOps.releaseAllCaches()
+      fitCost += ((factor, emb.count(), tFull, tSampled))
       val c = SimilarityOps.corpus(emb)
       val q = c.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0) // fixed |Q|
       val nlist = math.max(16, math.sqrt(emb.count().toDouble).toInt)
@@ -138,6 +153,11 @@ object EmbedScaleStress {
       t("nearDupPairsLsh cos>=0.9 planted")(
         SimilarityOps.nearDupPairsLsh(dupCorpus, 0.9, bands = 12, planesPerBand = 10, dim = 64).count())
       DedupOps.releaseAllCaches()
+    }
+    println("\ncodebook training cost (k=8 x2 iters): full fit vs sampled-fit route")
+    println("  factor |      n | full s | sampled s | full/sampled")
+    fitCost.foreach { case (f, n, tf, ts) =>
+      println(f"  $f%6d | $n%6d | $tf%6.2f | $ts%9.2f | ${tf / ts}%12.2fx")
     }
     println("\nexact-vs-LSH crossover (low-threshold regime, cos>=0.4):")
     println("  factor |      n | exact s | lsh s | exact/lsh")

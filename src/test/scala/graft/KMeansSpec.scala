@@ -101,6 +101,56 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("sampled-fit route (r12 verdict #1): pure decision boundaries") {
+    // routes only when BOTH the ceiling and the sample target are exceeded
+    assert(KMeansOps.shouldSampleFit(100001L, 4))
+    assert(!KMeansOps.shouldSampleFit(100000L, 4))
+    assert(!KMeansOps.shouldSampleFit(0L, 4))
+    // a corpus no larger than the sample target never routes, whatever
+    // the ceiling — a "sample" of everything is the full fit
+    assert(!KMeansOps.shouldSampleFit(200L, 1, maxFullFit = 10L))
+    assert(KMeansOps.shouldSampleFit(300L, 1, maxFullFit = 10L))
+    assert(KMeansOps.sampleTarget(64) == 256L * 64)
+  }
+
+  test("sampled-fit route fires above a confirmed ceiling and equals the full fit on the sample") {
+    import graft.core.RouteLog
+    import graft.functions.PortableHash
+    val n = 1200
+    val emb = (0L until n.toLong).map { i =>
+      val v = (0 until 4).map(d => (((i * 13 + d * 7) % 21).toDouble - 10.0) / 20.0)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val k = 2
+    def count(route: String) = RouteLog.recent().count(_.startsWith(s"$route:"))
+    val before = count("fitCentroids.sampledFit")
+    val routed = KMeansOps
+      .fitCentroids(emb, k, iters = 2, maxFullFitVectors = 10L)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    assert(count("fitCentroids.sampledFit") == before + 1, "route must fire and announce itself")
+    // manual twin: the UNROUTED full fit on exactly the hash-sample subset
+    // must be bit-identical (quantize and the hash filter commute)
+    val every = math.max(1L, n.toLong / KMeansOps.sampleTarget(k))
+    assert(every >= 2, "fixture must actually subsample")
+    val subset = emb.filter(
+      pmod(
+        PortableHash.hash60(concat(lit("kms:"), col("vec_id").cast("string"))),
+        lit(every)) === 0)
+    val nSub = subset.count()
+    assert(nSub > 0 && nSub < n)
+    val manual = KMeansOps
+      .fitCentroids(subset, k, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    DedupOps.releaseShingleCaches()
+    assert(routed == manual)
+    // below the default ceiling nothing routes — the oracle path is the
+    // bit-exact full fit
+    val quiet = count("fitCentroids.sampledFit")
+    KMeansOps.fitCentroids(emb, k, iters = 1).count()
+    DedupOps.releaseShingleCaches()
+    assert(count("fitCentroids.sampledFit") == quiet)
+  }
+
   test("unigram NLL: uniform corpus scores ln(vocab), rare tokens score higher") {
     val docs = Seq(
       (1L, "aa bb cc dd"),

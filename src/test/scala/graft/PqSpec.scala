@@ -68,6 +68,30 @@ class PqSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("pqAdc sampled-fit route (r12 verdict #1): fires over a confirmed ceiling, keys exact") {
+    import graft.core.RouteLog
+    val n = 1200
+    val df = embDf(n)
+    def cnt = RouteLog.recent().count(_.startsWith("pqAdc.sampledFit:"))
+    val before = cnt
+    // ksub=2 → sample target 512 < 1200, so the route genuinely subsamples
+    val routed = SimilarityOps
+      .pqAdc(df, m = 2, ksub = 2, iters = 2, probeEvery = 400, dim = 8,
+        maxFullFitVectors = 10L)
+      .collect()
+    assert(cnt == before + 1, "route must fire once and announce itself")
+    assert(routed.forall(_.getLong(2) >= 0L))
+    // the sample changes only TRAINING: the encode/probe legs still pay the
+    // full corpus, so the (q_id, c_id) key set is identical to the full fit
+    val keys = routed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = SimilarityOps
+      .pqAdc(df, m = 2, ksub = 2, iters = 2, probeEvery = 400, dim = 8)
+      .collect()
+    assert(cnt == before + 1, "default ceiling must not route at 1200 vectors")
+    assert(full.map(r => (r.getLong(0), r.getLong(1))).toSet == keys)
+    graft.operators.DedupOps.releaseAllCaches()
+  }
+
   test("ADC dtab broadcast decision: bounded at sf scale, dropped at corpus scale") {
     // bench config (n=2000, probeEvery=50, m=8, ksub=256): 40 probes →
     // ~82k dtab rows — well under the 2^22-row broadcast ceiling

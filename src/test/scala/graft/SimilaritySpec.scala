@@ -203,7 +203,13 @@ class SimilaritySpec extends SparkSpec {
     // reference equality pins that the route really is the LSH path, not a
     // lookalike.
     assert(SimilarityOps.shouldRouteLsh(SimilarityOps.corpus(raw), maxExactVectors = 10))
+    val warnsBefore = graft.core.RouteLog.recent()
+      .count(_.startsWith("nearDupPairs.lshRoute:"))
     val routed = SimilarityOps.nearDupPairs(raw, minCos = 0.4, maxExactVectors = 10)
+    // r12 advice #1: the contract change (exact → LSH subset) must be
+    // announced, not silent
+    assert(graft.core.RouteLog.recent().count(_.startsWith("nearDupPairs.lshRoute:"))
+      == warnsBefore + 1, "LSH route must announce the contract change")
     val direct = SimilarityOps.nearDupPairsLsh(raw, minCos = 0.4,
       bands = 20, planesPerBand = 6, dim = 64)
     assert(routed eq direct, "route must land on the shared LSH relation")
