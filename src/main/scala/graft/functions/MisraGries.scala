@@ -37,56 +37,64 @@ import org.apache.spark.sql.expressions.Aggregator
   * exactly that, which is why its output is deterministic even though
   * this buffer is not (MgSpec pins both properties).
   */
-class MisraGries(k: Int) extends Aggregator[Long, (Long, Map[Long, Long]), Seq[Long]] {
+class MisraGries(k: Int)
+    extends Aggregator[Long, (Long, Long, Map[Long, Long]), (Long, Seq[Long])] {
   require(k >= 1, "need at least one counter")
 
-  override def zero: (Long, Map[Long, Long]) = (0L, Map.empty)
+  // Buffer is (n, base, counts): n is the TOTAL element count — itself a
+  // trivially mergeable sum, carried so one aggregation pass yields both
+  // the candidate set and the n that defines its > n/(k+1) guarantee
+  // (round-12 advice: heavyHittersMg previously paid a third scan for n).
+  override def zero: (Long, Long, Map[Long, Long]) = (0L, 0L, Map.empty)
 
   /** Effective (textbook-MG) counts of a buffer — alive keys only. */
-  def effective(st: (Long, Map[Long, Long])): Map[Long, Long] = {
-    val (base, m) = st
+  def effective(st: (Long, Long, Map[Long, Long])): Map[Long, Long] = {
+    val (_, base, m) = st
     m.collect { case (t, c) if c > base => t -> (c - base) }
   }
 
-  override def reduce(st: (Long, Map[Long, Long]), key: Long): (Long, Map[Long, Long]) = {
+  override def reduce(
+      st: (Long, Long, Map[Long, Long]), key: Long): (Long, Long, Map[Long, Long]) = {
     // invariant: every stored entry is ALIVE (c > base) — insertions
     // store base+1, the base step sweeps immediately, and merge re-bases
     // at 0 with positive counts only
-    val (base, m) = st
+    val (n, base, m) = st
     m.get(key) match {
-      case Some(c) => (base, m.updated(key, c + 1L))
-      case None if m.size < k => (base, m.updated(key, base + 1L))
+      case Some(c) => (n + 1L, base, m.updated(key, c + 1L))
+      case None if m.size < k => (n + 1L, base, m.updated(key, base + 1L))
       case None =>
         // k tracked, all alive: one base step ≡ decrement-all; sweep
         // newly-dead entries now (amortized by the credits the sweep
         // consumes — see scaladoc)
         val nb = base + 1L
-        (nb, m.filter { case (_, c) => c > nb })
+        (n + 1L, nb, m.filter { case (_, c) => c > nb })
     }
   }
 
   override def merge(
-      a: (Long, Map[Long, Long]),
-      b: (Long, Map[Long, Long])): (Long, Map[Long, Long]) = {
+      a: (Long, Long, Map[Long, Long]),
+      b: (Long, Long, Map[Long, Long])): (Long, Long, Map[Long, Long]) = {
     val ea = effective(a)
     val summed = effective(b).foldLeft(ea) { case (m, (t, c)) =>
       m.updated(t, m.getOrElse(t, 0L) + c)
     }
-    if (summed.size <= k) (0L, summed)
+    val n = a._1 + b._1
+    if (summed.size <= k) (n, 0L, summed)
     else {
       // subtract the (k+1)-th largest counter; ties keep the summary ≤ k
       // because every counter ≤ the cut drops to ≤ 0
       val cut = summed.values.toArray.sortBy(-_).apply(k)
-      (0L, summed.collect { case (t, c) if c > cut => t -> (c - cut) })
+      (n, 0L, summed.collect { case (t, c) if c > cut => t -> (c - cut) })
     }
   }
 
-  override def finish(st: (Long, Map[Long, Long])): Seq[Long] =
-    effective(st).keys.toSeq.sorted
+  /** `(n_total, sorted candidate keys)`. */
+  override def finish(st: (Long, Long, Map[Long, Long])): (Long, Seq[Long]) =
+    (st._1, effective(st).keys.toSeq.sorted)
 
-  override def bufferEncoder: Encoder[(Long, Map[Long, Long])] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Map[Long, Long])]()
+  override def bufferEncoder: Encoder[(Long, Long, Map[Long, Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Map[Long, Long])]()
 
-  override def outputEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[(Long, Seq[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
 }

@@ -536,8 +536,11 @@ object SketchOps {
     *     merge-order-dependent (MgSpec pins both).
     *
     * The full-cardinality groupBy never happens; state is k counters per
-    * task. Output: `(term, n_term, n_total, frac)` ordered by
-    * `(n_term desc, term)`.
+    * task. TWO scans of the key stream total: the MG summary carries its
+    * own `n_total` (a mergeable sum in the same buffer — round-12 advice
+    * #3 closed the separate count scan), and the persisted 1-row summary
+    * feeds both the candidate broadcast and the total. Output:
+    * `(term, n_term, n_total, frac)` ordered by `(n_term desc, term)`.
     */
   def heavyHittersMg(df: DataFrame, key: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -549,13 +552,18 @@ object SketchOps {
       .filter(col("term").isNotNull)
       .withColumn("h", PortableHash.hash60(col("term")))
     val mg = new graft.functions.MisraGries(k)
-    val candidates = toks
-      .select(col("h"))
-      .as[Long]
-      .select(mg.toColumn)
-      .toDF("cands")
-      .select(explode(col("cands")).as("h"))
-    val tot = toks.agg(count(lit(1)).as("n_total"))
+    // ONE pass yields both the ≤k candidate set and n_total (the summary
+    // carries its own count — round-12 advice #3: this was a third scan);
+    // the 1-row summary persists so its two readers share one evaluation
+    val summary = DedupOps.registerCache(
+      toks
+        .select(col("h"))
+        .as[Long]
+        .select(mg.toColumn)
+        .toDF("n_total", "cands")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candidates = summary.select(explode(col("cands")).as("h"))
+    val tot = summary.select(col("n_total"))
     toks
       .join(broadcast(candidates), Seq("h"))
       .groupBy(col("term"))

@@ -4,8 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.core.BinSpec
-import graft.operators.HistogramOps
+import graft.operators.{DedupOps, HistogramOps}
 
 /** Streaming twin of [[graft.operators.EvalOps.conformalCoverage]]
   * (round-11 verdict #4): maintain the calibration scores' HISTOGRAM
@@ -46,6 +48,13 @@ import graft.operators.HistogramOps
   * sink table, or a persisted/memoized relation — the oracled queries
   * bin a session-memoized scored relation). That is the natural shape:
   * the bin-count state IS the materialized summary the monitors own.
+  * ENFORCED for the threshold leg (round-12 verdict #5): the coverage
+  * readouts evaluate the cutoff relation exactly ONCE — it is persisted
+  * and eagerly materialized (≤ 1 row / ≤ |groups| rows) before both
+  * consumers read it, so even a non-deterministic unmaterialized input
+  * can never report a cutoff inconsistent with the coverage computed
+  * from it (StreamingConformalSpec pins this with an unseeded-random
+  * state).
   */
 object StreamingConformal {
 
@@ -137,7 +146,12 @@ object StreamingConformal {
       alphaNum: Long = 1L,
       alphaDen: Long = 10L): DataFrame = {
     val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val thr = thresholdFromStateBy(calibState, spec, alphaNum, alphaDen)
+    // evaluate-once: both the covered-count leg and the final join read
+    // the SAME materialized ≤|groups|-row cutoff relation
+    val thr = DedupOps.registerCache(
+      thresholdFromStateBy(calibState, spec, alphaNum, alphaDen)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    thr.count()
     val cov = testState
       .join(broadcast(thr.select(col("grp"), col("thr_bin").as("tb"))), Seq("grp"), "left")
       .groupBy(col("grp"))
@@ -174,7 +188,12 @@ object StreamingConformal {
       alphaNum: Long = 1L,
       alphaDen: Long = 10L): DataFrame = {
     val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val thr = thresholdFromState(calibState, spec, alphaNum, alphaDen)
+    // evaluate-once: the cutoff is computed from the (possibly
+    // unmaterialized) state exactly once; both consumers read the cache
+    val thr = DedupOps.registerCache(
+      thresholdFromState(calibState, spec, alphaNum, alphaDen)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    thr.count()
     val cov = testState
       .crossJoin(broadcast(thr.select(col("thr_bin").as("tb"))))
       .agg(

@@ -79,9 +79,12 @@ class MgSpec extends SparkSpec {
       input.addData(data.slice(300, 700)); query.processAllAvailable()
       input.addData(data.drop(700)); query.processAllAvailable()
       val cands = spark.table("mg_state")
-        .select(explode(col("cands")).as("h")).collect().map(_.getLong(0)).toSet
+        .select(explode(col("cands._2")).as("h")).collect().map(_.getLong(0)).toSet
       assert(cands.size <= 4, s"state bound violated: $cands")
       val n = freqs.values.sum
+      // the summary's own count equals the stream length after any merge tree
+      assert(spark.table("mg_state").select(col("cands._1"))
+        .collect().head.getLong(0) == n.toLong)
       for ((k, f) <- freqs if f * 5 > n)
         assert(cands(k), s"true heavy hitter $k lost across micro-batches")
     } finally query.stop()

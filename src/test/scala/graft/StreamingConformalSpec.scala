@@ -156,4 +156,30 @@ class StreamingConformalSpec extends SparkSpec {
       assert(a == bb)
     } finally query.stop()
   }
+
+  test("evaluate-once (r12 verdict #5): readout self-consistent on a non-deterministic state") {
+    // an UNMATERIALIZED, unseeded-random calibration state: without the
+    // persisted single evaluation, the reported cutoff and the coverage
+    // computed from it would come from two different draws and disagree
+    val test = (1 to 200).map(_ / 25.0)
+    val (_, ts) = states(Seq.empty, test)
+    val testBins = ts.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // rand() bakes its seed at construction — a marked-nondeterministic
+    // UDF is what actually re-draws on every plan evaluation
+    val noisyCnt = udf(() => (scala.util.Random.nextInt(50) + 1).toLong).asNondeterministic()
+    for (_ <- 1 to 5) {
+      val calib = spark.range(16)
+        .select(col("id").cast("int").as("bin"), noisyCnt().as("cnt"))
+      val r = StreamingConformal.coverageFromState(calib, ts, spec).collect()(0)
+      // recompute covered counts from the REPORTED cutoff over the
+      // deterministic test state — must match exactly
+      val tb = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val expLo = testBins.collect { case (b, c) if tb.forall(b > _) => c }.sum
+      val expHi = testBins.collect { case (b, c) if tb.forall(b >= _) => c }.sum
+      assert(r.getLong(5) == expLo && r.getLong(6) == expHi,
+        s"coverage inconsistent with reported cutoff $tb: " +
+          s"(${r.getLong(5)}, ${r.getLong(6)}) vs ($expLo, $expHi)")
+      graft.operators.DedupOps.releaseAllCaches()
+    }
+  }
 }
