@@ -45,6 +45,26 @@ object EventsQueries {
         round(z, 6).as("z_score"),
         (abs(z) > lit(1.96)).as("significant"))
     }),
+    // Group-sequential (O'Brien–Fleming) readout over the same ab_test
+    // split — the anytime-valid decision layer (round-12 verdict #6):
+    // 5 planned looks over the experiment's time range, cumulative
+    // Welch z per look vs the z_final·sqrt(K/k) boundary, first
+    // crossing = the stop decision. The state is the streaming monitor's
+    // per-(look, variant) mergeable sums (StreamingSequential.lookStats
+    // — batch≡stream pinned in StreamingSpec); the readout windows run
+    // over the ≤5-row aggregated relation.
+    "ab_sequential" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val looked = ev
+        .crossJoin(broadcast(bounds))
+        .select(
+          col("user_id"), col("value"),
+          graft.streaming.StreamingSequential
+            .lookOf(col("ts_us"), col("t0"), col("t1"), 5).as("lk"))
+      val state = graft.streaming.StreamingSequential.lookStats(looked, col("lk"))
+      graft.streaming.StreamingSequential.obfReadout(state, looks = 5, zFinal = 2.04)
+    }),
     // Tumbling-window histogram: hour bucket × width-10 value bin. The
     // identical groupBy runs incrementally under Structured Streaming
     // (StreamingHistogram.windowed); counts merge by A4 associativity.
@@ -965,6 +985,58 @@ object EventsQueries {
         |                      / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
         |                  / CAST(n_b AS DOUBLE))) > 1.96 AS significant
         |FROM g""".stripMargin,
+    "ab_sequential" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |), b AS (
+        |  SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM ev
+        |), e AS (
+        |  SELECT least(CAST(4 AS BIGINT), ((ts_us - t0) * 5) // (t1 - t0 + 1)) AS look,
+        |         CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS c
+        |  FROM ev, b WHERE value IS NOT NULL AND NOT isnan(value)
+        |), g AS (
+        |  SELECT look,
+        |         CAST(sum(a) AS BIGINT) AS dn_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS dn_b,
+        |         CAST(sum(a * c) AS BIGINT) AS ds_a,
+        |         CAST(sum((1 - a) * c) AS BIGINT) AS ds_b,
+        |         CAST(sum(a * c * c) AS BIGINT) AS dq_a,
+        |         CAST(sum((1 - a) * c * c) AS BIGINT) AS dq_b
+        |  FROM e GROUP BY look
+        |), cum AS (
+        |  SELECT look,
+        |         CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+        |         CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+        |         CAST(sum(ds_a) OVER w AS BIGINT) AS s_a,
+        |         CAST(sum(ds_b) OVER w AS BIGINT) AS s_b,
+        |         CAST(sum(dq_a) OVER w AS BIGINT) AS q_a,
+        |         CAST(sum(dq_b) OVER w AS BIGINT) AS q_b
+        |  FROM g
+        |  WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), r AS (
+        |  SELECT look, n_a, n_b,
+        |         CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |           round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |                  - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |                 / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |                          / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |                        / CAST(n_a AS DOUBLE)
+        |                        + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |                            / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |                        / CAST(n_b AS DOUBLE)), 6)
+        |         END AS z_k,
+        |         round(2.04 * sqrt(5.0 / (CAST(look AS DOUBLE) + 1.0)), 6) AS bound_k
+        |  FROM cum
+        |), f AS (
+        |  SELECT look, n_a, n_b, z_k, bound_k,
+        |         (z_k IS NOT NULL AND abs(z_k) >= bound_k) AS crossed
+        |  FROM r
+        |)
+        |SELECT look, n_a, n_b, z_k, bound_k, crossed,
+        |       min(CASE WHEN crossed THEN look END) OVER () AS decide_look
+        |FROM f ORDER BY look""".stripMargin,
     "events_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group-sequential A/B readout — the anytime-valid sibling of the
+  * fixed-horizon `ab_test` z-gate (round-12 verdict #6): the experiment
+  * is monitored at `looks` planned interim analyses, and at look k the
+  * cumulative Welch z is compared against the O'Brien–Fleming boundary
+  * `z_final · √(looks / (k+1))` (O'Brien & Fleming 1979; the √(K/k)
+  * shape is the classic form — conservative early, converging to the
+  * near-fixed-horizon `z_final` at the last look, which is what makes
+  * repeated looks not inflate type-I error). `z_final` is part of the
+  * declared design, read off the published OBF tables (e.g. two-sided
+  * α = 0.05: 2.04 at K=5, 2.05 at K=10 — vs 1.96 at K=1).
+  *
+  * Scale/streaming shape: the STATE is [[lookStats]] — per-(look,
+  * variant) `(n, Σcents, Σcents²)`, the same three mergeable integer
+  * sums as [[StreamingAbTest.variantStats]] just keyed by the declared
+  * look calendar, so Structured Streaming folds micro-batches into
+  * ≤ 2·looks state rows with no history re-read. The READOUT
+  * ([[obfReadout]]) is a pure function of that bounded state: one pivot
+  * aggregation to ≤ looks rows, cumulative sums over the look order
+  * (a window over the AGGREGATED relation — the engine's
+  * bounded-relation-before-window family rule), then the z / boundary
+  * projection. Every count/sum is exact integer arithmetic; floats
+  * enter only in the final per-look projection, rounded to 6 decimals
+  * in the same expression order as the DuckDB oracle.
+  *
+  * Look assignment must be PRE-DECLARED (a calendar, not a data scan)
+  * for the streaming form — [[lookOf]] maps a timestamp onto K equal
+  * slices of a declared `[t0, t1]` window; the batch oracle query
+  * derives t0/t1 in-plan from min/max, which is the same expression
+  * with the 1-row bounds relation cross-joined in.
+  */
+object StreamingSequential {
+
+  /** Look index 0..looks−1 for a timestamp within declared bounds
+    * (equal slices of `[t0, t1]`, floor semantics, top edge clamped
+    * into the last look). Exact integral division via the pmod
+    * identity — `a DIV b = (a − pmod(a, b)) / b`, where the final
+    * division is exact in double because the dividend (≤ looks ·
+    * timestamp-span microseconds) stays far under 2⁵³ and divides
+    * evenly — Spark's `/` on longs is double division (the repo's
+    * DIV-not-/ rule), and Column has no integral-divide operator.
+    */
+  def lookOf(ts: Column, t0: Column, t1: Column, looks: Int): Column = {
+    val num = (ts - t0) * lit(looks.toLong)
+    val den = t1 - t0 + lit(1L)
+    least(lit(looks - 1L), ((num - pmod(num, den)) / den).cast("bigint"))
+  }
+
+  /** Per-(look, variant) sufficient statistics `(look, variant, n, s,
+    * q)` — runnable identically on a batch or streaming
+    * `(user_id, value, <look source>)` input; `look` is any
+    * deterministic per-row column (use [[lookOf]] over a declared
+    * calendar for streams).
+    */
+  def lookStats(events: DataFrame, look: Column): DataFrame =
+    events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(
+        look.cast("bigint").as("look"),
+        pmod(col("user_id"), lit(2L)).as("variant"),
+        (col("value") * lit(100.0)).cast("bigint").as("c"))
+      .groupBy(col("look"), col("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+
+  /** O'Brien–Fleming sequential readout over a [[lookStats]] state
+    * relation: one row per look with the CUMULATIVE stats, the Welch z
+    * (NULL until both arms have ≥ 2 units), the OBF boundary, the
+    * per-look crossing flag, and `decide_look` — the first crossing
+    * look (NULL if the boundary is never crossed; constant across
+    * rows, the experiment's stop decision). Deterministic: exact
+    * integer sums, floats only in the final projection, both rounded
+    * to 6 decimals.
+    */
+  def obfReadout(state: DataFrame, looks: Int, zFinal: Double): DataFrame = {
+    require(looks >= 1, "need at least one look")
+    val dbl = (c: Column) => c.cast("double")
+    val a = col("variant") === 0L
+    val per = state
+      .groupBy(col("look"))
+      .agg(
+        sum(when(a, col("n")).otherwise(0L)).as("dn_a"),
+        sum(when(a, lit(0L)).otherwise(col("n"))).as("dn_b"),
+        sum(when(a, col("s")).otherwise(0L)).as("ds_a"),
+        sum(when(a, lit(0L)).otherwise(col("s"))).as("ds_b"),
+        sum(when(a, col("q")).otherwise(0L)).as("dq_a"),
+        sum(when(a, lit(0L)).otherwise(col("q"))).as("dq_b"))
+    val wCum = Window.orderBy(col("look")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per.select(
+      col("look"),
+      sum(col("dn_a")).over(wCum).as("n_a"),
+      sum(col("dn_b")).over(wCum).as("n_b"),
+      sum(col("ds_a")).over(wCum).as("s_a"),
+      sum(col("ds_b")).over(wCum).as("s_b"),
+      sum(col("dq_a")).over(wCum).as("q_a"),
+      sum(col("dq_b")).over(wCum).as("q_b"))
+    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
+      (dbl(col("n_a")) - lit(1.0))
+    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
+      (dbl(col("n_b")) - lit(1.0))
+    val z = (dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))) /
+      sqrt(va / dbl(col("n_a")) + vb / dbl(col("n_b")))
+    val bound = lit(zFinal) *
+      sqrt(lit(looks.toDouble) / (dbl(col("look")) + lit(1.0)))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum
+      .select(
+        col("look"), col("n_a"), col("n_b"),
+        when(col("n_a") > 1L && col("n_b") > 1L, round(z, 6)).as("z_k"),
+        round(bound, 6).as("bound_k"))
+      .withColumn(
+        "crossed",
+        col("z_k").isNotNull && abs(col("z_k")) >= col("bound_k"))
+      .withColumn(
+        "decide_look",
+        min(when(col("crossed"), col("look"))).over(wAll))
+      .orderBy(col("look"))
+  }
+}

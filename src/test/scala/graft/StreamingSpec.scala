@@ -93,6 +93,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sequential readout: incremental look-state == batch; OBF boundary readout identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSequential
+    // declared look calendar: ts in [0, 999], 5 looks of 200 each; events
+    // arrive OUT of look order across micro-batches — mergeable state
+    // must not care
+    val events: Seq[(Long, Double, Long)] =
+      (0 until 600).map(i => (i.toLong % 41, (i % 97).toDouble + 0.25, (i * 13L) % 1000L))
+    val lookCol = StreamingSequential.lookOf(col("ts_us"), lit(0L), lit(999L), 5)
+    val input = MemoryStream[(Long, Double, Long)]
+    val stream = StreamingSequential.lookStats(
+      input.toDF().toDF("user_id", "value", "ts_us"), lookCol)
+    val query = stream.writeStream
+      .format("memory").queryName("stream_seq").outputMode("complete").start()
+    try {
+      input.addData(events.take(200)); query.processAllAvailable()
+      input.addData(events.slice(200, 450)); query.processAllAvailable()
+      input.addData(events.drop(450)); query.processAllAvailable()
+      def row(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))
+      val streamed = spark.table("stream_seq").collect().map(row).toMap
+      val batchState = StreamingSequential.lookStats(
+        events.toDF("user_id", "value", "ts_us"), lookCol)
+      assert(streamed == batchState.collect().map(row).toMap)
+      assert(streamed.keySet.map(_._1) == Set(0L, 1L, 2L, 3L, 4L))
+      // the readout is a pure function of the state: stream and batch
+      // state produce the identical boundary table
+      val a = StreamingSequential.obfReadout(spark.table("stream_seq"), 5, 2.04)
+        .collect().toSeq
+      val b = StreamingSequential.obfReadout(batchState, 5, 2.04).collect().toSeq
+      assert(a == b)
+      // boundary is monotone decreasing toward z_final at the last look
+      val bounds = a.map(_.getDouble(4))
+      assert(bounds == bounds.sorted.reverse && math.abs(bounds.last - 2.04) < 1e-9)
+      // cumulative n at the last look equals all valid units
+      assert(a.last.getLong(1) + a.last.getLong(2) == 600L)
+      // decide_look is constant across rows and equals the first crossing
+      val firstCross = a.find(_.getBoolean(5)).map(_.getLong(0))
+      a.foreach { r =>
+        val dl = if (r.isNullAt(6)) None else Some(r.getLong(6))
+        assert(dl == firstCross)
+      }
+    } finally query.stop()
+  }
+
   test("windowed counts sum to valid input rows (batch)") {
     val df = StreamingHistogram.windowedCounts(sampleEvents.toDF("ts", "value"), spec, "1 hour")
     assert(df.agg(sum("cnt")).head().getLong(0) == 500L)
