@@ -210,19 +210,46 @@ object ProfileOps {
     * duplicates on both axes stay (neither dominates). Expects integer
     * columns named `x`, `y` plus carry-through columns.
     *
-    * Scale note: a global skyline inherently needs a global order on x —
-    * at 100 TB the standard shape is grid-partitioned local skylines
-    * (map-side, each cell prunes to its own frontier) merged by this
-    * exact operator over the ≪-corpus survivor set; the operator here is
-    * that merge step, applied to dimension-sized input directly.
+    * Scale shape (round-13 sweep fix — this was the last global window
+    * over raw rows): GRID-PARTITIONED, exactly. `x` bins into `nBins`
+    * fixed-width cells (1-row min/max broadcast); per-bin `min(y)` is a
+    * bounded aggregate whose EXCLUSIVE running minimum over the bin
+    * order (a window over the ≤ nBins-row relation) decides cross-bin
+    * domination exactly — bins are monotone in x, so an earlier-bin row
+    * always has strictly smaller x, and a row is cross-bin dominated iff
+    * `minPrevBins(y) ≤ y`. Rows surviving that broadcast prefilter run
+    * the two original windows PARTITIONED BY BIN (~n/nBins rows per
+    * partition): the in-bin running y-min over strictly-smaller x
+    * (RANGE frame excludes x-ties) and the per-x min. Same frontier,
+    * row for row — no window ever sees a corpus-scale partition.
     */
-  def skyline2d(df: DataFrame): DataFrame = {
-    val cross = Window.orderBy(col("x")).rangeBetween(Window.unboundedPreceding, -1)
-    val same = Window.partitionBy(col("x"))
-    df.withColumn("m1", min(col("y")).over(cross))
+  def skyline2d(df: DataFrame, nBins: Int = 256): DataFrame = {
+    val st = df.agg(min(col("x")).as("g_lo"), max(col("x")).as("g_hi"))
+    val binCol = when(col("g_hi") <= col("g_lo"), lit(0L))
+      .otherwise(least(
+        lit(nBins - 1L),
+        floor((col("x").cast("double") - col("g_lo").cast("double")) /
+          (col("g_hi").cast("double") - col("g_lo").cast("double")) * nBins)))
+    val binned = df.crossJoin(broadcast(st))
+      .withColumn("gr_bin", binCol)
+      .drop("g_lo", "g_hi")
+    val wPrev = Window.orderBy(col("gr_bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val prevMin = binned
+      .groupBy(col("gr_bin"))
+      .agg(min(col("y")).as("g_bin_min"))
+      .withColumn("g_prev_min", min(col("g_bin_min")).over(wPrev))
+      .select(col("gr_bin"), col("g_prev_min"))
+    val pruned = binned
+      .join(broadcast(prevMin), Seq("gr_bin"))
+      .filter(col("g_prev_min").isNull || col("g_prev_min") > col("y"))
+    val cross = Window.partitionBy(col("gr_bin")).orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val same = Window.partitionBy(col("gr_bin"), col("x"))
+    pruned
+      .withColumn("m1", min(col("y")).over(cross))
       .withColumn("m2", min(col("y")).over(same))
       .filter((col("m1").isNull || col("m1") > col("y")) && col("m2") === col("y"))
-      .drop("m1", "m2")
+      .drop("m1", "m2", "gr_bin", "g_prev_min")
   }
 
   /** Equi-depth histogram over a pre-aggregated value domain: the input

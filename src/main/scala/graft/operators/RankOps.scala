@@ -651,6 +651,39 @@ object RankOps {
     * driver-side spec-derivation idiom, reference main.py:127-179).
     * Above the threshold the original fully-distributed form runs.
     */
+  /** Exact 1-based position of EVERY row within its group under the
+    * lexicographic `orderCols` order — WITHOUT a group-scale window
+    * (round-12 verdict #7's sweep flagged the per-label `row_number` in
+    * the oversampler as the last corpus-scale window partition): rows
+    * bin on the leading order column (the same monotone fixed-width
+    * [[binned]] arithmetic every RankOps path uses), each (group, bin)
+    * slice ranks independently (~group/nBins rows per window partition),
+    * and the bin's exclusive running offset — a ≤ |groups|·nBins-row
+    * broadcast — lifts slice ranks to exact group positions. The
+    * per-row-position member of the family: [[rowsAboveRank]] keeps only
+    * positions past a cut, this keeps them all (the oversampler's shape,
+    * where every row needs its index). Output: base columns + `gr_pos`.
+    */
+  def positions(
+      base: DataFrame,
+      grpCols: Seq[String],
+      orderCols: Seq[String],
+      nBins: Int = DefaultBins): DataFrame = {
+    val st = groupStats(base, grpCols, orderCols)
+    val b = binned(base, grpCols, orderCols, st, nBins)
+    val offsets = cumBins(b, grpCols, nBins)
+      .select(grpCols.map(col) :+ col("gr_bin") :+ col("gr_cum_prev"): _*)
+    b.join(broadcast(offsets), grpCols :+ "gr_bin")
+      .withColumn(
+        "gr_rk",
+        row_number().over(
+          Window
+            .partitionBy((grpCols :+ "gr_bin").map(col): _*)
+            .orderBy(orderCols.map(col): _*)))
+      .withColumn("gr_pos", col("gr_cum_prev") + col("gr_rk"))
+      .drop("gr_bin", "gr_rk", "gr_cum_prev", "gr_n")
+  }
+
   def rowsAboveRank(
       base: DataFrame,
       grpCols: Seq[String],

@@ -55,7 +55,11 @@ object TrainsetOps {
     * BIGINT-exact (no float, no overflow until t·c ~ 2^63).
     *
     * Scale shape: label counts are a tiny aggregate broadcast back onto
-    * the corpus; the rank is one window shuffle keyed by label; the
+    * the corpus; the in-label rank comes from [[RankOps.positions]] —
+    * bounded (label × bin) rank windows plus a broadcast bin-offset
+    * relation, NEVER a per-label corpus window (labels are few; a
+    * `row_number` partitioned by label alone would sort each label's
+    * whole slice in one task — the round-12 sweep's finding); the
     * expansion is `explode(sequence(...))` — map-side, linear in the
     * OUTPUT size, which is the floor for any oversampler. Returns the
     * per-label summary `(label, n_orig, n_after, id_checksum)` where
@@ -65,10 +69,12 @@ object TrainsetOps {
   def rebalanceClasses(embeddings: DataFrame): DataFrame = {
     val counts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("c"))
     val t = counts.agg(max(col("c")).as("t"))
-    val ranked = embeddings
-      .select(col("vec_id"), col("label"))
-      .withColumn("i",
-        row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id"))) - 1)
+    val ranked = RankOps
+      .positions(
+        embeddings.select(col("vec_id"), col("label")),
+        Seq("label"), Seq("vec_id"))
+      .withColumn("i", (col("gr_pos") - 1L).cast("int"))
+      .drop("gr_pos")
       .join(broadcast(counts), Seq("label"))
       .crossJoin(broadcast(t))
       .withColumn("reps",

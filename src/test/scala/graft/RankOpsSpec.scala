@@ -37,6 +37,23 @@ class RankOpsSpec extends SparkSpec {
       .map { case ((g, v), i) => (g, v, i.toLong) }
       .toDF("grp", "v", "id")
 
+  test("positions == per-group row_number over (v, id), dense ties, tiny bins") {
+    val p = Prop.forAll(corpusGen) { rows =>
+      val df = toDf(rows)
+      val got = RankOps.positions(df, Seq("grp"), Seq("v", "id"), nBins = 8)
+        .select(col("grp"), col("v"), col("id"), col("gr_pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      val want = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getInt(3).toLong)
+        .toMap
+      got == want
+    }
+    check(p)
+  }
+
   test("rankBuckets == ntile(k) over (v, id) per group, any k, dense ties, any nBins") {
     // nBins down to 1 forces every row through the "boundary bin" path —
     // the rank arithmetic must hold when binning gives no pruning at all
