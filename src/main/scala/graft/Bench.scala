@@ -169,8 +169,35 @@ object Bench {
     val failedTotal = results.count { case (_, v) => v < 0 }
     val r1SubtotalMed = medians.collect { case (k, v) if r1Names(k) && v >= 0 => v }.sum
     val excludedJson = excludedIdx.mkString("[", ",", "]")
+    // Full-surface regression gate (round-12 verdict #2): the r1 subtotal
+    // only watches the 34 round-1 queries; everything added since had no
+    // recorded time for the 2× gate to compare against. bench_baseline.json
+    // (repo root, medians recorded by the round-13 re-baseline procedure:
+    // n≥3 load-guarded sweeps at sf0.1 on HEAD) supplies a per-query
+    // reference for the WHOLE surface; the ratio-of-sums and the >2×
+    // per-query list (with a 0.3 s absolute floor so sub-second noise
+    // can't flag) ride in every bench record.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_FULL_BASELINE", "bench_baseline.json")
+    val fullBaseline: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
+        "\"([A-Za-z0-9_]+)\":\\s*(-?[0-9.]+)".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0)
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    val joint = medians.toSeq.collect {
+      case (k, v) if v >= 0 && fullBaseline.contains(k) => (k, v, fullBaseline(k))
+    }
+    val fullRatio =
+      if (joint.isEmpty) -1.0
+      else joint.map(_._2).sum / joint.map(_._3).sum
+    val reg2x = joint
+      .collect { case (k, v, b) if v > 2.0 * b && v - b > 0.3 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_times":$qsTimes,"loadavg_sweeps":$loadsJson,"load_threshold":$loadMax,"load_excluded_sweeps":$excludedJson,"sf":"$sfDir","n":${sweepLoads.size},"r1_subtotal":$r1Subtotal,"r1_subtotal_median":$r1SubtotalMed,"r1_failed":$r1Failed,"failed":$failedTotal}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_times":$qsTimes,"loadavg_sweeps":$loadsJson,"load_threshold":$loadMax,"load_excluded_sweeps":$excludedJson,"sf":"$sfDir","n":${sweepLoads.size},"r1_subtotal":$r1Subtotal,"r1_subtotal_median":$r1SubtotalMed,"r1_failed":$r1Failed,"failed":$failedTotal,"full_baseline_n":${joint.size},"full_ratio_sums":$fullRatio,"regressions_2x":$reg2x}"""
     // stdout gets wrapped in sbt/log4j noise (round-1 driver record shows
     // parsed:null from tail-scraping). Three redundant channels, most
     // reliable first: (1) the file artifact at SPARK_GRAFT_BENCH_OUT

@@ -154,7 +154,7 @@ object EmbedScaleStress {
         SimilarityOps.nearDupPairsLsh(dupCorpus, 0.9, bands = 12, planesPerBand = 10, dim = 64).count())
       DedupOps.releaseAllCaches()
     }
-    println("\ncodebook training cost (k=8 x2 iters): full fit vs sampled-fit route")
+    println("\ncodebook training cost (k=32 x2 iters): full fit vs sampled-fit route")
     println("  factor |      n | full s | sampled s | full/sampled")
     fitCost.foreach { case (f, n, tf, ts) =>
       println(f"  $f%6d | $n%6d | $tf%6.2f | $ts%9.2f | ${tf / ts}%12.2fx")
