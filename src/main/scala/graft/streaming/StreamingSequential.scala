@@ -70,6 +70,81 @@ object StreamingSequential {
         sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("q"))
 
+  /** Shared per-look CUMULATIVE sufficient stats `(look, n_a, n_b, s_a,
+    * s_b, q_a, q_b)` — one pivot aggregation to ≤ looks rows, then
+    * running sums over the look order (a window over the AGGREGATED
+    * relation).
+    */
+  private def cumStats(state: DataFrame): DataFrame = {
+    val a = col("variant") === 0L
+    val per = state
+      .groupBy(col("look"))
+      .agg(
+        sum(when(a, col("n")).otherwise(0L)).as("dn_a"),
+        sum(when(a, lit(0L)).otherwise(col("n"))).as("dn_b"),
+        sum(when(a, col("s")).otherwise(0L)).as("ds_a"),
+        sum(when(a, lit(0L)).otherwise(col("s"))).as("ds_b"),
+        sum(when(a, col("q")).otherwise(0L)).as("dq_a"),
+        sum(when(a, lit(0L)).otherwise(col("q"))).as("dq_b"))
+    val wCum = Window.orderBy(col("look")).rowsBetween(Window.unboundedPreceding, 0)
+    per.select(
+      col("look"),
+      sum(col("dn_a")).over(wCum).as("n_a"),
+      sum(col("dn_b")).over(wCum).as("n_b"),
+      sum(col("ds_a")).over(wCum).as("s_a"),
+      sum(col("ds_b")).over(wCum).as("s_b"),
+      sum(col("dq_a")).over(wCum).as("q_a"),
+      sum(col("dq_b")).over(wCum).as("q_b"))
+  }
+
+  /** Mixture-SPRT always-valid readout over a [[lookStats]] state — the
+    * ANYTIME sibling of [[obfReadout]] (Johari et al. 2017, "Peeking at
+    * A/B tests"; Robbins 1970 mixture rule): at every look the Gaussian
+    * mixture likelihood ratio of the cumulative mean difference,
+    * `log Λ = ½·ln(V/(V+τ²)) + Δ²·τ²/(2·V·(V+τ²))` with Δ the Welch
+    * mean difference (cents), `V = v_a/n_a + v_b/n_b` its variance
+    * estimate, and τ the declared mixture scale (cents — part of the
+    * design, like z_final). The always-valid p-value is the running
+    * minimum `p_k = min(1, 1/max_{j≤k} Λ_j)` — valid at EVERY look
+    * simultaneously, no look calendar commitment (the OBF boundary needs
+    * its K declared up front; this needs only τ).
+    *
+    * Scale/determinism: identical bounded state and window discipline as
+    * [[obfReadout]]; the only transcendentals (ln/exp) land in the final
+    * per-look projection, rounded to 6 decimals in the same expression
+    * order as the DuckDB oracle (the engine's 1-ulp rule). Output per
+    * look: `(look, n_a, n_b, delta_c, log_lambda, p_always)`; looks
+    * where either arm has < 2 units carry NULL log_lambda and inherit
+    * the running p (p starts at 1).
+    */
+  def msprtReadout(state: DataFrame, tauCents: Double): DataFrame = {
+    require(tauCents > 0.0, "mixture scale must be positive")
+    val dbl = (c: Column) => c.cast("double")
+    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
+      (dbl(col("n_a")) - lit(1.0))
+    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
+      (dbl(col("n_b")) - lit(1.0))
+    val v = va / dbl(col("n_a")) + vb / dbl(col("n_b"))
+    val delta = dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))
+    val tau2 = lit(tauCents * tauCents)
+    val logLambda =
+      lit(0.5) * log(v / (v + tau2)) +
+        delta * delta * tau2 / (lit(2.0) * v * (v + tau2))
+    val wRun = Window.orderBy(col("look")).rowsBetween(Window.unboundedPreceding, 0)
+    cumStats(state)
+      .select(
+        col("look"), col("n_a"), col("n_b"),
+        round(delta, 6).as("delta_c"),
+        when(col("n_a") > 1L && col("n_b") > 1L && v > lit(0.0), round(logLambda, 6))
+          .as("log_lambda"))
+      .withColumn(
+        "p_always",
+        // coalesce before greatest: max() skips NULL looks in both
+        // engines, but DuckDB's greatest propagates a NULL argument
+        round(exp(-greatest(lit(0.0), coalesce(max(col("log_lambda")).over(wRun), lit(0.0)))), 6))
+      .orderBy(col("look"))
+  }
+
   /** O'Brien–Fleming sequential readout over a [[lookStats]] state
     * relation: one row per look with the CUMULATIVE stats, the Welch z
     * (NULL until both arms have ≥ 2 units), the OBF boundary, the
@@ -82,25 +157,7 @@ object StreamingSequential {
   def obfReadout(state: DataFrame, looks: Int, zFinal: Double): DataFrame = {
     require(looks >= 1, "need at least one look")
     val dbl = (c: Column) => c.cast("double")
-    val a = col("variant") === 0L
-    val per = state
-      .groupBy(col("look"))
-      .agg(
-        sum(when(a, col("n")).otherwise(0L)).as("dn_a"),
-        sum(when(a, lit(0L)).otherwise(col("n"))).as("dn_b"),
-        sum(when(a, col("s")).otherwise(0L)).as("ds_a"),
-        sum(when(a, lit(0L)).otherwise(col("s"))).as("ds_b"),
-        sum(when(a, col("q")).otherwise(0L)).as("dq_a"),
-        sum(when(a, lit(0L)).otherwise(col("q"))).as("dq_b"))
-    val wCum = Window.orderBy(col("look")).rowsBetween(Window.unboundedPreceding, 0)
-    val cum = per.select(
-      col("look"),
-      sum(col("dn_a")).over(wCum).as("n_a"),
-      sum(col("dn_b")).over(wCum).as("n_b"),
-      sum(col("ds_a")).over(wCum).as("s_a"),
-      sum(col("ds_b")).over(wCum).as("s_b"),
-      sum(col("dq_a")).over(wCum).as("q_a"),
-      sum(col("dq_b")).over(wCum).as("q_b"))
+    val cum = cumStats(state)
     val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
       (dbl(col("n_a")) - lit(1.0))
     val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /

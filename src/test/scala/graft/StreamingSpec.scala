@@ -135,6 +135,41 @@ class StreamingSpec extends SparkSpec {
         val dl = if (r.isNullAt(6)) None else Some(r.getLong(6))
         assert(dl == firstCross)
       }
+      // the mSPRT twin reads the same state: always-valid p is in (0, 1],
+      // non-increasing down the looks (a running min by construction),
+      // identical off streamed and batch state, and matches a driver
+      // replay of the closed form at every look
+      val am = StreamingSequential.msprtReadout(spark.table("stream_seq"), 50.0)
+        .collect().toSeq
+      val bm = StreamingSequential.msprtReadout(batchState, 50.0).collect().toSeq
+      assert(am == bm)
+      val ps = am.map(_.getDouble(5))
+      assert(ps.forall(x => x > 0.0 && x <= 1.0))
+      assert(ps.sliding(2).forall { case Seq(x, y) => y <= x + 1e-12; case _ => true })
+      // driver replay from the cumulative stats of the OBF readout fixture
+      var runMax = 0.0
+      am.foreach { r =>
+        val k = r.getLong(0)
+        val upTo = events.filter(e => e._3 * 5L / 1000L <= k)
+        val (arm0, arm1) = upTo.partition(_._1 % 2 == 0)
+        def stats(xs: Seq[(Long, Double, Long)]) = {
+          val cs = xs.map(e => math.floor(e._2 * 100.0).toLong)
+          (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+        }
+        val (na, sa, qa) = stats(arm0); val (nb, sb, qb) = stats(arm1)
+        assert(r.getLong(1) == na && r.getLong(2) == nb)
+        val va = (qa.toDouble - sa.toDouble * sa.toDouble / na) / (na - 1.0)
+        val vb = (qb.toDouble - sb.toDouble * sb.toDouble / nb) / (nb - 1.0)
+        val v = va / na + vb / nb
+        val d = sa.toDouble / na - sb.toDouble / nb
+        val ll = math.rint((0.5 * math.log(v / (v + 2500.0)) +
+          d * d * 2500.0 / (2.0 * v * (v + 2500.0))) * 1e6) / 1e6
+        // 2e-6 tolerance: the replay's rint is half-even where Spark's
+        // round is half-up — formula parity is the pin, not tie-breaking
+        assert(math.abs(r.getDouble(4) - ll) < 2e-6, s"look $k log_lambda")
+        runMax = math.max(runMax, math.max(0.0, ll))
+        assert(math.abs(r.getDouble(5) - math.exp(-runMax)) < 2e-6)
+      }
     } finally query.stop()
   }
 
