@@ -336,6 +336,13 @@ object SimilarityOps {
     else {
       val rowSize = 8 + 8 * 64 // id + 64-dim double vector
       val nlist = math.max(16, math.sqrt((bytes / rowSize).toDouble).toInt)
+      // exact → approximate is a CONTRACT change (IVF recall < 1):
+      // announce it like nearDupPairs' LSH route (round-13 RouteLog)
+      graft.core.RouteLog.contractChange(
+        "knnAuto.ivfRoute",
+        s"candidate stats ${bytes}B > $bruteForceMaxBytes — dispatching to IVF " +
+          s"(nlist=$nlist, nprobe=${math.max(4, nlist / 16)}; recall gated by ivf_recall), " +
+          "not exact brute force")
       knnIvf(queries, candidates, k, nlist = nlist, nprobe = math.max(4, nlist / 16))
     }
   }

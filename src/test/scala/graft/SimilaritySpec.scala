@@ -108,10 +108,14 @@ class SimilaritySpec extends SparkSpec {
     // generous threshold → brute force, byte-identical
     val small = SimilarityOps.knnAuto(q, e, k = 5, bruteForceMaxBytes = Long.MaxValue)
     assert(small.collect().toSeq == SimilarityOps.knnBruteForce(q, e, k = 5).collect().toSeq)
-    // zero threshold → IVF path with the same derived sizing
+    // zero threshold → IVF path with the same derived sizing; the
+    // exact→approximate dispatch must announce the contract change
     val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
     val nlist = math.max(16, math.sqrt((bytes / (8 + 8 * 64)).toDouble).toInt)
+    val warnsBefore = graft.core.RouteLog.recent().count(_.startsWith("knnAuto.ivfRoute:"))
     val big = SimilarityOps.knnAuto(q, e, k = 5, bruteForceMaxBytes = 0L)
+    assert(graft.core.RouteLog.recent().count(_.startsWith("knnAuto.ivfRoute:"))
+      == warnsBefore + 1)
     assert(
       big.collect().toSeq ==
         SimilarityOps
