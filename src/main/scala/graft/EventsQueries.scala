@@ -1101,10 +1101,18 @@ object EventsQueries {
         |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
         |           round(0.5 * ln(vv / (vv + 2500.0))
         |                 + d * d * 2500.0 / (2.0 * vv * (vv + 2500.0)), 6)
-        |         END AS log_lambda
+        |         END AS log_lambda,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
+        |           round(d - sqrt((2.0 * vv * (vv + 2500.0) / 2500.0)
+        |                 * ln(sqrt((vv + 2500.0) / vv) / 0.05)), 6)
+        |         END AS ci_lo,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
+        |           round(d + sqrt((2.0 * vv * (vv + 2500.0) / 2500.0)
+        |                 * ln(sqrt((vv + 2500.0) / vv) / 0.05)), 6)
+        |         END AS ci_hi
         |  FROM v
         |)
-        |SELECT look, n_a, n_b, delta_c, log_lambda,
+        |SELECT look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi,
         |       round(exp(-greatest(0.0, coalesce(
         |         max(log_lambda) OVER (ORDER BY look
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))), 6)

@@ -110,15 +110,26 @@ object StreamingSequential {
     * its K declared up front; this needs only τ).
     *
     * Scale/determinism: identical bounded state and window discipline as
-    * [[obfReadout]]; the only transcendentals (ln/exp) land in the final
-    * per-look projection, rounded to 6 decimals in the same expression
-    * order as the DuckDB oracle (the engine's 1-ulp rule). Output per
-    * look: `(look, n_a, n_b, delta_c, log_lambda, p_always)`; looks
-    * where either arm has < 2 units carry NULL log_lambda and inherit
-    * the running p (p starts at 1).
+    * [[obfReadout]]; the only transcendentals (ln/exp/sqrt) land in the
+    * final per-look projection, rounded to 6 decimals in the same
+    * expression order as the DuckDB oracle (the engine's 1-ulp rule).
+    *
+    * The same mixture inverts to the ANYTIME-VALID CONFIDENCE SEQUENCE
+    * (Howard et al. 2021's mixture boundary; the interval dashboards
+    * actually watch): `{θ : Λ(θ) < 1/α}` =
+    * `Δ ± √( (2·V·(V+τ²)/τ²) · ln(√((V+τ²)/V)/α) )` — simultaneously
+    * valid at every look, so peeking at the interval is legal by
+    * construction. Output per look: `(look, n_a, n_b, delta_c,
+    * log_lambda, p_always, ci_lo, ci_hi)`; looks where either arm has
+    * < 2 units carry NULL log_lambda/ci and inherit the running p
+    * (p starts at 1).
     */
-  def msprtReadout(state: DataFrame, tauCents: Double): DataFrame = {
+  def msprtReadout(
+      state: DataFrame,
+      tauCents: Double,
+      alpha: Double = 0.05): DataFrame = {
     require(tauCents > 0.0, "mixture scale must be positive")
+    require(alpha > 0.0 && alpha < 1.0, "need 0 < alpha < 1")
     val dbl = (c: Column) => c.cast("double")
     val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
       (dbl(col("n_a")) - lit(1.0))
@@ -130,13 +141,20 @@ object StreamingSequential {
     val logLambda =
       lit(0.5) * log(v / (v + tau2)) +
         delta * delta * tau2 / (lit(2.0) * v * (v + tau2))
+    // mixture-CS half width: the sqrt argument is always ≥ 0 because
+    // √((V+τ²)/V) > 1 > α
+    val halfWidth = sqrt(
+      (lit(2.0) * v * (v + tau2) / tau2) *
+        log(sqrt((v + tau2) / v) / lit(alpha)))
+    val wellDefined = col("n_a") > 1L && col("n_b") > 1L && v > lit(0.0)
     val wRun = Window.orderBy(col("look")).rowsBetween(Window.unboundedPreceding, 0)
     cumStats(state)
       .select(
         col("look"), col("n_a"), col("n_b"),
         round(delta, 6).as("delta_c"),
-        when(col("n_a") > 1L && col("n_b") > 1L && v > lit(0.0), round(logLambda, 6))
-          .as("log_lambda"))
+        when(wellDefined, round(logLambda, 6)).as("log_lambda"),
+        when(wellDefined, round(delta - halfWidth, 6)).as("ci_lo"),
+        when(wellDefined, round(delta + halfWidth, 6)).as("ci_hi"))
       .withColumn(
         "p_always",
         // coalesce before greatest: max() skips NULL looks in both

@@ -143,7 +143,7 @@ class StreamingSpec extends SparkSpec {
         .collect().toSeq
       val bm = StreamingSequential.msprtReadout(batchState, 50.0).collect().toSeq
       assert(am == bm)
-      val ps = am.map(_.getDouble(5))
+      val ps = am.map(_.getDouble(7))
       assert(ps.forall(x => x > 0.0 && x <= 1.0))
       assert(ps.sliding(2).forall { case Seq(x, y) => y <= x + 1e-12; case _ => true })
       // driver replay from the cumulative stats of the OBF readout fixture
@@ -168,7 +168,14 @@ class StreamingSpec extends SparkSpec {
         // round is half-up — formula parity is the pin, not tie-breaking
         assert(math.abs(r.getDouble(4) - ll) < 2e-6, s"look $k log_lambda")
         runMax = math.max(runMax, math.max(0.0, ll))
-        assert(math.abs(r.getDouble(5) - math.exp(-runMax)) < 2e-6)
+        assert(math.abs(r.getDouble(7) - math.exp(-runMax)) < 2e-6)
+        // anytime-valid CS: centered on delta with the mixture half width
+        val hw = math.sqrt((2.0 * v * (v + 2500.0) / 2500.0) *
+          math.log(math.sqrt((v + 2500.0) / v) / 0.05))
+        assert(math.abs(r.getDouble(5) - (d - hw)) < 2e-6, s"look $k ci_lo")
+        assert(math.abs(r.getDouble(6) - (d + hw)) < 2e-6, s"look $k ci_hi")
+        assert(r.getDouble(5) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(6),
+          "interval must contain the observed delta")
       }
     } finally query.stop()
   }
