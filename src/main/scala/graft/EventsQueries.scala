@@ -82,6 +82,35 @@ object EventsQueries {
       val state = graft.streaming.StreamingSequential.lookStats(looked, col("lk"))
       graft.streaming.StreamingSequential.msprtReadout(state, tauCents = 50.0)
     }),
+    // Mondrian twins: one sequential monitor per event_type segment from
+    // ONE grouped state — the per-segment experiment dashboard (grouped
+    // windows ride the ≤ groups·looks aggregated relation).
+    "ab_sequential_by" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val looked = ev
+        .crossJoin(broadcast(bounds))
+        .select(
+          col("event_type").as("grp"), col("user_id"), col("value"),
+          graft.streaming.StreamingSequential
+            .lookOf(col("ts_us"), col("t0"), col("t1"), 5).as("lk"))
+      graft.streaming.StreamingSequential.obfReadoutBy(
+        graft.streaming.StreamingSequential.lookStatsBy(looked, col("lk")),
+        looks = 5, zFinal = 2.04)
+    }),
+    "ab_msprt_by" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val looked = ev
+        .crossJoin(broadcast(bounds))
+        .select(
+          col("event_type").as("grp"), col("user_id"), col("value"),
+          graft.streaming.StreamingSequential
+            .lookOf(col("ts_us"), col("t0"), col("t1"), 5).as("lk"))
+      graft.streaming.StreamingSequential.msprtReadoutBy(
+        graft.streaming.StreamingSequential.lookStatsBy(looked, col("lk")),
+        tauCents = 50.0)
+    }),
     // Tumbling-window histogram: hour bucket × width-10 value bin. The
     // identical groupBy runs incrementally under Structured Streaming
     // (StreamingHistogram.windowed); counts merge by A4 associativity.
@@ -1118,6 +1147,124 @@ object EventsQueries {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))), 6)
         |         AS p_always
         |FROM r ORDER BY look""".stripMargin,
+    "ab_sequential_by" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp, user_id, epoch_us(ts) AS ts_us, value FROM events
+        |), b AS (
+        |  SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM ev
+        |), e AS (
+        |  SELECT grp, least(CAST(4 AS BIGINT), ((ts_us - t0) * 5) // (t1 - t0 + 1)) AS look,
+        |         CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS c
+        |  FROM ev, b WHERE value IS NOT NULL AND NOT isnan(value)
+        |), g AS (
+        |  SELECT grp, look,
+        |         CAST(sum(a) AS BIGINT) AS dn_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS dn_b,
+        |         CAST(sum(a * c) AS BIGINT) AS ds_a,
+        |         CAST(sum((1 - a) * c) AS BIGINT) AS ds_b,
+        |         CAST(sum(a * c * c) AS BIGINT) AS dq_a,
+        |         CAST(sum((1 - a) * c * c) AS BIGINT) AS dq_b
+        |  FROM e GROUP BY grp, look
+        |), cum AS (
+        |  SELECT grp, look,
+        |         CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+        |         CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+        |         CAST(sum(ds_a) OVER w AS BIGINT) AS s_a,
+        |         CAST(sum(ds_b) OVER w AS BIGINT) AS s_b,
+        |         CAST(sum(dq_a) OVER w AS BIGINT) AS q_a,
+        |         CAST(sum(dq_b) OVER w AS BIGINT) AS q_b
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY grp ORDER BY look
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), r AS (
+        |  SELECT grp, look, n_a, n_b,
+        |         CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |           round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |                  - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |                 / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |                          / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |                        / CAST(n_a AS DOUBLE)
+        |                        + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |                            / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |                        / CAST(n_b AS DOUBLE)), 6)
+        |         END AS z_k,
+        |         round(2.04 * sqrt(5.0 / (CAST(look AS DOUBLE) + 1.0)), 6) AS bound_k
+        |  FROM cum
+        |), f AS (
+        |  SELECT grp, look, n_a, n_b, z_k, bound_k,
+        |         (z_k IS NOT NULL AND abs(z_k) >= bound_k) AS crossed
+        |  FROM r
+        |)
+        |SELECT grp, look, n_a, n_b, z_k, bound_k, crossed,
+        |       min(CASE WHEN crossed THEN look END) OVER (PARTITION BY grp) AS decide_look
+        |FROM f ORDER BY grp, look""".stripMargin,
+    "ab_msprt_by" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp, user_id, epoch_us(ts) AS ts_us, value FROM events
+        |), b AS (
+        |  SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM ev
+        |), e AS (
+        |  SELECT grp, least(CAST(4 AS BIGINT), ((ts_us - t0) * 5) // (t1 - t0 + 1)) AS look,
+        |         CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS a,
+        |         CAST(trunc(value * 100.0) AS BIGINT) AS c
+        |  FROM ev, b WHERE value IS NOT NULL AND NOT isnan(value)
+        |), g AS (
+        |  SELECT grp, look,
+        |         CAST(sum(a) AS BIGINT) AS dn_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS dn_b,
+        |         CAST(sum(a * c) AS BIGINT) AS ds_a,
+        |         CAST(sum((1 - a) * c) AS BIGINT) AS ds_b,
+        |         CAST(sum(a * c * c) AS BIGINT) AS dq_a,
+        |         CAST(sum((1 - a) * c * c) AS BIGINT) AS dq_b
+        |  FROM e GROUP BY grp, look
+        |), cum AS (
+        |  SELECT grp, look,
+        |         CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+        |         CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+        |         CAST(sum(ds_a) OVER w AS BIGINT) AS s_a,
+        |         CAST(sum(ds_b) OVER w AS BIGINT) AS s_b,
+        |         CAST(sum(dq_a) OVER w AS BIGINT) AS q_a,
+        |         CAST(sum(dq_b) OVER w AS BIGINT) AS q_b
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY grp ORDER BY look
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), v AS (
+        |  SELECT grp, look, n_a, n_b,
+        |         ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |           / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |           / CAST(n_a AS DOUBLE)
+        |         + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |             / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |           / CAST(n_b AS DOUBLE) AS vv,
+        |         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS d
+        |  FROM cum
+        |), r AS (
+        |  SELECT grp, look, n_a, n_b,
+        |         round(d, 6) AS delta_c,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
+        |           round(0.5 * ln(vv / (vv + 2500.0))
+        |                 + d * d * 2500.0 / (2.0 * vv * (vv + 2500.0)), 6)
+        |         END AS log_lambda,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
+        |           round(d - sqrt((2.0 * vv * (vv + 2500.0) / 2500.0)
+        |                 * ln(sqrt((vv + 2500.0) / vv) / 0.05)), 6)
+        |         END AS ci_lo,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
+        |           round(d + sqrt((2.0 * vv * (vv + 2500.0) / 2500.0)
+        |                 * ln(sqrt((vv + 2500.0) / vv) / 0.05)), 6)
+        |         END AS ci_hi
+        |  FROM v
+        |)
+        |SELECT grp, look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi,
+        |       round(exp(-greatest(0.0, coalesce(
+        |         max(log_lambda) OVER (PARTITION BY grp ORDER BY look
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))), 6)
+        |         AS p_always
+        |FROM r ORDER BY grp, look""".stripMargin,
     "events_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk

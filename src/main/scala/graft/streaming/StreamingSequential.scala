@@ -70,6 +70,126 @@ object StreamingSequential {
         sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("q"))
 
+  /** Per-(group, look, variant) sufficient statistics — the Mondrian
+    * (group-conditional) state, mirroring the conformal `By` family:
+    * one monitor per segment from one aggregation. Input needs a `grp`
+    * column; output `(grp, look, variant, n, s, q)`.
+    */
+  def lookStatsBy(events: DataFrame, look: Column): DataFrame =
+    events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(
+        col("grp"),
+        look.cast("bigint").as("look"),
+        pmod(col("user_id"), lit(2L)).as("variant"),
+        (col("value") * lit(100.0)).cast("bigint").as("c"))
+      .groupBy(col("grp"), col("look"), col("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+
+  /** Per-group [[cumStats]]: cumulative sums within every `grp` from one
+    * pivot aggregation + one grp-partitioned window over the ≤
+    * groups·looks-row relation.
+    */
+  private def cumStatsBy(state: DataFrame): DataFrame = {
+    val a = col("variant") === 0L
+    val per = state
+      .groupBy(col("grp"), col("look"))
+      .agg(
+        sum(when(a, col("n")).otherwise(0L)).as("dn_a"),
+        sum(when(a, lit(0L)).otherwise(col("n"))).as("dn_b"),
+        sum(when(a, col("s")).otherwise(0L)).as("ds_a"),
+        sum(when(a, lit(0L)).otherwise(col("s"))).as("ds_b"),
+        sum(when(a, col("q")).otherwise(0L)).as("dq_a"),
+        sum(when(a, lit(0L)).otherwise(col("q"))).as("dq_b"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per.select(
+      col("grp"),
+      col("look"),
+      sum(col("dn_a")).over(wCum).as("n_a"),
+      sum(col("dn_b")).over(wCum).as("n_b"),
+      sum(col("ds_a")).over(wCum).as("s_a"),
+      sum(col("ds_b")).over(wCum).as("s_b"),
+      sum(col("dq_a")).over(wCum).as("q_a"),
+      sum(col("dq_b")).over(wCum).as("q_b"))
+  }
+
+  /** Per-group [[obfReadout]] — one O'Brien–Fleming boundary table per
+    * segment from a [[lookStatsBy]] state; `decide_look` is per group.
+    * Every window partitions by `grp` over the aggregated ≤
+    * groups·looks-row relation. Output ordered `(grp, look)`.
+    */
+  def obfReadoutBy(state: DataFrame, looks: Int, zFinal: Double): DataFrame = {
+    require(looks >= 1, "need at least one look")
+    val dbl = (c: Column) => c.cast("double")
+    val cum = cumStatsBy(state)
+    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
+      (dbl(col("n_a")) - lit(1.0))
+    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
+      (dbl(col("n_b")) - lit(1.0))
+    val z = (dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))) /
+      sqrt(va / dbl(col("n_a")) + vb / dbl(col("n_b")))
+    val bound = lit(zFinal) *
+      sqrt(lit(looks.toDouble) / (dbl(col("look")) + lit(1.0)))
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum
+      .select(
+        col("grp"), col("look"), col("n_a"), col("n_b"),
+        when(col("n_a") > 1L && col("n_b") > 1L, round(z, 6)).as("z_k"),
+        round(bound, 6).as("bound_k"))
+      .withColumn(
+        "crossed",
+        col("z_k").isNotNull && abs(col("z_k")) >= col("bound_k"))
+      .withColumn(
+        "decide_look",
+        min(when(col("crossed"), col("look"))).over(wAll))
+      .orderBy(col("grp"), col("look"))
+  }
+
+  /** Per-group [[msprtReadout]] — always-valid p and confidence sequence
+    * per segment; the running max partitions by `grp`. Output ordered
+    * `(grp, look)`.
+    */
+  def msprtReadoutBy(
+      state: DataFrame,
+      tauCents: Double,
+      alpha: Double = 0.05): DataFrame = {
+    require(tauCents > 0.0, "mixture scale must be positive")
+    require(alpha > 0.0 && alpha < 1.0, "need 0 < alpha < 1")
+    val dbl = (c: Column) => c.cast("double")
+    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
+      (dbl(col("n_a")) - lit(1.0))
+    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
+      (dbl(col("n_b")) - lit(1.0))
+    val v = va / dbl(col("n_a")) + vb / dbl(col("n_b"))
+    val delta = dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))
+    val tau2 = lit(tauCents * tauCents)
+    val logLambda =
+      lit(0.5) * log(v / (v + tau2)) +
+        delta * delta * tau2 / (lit(2.0) * v * (v + tau2))
+    val halfWidth = sqrt(
+      (lit(2.0) * v * (v + tau2) / tau2) *
+        log(sqrt((v + tau2) / v) / lit(alpha)))
+    val wellDefined = col("n_a") > 1L && col("n_b") > 1L && v > lit(0.0)
+    val wRun = Window.partitionBy(col("grp")).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cumStatsBy(state)
+      .select(
+        col("grp"), col("look"), col("n_a"), col("n_b"),
+        round(delta, 6).as("delta_c"),
+        when(wellDefined, round(logLambda, 6)).as("log_lambda"),
+        when(wellDefined, round(delta - halfWidth, 6)).as("ci_lo"),
+        when(wellDefined, round(delta + halfWidth, 6)).as("ci_hi"))
+      .withColumn(
+        "p_always",
+        round(exp(-greatest(lit(0.0), coalesce(max(col("log_lambda")).over(wRun), lit(0.0)))), 6))
+      .orderBy(col("grp"), col("look"))
+  }
+
   /** Shared per-look CUMULATIVE sufficient stats `(look, n_a, n_b, s_a,
     * s_b, q_a, q_b)` — one pivot aggregation to ≤ looks rows, then
     * running sums over the look order (a window over the AGGREGATED

@@ -180,6 +180,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("grouped sequential readouts: every group slice equals the ungrouped readout on it") {
+    import graft.streaming.StreamingSequential
+    val looked = (0 until 600)
+      .map(i => (i.toLong % 41, (i % 97).toDouble + 0.25, (i * 13L) % 1000L))
+      .toDF("user_id", "value", "ts_us")
+      .withColumn("grp", pmod(col("user_id"), lit(3L)))
+    val lookCol = StreamingSequential.lookOf(col("ts_us"), lit(0L), lit(999L), 5)
+    val stateBy = StreamingSequential.lookStatsBy(looked, lookCol)
+    val obfBy = StreamingSequential.obfReadoutBy(stateBy, 5, 2.04).collect()
+      .groupBy(_.getLong(0))
+    val msBy = StreamingSequential.msprtReadoutBy(stateBy, 50.0).collect()
+      .groupBy(_.getLong(0))
+    for (g <- 0L to 2L) {
+      val slice = looked.filter(col("grp") === g)
+      val st = StreamingSequential.lookStats(slice, lookCol)
+      val obf = StreamingSequential.obfReadout(st, 5, 2.04).collect().toSeq
+      val ms = StreamingSequential.msprtReadout(st, 50.0).collect().toSeq
+      assert(obfBy(g).toSeq.map(r => r.toSeq.drop(1)) == obf.map(_.toSeq), s"obf grp $g")
+      assert(msBy(g).toSeq.map(r => r.toSeq.drop(1)) == ms.map(_.toSeq), s"msprt grp $g")
+    }
+  }
+
   test("windowed counts sum to valid input rows (batch)") {
     val df = StreamingHistogram.windowedCounts(sampleEvents.toDF("ts", "value"), spec, "1 hour")
     assert(df.agg(sum("cnt")).head().getLong(0) == 500L)
