@@ -64,6 +64,13 @@ object AttributionOps {
     require(bad.isEmpty, s"$what: reserved state names used as channels: ${bad.mkString(",")}")
   }
 
+  /** Unambiguous memo-tag encoding of a channel domain: length-prefixed
+    * join, so `Seq("a,b")` and `Seq("a", "b")` cannot collide the way a
+    * bare mkString(",") would.
+    */
+  private def domainTag(channels: Seq[String]): String =
+    channels.map(c => s"${c.length}:$c").mkString("|")
+
   /** The shared attribution window: per-user events up to and including
     * the FIRST purchase, restricted to the DECLARED state domain
     * (`channels` + purchase — an event type outside the model's state
@@ -199,7 +206,7 @@ object AttributionOps {
     val n = channels.size
     val full = (1 << n) - 1
     val counts: Map[Int, Long] =
-      DedupOps.sessionValue(events, s"shapleyCounts:${channels.mkString(",")}") {
+      DedupOps.sessionValue(events, s"shapleyCounts:${domainTag(channels)}") {
         touchSetCounts(events, channels).collect()
           .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
       }
@@ -223,10 +230,12 @@ object AttributionOps {
         s"shapley: n!·φ overflows long at ${channels.size} channels — reduce the domain")
       phi.toLong
     }
-    val sumPhi = phi24.sum
+    // the SUM of per-channel-valid longs can still wrap (16 channels ×
+    // ~1.3e18 each) — accumulate in BigInt; only the ratio needs it
+    val sumPhi = phi24.foldLeft(BigInt(0))(_ + _)
     val rows = channels.zipWithIndex.map { case (c, i) =>
       val credit =
-        if (sumPhi == 0L) null
+        if (sumPhi == 0) null
         else java.lang.Double.valueOf(
           math.round(phi24(i).toDouble / sumPhi.toDouble * 1e6) / 1e6)
       Row(c, phi24(i), credit)
@@ -252,7 +261,7 @@ object AttributionOps {
     val spark = events.sparkSession
     val tc = transitionCounts(events, channels)
     val counts: Map[(String, String), Long] =
-      DedupOps.sessionValue(events, s"markovCounts:${channels.mkString(",")}") {
+      DedupOps.sessionValue(events, s"markovCounts:${domainTag(channels)}") {
         tc.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       }
     val pBase = solve(counts, iters, None, channels)("start")

@@ -80,18 +80,15 @@ object KMeansOps {
         lit(every)) === 0)
   }
 
-  /** Plan-time vector-count estimate from Catalyst's size-in-bytes stats
-    * (file footer size for parquet — no data scan); the cheap first read
-    * of the route, confirmed by an exact memoized count before any
-    * behavior changes (estimates can be garbage-high for derived
-    * relations, and a bad estimate must never silently swap the exact
-    * fit for a sampled one).
+  /** Plan-time vector-count estimate — [[SimilarityOps.estimatedVectors]]
+    * (one estimator, one row-size assumption to maintain); the cheap
+    * first read of the route, confirmed by an exact memoized count
+    * before any behavior changes (estimates can be garbage-high for
+    * derived relations, and a bad estimate must never silently swap the
+    * exact fit for a sampled one).
     */
-  private def estimatedVectors(embeddings: DataFrame): Double = {
-    val bytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
-    val rowSize = 8 + 8 * 64
-    (bytes / rowSize).toDouble.max(1.0)
-  }
+  private def estimatedVectors(embeddings: DataFrame): Double =
+    SimilarityOps.estimatedVectors(embeddings)
 
   private def confirmedVectors(rel: DataFrame): Long =
     DedupOps.sessionValue(rel, "kmConfirmedVectors") { rel.count() }

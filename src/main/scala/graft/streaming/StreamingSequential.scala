@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   * variant) `(n, Σcents, Σcents²)`, the same three mergeable integer
   * sums as [[StreamingAbTest.variantStats]] just keyed by the declared
   * look calendar, so Structured Streaming folds micro-batches into
-  * ≤ 2·looks state rows with no history re-read. The READOUT
-  * ([[obfReadout]]) is a pure function of that bounded state: one pivot
-  * aggregation to ≤ looks rows, cumulative sums over the look order
-  * (a window over the AGGREGATED relation — the engine's
-  * bounded-relation-before-window family rule), then the z / boundary
-  * projection. Every count/sum is exact integer arithmetic; floats
+  * ≤ 2·looks state rows with no history re-read. The READOUTS
+  * ([[obfReadout]], [[msprtReadout]] and their Mondrian `By` twins over
+  * a [[lookStatsBy]] state) are pure functions of that bounded state:
+  * one pivot aggregation to ≤ (groups·)looks rows, cumulative sums over
+  * the look order (a window over the AGGREGATED relation — the engine's
+  * bounded-relation-before-window family rule), then the z / boundary /
+  * mixture projection. Grouped and ungrouped forms share ONE
+  * implementation parameterized by the partition columns, so the twins
+  * cannot diverge. Every count/sum is exact integer arithmetic; floats
   * enter only in the final per-look projection, rounded to 6 decimals
   * in the same expression order as the DuckDB oracle.
   *
@@ -37,16 +40,18 @@ import org.apache.spark.sql.functions._
 object StreamingSequential {
 
   /** Look index 0..looks−1 for a timestamp within declared bounds
-    * (equal slices of `[t0, t1]`, floor semantics, top edge clamped
-    * into the last look). Exact integral division via the pmod
-    * identity — `a DIV b = (a − pmod(a, b)) / b`, where the final
-    * division is exact in double because the dividend (≤ looks ·
-    * timestamp-span microseconds) stays far under 2⁵³ and divides
-    * evenly — Spark's `/` on longs is double division (the repo's
-    * DIV-not-/ rule), and Column has no integral-divide operator.
+    * (equal slices of `[t0, t1]`, floor semantics, BOTH edges clamped:
+    * a timestamp past t1 lands in the last look, one before t0 — clock
+    * skew against a declared calendar — in the first, never a negative
+    * index corrupting the cumulative order). Exact integral division
+    * via the pmod identity — `a DIV b = (a − pmod(a, b)) / b`, where
+    * the final division is exact in double because the dividend
+    * (≤ looks · timestamp-span microseconds) stays far under 2⁵³ and
+    * divides evenly — Spark's `/` on longs is double division (the
+    * repo's DIV-not-/ rule), and Column has no integral-divide operator.
     */
   def lookOf(ts: Column, t0: Column, t1: Column, looks: Int): Column = {
-    val num = (ts - t0) * lit(looks.toLong)
+    val num = greatest(lit(0L), ts - t0) * lit(looks.toLong)
     val den = t1 - t0 + lit(1L)
     least(lit(looks - 1L), ((num - pmod(num, den)) / den).cast("bigint"))
   }
@@ -58,17 +63,7 @@ object StreamingSequential {
     * calendar for streams).
     */
   def lookStats(events: DataFrame, look: Column): DataFrame =
-    events
-      .filter(col("value").isNotNull && !isnan(col("value")))
-      .select(
-        look.cast("bigint").as("look"),
-        pmod(col("user_id"), lit(2L)).as("variant"),
-        (col("value") * lit(100.0)).cast("bigint").as("c"))
-      .groupBy(col("look"), col("variant"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("c")).as("s"),
-        sum(col("c") * col("c")).as("q"))
+    lookStatsImpl(events, look, Seq.empty)
 
   /** Per-(group, look, variant) sufficient statistics — the Mondrian
     * (group-conditional) state, mirroring the conformal `By` family:
@@ -76,27 +71,34 @@ object StreamingSequential {
     * column; output `(grp, look, variant, n, s, q)`.
     */
   def lookStatsBy(events: DataFrame, look: Column): DataFrame =
+    lookStatsImpl(events, look, Seq("grp"))
+
+  private def lookStatsImpl(
+      events: DataFrame,
+      look: Column,
+      grp: Seq[String]): DataFrame =
     events
       .filter(col("value").isNotNull && !isnan(col("value")))
       .select(
-        col("grp"),
-        look.cast("bigint").as("look"),
-        pmod(col("user_id"), lit(2L)).as("variant"),
-        (col("value") * lit(100.0)).cast("bigint").as("c"))
-      .groupBy(col("grp"), col("look"), col("variant"))
+        grp.map(col) ++ Seq(
+          look.cast("bigint").as("look"),
+          pmod(col("user_id"), lit(2L)).as("variant"),
+          (col("value") * lit(100.0)).cast("bigint").as("c")): _*)
+      .groupBy((grp :+ "look" :+ "variant").map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("q"))
 
-  /** Per-group [[cumStats]]: cumulative sums within every `grp` from one
-    * pivot aggregation + one grp-partitioned window over the ≤
-    * groups·looks-row relation.
+  /** Per-(grp?, look) CUMULATIVE sufficient stats `(grp?, look, n_a,
+    * n_b, s_a, s_b, q_a, q_b)` — one pivot aggregation to ≤
+    * (groups·)looks rows, then running sums over the look order within
+    * each group (a window over the AGGREGATED relation).
     */
-  private def cumStatsBy(state: DataFrame): DataFrame = {
+  private def cumStats(state: DataFrame, grp: Seq[String]): DataFrame = {
     val a = col("variant") === 0L
     val per = state
-      .groupBy(col("grp"), col("look"))
+      .groupBy((grp :+ "look").map(col): _*)
       .agg(
         sum(when(a, col("n")).otherwise(0L)).as("dn_a"),
         sum(when(a, lit(0L)).otherwise(col("n"))).as("dn_b"),
@@ -104,117 +106,79 @@ object StreamingSequential {
         sum(when(a, lit(0L)).otherwise(col("s"))).as("ds_b"),
         sum(when(a, col("q")).otherwise(0L)).as("dq_a"),
         sum(when(a, lit(0L)).otherwise(col("q"))).as("dq_b"))
-    val wCum = Window.partitionBy(col("grp")).orderBy(col("look"))
+    val wCum = Window.partitionBy(grp.map(col): _*).orderBy(col("look"))
       .rowsBetween(Window.unboundedPreceding, 0)
     per.select(
-      col("grp"),
-      col("look"),
-      sum(col("dn_a")).over(wCum).as("n_a"),
-      sum(col("dn_b")).over(wCum).as("n_b"),
-      sum(col("ds_a")).over(wCum).as("s_a"),
-      sum(col("ds_b")).over(wCum).as("s_b"),
-      sum(col("dq_a")).over(wCum).as("q_a"),
-      sum(col("dq_b")).over(wCum).as("q_b"))
+      grp.map(col) ++ Seq(
+        col("look"),
+        sum(col("dn_a")).over(wCum).as("n_a"),
+        sum(col("dn_b")).over(wCum).as("n_b"),
+        sum(col("ds_a")).over(wCum).as("s_a"),
+        sum(col("ds_b")).over(wCum).as("s_b"),
+        sum(col("dq_a")).over(wCum).as("q_a"),
+        sum(col("dq_b")).over(wCum).as("q_b")): _*)
   }
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Welch pieces over the cumulative columns — shared by every readout
+    * so a formula fix cannot diverge between the twins.
+    */
+  private def welchV: Column = {
+    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
+      (dbl(col("n_a")) - lit(1.0))
+    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
+      (dbl(col("n_b")) - lit(1.0))
+    va / dbl(col("n_a")) + vb / dbl(col("n_b"))
+  }
+
+  private def welchDelta: Column =
+    dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))
+
+  /** O'Brien–Fleming sequential readout over a [[lookStats]] state
+    * relation: one row per look with the CUMULATIVE stats, the Welch z
+    * (NULL until both arms have ≥ 2 units), the OBF boundary, the
+    * per-look crossing flag, and `decide_look` — the first crossing
+    * look (NULL if the boundary is never crossed; constant across
+    * rows, the experiment's stop decision). Deterministic: exact
+    * integer sums, floats only in the final projection, both rounded
+    * to 6 decimals.
+    */
+  def obfReadout(state: DataFrame, looks: Int, zFinal: Double): DataFrame =
+    obfImpl(state, Seq.empty, looks, zFinal)
 
   /** Per-group [[obfReadout]] — one O'Brien–Fleming boundary table per
     * segment from a [[lookStatsBy]] state; `decide_look` is per group.
     * Every window partitions by `grp` over the aggregated ≤
     * groups·looks-row relation. Output ordered `(grp, look)`.
     */
-  def obfReadoutBy(state: DataFrame, looks: Int, zFinal: Double): DataFrame = {
+  def obfReadoutBy(state: DataFrame, looks: Int, zFinal: Double): DataFrame =
+    obfImpl(state, Seq("grp"), looks, zFinal)
+
+  private def obfImpl(
+      state: DataFrame,
+      grp: Seq[String],
+      looks: Int,
+      zFinal: Double): DataFrame = {
     require(looks >= 1, "need at least one look")
-    val dbl = (c: Column) => c.cast("double")
-    val cum = cumStatsBy(state)
-    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
-      (dbl(col("n_a")) - lit(1.0))
-    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
-      (dbl(col("n_b")) - lit(1.0))
-    val z = (dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))) /
-      sqrt(va / dbl(col("n_a")) + vb / dbl(col("n_b")))
+    val z = welchDelta / sqrt(welchV)
     val bound = lit(zFinal) *
       sqrt(lit(looks.toDouble) / (dbl(col("look")) + lit(1.0)))
-    val wAll = Window.partitionBy(col("grp"))
+    val wAll = Window.partitionBy(grp.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum
+    cumStats(state, grp)
       .select(
-        col("grp"), col("look"), col("n_a"), col("n_b"),
-        when(col("n_a") > 1L && col("n_b") > 1L, round(z, 6)).as("z_k"),
-        round(bound, 6).as("bound_k"))
+        grp.map(col) ++ Seq(
+          col("look"), col("n_a"), col("n_b"),
+          when(col("n_a") > 1L && col("n_b") > 1L, round(z, 6)).as("z_k"),
+          round(bound, 6).as("bound_k")): _*)
       .withColumn(
         "crossed",
         col("z_k").isNotNull && abs(col("z_k")) >= col("bound_k"))
       .withColumn(
         "decide_look",
         min(when(col("crossed"), col("look"))).over(wAll))
-      .orderBy(col("grp"), col("look"))
-  }
-
-  /** Per-group [[msprtReadout]] — always-valid p and confidence sequence
-    * per segment; the running max partitions by `grp`. Output ordered
-    * `(grp, look)`.
-    */
-  def msprtReadoutBy(
-      state: DataFrame,
-      tauCents: Double,
-      alpha: Double = 0.05): DataFrame = {
-    require(tauCents > 0.0, "mixture scale must be positive")
-    require(alpha > 0.0 && alpha < 1.0, "need 0 < alpha < 1")
-    val dbl = (c: Column) => c.cast("double")
-    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
-      (dbl(col("n_a")) - lit(1.0))
-    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
-      (dbl(col("n_b")) - lit(1.0))
-    val v = va / dbl(col("n_a")) + vb / dbl(col("n_b"))
-    val delta = dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))
-    val tau2 = lit(tauCents * tauCents)
-    val logLambda =
-      lit(0.5) * log(v / (v + tau2)) +
-        delta * delta * tau2 / (lit(2.0) * v * (v + tau2))
-    val halfWidth = sqrt(
-      (lit(2.0) * v * (v + tau2) / tau2) *
-        log(sqrt((v + tau2) / v) / lit(alpha)))
-    val wellDefined = col("n_a") > 1L && col("n_b") > 1L && v > lit(0.0)
-    val wRun = Window.partitionBy(col("grp")).orderBy(col("look"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    cumStatsBy(state)
-      .select(
-        col("grp"), col("look"), col("n_a"), col("n_b"),
-        round(delta, 6).as("delta_c"),
-        when(wellDefined, round(logLambda, 6)).as("log_lambda"),
-        when(wellDefined, round(delta - halfWidth, 6)).as("ci_lo"),
-        when(wellDefined, round(delta + halfWidth, 6)).as("ci_hi"))
-      .withColumn(
-        "p_always",
-        round(exp(-greatest(lit(0.0), coalesce(max(col("log_lambda")).over(wRun), lit(0.0)))), 6))
-      .orderBy(col("grp"), col("look"))
-  }
-
-  /** Shared per-look CUMULATIVE sufficient stats `(look, n_a, n_b, s_a,
-    * s_b, q_a, q_b)` — one pivot aggregation to ≤ looks rows, then
-    * running sums over the look order (a window over the AGGREGATED
-    * relation).
-    */
-  private def cumStats(state: DataFrame): DataFrame = {
-    val a = col("variant") === 0L
-    val per = state
-      .groupBy(col("look"))
-      .agg(
-        sum(when(a, col("n")).otherwise(0L)).as("dn_a"),
-        sum(when(a, lit(0L)).otherwise(col("n"))).as("dn_b"),
-        sum(when(a, col("s")).otherwise(0L)).as("ds_a"),
-        sum(when(a, lit(0L)).otherwise(col("s"))).as("ds_b"),
-        sum(when(a, col("q")).otherwise(0L)).as("dq_a"),
-        sum(when(a, lit(0L)).otherwise(col("q"))).as("dq_b"))
-    val wCum = Window.orderBy(col("look")).rowsBetween(Window.unboundedPreceding, 0)
-    per.select(
-      col("look"),
-      sum(col("dn_a")).over(wCum).as("n_a"),
-      sum(col("dn_b")).over(wCum).as("n_b"),
-      sum(col("ds_a")).over(wCum).as("s_a"),
-      sum(col("ds_b")).over(wCum).as("s_b"),
-      sum(col("dq_a")).over(wCum).as("q_a"),
-      sum(col("dq_b")).over(wCum).as("q_b"))
+      .orderBy((grp :+ "look").map(col): _*)
   }
 
   /** Mixture-SPRT always-valid readout over a [[lookStats]] state — the
@@ -240,23 +204,35 @@ object StreamingSequential {
     * `Δ ± √( (2·V·(V+τ²)/τ²) · ln(√((V+τ²)/V)/α) )` — simultaneously
     * valid at every look, so peeking at the interval is legal by
     * construction. Output per look: `(look, n_a, n_b, delta_c,
-    * log_lambda, p_always, ci_lo, ci_hi)`; looks where either arm has
+    * log_lambda, ci_lo, ci_hi, p_always)`; looks where either arm has
     * < 2 units carry NULL log_lambda/ci and inherit the running p
     * (p starts at 1).
     */
   def msprtReadout(
       state: DataFrame,
       tauCents: Double,
-      alpha: Double = 0.05): DataFrame = {
+      alpha: Double = 0.05): DataFrame =
+    msprtImpl(state, Seq.empty, tauCents, alpha)
+
+  /** Per-group [[msprtReadout]] — always-valid p and confidence sequence
+    * per segment; the running max partitions by `grp`. Output ordered
+    * `(grp, look)`.
+    */
+  def msprtReadoutBy(
+      state: DataFrame,
+      tauCents: Double,
+      alpha: Double = 0.05): DataFrame =
+    msprtImpl(state, Seq("grp"), tauCents, alpha)
+
+  private def msprtImpl(
+      state: DataFrame,
+      grp: Seq[String],
+      tauCents: Double,
+      alpha: Double): DataFrame = {
     require(tauCents > 0.0, "mixture scale must be positive")
     require(alpha > 0.0 && alpha < 1.0, "need 0 < alpha < 1")
-    val dbl = (c: Column) => c.cast("double")
-    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
-      (dbl(col("n_a")) - lit(1.0))
-    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
-      (dbl(col("n_b")) - lit(1.0))
-    val v = va / dbl(col("n_a")) + vb / dbl(col("n_b"))
-    val delta = dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))
+    val v = welchV
+    val delta = welchDelta
     val tau2 = lit(tauCents * tauCents)
     val logLambda =
       lit(0.5) * log(v / (v + tau2)) +
@@ -267,56 +243,21 @@ object StreamingSequential {
       (lit(2.0) * v * (v + tau2) / tau2) *
         log(sqrt((v + tau2) / v) / lit(alpha)))
     val wellDefined = col("n_a") > 1L && col("n_b") > 1L && v > lit(0.0)
-    val wRun = Window.orderBy(col("look")).rowsBetween(Window.unboundedPreceding, 0)
-    cumStats(state)
+    val wRun = Window.partitionBy(grp.map(col): _*).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cumStats(state, grp)
       .select(
-        col("look"), col("n_a"), col("n_b"),
-        round(delta, 6).as("delta_c"),
-        when(wellDefined, round(logLambda, 6)).as("log_lambda"),
-        when(wellDefined, round(delta - halfWidth, 6)).as("ci_lo"),
-        when(wellDefined, round(delta + halfWidth, 6)).as("ci_hi"))
+        grp.map(col) ++ Seq(
+          col("look"), col("n_a"), col("n_b"),
+          round(delta, 6).as("delta_c"),
+          when(wellDefined, round(logLambda, 6)).as("log_lambda"),
+          when(wellDefined, round(delta - halfWidth, 6)).as("ci_lo"),
+          when(wellDefined, round(delta + halfWidth, 6)).as("ci_hi")): _*)
       .withColumn(
         "p_always",
         // coalesce before greatest: max() skips NULL looks in both
         // engines, but DuckDB's greatest propagates a NULL argument
         round(exp(-greatest(lit(0.0), coalesce(max(col("log_lambda")).over(wRun), lit(0.0)))), 6))
-      .orderBy(col("look"))
-  }
-
-  /** O'Brien–Fleming sequential readout over a [[lookStats]] state
-    * relation: one row per look with the CUMULATIVE stats, the Welch z
-    * (NULL until both arms have ≥ 2 units), the OBF boundary, the
-    * per-look crossing flag, and `decide_look` — the first crossing
-    * look (NULL if the boundary is never crossed; constant across
-    * rows, the experiment's stop decision). Deterministic: exact
-    * integer sums, floats only in the final projection, both rounded
-    * to 6 decimals.
-    */
-  def obfReadout(state: DataFrame, looks: Int, zFinal: Double): DataFrame = {
-    require(looks >= 1, "need at least one look")
-    val dbl = (c: Column) => c.cast("double")
-    val cum = cumStats(state)
-    val va = (dbl(col("q_a")) - dbl(col("s_a")) * dbl(col("s_a")) / dbl(col("n_a"))) /
-      (dbl(col("n_a")) - lit(1.0))
-    val vb = (dbl(col("q_b")) - dbl(col("s_b")) * dbl(col("s_b")) / dbl(col("n_b"))) /
-      (dbl(col("n_b")) - lit(1.0))
-    val z = (dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b"))) /
-      sqrt(va / dbl(col("n_a")) + vb / dbl(col("n_b")))
-    val bound = lit(zFinal) *
-      sqrt(lit(looks.toDouble) / (dbl(col("look")) + lit(1.0)))
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum
-      .select(
-        col("look"), col("n_a"), col("n_b"),
-        when(col("n_a") > 1L && col("n_b") > 1L, round(z, 6)).as("z_k"),
-        round(bound, 6).as("bound_k"))
-      .withColumn(
-        "crossed",
-        col("z_k").isNotNull && abs(col("z_k")) >= col("bound_k"))
-      .withColumn(
-        "decide_look",
-        min(when(col("crossed"), col("look"))).over(wAll))
-      .orderBy(col("look"))
+      .orderBy((grp :+ "look").map(col): _*)
   }
 }

@@ -59,10 +59,13 @@ object EmbedScaleStress {
       DedupOps.releaseAllCaches()
       // r12 verdict #1 evidence: codebook TRAINING cost, full fit vs the
       // sampled-fit route (bounded ~256·k training set). Full-fit cost is
-      // O(n·k·d·iters) and grows with the factor; the sampled fit must stay
-      // flat once the route fires (n > 256·k → factors 4/16 here; at
-      // factor 1 the corpus is under the sample target and the route
-      // correctly refuses — recorded as the full-fit time).
+      // O(n·k·d·iters) and grows with the factor; the sampled fit must
+      // stay flat once the route fires — with k=32 the sample target is
+      // 8192, so only factor 16 (32k > 8192) genuinely subsamples; at
+      // factors 1/4 the corpus is under the target and the route
+      // correctly refuses (recorded as a second full-fit time). The
+      // production-scale point (512k vectors, DEFAULT ceiling) lives in
+      // tools/FitCostPoint.
       val kFit = 32 // sample target 256·32 = 8192: the route fires at 32k
       val tFull = t(s"fitCentroids k=$kFit FULL fit (route disabled)")(
         KMeansOps.fitCentroids(emb, kFit, 2, maxFullFitVectors = Long.MaxValue).count())

@@ -207,6 +207,17 @@ class AttributionSpec extends SparkSpec {
       flat.forall(_.getLong(1) == 0L))
   }
 
+  test("memo tags: distinct channel domains cannot collide on a joined string") {
+    // Seq("a,b") and Seq("a", "b") join to the same comma string; the
+    // length-prefixed tag must keep their session memos separate
+    val rows = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "purchase"))
+    val joined = AttributionOps.shapley(ev(rows), Seq("a,b")).collect()
+    assert(joined.forall(_.getLong(1) == 0L), "no event type literally named 'a,b'")
+    val split = AttributionOps.shapley(ev(rows), Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split("a") > 0L, "the 2-channel domain must not inherit the 1-channel memo")
+  }
+
   test("direct-conversion-only corpus: zero removal effects, NULL credits") {
     val rows = Seq((1L, 1L, 1L, "purchase"), (2L, 1L, 2L, "purchase"))
     val out = AttributionOps.markovRemoval(ev(rows), iters = 12).collect()

@@ -182,6 +182,13 @@ class StreamingSpec extends SparkSpec {
 
   test("grouped sequential readouts: every group slice equals the ungrouped readout on it") {
     import graft.streaming.StreamingSequential
+    // lookOf clamps BOTH calendar edges: pre-t0 (clock skew) lands in
+    // look 0, post-t1 in the last look — never a negative index
+    val edges = spark.range(1).select(
+      StreamingSequential.lookOf(lit(-50L), lit(0L), lit(999L), 5).as("lo"),
+      StreamingSequential.lookOf(lit(5000L), lit(0L), lit(999L), 5).as("hi"))
+      .collect()(0)
+    assert(edges.getLong(0) == 0L && edges.getLong(1) == 4L)
     val looked = (0 until 600)
       .map(i => (i.toLong % 41, (i % 97).toDouble + 0.25, (i * 13L) % 1000L))
       .toDF("user_id", "value", "ts_us")
