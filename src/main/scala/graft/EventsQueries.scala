@@ -1141,12 +1141,17 @@ object EventsQueries {
         |         END AS ci_hi
         |  FROM v
         |)
-        |SELECT look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi,
-        |       round(exp(-greatest(0.0, coalesce(
-        |         max(log_lambda) OVER (ORDER BY look
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))), 6)
-        |         AS p_always
-        |FROM r ORDER BY look""".stripMargin,
+        |, p AS (
+        |  SELECT look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi,
+        |         round(exp(-greatest(0.0, coalesce(
+        |           max(log_lambda) OVER (ORDER BY look
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))), 6)
+        |           AS p_always
+        |  FROM r
+        |)
+        |SELECT look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi, p_always,
+        |       min(CASE WHEN p_always <= 0.05 THEN look END) OVER () AS decide_look
+        |FROM p ORDER BY look""".stripMargin,
     "ab_sequential_by" ->
       """WITH ev AS (
         |  SELECT event_type AS grp, user_id, epoch_us(ts) AS ts_us, value FROM events
@@ -1259,12 +1264,18 @@ object EventsQueries {
         |         END AS ci_hi
         |  FROM v
         |)
-        |SELECT grp, look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi,
-        |       round(exp(-greatest(0.0, coalesce(
-        |         max(log_lambda) OVER (PARTITION BY grp ORDER BY look
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))), 6)
-        |         AS p_always
-        |FROM r ORDER BY grp, look""".stripMargin,
+        |, p AS (
+        |  SELECT grp, look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi,
+        |         round(exp(-greatest(0.0, coalesce(
+        |           max(log_lambda) OVER (PARTITION BY grp ORDER BY look
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0))), 6)
+        |           AS p_always
+        |  FROM r
+        |)
+        |SELECT grp, look, n_a, n_b, delta_c, log_lambda, ci_lo, ci_hi, p_always,
+        |       min(CASE WHEN p_always <= 0.05 THEN look END) OVER (PARTITION BY grp)
+        |         AS decide_look
+        |FROM p ORDER BY grp, look""".stripMargin,
     "events_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk

@@ -204,9 +204,11 @@ object StreamingSequential {
     * `Δ ± √( (2·V·(V+τ²)/τ²) · ln(√((V+τ²)/V)/α) )` — simultaneously
     * valid at every look, so peeking at the interval is legal by
     * construction. Output per look: `(look, n_a, n_b, delta_c,
-    * log_lambda, ci_lo, ci_hi, p_always)`; looks where either arm has
-    * < 2 units carry NULL log_lambda/ci and inherit the running p
-    * (p starts at 1).
+    * log_lambda, ci_lo, ci_hi, p_always, decide_look)` — `decide_look`
+    * is the first look with `p_always ≤ α` (NULL when never; constant
+    * per group, the stop decision — [[obfReadout]]'s same contract);
+    * looks where either arm has < 2 units carry NULL log_lambda/ci and
+    * inherit the running p (p starts at 1).
     */
   def msprtReadout(
       state: DataFrame,
@@ -258,6 +260,11 @@ object StreamingSequential {
         // coalesce before greatest: max() skips NULL looks in both
         // engines, but DuckDB's greatest propagates a NULL argument
         round(exp(-greatest(lit(0.0), coalesce(max(col("log_lambda")).over(wRun), lit(0.0)))), 6))
+      .withColumn(
+        "decide_look",
+        min(when(col("p_always") <= lit(alpha), col("look"))).over(
+          Window.partitionBy(grp.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .orderBy((grp :+ "look").map(col): _*)
   }
 }
