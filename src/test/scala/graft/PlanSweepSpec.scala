@@ -54,13 +54,11 @@ class PlanSweepSpec extends SparkSpec {
     "order_gap_survival" -> "customer (order gap lag)",
     "survival_logrank" -> "customer (first/next order lag)",
     "transition_entropy" -> "user (lag pairs)",
-    "scd2_apply" -> "customer (change-row lead)",
     "dedup_survivors" -> "near-dup cluster (survivor pick)",
     "knn_ndcg" -> "query id (per-query gain ranks)",
     "pack_sequences" -> "lang x salted shard (greedy packing scan)",
     "compaction_bins" -> "file partition (bin-packing scan)",
-    "pipeline_full" -> "dedup cluster key (survivor pick)",
-    "pipeline_clean" -> "dedup cluster key (survivor pick)")
+    "pipeline_full" -> "dedup cluster key (survivor pick)")
 
   private def bounded(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
@@ -104,6 +102,7 @@ class PlanSweepSpec extends SparkSpec {
 
   test("sweep: every window in every query rides a bounded, group-limited, bin-keyed, or per-entity relation") {
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val usedWhitelist = scala.collection.mutable.Set.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
     for (name <- names) {
       val df =
@@ -116,11 +115,10 @@ class PlanSweepSpec extends SparkSpec {
       if (df != null) {
         df.queryExecution.optimizedPlan.foreach {
           case w: Window =>
-            val ok = bounded(w.child) ||
-              groupLimited(w.child) ||
-              rankBinKeyed(w) ||
-              (w.partitionSpec.nonEmpty && perEntity.contains(name))
-            if (!ok)
+            val structural = bounded(w.child) || groupLimited(w.child) || rankBinKeyed(w)
+            val whitelisted = w.partitionSpec.nonEmpty && perEntity.contains(name)
+            if (!structural && whitelisted) usedWhitelist += name
+            if (!structural && !whitelisted)
               violations += s"$name: window part=[${w.partitionSpec.mkString(",")}] " +
                 s"over unbounded input: ${w.child.nodeName}"
           case _ =>
@@ -130,5 +128,10 @@ class PlanSweepSpec extends SparkSpec {
     DedupOps.releaseAllCaches()
     assert(names.size >= 244, s"sweep must cover the full query surface, saw ${names.size}")
     assert(violations.isEmpty, violations.mkString("\n", "\n", ""))
+    // whitelist rot: an entry no plan needs anymore must be REMOVED, not
+    // linger as a blanket exemption for future windows in that query
+    val stale = perEntity.keySet -- usedWhitelist
+    assert(stale.isEmpty,
+      s"per-entity whitelist entries no longer needed (remove them): ${stale.toSeq.sorted.mkString(", ")}")
   }
 }
