@@ -47,7 +47,9 @@ object ProfileQueries {
     // The 100 TB-default profiler: HLL cardinality instead of the exact
     // distinct — registers shuffle, not distinct values.
     "profile_approx" -> ((s, dir) =>
-      ProfileOps.profileColumnsApprox(Tables.lineitem(s, dir), ProfiledCols)),
+      ProfileOps.profileColumnsApprox(
+        Tables.lineitem(s, dir), ProfiledCols,
+        spreadKeys = Seq("l_orderkey", "l_linenumber"))),
     // Exact rank-interpolated quartiles (+p90) of event value per type.
     "group_quantiles" -> ((s, dir) =>
       ProfileOps.groupQuantiles(Tables.events(s, dir), "event_type", "value")),

@@ -956,17 +956,26 @@ object TpchQueries {
       val ordF = Tables.orders(s, dir)
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate"))
-      val latePairs = graft.operators.DedupOps.registerCache(
+      // ONE lineitem pass at (order, supplier) grain feeds BOTH
+      // decorrelated aggregates (round 14, guide §2.4): the grain row
+      // carries max(l_shipdate), so "pair ever late" = one comparison
+      // against the order date, and the per-order distinct-supplier
+      // count is a plain count(*) over grain rows — the previous shape
+      // paid a second full lineitem scan plus a countDistinct Expand.
+      val pairsGrain = graft.operators.DedupOps.registerCache(
         Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-          .join(ordF, col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select(col("l_orderkey"), col("l_suppkey"))
-          .distinct()
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("l_shipdate")).as("max_ship"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val multiSupp = Tables.lineitem(s, dir)
+      val latePairs = graft.operators.DedupOps.registerCache(
+        pairsGrain
+          .join(ordF, col("l_orderkey") === col("o_orderkey") &&
+            col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val multiSupp = pairsGrain
         .groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .agg(count(lit(1)).as("n_supp"))
         .filter(col("n_supp") > 1)
         .select(col("l_orderkey"))
       val loneLate = latePairs

@@ -77,8 +77,37 @@ object ProfileOps {
     * the estimate arithmetic are bit-reproducible in DuckDB.
     * Output: `(col_name, n_rows, n_nonnull, n_est, min_v, max_v)`.
     */
-  def profileColumnsApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val melted = df.select(
+  def profileColumnsApprox(
+      df: DataFrame,
+      cols: Seq[String],
+      spreadKeys: Seq[String] = Nil): DataFrame = {
+    // COST-SHAPE ROUTE (round 14, guide §2.4/§2.5): the md5 sketch hash
+    // below is this plan's dominant per-row cost, and it is fused into
+    // the SCAN stage — on a split-starved input (one file, one row
+    // group: the local bench layout) that whole stage runs in ONE task
+    // (measured: 1.3 s of profile_approx's 1.7 s on local[32]). When the
+    // caller names unique key columns and core.Spread says the input is
+    // starved, hash-repartition the RAW rows across the cores first —
+    // a deterministic key (guide §2.5: never rand()), a sub-second
+    // exchange at starved sizes, and the melt + hash + partial
+    // aggregation all land on the parallel side (measured 1.9 → 0.9 s;
+    // round-robin instead was 10× WORSE — projections push below a
+    // round-robin exchange and sort-before-repartition serializes, see
+    // core.Spread). At scale the scan feeds ≫ cores splits, the route
+    // is off, and the plan is today's: no extra exchange of a 100 TB
+    // corpus. Results are unchanged by construction — every downstream
+    // aggregate is order-insensitive and exact-integer.
+    val spread =
+      if (spreadKeys.nonEmpty && graft.core.Spread.isStarved(df)) {
+        val cores = df.sparkSession.sparkContext.defaultParallelism
+        graft.core.RouteLog.costRoute(
+          "profileColumnsApprox.spread",
+          s"starved scan — hash-respread on (${spreadKeys.mkString(", ")}) " +
+            s"over $cores tasks before the sketch kernel; rows unchanged")
+        df.repartition(cores, pmod(xxhash64(spreadKeys.map(col): _*), lit(cores * 64)))
+          .select(cols.map(col): _*)
+      } else df
+    val melted = spread.select(
       explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), nanAsNull(col(c).cast("double")).as("v"))): _*)).as("cv"))
       .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
@@ -94,6 +123,7 @@ object ProfileOps {
     // Null values land in a null bucket (null-propagating hash) whose
     // m_j stays null, so z_present's sum skips it and n_buckets's
     // count(bucket) never sees it — the sketch state is untouched.
+    //
     val h = graft.functions.PortableHash.hash60(
       (col("v") * lit(100.0)).cast("bigint").cast("string"))
     melted

@@ -632,7 +632,7 @@ object SimilarityOps {
       // estimate that was wrong a moment ago.
       val B =
         if (blocks > 0) blocks
-        else if (estimateHigh) blocksForCount(confirmedVectors(e).toDouble)
+        else if (estimateHigh) blocksForCount(confirmedVectors(e).toDouble, minTilesFor(e))
         else autoBlocks(e)
       nearDupPairsBlocked(e, minCos, B)
     }
@@ -681,13 +681,28 @@ object SimilarityOps {
     * (public so stress tools can report the decision alongside timings).
     */
   def autoBlocks(corpusRel: DataFrame): Int =
-    blocksForCount(estimatedVectors(corpusRel))
+    blocksForCount(estimatedVectors(corpusRel), minTilesFor(corpusRel))
 
   /** Tile sizing from a vector count: ~256k cosine evaluations per tile
     * (B ~ n/512), capped so the block-pair relation stays tiny.
+    *
+    * Round 14 (guide §2.5 idle-capacity): the B(B+1)/2 tiles are this
+    * kernel's parallelism grain, so B is additionally floored such that
+    * the tile count reaches ~2× the session's cores — at 2k vectors the
+    * old B=4 yielded 10 tiles which AQE then byte-coalesced into TWO
+    * tasks of 0.78 s each on local[32] (bytes are tiny, the cosine CPU
+    * is not). The floor only binds at small n (replication is B+1 rows
+    * per vector — at starved sizes a few MB); at large n the n/512 term
+    * dominates unchanged. Output is independent of B by construction.
     */
-  private def blocksForCount(n: Double): Int =
-    math.min(256, math.max(1, math.ceil(n / 512.0).toInt))
+  private def blocksForCount(n: Double, minTiles: Int = 1): Int = {
+    val bFloor = math.ceil((math.sqrt(1.0 + 8.0 * math.max(1, minTiles)) - 1.0) / 2.0).toInt
+    math.min(256, math.max(math.max(1, bFloor), math.ceil(n / 512.0).toInt))
+  }
+
+  /** Tile-count floor for [[blocksForCount]]: ~2 tiles per core. */
+  private def minTilesFor(df: DataFrame): Int =
+    2 * df.sparkSession.sparkContext.defaultParallelism
 
   private def nearDupPairsBlocked(e: DataFrame, minCos: Double, blocks: Int): DataFrame = {
     val spark = e.sparkSession
@@ -712,8 +727,16 @@ object SimilarityOps {
         (col("ci") * lit(blocks) + col("cj")).as("pk"),
         col("vec_id").as("y_id"),
         col("emb").as("y_emb"))
+    // pin the tile join's partition count to the tile count: the tiles
+    // are the kernel's CPU grain, and AQE's byte-based coalescing would
+    // otherwise fold them onto a couple of tasks (measured 2 tasks ×
+    // 0.78 s at 2k vectors on local[32]) because the shuffled bytes are
+    // tiny while the per-row cosine work is not. REPARTITION_BY_NUM is
+    // exempt from AQE coalescing; one partition ≈ one tile.
+    val tiles = blocks * (blocks + 1) / 2
     aSide
-      .join(bSide, Seq("pk"))
+      .repartition(tiles, col("pk"))
+      .join(bSide.repartition(tiles, col("pk")), Seq("pk"))
       // same-block tile carries both orders + self-pairs; cross-block tiles
       // carry each unordered pair exactly once
       .filter(col("bi") =!= col("bj") || col("x_id") < col("y_id"))

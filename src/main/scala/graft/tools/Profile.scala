@@ -21,6 +21,16 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    if (sys.env.get("PROFILE_STAGES").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val ms = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(-1L)
+          println(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%4d ${ms / 1000.0}%7.3f s  ${i.name.takeWhile(_ != '\n')}")
+        }
+      })
+    }
     if (sys.env.get("PROFILE_JOBS").contains("1")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
