@@ -43,7 +43,9 @@ object ProfileQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Long-form per-column completeness/cardinality/range profile.
     "profile_columns" -> ((s, dir) =>
-      ProfileOps.profileColumns(Tables.lineitem(s, dir), ProfiledCols)),
+      ProfileOps.profileColumns(
+        Tables.lineitem(s, dir), ProfiledCols,
+        spreadKeys = Seq("l_orderkey", "l_linenumber"))),
     // The 100 TB-default profiler: HLL cardinality instead of the exact
     // distinct — registers shuffle, not distinct values.
     "profile_approx" -> ((s, dir) =>

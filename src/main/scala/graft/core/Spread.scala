@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
 
 /** Scan-starvation predicate for size-routed plan shapes.
   *
@@ -50,4 +51,30 @@ object Spread {
     val cores = rel.sparkSession.sparkContext.defaultParallelism
     cores > 1 && bytesOf(rel) <= BigInt(cores) * maxBytesPerCore
   }
+
+  /** The measured-winning escape shape (round 14, guide §2.4/§2.5), shared
+    * by the operators that apply it: when `rel` is starved, hash-partition
+    * its RAW rows on the caller-named high-cardinality `keys` across the
+    * session's cores so the expensive kernel the CALLER applies NEXT runs
+    * on the reduce side of one trivially-cheap exchange. Identity on row
+    * content; a no-op (`rel` returned untouched, no exchange node) at
+    * scale. The key is deterministic (guide §2.5: never rand() — retried
+    * map tasks must re-send rows to the same partition) and spans
+    * `cores × 64` distinct values so the hash spreads evenly.
+    *
+    * Callers MUST apply the kernel AFTER this call: Catalyst does not push
+    * a Project below a hash RepartitionByExpression (measured — the
+    * profileColumnsApprox route), so the kernel stays above the exchange;
+    * by contrast round-robin `repartition(n)` is actively harmful here
+    * (projection pushdown + SPARK-23207 sort, see the scaladoc above).
+    */
+  def respread(rel: DataFrame, keys: Seq[Column], route: String): DataFrame =
+    if (isStarved(rel)) {
+      val cores = rel.sparkSession.sparkContext.defaultParallelism
+      RouteLog.costRoute(
+        route,
+        s"starved scan — hash-respread on (${keys.mkString(", ")}) over " +
+          s"$cores tasks before the kernel; rows unchanged")
+      rel.repartition(cores, pmod(xxhash64(keys: _*), lit(cores * 64)))
+    } else rel
 }

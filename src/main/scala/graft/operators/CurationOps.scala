@@ -115,7 +115,13 @@ object CurationOps {
     */
   def gopherRules(docs: DataFrame): DataFrame = {
     val tk = TextOps.tokens(col("text"))
-    val docd = docs.select(col("doc_id"), length(col("text")).as("nc"), tk.as("tk"))
+    // round 14 (guide §2.5 idle capacity): the per-doc HOF kernel below
+    // (bigram transform + two array_distincts) is this plan's dominant
+    // cost and fuses into the scan stage — 1 task on a split-starved
+    // corpus. Respread raw rows first; identity on rows, no-op at scale.
+    val docd = graft.core.Spread
+      .respread(docs, Seq(col("doc_id")), "gopherRules.spread")
+      .select(col("doc_id"), length(col("text")).as("nc"), tk.as("tk"))
     val n = size(col("tk"))
     val meanLen = (col("nc") - (n - lit(1))).cast("double") / n.cast("double")
     val nStop = size(filter(array_distinct(col("tk")), w => w.isInCollection(TextOps.Stopwords)))

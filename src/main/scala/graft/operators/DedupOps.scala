@@ -257,7 +257,16 @@ object DedupOps {
       // Tokenize behind its own cache barrier: otherwise Catalyst inlines
       // `split(text)` into the shingle lambda and the text is re-tokenized
       // once per shingle position (~90× blow-up).
-      val tokenized = docs
+      // COST-SHAPE ROUTE (round 14, guide §2.4/§2.5): on a split-starved
+      // corpus scan (one file/row group — the bench layout) the tokenize +
+      // shingle + md5 kernel AND the persisted cache itself would land on
+      // ONE task/partition, starving every downstream consumer's map-side
+      // work too. Respread the raw doc rows first: one sub-second exchange
+      // of the raw text buys cores-wide parallelism for the fill and a
+      // cores-partition cache layout for all consumers. Identity on rows;
+      // no-op (and no exchange) at scale.
+      val tokenized = graft.core.Spread
+        .respread(docs, Seq(col("doc_id")), "shingleRows.spread")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rows = tokenized

@@ -45,8 +45,21 @@ object ProfileOps {
     * remains the documented scale default; the exact form is the oracle
     * baseline.
     */
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val melted = df.select(
+  def profileColumns(
+      df: DataFrame,
+      cols: Seq[String],
+      spreadKeys: Seq[String] = Nil): DataFrame = {
+    // same starvation route as profileColumnsApprox (round 14): the ncols×
+    // melt + first-level partial aggregation are this plan's per-row cost
+    // and fuse into the scan stage — respread the raw rows when the scan
+    // cannot feed the cores. Identity on rows; no-op at scale.
+    val spread =
+      if (spreadKeys.nonEmpty)
+        graft.core.Spread
+          .respread(df, spreadKeys.map(col), "profileColumns.spread")
+          .select(cols.map(col): _*)
+      else df
+    val melted = spread.select(
       explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), nanAsNull(col(c).cast("double")).as("v"))): _*)).as("cv"))
       .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
@@ -98,15 +111,11 @@ object ProfileOps {
     // corpus. Results are unchanged by construction — every downstream
     // aggregate is order-insensitive and exact-integer.
     val spread =
-      if (spreadKeys.nonEmpty && graft.core.Spread.isStarved(df)) {
-        val cores = df.sparkSession.sparkContext.defaultParallelism
-        graft.core.RouteLog.costRoute(
-          "profileColumnsApprox.spread",
-          s"starved scan — hash-respread on (${spreadKeys.mkString(", ")}) " +
-            s"over $cores tasks before the sketch kernel; rows unchanged")
-        df.repartition(cores, pmod(xxhash64(spreadKeys.map(col): _*), lit(cores * 64)))
+      if (spreadKeys.nonEmpty)
+        graft.core.Spread
+          .respread(df, spreadKeys.map(col), "profileColumnsApprox.spread")
           .select(cols.map(col): _*)
-      } else df
+      else df
     val melted = spread.select(
       explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), nanAsNull(col(c).cast("double")).as("v"))): _*)).as("cv"))

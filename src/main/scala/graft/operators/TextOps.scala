@@ -251,8 +251,22 @@ object TextOps {
       sum((col("in_train") * col("in_val")).cast("long")).as("sf_tv"),
       sum((col("in_train") * col("in_test")).cast("long")).as("sf_tt"),
       sum((col("in_val") * col("in_test")).cast("long")).as("sf_vt"))
+    // round 14 (guide §2.3, filter/project before the exchange): the leak
+    // sums only read val/test docs (train rows aggregate to nothing) and
+    // only the in_train/in_val flags (a gram flagged neither contributes 0
+    // to both any_* maxima, and a doc whose grams all drop lands on
+    // any_train = any_val = 0 — outside every `=== 1` sum either way), so
+    // both join sides shrink BEFORE the h-keyed shuffle: the probe side by
+    // ~the train share (80 %), the build side to the flagged grams.
+    // Result-identical by the argument above.
     val leaks = tagged
-      .join(perGram, Seq("h"))
+      .filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), col("h"))
+      .join(
+        perGram
+          .filter(col("in_train") === 1 || col("in_val") === 1)
+          .select(col("h"), col("in_train"), col("in_val")),
+        Seq("h"))
       .groupBy(col("doc_id"), col("split"))
       .agg(max(col("in_train")).as("any_train"), max(col("in_val")).as("any_val"))
       .agg(
