@@ -198,7 +198,9 @@ object ProfileQueries {
     // float co-moments whose low bits depend on merge order — not
     // oracle-reproducible).
     "feature_corr" -> ((s, dir) =>
-      ProfileOps.corrMatrix(Tables.lineitem(s, dir), ProfiledCols)),
+      ProfileOps.corrMatrix(
+        Tables.lineitem(s, dir), ProfiledCols,
+        spreadKeys = Seq("l_orderkey", "l_linenumber"))),
     // The same decimal-exact correlation matrix over DOCUMENT quality
     // signals (chars / tokens / distinct tokens) — are the cheap signals
     // redundant with each other before anyone weights by them?
@@ -221,7 +223,8 @@ object ProfileQueries {
     // feature_corr, grouped.
     "ols_discount" -> ((s, dir) =>
       ProfileOps.olsByGroup(
-        Tables.lineitem(s, dir), "l_returnflag", "l_discount", "l_extendedprice")),
+        Tables.lineitem(s, dir), "l_returnflag", "l_discount", "l_extendedprice",
+        spreadKeys = Seq("l_orderkey", "l_linenumber"))),
     // Ranking power of a score column: binned Mann-Whitney AUC of the
     // first embedding component against the low-label half (the grid
     // replaces the global-rank window — see EvalOps.binnedAuc).

@@ -65,8 +65,15 @@ object TpchQueries {
     // Discount elasticity per brand: exact-OLS slope of quantity on
     // discount — does discounting actually move volume, where?
     "q_elasticity" -> ((s, dir) =>
+      // round 14: respread lineitem BEFORE the broadcast join (the joined
+      // relation's plan-time stats are product-inflated, so the route
+      // must read the scan side) — probe + decimal OLS products then run
+      // on the parallel side of the exchange.
       graft.operators.ProfileOps.olsByGroup(
-        Tables.lineitem(s, dir)
+        graft.core.Spread.respread(
+          Tables.lineitem(s, dir),
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          "q_elasticity.spread")
           .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey")),
         "p_brand", "l_discount", "l_quantity")),

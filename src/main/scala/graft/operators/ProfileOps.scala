@@ -460,7 +460,7 @@ object ProfileOps {
       .orderBy(col("grp"))
   }
 
-  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrMatrix(df: DataFrame, cols: Seq[String], spreadKeys: Seq[String] = Nil): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val names = cols.sorted
     val complete = names
@@ -468,7 +468,15 @@ object ProfileOps {
       .reduce(_ && _)
     val cents = names.map(c =>
       (col(c) * lit(100.0)).cast("bigint").cast("decimal(38,0)").as(s"v_$c"))
-    val base = df.filter(complete).select(cents: _*)
+    // round 14: the k(k+1)/2 decimal(38) products below are this plan's
+    // dominant per-row cost and fuse into the (single-task, guide §2.5)
+    // starved scan stage — respread first when the caller names keys.
+    // Identity on rows; no-op at scale.
+    val spread =
+      if (spreadKeys.nonEmpty)
+        graft.core.Spread.respread(df, spreadKeys.map(col), "corrMatrix.spread")
+      else df
+    val base = spread.filter(complete).select(cents: _*)
     val sums =
       Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
         names.map(c => sum(col(s"v_$c")).as(s"s_$c")) ++
@@ -502,9 +510,20 @@ object ProfileOps {
     * decimals per group.
     * Output: (grp, n, slope, intercept_c, r2); slope is cents-per-cent.
     */
-  def olsByGroup(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+  def olsByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      spreadKeys: Seq[String] = Nil): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val base = df
+    // same starvation route as corrMatrix (round 14): three decimal(38)
+    // products per row in the fused scan stage.
+    val spread =
+      if (spreadKeys.nonEmpty)
+        graft.core.Spread.respread(df, spreadKeys.map(col), "olsByGroup.spread")
+      else df
+    val base = spread
       .filter(col(xCol).isNotNull && !isnan(col(xCol)) &&
         col(yCol).isNotNull && !isnan(col(yCol)))
       .select(
