@@ -38,7 +38,13 @@ object SimilarityOps {
     */
   def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.toDF("q_id", "q_emb")
-    val c = candidates.toDF("c_id", "c_emb")
+    // round 14 (guide §2.5 idle capacity): the |Q|·N cosine kernel fuses
+    // into the candidate scan stage — one task on a split-starved corpus.
+    // Respread the corpus rows first; identity on rows, no-op at scale.
+    val c = graft.core.Spread.respread(
+      candidates.toDF("c_id", "c_emb"),
+      Seq(col("c_id")),
+      "knnBruteForce.spread")
     val pairs = broadcast(q)
       .crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
@@ -218,7 +224,13 @@ object SimilarityOps {
         mn + (code + lit(0.5)) * rg / lit(255.0)
       })
     val shortlist = broadcast(q.select(col("q_id"), recon(col("q_emb")).as("qc")))
-      .crossJoin(c.select(col("c_id"), recon(col("c_emb")).as("cc")))
+      // round 14: respread the candidate side when starved — the |Q|·N
+      // SQ8 reconstruction + cosine otherwise fuse into the single-task
+      // corpus scan stage (identity on rows, no-op at scale; the recon
+      // projection is applied ABOVE the exchange so it parallelizes)
+      .crossJoin(graft.core.Spread
+        .respread(c, Seq(col("c_id")), "knnRerank.spread")
+        .select(col("c_id"), recon(col("c_emb")).as("cc")))
       .filter(col("q_id") =!= col("c_id"))
       .select(
         col("q_id"), col("c_id"),
@@ -842,7 +854,14 @@ object SimilarityOps {
       v.filter(col("vec_id") % probeEvery === 0)
         .select(col("vec_id").as("q_id"), col("vi").as("qi"), col("vv").as("qq")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("c_id"))
-    v.select(col("vec_id").as("c_id"), col("vi"), col("vv"))
+    // round 14: same starvation respread as knnBruteForce — the |Q|·N dot
+    // kernel otherwise runs single-task on the starved embeddings scan
+    // (embed_intrinsic_dim's dominant 0.9 s stage).
+    graft.core.Spread
+      .respread(
+        v.select(col("vec_id").as("c_id"), col("vi"), col("vv")),
+        Seq(col("c_id")),
+        "knnBruteForceL2.spread")
       .crossJoin(q)
       .filter(col("q_id") =!= col("c_id"))
       .select(
