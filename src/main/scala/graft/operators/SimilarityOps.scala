@@ -194,7 +194,8 @@ object SimilarityOps {
       queries: DataFrame,
       candidates: DataFrame,
       k: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int,
+      maxExactVectors: Long = MaxExactVectors): DataFrame = {
     val c = candidates.toDF("c_id", "c_emb")
     val q = queries.toDF("q_id", "q_emb")
     // per-dim (min, range) of the CANDIDATE corpus — dim rows, driver-side
@@ -223,14 +224,66 @@ object SimilarityOps {
             .otherwise(greatest(lit(0.0), least(lit(255.0), floor((x - mn) * 255.0 / rg))))
         mn + (code + lit(0.5)) * rg / lit(255.0)
       })
-    val shortlist = broadcast(q.select(col("q_id"), recon(col("q_emb")).as("qc")))
-      // round 14: respread the candidate side when starved — the |Q|·N
-      // SQ8 reconstruction + cosine otherwise fuse into the single-task
-      // corpus scan stage (identity on rows, no-op at scale; the recon
-      // projection is applied ABOVE the exchange so it parallelizes)
-      .crossJoin(graft.core.Spread
-        .respread(c, Seq(col("c_id")), "knnRerank.spread")
-        .select(col("c_id"), recon(col("c_emb")).as("cc")))
+    val qc = broadcast(q.select(col("q_id"), recon(col("q_emb")).as("qc")))
+    // SIZE-ROUTED COARSE STAGE (round-13 verdict #3 / round 14): the
+    // default coarse scorer is the |Q|·N SQ8 cross join — exact and fine
+    // at oracle scale, but the one ANN family member a 10⁹-vector corpus
+    // could enter without a route. Above `maxExactVectors` (plan-time
+    // estimate, CONFIRMED by the memoized exact count — the nearDupPairs
+    // discipline), candidate pairs come from the trained IVF coarse
+    // quantizer instead (the knnIvfTrained geometry; fitCentroids itself
+    // trains on a bounded sample above its ceiling), so coarse cost drops
+    // to O(|Q|·N·nprobe/nlist) while stage 2's exact rerank is unchanged.
+    // The routed SHORTLIST is a subset of the probed lists — a recall
+    // contract change, announced at WARN like nearDupPairs' LSH route.
+    val routed =
+      estimatedVectors(c) > maxExactVectors.toDouble &&
+        confirmedVectors(c) > maxExactVectors
+    val coarsePairs =
+      if (routed) {
+        val n = confirmedVectors(c)
+        val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+        val nprobe = math.max(4, nlist / 16)
+        graft.core.RouteLog.contractChange(
+          "knnRerank.ivfShortlist",
+          s"n=$n > $maxExactVectors — SQ8 coarse stage scores only the $nprobe/" +
+            s"$nlist probed IVF lists (trained coarse quantizer; shortlist recall " +
+            "gated in SimilaritySpec); exact rerank stage unchanged")
+        val cEmb = c.select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
+        val cents = broadcast(
+          KMeansOps.fitCentroids(cEmb, nlist, iters = 2)
+            .withColumn("cc", GraftFunctions.dot(col("ci"), col("ci"))))
+        val lists = KMeansOps
+          .assign(KMeansOps.quantize(cEmb), cents.select(col("cid"), col("ci")))
+          .select(col("vec_id").as("c_id"), col("cid"))
+        val qv = KMeansOps.quantize(
+          q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")))
+        val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qd").asc, col("cid"))
+        val probes = qv
+          .select(col("vec_id").as("q_id"), col("vi").as("qi"), col("vv").as("qq"))
+          .crossJoin(cents)
+          .select(
+            col("q_id"), col("cid"),
+            (col("qq") + col("cc") - lit(2) * GraftFunctions.dot(col("qi"), col("ci")))
+              .as("qd"))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= nprobe)
+          .select(col("q_id"), col("cid"))
+        // single-assignment lists are disjoint → each (q, c) at most once
+        probes
+          .join(lists, Seq("cid"))
+          .join(c.select(col("c_id"), recon(col("c_emb")).as("cc")), Seq("c_id"))
+          .join(qc, Seq("q_id"))
+      } else
+        qc
+          // round 14: respread the candidate side when starved — the |Q|·N
+          // SQ8 reconstruction + cosine otherwise fuse into the single-task
+          // corpus scan stage (identity on rows, no-op at scale; the recon
+          // projection is applied ABOVE the exchange so it parallelizes)
+          .crossJoin(graft.core.Spread
+            .respread(c, Seq(col("c_id")), "knnRerank.spread")
+            .select(col("c_id"), recon(col("c_emb")).as("cc")))
+    val shortlist = coarsePairs
       .filter(col("q_id") =!= col("c_id"))
       .select(
         col("q_id"), col("c_id"),

@@ -87,6 +87,16 @@ object EmbedScaleStress {
         SimilarityOps.knnIvfTrained(emb, 10, nlist, iters = 2,
           nprobe = math.max(4, nlist / 16), probeEvery = pe).count())
       DedupOps.releaseAllCaches()
+      // r13 verdict #3 evidence: knnRerank's coarse stage, exact |Q|·N
+      // cross join vs the routed IVF-probed shortlist (fit incl.) at the
+      // same fixed |Q| — the cross join's cost grows linearly in N, the
+      // routed coarse stage only by N·nprobe/nlist
+      t(s"knn_rerank EXACT coarse (|Q|x${emb.count()} cross join)")(
+        SimilarityOps.knnRerank(q, c, 10, rerank = 50).count())
+      DedupOps.releaseAllCaches()
+      t(s"knn_rerank ROUTED coarse (IVF nlist=$nlist shortlist)")(
+        SimilarityOps.knnRerank(q, c, 10, rerank = 50, maxExactVectors = 100).count())
+      DedupOps.releaseAllCaches()
       // the Θ(n²)-by-design exact all-pairs path: the interesting datapoint
       // is the auto-sizer ESCALATING the block count with the corpus (B=1
       // collapses to the cheap plan at 2k; the blocked equi-join must

@@ -64,6 +64,25 @@ object FitCostPoint {
       DedupOps.releaseAllCaches()
       println(f"  full/sampled = ${tf / ts}%.2fx")
     }
+    // r13 verdict #3: knnRerank's coarse stage at the same 512k-vector
+    // scale — the |Q|·N SQ8 cross join vs the DEFAULT config (route
+    // fires: n > 1e5 confirmed), which scores only the probed IVF lists.
+    // Fixed |Q| ≈ 500; both include every fit/assignment they need.
+    val c = graft.operators.SimilarityOps.corpus(emb)
+    val q = c.filter(pmod(col("vec_id"), lit(1024)) === 0)
+    println(s"knn_rerank coarse stage at n = ${emb.count()}, |Q| = ${q.count()}")
+    for (rep <- 1 to 2) {
+      val te = t(s"rep $rep EXACT coarse (route disabled)")(
+        graft.operators.SimilarityOps
+          .knnRerank(q, c, 10, rerank = 50, maxExactVectors = Long.MaxValue).count())
+      DedupOps.releaseAllCaches()
+      val tr = t(s"rep $rep DEFAULT config (IVF shortlist route fires)")(
+        graft.operators.SimilarityOps.knnRerank(q, c, 10, rerank = 50).count())
+      require(graft.core.RouteLog.fired("knnRerank.ivfShortlist"),
+        "default config must route the coarse stage at 512k vectors")
+      DedupOps.releaseAllCaches()
+      println(f"  exact/routed = ${te / tr}%.2fx")
+    }
     spark.stop()
   }
 }

@@ -140,6 +140,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 shortlist recall@10 too low: $recall")
   }
 
+  test("knnRerank routes the coarse stage to trained IVF lists above maxExactVectors") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val tag = "knnRerank.ivfShortlist:"
+    // default ceiling → exact SQ8 cross join, no contract-change announcement
+    val before = graft.core.RouteLog.recent().count(_.startsWith(tag))
+    SimilarityOps.knnRerank(q, emb, k = 10, rerank = 50).collect()
+    assert(graft.core.RouteLog.recent().count(_.startsWith(tag)) == before,
+      "the exact coarse stage must not announce a route")
+    // forced-low ceiling → IVF-probed shortlist, announced at WARN
+    val routed = SimilarityOps
+      .knnRerank(q, emb, k = 10, rerank = 50, maxExactVectors = 1L)
+      .collect()
+    assert(graft.core.RouteLog.recent().count(_.startsWith(tag)) == before + 1,
+      "the routed coarse stage must announce the recall contract change")
+    // shape + determinism of the routed output
+    assert(routed.nonEmpty)
+    val again = SimilarityOps
+      .knnRerank(q, emb, k = 10, rerank = 50, maxExactVectors = 1L)
+      .collect()
+    assert(routed.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the exact rerank stage is unchanged: every routed (q, c, cos) row
+    // carries the same exact cosine brute force computes for that pair
+    val bf = SimilarityOps.knnBruteForce(q, emb, k = emb.count().toInt).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    routed.foreach { r =>
+      assert(bf((r.getLong(0), r.getLong(1))) == r.getDouble(3))
+    }
+    // recall vs the true top-10 stays useful at nprobe/nlist = 4/16 on
+    // random 64-dim vectors (the knnIvf spec's own floor)
+    val bfTop = SimilarityOps.knnBruteForce(q, emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = routed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(bfTop).size.toDouble / bfTop.size
+    assert(recall >= 0.3, s"routed rerank recall@10 = $recall")
+  }
+
   test("semanticDedup: intra-cluster pairs are a subset of the exact all-pairs set") {
     val raw = Tables.embeddings(spark, TestSpark.sf0001)
     val sem = SimilarityOps
