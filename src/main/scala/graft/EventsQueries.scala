@@ -1126,7 +1126,7 @@ object EventsQueries {
         |  FROM cum
         |), r AS (
         |  SELECT look, n_a, n_b,
-        |         round(d, 6) AS delta_c,
+        |         CASE WHEN n_a > 0 AND n_b > 0 THEN round(d, 6) END AS delta_c,
         |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
         |           round(0.5 * ln(vv / (vv + 2500.0))
         |                 + d * d * 2500.0 / (2.0 * vv * (vv + 2500.0)), 6)
@@ -1249,7 +1249,7 @@ object EventsQueries {
         |  FROM cum
         |), r AS (
         |  SELECT grp, look, n_a, n_b,
-        |         round(d, 6) AS delta_c,
+        |         CASE WHEN n_a > 0 AND n_b > 0 THEN round(d, 6) END AS delta_c,
         |         CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0.0 THEN
         |           round(0.5 * ln(vv / (vv + 2500.0))
         |                 + d * d * 2500.0 / (2.0 * vv * (vv + 2500.0)), 6)

@@ -1853,7 +1853,12 @@ object EvalOps {
           sum(col("t") * col("y")).as("y_t"),
           sum((lit(1L) - col("t")) * col("y")).as("y_c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nScores = DedupOps.sessionValue(units, "qiniScoreCardinality") { g.count() }
+    // round-13 advice #3: count g DIRECTLY (it is persisted — the count
+    // reads the cache the window fills anyway) instead of memoizing on
+    // the units plan: a mutable non-file source whose canonicalized plan
+    // is stable while its data grows would otherwise reuse a stale count
+    // and silently skip the guard.
+    val nScores = g.count()
     require(
       nScores <= maxScores,
       s"upliftQini: $nScores distinct scores exceed maxScores=$maxScores — the cumulative " +

@@ -44,16 +44,25 @@ object StreamingSequential {
     * a timestamp past t1 lands in the last look, one before t0 — clock
     * skew against a declared calendar — in the first, never a negative
     * index corrupting the cumulative order). Exact integral division
-    * via the pmod identity — `a DIV b = (a − pmod(a, b)) / b`, where
-    * the final division is exact in double because the dividend
-    * (≤ looks · timestamp-span microseconds) stays far under 2⁵³ and
-    * divides evenly — Spark's `/` on longs is double division (the
-    * repo's DIV-not-/ rule), and Column has no integral-divide operator.
+    * via the pmod identity — `a DIV b = (a − pmod(a, b)) / b` — with the
+    * final division in DECIMAL(38,0) (round-13 advice #1: Spark's `/` on
+    * longs is double division, so a calendar wider than ~2⁵³/looks
+    * microseconds could round the quotient across an integer boundary
+    * and misassign an edge timestamp by one look; the decimal quotient
+    * is exact for every representable long dividend, like DuckDB's
+    * integral `//`). Column has no integral-divide operator, hence the
+    * identity. Contract: the caller declares a real calendar, `t1 ≥ t0`
+    * — with an inverted calendar the denominator is ≤ 0 and the pmod
+    * identity silently degrades (the oracled batch entries derive
+    * t0/t1 from min/max, which cannot invert).
     */
   def lookOf(ts: Column, t0: Column, t1: Column, looks: Int): Column = {
     val num = greatest(lit(0L), ts - t0) * lit(looks.toLong)
     val den = t1 - t0 + lit(1L)
-    least(lit(looks - 1L), ((num - pmod(num, den)) / den).cast("bigint"))
+    least(
+      lit(looks - 1L),
+      ((num - pmod(num, den)).cast("decimal(38,0)") / den.cast("decimal(38,0)"))
+        .cast("bigint"))
   }
 
   /** Per-(look, variant) sufficient statistics `(look, variant, n, s,
@@ -251,7 +260,11 @@ object StreamingSequential {
       .select(
         grp.map(col) ++ Seq(
           col("look"), col("n_a"), col("n_b"),
-          round(delta, 6).as("delta_c"),
+          // round-13 advice #2: a look where one arm has zero cumulative
+          // units would project 0/0 → NaN in Spark while DuckDB's
+          // division-by-zero behavior is configuration-dependent — gate
+          // the projection (NULL on degenerate looks, both twins)
+          when(col("n_a") > 0L && col("n_b") > 0L, round(delta, 6)).as("delta_c"),
           when(wellDefined, round(logLambda, 6)).as("log_lambda"),
           when(wellDefined, round(delta - halfWidth, 6)).as("ci_lo"),
           when(wellDefined, round(delta + halfWidth, 6)).as("ci_hi")): _*)
