@@ -493,7 +493,13 @@ object SketchOps {
       sampleDen: Long = 8L,
       candMin: Long = 3L,
       threshold: Long = 40L): DataFrame = {
-    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // round 14: the bigram zip_with explode below is evaluated by BOTH
+    // legs (sampled candidates + exact verify) and fuses into the starved
+    // corpus scan — two single-task kernel stages. Respread raw docs
+    // first; identity on rows, no-op at scale.
+    val tk = graft.core.Spread
+      .respread(docs, Seq(col("doc_id")), "heavyHittersSampled.spread")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
     val bg = tk
       .select(
         col("doc_id"),
