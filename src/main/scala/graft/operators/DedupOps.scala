@@ -257,16 +257,15 @@ object DedupOps {
       // Tokenize behind its own cache barrier: otherwise Catalyst inlines
       // `split(text)` into the shingle lambda and the text is re-tokenized
       // once per shingle position (~90× blow-up).
-      // COST-SHAPE ROUTE (round 14, guide §2.4/§2.5): on a split-starved
-      // corpus scan (one file/row group — the bench layout) the tokenize +
-      // shingle + md5 kernel AND the persisted cache itself would land on
-      // ONE task/partition, starving every downstream consumer's map-side
-      // work too. Respread the raw doc rows first: one sub-second exchange
-      // of the raw text buys cores-wide parallelism for the fill and a
-      // cores-partition cache layout for all consumers. Identity on rows;
-      // no-op (and no exchange) at scale.
-      val tokenized = graft.core.Spread
-        .respread(docs, Seq(col("doc_id")), "shingleRows.spread")
+      // Round 14 NOTE: a Spread.respread here was tried and REVERTED on
+      // measurement — the fill parallelizes (2×) but the fill amortizes
+      // across the session, while the cores-partitioned cache taxes every
+      // WARM consumer that re-aggregates from it (vocab_growth +0.25 s,
+      // split_leakage +0.05 s per rep: a 32-task stage over a tiny cache
+      // pays the local ~0.3-0.45 s scheduling floor that a 1-partition
+      // read avoids). At scale the respread was a no-op anyway, so the
+      // revert costs the 100 TB shape nothing.
+      val tokenized = docs
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rows = tokenized
