@@ -38,13 +38,14 @@ object SimilarityOps {
     */
   def knnBruteForce(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.toDF("q_id", "q_emb")
-    // round 14 (guide §2.5 idle capacity): the |Q|·N cosine kernel fuses
-    // into the candidate scan stage — one task on a split-starved corpus.
-    // Respread the corpus rows first; identity on rows, no-op at scale.
-    val c = graft.core.Spread.respread(
-      candidates.toDF("c_id", "c_emb"),
-      Seq(col("c_id")),
-      "knnBruteForce.spread")
+    // Round 14 NOTE: a Spread.respread of the candidate side was tried and
+    // REVERTED on measurement — quiet-host warm time was a wash (0.58 s
+    // either way: this kernel is only ~0.35 s single-task, under the
+    // respread profitability floor) and the extra 32-task stage is MORE
+    // ambient-noise-sensitive than the fused scan (closing record reps
+    // 0.85-1.04 vs the 0.58 baseline under ~1.3× ambient). Contrast
+    // knnBruteForceL2, whose heavier kernel keeps its respread.
+    val c = candidates.toDF("c_id", "c_emb")
     val pairs = broadcast(q)
       .crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
@@ -275,14 +276,11 @@ object SimilarityOps {
           .join(c.select(col("c_id"), recon(col("c_emb")).as("cc")), Seq("c_id"))
           .join(qc, Seq("q_id"))
       } else
-        qc
-          // round 14: respread the candidate side when starved — the |Q|·N
-          // SQ8 reconstruction + cosine otherwise fuse into the single-task
-          // corpus scan stage (identity on rows, no-op at scale; the recon
-          // projection is applied ABOVE the exchange so it parallelizes)
-          .crossJoin(graft.core.Spread
-            .respread(c, Seq(col("c_id")), "knnRerank.spread")
-            .select(col("c_id"), recon(col("c_emb")).as("cc")))
+        // (a local Spread.respread of the candidate side was tried and
+        // REVERTED: quiet warm 0.72-0.77 vs the 0.675 baseline, and the
+        // extra exchange stage amplified ambient noise in full-sweep
+        // records — same finding as knnBruteForce)
+        qc.crossJoin(c.select(col("c_id"), recon(col("c_emb")).as("cc")))
     val shortlist = coarsePairs
       .filter(col("q_id") =!= col("c_id"))
       .select(
