@@ -42,10 +42,16 @@ object ProfileQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Long-form per-column completeness/cardinality/range profile.
+    // round 14: a spreadKeys respread here was tried and REVERTED on
+    // full-sweep evidence (1.18 -> 1.52 s): unlike the approx profiler's
+    // bounded 256-bucket sketch state, the exact profiler's first level is
+    // a HIGH-CARDINALITY partial aggregation (one row per distinct
+    // (column, value) pair), and hash-spreading the input rows multiplies
+    // partial-agg output (~#tasks x per-task distincts), defeating
+    // map-side combine — the respread rule only pays before bounded-state
+    // aggregations or pure per-row kernels.
     "profile_columns" -> ((s, dir) =>
-      ProfileOps.profileColumns(
-        Tables.lineitem(s, dir), ProfiledCols,
-        spreadKeys = Seq("l_orderkey", "l_linenumber"))),
+      ProfileOps.profileColumns(Tables.lineitem(s, dir), ProfiledCols)),
     // The 100 TB-default profiler: HLL cardinality instead of the exact
     // distinct — registers shuffle, not distinct values.
     "profile_approx" -> ((s, dir) =>

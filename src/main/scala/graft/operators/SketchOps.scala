@@ -493,13 +493,11 @@ object SketchOps {
       sampleDen: Long = 8L,
       candMin: Long = 3L,
       threshold: Long = 40L): DataFrame = {
-    // round 14: the bigram zip_with explode below is evaluated by BOTH
-    // legs (sampled candidates + exact verify) and fuses into the starved
-    // corpus scan — two single-task kernel stages. Respread raw docs
-    // first; identity on rows, no-op at scale.
-    val tk = graft.core.Spread
-      .respread(docs, Seq(col("doc_id")), "heavyHittersSampled.spread")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // Round 14 NOTE: a Spread.respread before the bigram explode was tried
+    // and REVERTED — each leg's kernel stage is only ~0.2-0.3 s
+    // single-task (under the measured ≥0.4 s respread profitability
+    // floor), and the full-sweep record read 0.94 -> 1.01 s with it in.
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val bg = tk
       .select(
         col("doc_id"),
